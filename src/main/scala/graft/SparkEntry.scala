@@ -1,13 +1,220 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{EventsQueries, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY.md §2 + the LLM-pipeline extension
+  * set) to DataFrame builders over a testdata dir; `oracleSql` carries the
+  * DuckDB-equivalent SQL for the hash-compare correctness gate. Every
+  * computed column is aliased identically on both sides, results carry a
+  * total ORDER BY, and floating aggregates are decimal-summed then cast to
+  * double (see graft.queries.Relational scaladoc for the full conventions).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg"             -> (Relational.q01Agg _),
+    "q02_filter_project"  -> (Relational.q02FilterProject _),
+    "q03_join_topk"       -> (Relational.q03JoinTopK _),
+    "q04_semi_join"       -> (Relational.q04SemiJoin _),
+    "q05_anti_join"       -> (Relational.q05AntiJoin _),
+    "q06_star_join"       -> (Relational.q06StarJoin _),
+    "q07_window_rank"     -> (Relational.q07WindowRank _),
+    "q08_topk"            -> (Relational.q08TopK _),
+    "q09_distinct_agg"    -> (Relational.q09DistinctAgg _),
+    "q10_set_ops"         -> (Relational.q10SetOps _),
+    "q11_rollup"          -> (Relational.q11Rollup _),
+    "q12_scalar_string"   -> (Relational.q12ScalarString _),
+    "q13_date_extract"    -> (Relational.q13DateExtract _),
+    "q14_conditional_agg" -> (Relational.q14ConditionalAgg _),
+    "q15_event_window_agg" -> (EventsQueries.q15WindowAgg _),
+    "q16_json_extract"    -> (EventsQueries.q16JsonExtract _),
+    "q17_sessionize"      -> (EventsQueries.q17Sessionize _),
+    "q18_asof_join"       -> (EventsQueries.q18AsOfJoin _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_quantity < 24.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_topk" ->
+      """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, o.o_orderdate
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT n.n_name, COUNT(*) AS n_customers
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
+
+    "q06_star_join" ->
+      """SELECT r.r_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_topk" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY total_spend DESC, o_custkey
+        |LIMIT 10""".stripMargin,
+
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q10_set_ops" ->
+      """WITH rk AS (SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |     ak AS (SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A')
+        |SELECT 'both' AS tag, partkey FROM (SELECT partkey FROM rk INTERSECT SELECT partkey FROM ak)
+        |UNION ALL
+        |SELECT 'only_r' AS tag, partkey FROM (SELECT partkey FROM rk EXCEPT SELECT partkey FROM ak)
+        |ORDER BY tag, partkey""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  COUNT(*) AS n_customers
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q12_scalar_string" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u,
+        |  CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        |  SUBSTRING(p_type, 1, 5) AS type_pfx,
+        |  REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS devoweled,
+        |  LPAD(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+        |  CONCAT_WS('-', p_brand, p_type) AS brand_type
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q13_date_extract" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY o_year, o_month""".stripMargin,
+
+    "q14_conditional_agg" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS returned_qty,
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS discount_revenue,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q15_event_window_agg" ->
+      """SELECT STRFTIME(ts, '%Y-%m-%d %H:00') AS hour_bucket, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k, COUNT(*) AS n_events
+        |FROM (SELECT event_type,
+        |        CAST(REGEXP_EXTRACT(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q17_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, EPOCH_US(ts) AS ts_us,
+        |    LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new,
+        |    SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t)
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q18_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value AS purchase_value,
+        |  (SELECT c.value FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+  )
 }

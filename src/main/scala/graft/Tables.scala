@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. All reads go through
+  * `spark.read.parquet` so Catalyst gets column pruning and predicate
+  * pushdown for free; no schema is forced (schema-on-read, matching the
+  * reference engine's behavior — reference/src/Split/parquet-splitter.py:84-88).
+  *
+  * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
+  * reader rejects. We read it as raw nanos (legacy conf) and convert to a
+  * microsecond TIMESTAMP_NTZ with integer floor-division — the exact same
+  * ns→µs truncation DuckDB applies, so oracle comparisons agree.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // Runtime-settable legacy conf; scoped to this session.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream shaped queries over the `events` table: time bucketing,
+  * JSON extraction, gap-based sessionization, and an as-of join.
+  *
+  * These are the batch duals of the Structured Streaming operators in
+  * `graft.streaming` — same logical semantics, so the streaming paths can be
+  * spot-checked against these deterministic batch results.
+  */
+object EventsQueries {
+
+  /** Tumbling-window (hourly) aggregation. The bucket is emitted as a
+    * formatted string (not a raw timestamp) for cross-engine parity. */
+  def q15WindowAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
+  /** JSON property extraction (get_json_object over the `props` column). */
+  def q16JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Gap-based sessionization: a new session starts after a >30 min silence
+    * per user. lag + running sum over an event-time window — the classic
+    * two-window formulation; all arithmetic on integral epoch-micros so both
+    * engines agree bit-for-bit. */
+  def q17Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join: for every purchase, the value of that user's most recent
+    * strictly-earlier click. Composed from built-ins (window + last/ignoreNulls
+    * over a union of both event kinds) rather than a custom physical operator —
+    * one shuffle on user_id, no range-join blowup, holds at scale. */
+  def q18AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_value",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+              col("value").as("purchase_value"), col("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+}

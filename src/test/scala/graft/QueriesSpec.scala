@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic checks for every registered query at sf0.001.
+  * (Numeric parity vs DuckDB is covered by the driver's oracle gate and
+  * tools/check_oracle.py; these tests pin semantics that the oracle can't,
+  * e.g. plan shape and invariants.) */
+class QueriesSpec extends SparkSpec {
+
+  test("every query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every query with an oracle has matching column sets is a subset of queries") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 pushes filter and prunes columns at the parquet scan") {
+    val plan = graft.queries.Relational.q01Agg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushed filter in:\n$plan")
+    // read schema must not include unused columns like l_orderkey/l_tax
+    val scanLine = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!scanLine.contains("l_orderkey") && !scanLine.contains("l_tax"),
+      s"scan reads unpruned columns: $scanLine")
+  }
+
+  test("q03 broadcasts the filtered customer dimension") {
+    val plan = graft.queries.Relational.q03JoinTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("q07 emits at most 3 rows per customer") {
+    val df = graft.queries.Relational.q07WindowRank(spark, sf)
+    val bad = df.groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(bad === 0)
+  }
+
+  test("q17 session counts are bounded by event counts") {
+    val df = graft.queries.EventsQueries.q17Sessionize(spark, sf)
+    assert(df.filter(col("n_sessions") > col("n_events")).count() === 0)
+  }
+
+  test("q18 as-of values come only from earlier clicks") {
+    import spark.implicits._
+    // a user's first event overall can never have a last_click_value
+    val ev = Tables.load(spark, sf, "events")
+    val firstPurchaseNoClick = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("user_id").agg(min(struct(col("ts"), col("event_id"))).as("first"))
+      .select(col("user_id"), col("first.event_id").as("event_id"))
+    val res = graft.queries.EventsQueries.q18AsOfJoin(spark, sf)
+    val bad = res.join(firstPurchaseNoClick, Seq("user_id", "event_id"))
+      .filter(col("last_click_value").isNotNull).count()
+    assert(bad === 0)
+  }
+}
