@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventsQueries, Relational}
+import graft.queries.{EventsQueries, Relational, SplitQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,8 @@ object SparkEntry {
     "q16_json_extract"    -> (EventsQueries.q16JsonExtract _),
     "q17_sessionize"      -> (EventsQueries.q17Sessionize _),
     "q18_asof_join"       -> (EventsQueries.q18AsOfJoin _),
+    "q50_split_manifest"  -> (SplitQueries.q50SplitManifest _),
+    "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -216,5 +218,18 @@ object SparkEntry {
         |FROM events p
         |WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "q50_split_manifest" ->
+      """SELECT user_id AS split_key, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_dates
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY split_key""".stripMargin,
+
+    "q51_ledger_antijoin" ->
+      """SELECT CAST(l_shipdate AS DATE) AS d FROM lineitem
+        |EXCEPT
+        |SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+        |ORDER BY d""".stripMargin,
   )
 }

@@ -1,0 +1,72 @@
+package graft.split
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** Completion-marker document, the engine's commit record
+  * (reference/src/Split/parquet-splitter.py:176-186 and
+  * sample-data/data/markers/ *.json). */
+final case class Marker(
+    kind: String,
+    date: String,
+    inputKey: String,
+    outputs: Seq[String],
+    generatedAt: String) {
+
+  /** Serialize to the reference's JSON shape. Hand-rolled (zero extra deps);
+    * output keys/ordering match the reference doc. */
+  def toJson: String = {
+    def q(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    s"""{"kind": ${q(kind)}, "date": ${q(date)}, "input_key": ${q(inputKey)}, """ +
+      s""""outputs": [${outputs.map(q).mkString(", ")}], """ +
+      s""""output_count": ${outputs.size}, "generated_at": ${q(generatedAt)}}"""
+  }
+}
+
+/** Driver-side processing ledger: which dates exist, which are done, and the
+  * anti-join between them (reference/src/Split/parquet-splitter.py:125-138).
+  *
+  * This is job orchestration ABOVE the query layer — deliberately not a
+  * Catalyst rule (SURVEY.md §4). All storage goes through the Hadoop
+  * FileSystem API, so `file://` in tests and `s3a://` on a cluster are the
+  * same code path. Listings are driver-side: the ledger holds one string per
+  * date-partition, not per row, so it stays tiny even at 100 TB of data
+  * (e.g. 10 years of daily partitions = ~3,650 entries).
+  */
+final class MarkerLedger(conf: Configuration) {
+
+  private def fsFor(p: String): FileSystem = new Path(p).getFileSystem(conf)
+
+  /** List immediate children of `dir` whose names end with `suffix`.
+    * Mirrors the reference's paginated ListObjectsV2+suffix filter (O2). */
+  def listStems(dir: String, suffix: String): Set[String] = {
+    val path = new Path(PathOps.normalizePrefix(dir))
+    val fs = fsFor(dir)
+    if (!fs.exists(path)) Set.empty
+    else PathOps.stemsWithSuffix(
+      fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath.toString), suffix)
+  }
+
+  def inputDates(inDir: String): Set[String] = listStems(inDir, ".parquet")
+  def doneDates(markerDir: String): Set[String] = listStems(markerDir, ".json")
+
+  /** The incremental core: `sorted(input − done)` (O5, parquet-splitter.py:135-138). */
+  def missingDates(inDir: String, markerDir: String): Seq[String] =
+    (inputDates(inDir) -- doneDates(markerDir)).toSeq.sorted
+
+  /** Write the marker — the commit point, only called after every split
+    * output for the date has been durably written (O14). */
+  def writeMarker(markerDir: String, marker: Marker): Unit = {
+    val p = new Path(PathOps.normalizePrefix(markerDir) + marker.date + ".json")
+    val fs = fsFor(markerDir)
+    val out = fs.create(p, true)
+    try out.write(marker.toJson.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

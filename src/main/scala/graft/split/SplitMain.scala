@@ -1,0 +1,47 @@
+package graft.split
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for the incremental split pipeline — the Spark analog of
+  * the reference's Glue job main (reference/src/Split/parquet-splitter.py:198-204).
+  *
+  * Usage: SplitMain --KIND k --IN_DIR in --OUT_DIR out --MARKER_DIR markers [--KEY_COL item_id]
+  * Each `--NAME value` falls back to env var NAME, then to a default —
+  * the same resolution order as the reference's get_arg (O1).
+  */
+object SplitMain {
+  def getArg(args: Array[String], name: String, default: String = null): String = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) args(i + 1)
+    else sys.env.getOrElse(name, default)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val config = SplitConfig(
+      kind = getArg(args, "KIND", "spark"),
+      inDir = getArg(args, "IN_DIR"),
+      outDir = getArg(args, "OUT_DIR"),
+      markerDir = getArg(args, "MARKER_DIR"),
+      keyCol = getArg(args, "KEY_COL", "item_id"))
+    require(config.inDir != null && config.outDir != null && config.markerDir != null,
+      "IN_DIR, OUT_DIR and MARKER_DIR are required (flag or env var)")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-split")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val summary = new SplitJob(spark, config).run()
+    println(s"[split] kind=${summary.kind} inputs=${summary.inputDates} " +
+      s"done=${summary.doneDates} processed=${summary.processedDates.mkString(",")} " +
+      s"skippedMissing=${summary.skippedMissing.mkString(",")} " +
+      s"skippedEmpty=${summary.skippedEmpty.mkString(",")}")
+    spark.stop()
+  }
+}
