@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventsQueries, Relational, SplitQueries}
+import graft.queries.{EventsQueries, Relational, SplitQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,17 @@ object SparkEntry {
     "q16_json_extract"    -> (EventsQueries.q16JsonExtract _),
     "q17_sessionize"      -> (EventsQueries.q17Sessionize _),
     "q18_asof_join"       -> (EventsQueries.q18AsOfJoin _),
+    "q20_dedup_exact"     -> (TextQueries.q20DedupExact _),
+    "q21_ngram_jaccard"   -> (TextQueries.q21NgramJaccard _),
+    "q22_minhash_lsh"     -> (TextQueries.q22MinhashLsh _),
+    "q23_simhash"         -> (TextQueries.q23Simhash _),
+    "q24_embedding_neardup" -> (TextQueries.q24EmbeddingNearDup _),
+    "q30_knn_brute"       -> (TextQueries.q30KnnBrute _),
+    "q31_knn_lsh"         -> (TextQueries.q31KnnLsh _),
+    "q40_text_stats"      -> (TextQueries.q40TextStats _),
+    "q41_text_quality"    -> (TextQueries.q41TextQuality _),
+    "q42_lang_id"         -> (TextQueries.q42LangId _),
+    "q43_fingerprint"     -> (TextQueries.q43Fingerprint _),
     "q50_split_manifest"  -> (SplitQueries.q50SplitManifest _),
     "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
   )
@@ -218,6 +229,102 @@ object SparkEntry {
         |FROM events p
         |WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q21_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+        |FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q24_embedding_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+        |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |d AS (
+        |  SELECT a_id, b_id, SUM(ax*bx) AS dot FROM (
+        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |      CAST(UNNEST(a.embedding) AS DOUBLE) AS ax,
+        |      CAST(UNNEST(b.embedding) AS DOUBLE) AS bx
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  GROUP BY a_id, b_id)
+        |SELECT a_id, b_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
+        |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q30_knn_brute" ->
+      """WITH n AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+        |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+        |  GROUP BY vec_id),
+        |d AS (
+        |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+        |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+        |    FROM embeddings q JOIN embeddings c
+        |      ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |  GROUP BY qid, cid),
+        |s AS (
+        |  SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
+        |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+        |FROM s WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q40_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,
+        |  CAST(length(text) AS BIGINT) AS char_len,
+        |  ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q41_text_quality" ->
+      """SELECT doc_id, ROUND(
+        |    LEAST(1.0, n / 100.0) * 0.5 + LEAST(1.0, (eh / n) * 5.0) * 0.5, 6) AS quality
+        |FROM (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['the','of','and','to','a','in','is','it','that','for'], t))) AS DOUBLE) AS eh
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q42_lang_id" ->
+      """SELECT CASE
+        |    WHEN e >= d AND e >= s AND e >= f AND e > 0 THEN 'en'
+        |    WHEN d >= s AND d >= f AND d > 0 THEN 'de'
+        |    WHEN s >= f AND s > 0 THEN 'es'
+        |    WHEN f > 0 THEN 'fr'
+        |    ELSE 'unknown' END AS pred_lang,
+        |  lang, COUNT(*) AS n_docs
+        |FROM (SELECT lang,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['the','of','and','to','a','in','is','it','that','for'], t))) AS e,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein'], t))) AS d,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['el','la','los','las','y','es','que','un','una','por'], t))) AS s,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> list_contains(['le','les','et','est','que','des','une','dans','pour','sur'], t))) AS f
+        |  FROM documents)
+        |GROUP BY 1, 2 ORDER BY pred_lang, lang""".stripMargin,
 
     "q50_split_manifest" ->
       """SELECT user_id AS split_key, COUNT(*) AS n_rows,

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines, all pure DataFrame plans.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-aggregate shuffle on the content key — optimal already;
+  *  - ngramJaccard: exact all-pairs via a shingle inverted index; the
+  *    self-join fans out per shared shingle, so it is quadratic in the worst
+  *    case — correct baseline, use at audit scale;
+  *  - minhashLsh: the 100 TB path — k permutation-min signatures per doc
+  *    (one aggregate), banded so only docs sharing a band hash ever meet in
+  *    the candidate join; candidates are then verified with exact Jaccard.
+  *    Cost is ~linear in corpus size for bounded near-dup density;
+  *  - simhash: one 64-bit signature per doc (typed Aggregator), banded
+  *    16-bit sub-keys for candidate generation, Hamming-verified.
+  */
+object Dedup {
+
+  /** Exact dedup on a content column: canonical (min) id + multiplicity. */
+  def exact(docs: DataFrame, keyCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop(keyCol)
+
+  /** Per-doc distinct shingle sets: (id, shingle) exploded pairs. */
+  private def shingleIndex(docs: DataFrame, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col("text"))).as("sh"))
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index self-join. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleIndex(docs, idCol)
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, counts, threshold)
+  }
+
+  /** jaccard = inter / (|A| + |B| - inter); emit pairs ≥ threshold. */
+  private def jaccardFilter(inter: DataFrame, counts: DataFrame,
+      threshold: Double): DataFrame = {
+    val ca = counts.select(col("id").as("a_id"), col("n").as("na"))
+    val cb = counts.select(col("id").as("b_id"), col("n").as("nb"))
+    val j = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    inter.join(ca, "a_id").join(cb, "b_id")
+      .filter(j >= threshold)
+      .select(col("a_id"), col("b_id"), round(j, 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: one aggregate pass over the shingle index; k mins
+    * per doc, each "permutation" a seeded re-hash of the base shingle hash
+    * (xxhash64 of (seed, h) — wrap-free under ANSI mode, unlike the classic
+    * affine a·h+b construction, which overflows Long). */
+  def minhashSignatures(docs: DataFrame, k: Int = 32,
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = shingleIndex(docs, idCol).withColumn("h", xxhash64(col("sh")))
+    val mins: Seq[Column] = (0 until k).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signature (rows-per-band=2 →
+    * catch probability 1-(1-j²)^(k/2), ≈0.99 at j=0.5 with k=32), join on
+    * (band index, band hash), then verify candidates with exact Jaccard. */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5, k: Int = 32,
+      rowsPerBand: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    val sig = minhashSignatures(docs, k, idCol)
+    val nBands = k / rowsPerBand
+    val bands = sig.select(col("id"), posexplode(
+        array((0 until nBands).map { b =>
+          xxhash64(concat_ws(",",
+            (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
+        }: _*)).as(Seq("band", "bh")))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+
+    val sh = shingleIndex(docs, idCol)
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.as("a"), col("a_id") === col("a.id"))
+      .join(sh.as("b"), col("b_id") === col("b.id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    jaccardFilter(inter, counts, threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc via the typed
+    * [[SimHash]] aggregator, 16-bit banded candidate join, Hamming-verified
+    * (maxHamming ≤ 3 guarantees at least one of the 4 bands matches). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    val sig = SimHash.signatures(docs, idCol)
+    val bands = sig.select(col("id"), col("sig"), posexplode(
+        array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      .as(Seq("band", "bh")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Fnv64, TextFunctions => TF}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query registrations for the LLM-pipeline extension operators: text
+  * analysis (q40–q43), dedup (q20–q24) and similarity search (q30–q31)
+  * over the `documents` / `embeddings` tables.
+  */
+object TextQueries {
+
+  // ---- dedup -------------------------------------------------------------
+
+  def q20DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.load(s, dir, "documents"))
+      .orderBy(col("keep_id"))
+
+  def q21NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.load(s, dir, "documents"), 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** MinHash+LSH near-dup (rows-only driver check; recall vs q21 is pinned
+    * by DedupSpec instead — the signature hashes are Spark-specific). */
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.load(s, dir, "documents"), 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** SimHash near-dup pairs (rows-only driver check). */
+  def q23Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.load(s, dir, "documents"), 3)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Embedding-cosine near-dup pairs (exact, oracle-checked). Threshold 0.4:
+    * the synthetic embeddings' cosine tops out ≈0.51, so 0.4 captures the
+    * closest-pair tail (~1e-4 of all pairs). */
+  def q24EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(Tables.load(s, dir, "embeddings"), 0.4)
+      .orderBy(col("a_id"), col("b_id"))
+
+  // ---- similarity search -------------------------------------------------
+
+  /** Brute-force cosine top-3 for query vectors vec_id < 10 (oracle-checked). */
+  def q30KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.knnBrute(e.filter(col("vec_id") < 10), e, 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN for the same queries (rows-only; recall pinned in
+    * SimilaritySpec against q30). */
+  def q31KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.knnLsh(e.filter(col("vec_id") < 10), e, 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ---- text analysis -----------------------------------------------------
+
+  def q40TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).as("token_count"),
+        length(col("text")).cast("bigint").as("char_len"),
+        round(TF.avgWordLen(col("text")), 6).as("avg_word_len"))
+      .orderBy(col("doc_id"))
+
+  def q41TextQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def q42LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(TF.langId(col("text")).as("pred_lang"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("pred_lang"), col("lang"))
+
+  /** FNV-1a content fingerprint via the custom codegen'd Catalyst expression
+    * (rows-only driver check; exact values pinned in FingerprintSpec). */
+  def q43Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), Fnv64.fnv64(lower(trim(col("text")))).as("fp"))
+      .orderBy(col("doc_id"))
+}

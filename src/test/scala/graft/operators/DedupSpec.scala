@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("exact dedup: one row per distinct text, multiplicities sum to row count") {
+    val d = Dedup.exact(docs)
+    val total = d.agg(sum("n_copies")).head.getLong(0)
+    assert(total == docs.count())
+    assert(d.count() == docs.select("text").distinct().count())
+  }
+
+  test("minhash LSH finds every exact-Jaccard pair at j >= 0.6 (high-recall zone)") {
+    val exact = Dedup.ngramJaccard(docs, 0.6).select("a_id", "b_id")
+    val lsh = Dedup.minhashLsh(docs, 0.5).select("a_id", "b_id")
+    val missed = exact.exceptAll(exact.intersect(lsh)).count()
+    assert(exact.count() > 0, "test needs some high-jaccard pairs in the corpus")
+    assert(missed == 0, s"LSH missed $missed pairs with jaccard >= 0.6")
+  }
+
+  test("minhash LSH reports no false positives below threshold (verified pairs only)") {
+    val lsh = Dedup.minhashLsh(docs, 0.5)
+    assert(lsh.filter(col("jaccard") < 0.5).count() == 0)
+    // verification step means every reported jaccard equals the exact one
+    val exact = Dedup.ngramJaccard(docs, 0.5)
+    val joined = lsh.as("l").join(exact.as("e"),
+      Seq("a_id", "b_id")).filter(col("l.jaccard") =!= col("e.jaccard"))
+    assert(joined.count() == 0)
+  }
+
+  test("simhash: near-identical docs collide, signature is order-insensitive") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "theta eta zeta epsilon delta gamma beta alpha"), // same bag of words
+      (3L, "totally different content about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val sig = SimHash.signatures(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L), "same token set must give identical simhash")
+    assert(sig(1L) != sig(3L))
+    val pairs = Dedup.simhashPairs(d, 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("shingles guard: docs shorter than n tokens produce no shingles, no crash") {
+    import spark.implicits._
+    val d = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(d, 0.1)
+    assert(out.count() == 0)
+  }
+}

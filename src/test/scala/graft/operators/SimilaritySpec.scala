@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("knnBrute: k rows per query, self excluded, cosine in [-1,1], rank ordered") {
+    val q = emb.filter(col("vec_id") < 5)
+    val res = Similarity.knnBrute(q, emb, 3).cache()
+    assert(res.count() == 5 * 3)
+    assert(res.filter(col("qid") === col("cid")).count() == 0)
+    assert(res.filter(abs(col("cosine")) > 1.000001).count() == 0)
+    // rank 1 has the max cosine per query
+    val r1 = res.filter(col("rank") === 1).select(col("qid"), col("cosine").as("c1"))
+    val bad = res.join(r1, "qid").filter(col("cosine") > col("c1")).count()
+    assert(bad == 0)
+  }
+
+  test("knnLsh results are a subset of the full scored space and never beat brute rank-1") {
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(q, emb, 3)
+      .filter(col("rank") === 1).select(col("qid"), col("cosine").as("best"))
+    val lsh = Similarity.knnLsh(q, emb, 3)
+    val bad = lsh.join(brute, "qid").filter(col("cosine") > col("best")).count()
+    assert(bad == 0, "ANN cannot return a better neighbor than exact search")
+  }
+
+  test("cosineNearDup is symmetric-free (a<b) and matches dot/norm math on a known pair") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.cosineNearDup(d, 0.9).collect()
+    assert(res.length == 1)
+    assert(res.head.getLong(0) == 1L && res.head.getLong(1) == 2L)
+    assert(math.abs(res.head.getDouble(2) - 1.0) < 1e-9)
+  }
+}
