@@ -26,10 +26,14 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop(keyCol)
 
-  /** Per-doc distinct shingle sets: (id, shingle) exploded pairs. */
+  /** Per-doc distinct shingle sets as (id, shingleHash) exploded pairs.
+    * Hashed (8-byte) join keys instead of n-gram strings: Jaccard over the
+    * distinct-hash sets equals Jaccard over the string shingle sets modulo
+    * 64-bit collisions (see [[graft.functions.ShingleHashes]]), and the
+    * inverted-index self-join shuffles a fraction of the bytes. */
   private def shingleIndex(docs: DataFrame, idCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(TextFunctions.shingles(col("text"))).as("sh"))
+        explode(graft.functions.ShingleHashes.shingleHashes(col("text"), 3)).as("sh"))
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index self-join. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
@@ -61,9 +65,9 @@ object Dedup {
     * affine a·h+b construction, which overflows Long). */
   def minhashSignatures(docs: DataFrame, k: Int = 32,
       idCol: String = "doc_id"): DataFrame = {
-    val sh = shingleIndex(docs, idCol).withColumn("h", xxhash64(col("sh")))
+    val sh = shingleIndex(docs, idCol) // "sh" is already a 64-bit hash
     val mins: Seq[Column] = (0 until k).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i")
     }
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -78,8 +82,7 @@ object Dedup {
     val nBands = k / rowsPerBand
     val bands = sig.select(col("id"), posexplode(
         array((0 until nBands).map { b =>
-          xxhash64(concat_ws(",",
-            (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*))
+          xxhash64((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
         }: _*)).as(Seq("band", "bh")))
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

@@ -41,11 +41,11 @@ object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
 }
 
 object SimHash {
-  /** (id, sig) per document: explode distinct tokens → xxhash64 → bit votes. */
+  /** (id, sig) per document: distinct token hashes (native one-pass
+    * expression, no token strings materialized) → bit votes. */
   def signatures(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+        explode(graft.functions.ShingleHashes.tokenHashes(col("text"))).as("h"))
       .groupBy(col("id"))
       .agg(udaf(SimHashAgg, Encoders.scalaLong).apply(col("h")).as("sig"))
 }

@@ -15,14 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision, summed in index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double precision, summed in index order (native codegen'd
+    * expression — the zip_with/aggregate HOF formulation is CodegenFallback
+    * and ~10× slower in the all-pairs hot loop). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dotF(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = graft.functions.VectorExpressions.normF(a)
 
   /** Exact top-k cosine neighbors for each query vector — the correctness
     * baseline. The query side must be small (it is broadcast); candidates
