@@ -48,6 +48,7 @@ object SparkEntry {
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),
     "q43_fingerprint"     -> (TextQueries.q43Fingerprint _),
+    "q60_multimodal_meta" -> (TextQueries.q60MultimodalMeta _),
     "q50_split_manifest"  -> (SplitQueries.q50SplitManifest _),
     "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
   )
@@ -325,6 +326,14 @@ object SparkEntry {
         |      t -> list_contains(['le','les','et','est','que','des','une','dans','pour','sur'], t))) AS f
         |  FROM documents)
         |GROUP BY 1, 2 ORDER BY pred_lang, lang""".stripMargin,
+
+    "q60_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q50_split_manifest" ->
       """SELECT user_id AS split_key, COUNT(*) AS n_rows,

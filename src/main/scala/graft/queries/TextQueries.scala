@@ -83,4 +83,16 @@ object TextQueries {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), Fnv64.fnv64(lower(trim(col("text")))).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Multimodal metadata extraction: binary payload column → partition-wise
+    * batched stub decode → typed metadata (oracle checks the
+    * deterministic byte-derived fields). */
+  def q60MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    graft.multimodal.Multimodal.extractMeta(
+        graft.multimodal.Multimodal.withPayload(Tables.load(s, dir, "documents")))
+      .toDF()
+      .select(col("media_id"), col("n_bytes"), col("width"), col("height"), col("n_frames"))
+      .orderBy(col("media_id"))
+  }
 }

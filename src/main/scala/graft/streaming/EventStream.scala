@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming duals of the batch event queries: the same logical
+  * semantics as q15 (tumbling-window agg) and q17 (gap sessionization),
+  * expressed as streaming plans. The reference engine has no streaming at
+  * all (SURVEY.md §2.1) — its marker ledger is a batch-incremental
+  * substitute; `Trigger.AvailableNow` over a file source is the idiomatic
+  * Spark replacement (SURVEY.md §1.1).
+  *
+  * The `events.parquet` nanos timestamp needs the same legacy-long read as
+  * the batch path: the stream reads `ts` as raw nanos with an explicit
+  * schema, then converts to TIMESTAMP_NTZ microseconds.
+  */
+object EventStream {
+
+  /** Raw-nanos schema for the streaming file source (must be explicit —
+    * streaming reads don't infer). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Open a streaming view of an events parquet path. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-stream sources require a directory; glob-filter to the one table
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Hourly tumbling-window counts with a 1-hour watermark — the streaming
+    * dual of q15 (same buckets; late data beyond the watermark is dropped). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful gap sessionization via flatMapGroupsWithState — the streaming
+    * dual of q17. State per user: last event time + counters; a >30 min gap
+    * starts a new session. Emits the running totals each trigger. */
+  def sessionize(events: DataFrame)(implicit spark: SparkSession): Dataset[UserSessions] = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    events.select(col("event_id"), col("ts"), col("user_id")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // within a micro-batch, order by event time (engine does not sort)
+          def micros(e: Event): Long =
+            math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+          val sorted = rows.toSeq.sortBy(e => (micros(e), e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val tsUs = micros(e)
+            val isNew = st.lastTsUs == Long.MinValue || tsUs - st.lastTsUs > gapUs
+            st = SessionState(tsUs, st.sessions + (if (isNew) 1 else 0), st.events + 1)
+          }
+          state.update(st)
+          Iterator(UserSessions(userId, st.sessions, st.events))
+      }
+  }
+
+  /** Drain a streaming DataFrame through a memory sink synchronously
+    * (AvailableNow semantics for tests/backfills); returns the result table. */
+  def drainToTable(spark: SparkSession, stream: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.EventsQueries
+import org.apache.spark.sql.functions._
+
+/** Streaming/batch equivalence: the streaming operators must produce the
+  * same results as their deterministic batch duals when draining a static
+  * file with Trigger.AvailableNow. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg (complete mode) equals batch q15") {
+    val stream = EventStream.hourlyAgg(EventStream.readEvents(spark, sf))
+    val got = EventStream.drainToTable(spark, stream, "hourly_out", "complete")
+    val want = EventsQueries.q15WindowAgg(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("stateful streaming sessionization equals batch q17") {
+    implicit val s = spark
+    val stream = EventStream.sessionize(EventStream.readEvents(spark, sf))
+    val raw = EventStream.drainToTable(spark, stream.toDF(), "sessions_out", "update")
+    // update mode re-emits per batch: keep the final (max-events) row per user
+    val got = raw.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("m"))
+      .select(col("user_id"), col("m.n_sessions").as("n_sessions"),
+        col("m.n_events").as("n_events"))
+    val want = EventsQueries.q17Sessionize(spark, sf)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "session counts differ between streaming and batch")
+  }
+
+  test("watermarked append-mode windows drop nothing when data fits one batch horizon") {
+    // structural check: the plan carries an event-time watermark
+    val stream = EventStream.hourlyAgg(EventStream.readEvents(spark, sf))
+    assert(stream.isStreaming)
+    assert(stream.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
+      "watermark node missing from the streaming plan")
+  }
+}
