@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventsQueries, Relational, SplitQueries, TextQueries}
+import graft.queries.{EventsQueries, Relational, Relational2, SplitQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,18 @@ object SparkEntry {
     "q16_json_extract"    -> (EventsQueries.q16JsonExtract _),
     "q17_sessionize"      -> (EventsQueries.q17Sessionize _),
     "q18_asof_join"       -> (EventsQueries.q18AsOfJoin _),
+    "q19_percentile"      -> (Relational2.q19Percentile _),
+    "q25_cube"            -> (Relational2.q25Cube _),
+    "q26_full_outer"      -> (Relational2.q26FullOuter _),
+    "q27_cross_join"      -> (Relational2.q27CrossJoin _),
+    "q28_scalar_subquery" -> (Relational2.q28ScalarSubquery _),
+    "q29_union_offset"    -> (Relational2.q29UnionOffset _),
+    "q32_approx_distinct" -> (Relational2.q32ApproxDistinct _),
+    "q33_collect_agg"     -> (Relational2.q33CollectAgg _),
+    "q34_pivot"           -> (Relational2.q34Pivot _),
+    "q35_array_ops"       -> (Relational2.q35ArrayOps _),
+    "q36_window_suite"    -> (Relational2.q36WindowSuite _),
+    "q37_grouping_sets"   -> (Relational2.q37GroupingSets _),
     "q20_dedup_exact"     -> (TextQueries.q20DedupExact _),
     "q21_ngram_jaccard"   -> (TextQueries.q21NgramJaccard _),
     "q22_minhash_lsh"     -> (TextQueries.q22MinhashLsh _),
@@ -230,6 +242,104 @@ object SparkEntry {
         |FROM events p
         |WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "q19_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q25_cube" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY CUBE(r_name, o_orderpriority)
+        |ORDER BY region, priority""".stripMargin,
+
+    "q26_full_outer" ->
+      """SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+        |  c.c_acctbal IS NOT NULL AS has_customer,
+        |  COALESCE(o.n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey AS custkey, c_acctbal FROM customer WHERE c_custkey < 1000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey AS custkey, COUNT(*) AS n_orders
+        |  FROM orders WHERE o_custkey >= 500 GROUP BY o_custkey) o
+        |USING (custkey)
+        |ORDER BY custkey""".stripMargin,
+
+    "q27_cross_join" ->
+      """SELECT r_name || '/' || o_orderpriority AS combo
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+        |ORDER BY combo""".stripMargin,
+
+    "q28_scalar_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_big_orders
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders) * 1.9
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q29_union_offset" ->
+      """SELECT * FROM (
+        |  SELECT 'hi' AS tag, o_orderkey FROM orders
+        |    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'lo' AS tag, o_orderkey FROM orders
+        |    ORDER BY o_totalprice ASC, o_orderkey LIMIT 10 OFFSET 5)
+        |ORDER BY tag, o_orderkey""".stripMargin,
+
+    "q33_collect_agg" ->
+      """SELECT n_name,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q34_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS "view"
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q35_array_ops" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*) AS avg_first,
+        |  ROUND(MAX(nrm), 6) AS max_norm,
+        |  COUNT(*) AS n_vecs
+        |FROM (
+        |  SELECT label, embedding,
+        |    (SELECT sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |     FROM UNNEST(embedding) AS t(x)) AS nrm
+        |  FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q36_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_total,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q37_grouping_sets" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  COUNT(*) AS n_customers
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY region, nation""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

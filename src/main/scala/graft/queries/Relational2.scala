@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational coverage batch: exact percentiles, CUBE / GROUPING
+  * SETS, full-outer & cross joins, scalar subqueries, offset pagination,
+  * ordered collect, pivot, array ops and a window-function suite. Same
+  * oracle-parity conventions as [[Relational]].
+  */
+object Relational2 {
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int) =
+    c.cast(s"decimal(18,$scale)")
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`: both use the (n-1)·p linear-interpolation rule). */
+  def q19Percentile(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25_price"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** CUBE over (region, order priority). */
+  def q25Cube(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"))
+      .orderBy(col("region"), col("priority"))
+  }
+
+  /** Full outer join with both-sided nulls (customer slice vs order-agg slice). */
+  def q26FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 1000)
+      .select(col("c_custkey").as("custkey"), col("c_acctbal"))
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") >= 500)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        col("c_acctbal").isNotNull.as("has_customer"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Cross join (tiny × tiny): every region × order priority with counts. */
+  def q27CrossJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(s, dir, "region").select(col("r_name"))
+    val p = Tables.load(s, dir, "orders").select(col("o_orderpriority")).distinct()
+    r.crossJoin(p)
+      .select(concat_ws("/", col("r_name"), col("o_orderpriority")).as("combo"))
+      .orderBy(col("combo"))
+  }
+
+  /** Scalar subquery: orders above 1.9× the global average price, per
+    * priority. The average is decimal-exact (deterministic), joined in via
+    * a broadcast of the 1-row aggregate. */
+  def q28ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val avgP = o.agg(
+      (sum(dec(col("o_totalprice"), 2)).cast("double") / count(lit(1))).as("avg_price"))
+    o.crossJoin(broadcast(avgP))
+      .filter(col("o_totalprice") > col("avg_price") * 1.9)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_big_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** UNION ALL + ORDER BY + LIMIT/OFFSET pagination. */
+  def q29UnionOffset(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    // SQL "LIMIT 10 OFFSET 5" = skip 5, take 10 → offset BEFORE limit here
+    val hi = o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(5).limit(10).select(lit("hi").as("tag"), col("o_orderkey"))
+    val lo = o.orderBy(col("o_totalprice").asc, col("o_orderkey"))
+      .offset(5).limit(10).select(lit("lo").as("tag"), col("o_orderkey"))
+    hi.unionAll(lo).orderBy(col("tag"), col("o_orderkey"))
+  }
+
+  /** Approximate distinct (HLL++) — rows-only driver check (sketches are
+    * engine-specific); the relative-error bound is pinned in QueriesSpec. */
+  def q32ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** Ordered set collect: distinct market segments per nation, sorted and
+    * comma-joined (deterministic replacement for raw collect_list). */
+  def q33CollectAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Pivot: daily event counts, one column per event type. */
+  def q34Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .withColumn("day", col("ts").cast("date"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** Array ops over embeddings: per label, first-element mean (decimal-exact)
+    * and max L2 norm (native codegen'd NormF). */
+  def q35ArrayOps(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("label").cast("bigint").as("label"),
+        element_at(col("embedding"), 1).cast("double").as("e1"),
+        VectorExpressions.normF(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        (sum(dec(col("e1"), 6)).cast("double") / count(lit(1))).as("avg_first"),
+        round(max(col("nrm")), 6).as("max_norm"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"))
+
+  /** Window-function suite: running decimal-exact total, lag, ntile. */
+  def q36WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"), 2))
+          .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(byCust).as("prev_price"),
+        ntile(4).over(byCust).cast("bigint").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Explicit GROUPING SETS ((region,nation),(region),()) — customer counts. */
+  def q37GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val n = Tables.load(s, dir, "nation")
+    val r = Tables.load(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupingSets(Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_customers"))
+      .orderBy(col("region"), col("nation"))
+  }
+}

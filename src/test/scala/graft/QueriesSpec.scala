@@ -48,6 +48,14 @@ class QueriesSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("q32 approx distinct stays within HLL++ error bounds of exact") {
+    val df = graft.queries.Relational2.q32ApproxDistinct(spark, sf)
+    val bad = df.filter(
+      abs(col("approx_parts") - col("exact_parts")) >
+        col("exact_parts") * 0.15 + 10).count()
+    assert(bad === 0)
+  }
+
   test("q17 session counts are bounded by event counts") {
     val df = graft.queries.EventsQueries.q17Sessionize(spark, sf)
     assert(df.filter(col("n_sessions") > col("n_events")).count() === 0)
