@@ -1,0 +1,54 @@
+package graft.plans
+
+import graft.functions.{Fnv64, ShingleHashes}
+import graft.functions.VectorExpressions.{DotF, NormF}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** SQL registration of the engine's native expressions, so
+  * `spark.sql("SELECT fnv64(text) …")` works next to the Column API.
+  *
+  * Two activation paths:
+  *  - session build time: `.withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.plans.GraftExtensions`;
+  *  - an already-running session: `GraftFunctions.install(spark)`.
+  *
+  * No custom planner strategies are needed for reference parity
+  * (SURVEY.md §4); injectPlannerStrategy is where a whole-operator
+  * physical node would slot in.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("fnv64"),
+      info("fnv64", "fnv64(str) - 64-bit FNV-1a fingerprint"),
+      (args: Seq[Expression]) => Fnv64(args.head)),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(str[, n]) - distinct word-ngram hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ShingleHashes(c, 3)
+        case Seq(c, Literal(n: Int, _)) => ShingleHashes(c, n)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes(text[, n:int literal])")
+      }),
+    (FunctionIdentifier("dot_f"),
+      info("dot_f", "dot_f(array<float>, array<float>) - double dot product"),
+      (args: Seq[Expression]) => DotF(args(0), args(1))),
+    (FunctionIdentifier("norm_f"),
+      info("norm_f", "norm_f(array<float>) - double L2 norm"),
+      (args: Seq[Expression]) => NormF(args.head)))
+
+  /** Register into an already-built session. */
+  def install(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(e.injectFunction)
+}

@@ -1,0 +1,31 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** The SQL surface of the native expressions (installed into the shared
+  * session via GraftFunctions.install — the running-session activation path;
+  * the builder path wires the same Seq through injectFunction). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate correctly") {
+    GraftFunctions.install(spark)
+    val r = spark.sql(
+      """SELECT fnv64('a') AS fp,
+        |  size(shingle_hashes('a b c d', 2)) AS n2,
+        |  dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |        array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |  norm_f(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 0xaf63dc4c8601ec8cL)   // FNV-1a("a")
+    assert(r.getInt(1) == 3)                      // 3 bigrams of 4 tokens
+    assert(math.abs(r.getDouble(2) - 11.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-12)
+  }
+
+  test("default shingle size is 3 and type errors are caught at analysis") {
+    GraftFunctions.install(spark)
+    assert(spark.sql("SELECT size(shingle_hashes('a b c d')) AS n").head().getInt(0) == 2)
+    val ex = intercept[Exception] { spark.sql("SELECT fnv64(42)").head() }
+    assert(ex.getMessage.toLowerCase.contains("string"))
+  }
+}
