@@ -26,36 +26,40 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop(keyCol)
 
-  /** Per-doc distinct shingle sets as (id, shingleHash) exploded pairs.
+  /** Per-doc distinct shingle sets as (id, n, shingleHash) exploded rows —
+    * `n` (the doc's distinct-shingle count) rides along with every row, so
+    * Jaccard needs no separate per-doc count subtree (that would re-scan and
+    * re-shingle the corpus) and the self-join's two identical sides collapse
+    * into one physical exchange via ReuseExchange.
+    *
     * Hashed (8-byte) join keys instead of n-gram strings: Jaccard over the
     * distinct-hash sets equals Jaccard over the string shingle sets modulo
-    * 64-bit collisions (see [[graft.functions.ShingleHashes]]), and the
-    * inverted-index self-join shuffles a fraction of the bytes. */
+    * 64-bit collisions (see [[graft.functions.ShingleHashes]]). */
   private def shingleIndex(docs: DataFrame, idCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(graft.functions.ShingleHashes.shingleHashes(col("text"), 3)).as("sh"))
+        graft.functions.ShingleHashes.shingleHashes(col("text"), 3).as("arr"))
+      .select(col("id"), size(col("arr")).cast("bigint").as("n"),
+        explode(col("arr")).as("sh"))
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index self-join. */
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index self-join.
+    * One shuffle (by shingle hash, reused for both sides) + one pair
+    * aggregation; counts are carried, not recomputed. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.5,
       idCol: String = "doc_id"): DataFrame = {
     val sh = shingleIndex(docs, idCol)
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, counts, threshold)
+      .agg(count(lit(1)).as("inter"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+    jaccardFilter(pairs, threshold)
   }
 
-  /** jaccard = inter / (|A| + |B| - inter); emit pairs ≥ threshold. */
-  private def jaccardFilter(inter: DataFrame, counts: DataFrame,
-      threshold: Double): DataFrame = {
-    val ca = counts.select(col("id").as("a_id"), col("n").as("na"))
-    val cb = counts.select(col("id").as("b_id"), col("n").as("nb"))
+  /** jaccard = inter / (na + nb - inter); emit pairs ≥ threshold.
+    * Expects inter/na/nb columns on the pair rows. */
+  private def jaccardFilter(pairs: DataFrame, threshold: Double): DataFrame = {
     val j = col("inter").cast("double") /
       (col("na") + col("nb") - col("inter")).cast("double")
-    inter.join(ca, "a_id").join(cb, "b_id")
-      .filter(j >= threshold)
+    pairs.filter(j >= threshold)
       .select(col("a_id"), col("b_id"), round(j, 6).as("jaccard"))
   }
 
@@ -90,13 +94,12 @@ object Dedup {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
 
     val sh = shingleIndex(docs, idCol)
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = candidates
+    val pairs = candidates
       .join(sh.as("a"), col("a_id") === col("a.id"))
       .join(sh.as("b"), col("b_id") === col("b.id") && col("a.sh") === col("b.sh"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    jaccardFilter(inter, counts, threshold)
+      .agg(count(lit(1)).as("inter"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+    jaccardFilter(pairs, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc via the typed
