@@ -49,6 +49,7 @@ object SparkEntry {
     "q35_array_ops"       -> (Relational2.q35ArrayOps _),
     "q36_window_suite"    -> (Relational2.q36WindowSuite _),
     "q37_grouping_sets"   -> (Relational2.q37GroupingSets _),
+    "q38_range_join"      -> (Relational2.q38RangeJoin _),
     "q20_dedup_exact"     -> (TextQueries.q20DedupExact _),
     "q21_ngram_jaccard"   -> (TextQueries.q21NgramJaccard _),
     "q22_minhash_lsh"     -> (TextQueries.q22MinhashLsh _),
@@ -340,6 +341,14 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         |ORDER BY region, nation""".stripMargin,
+
+    "q38_range_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_fast_ships,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS fast_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  AND l.l_shipdate >= o.o_orderdate
+        |  AND l.l_shipdate < CAST(CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -153,6 +153,22 @@ object Relational2 {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Equi + range (interval) join: lineitems shipped within 30 days of
+    * their order's date. The equi conjunct keys the shuffle; the range
+    * predicate evaluates post-match (no quadratic blowup — this is the
+    * banded-range-join shape that survives scale-up). */
+  def q38RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") &&
+        l("l_shipdate") < date_add(o("o_orderdate"), 30))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_ships"),
+        sum(dec(col("l_quantity"), 2)).cast("double").as("fast_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Explicit GROUPING SETS ((region,nation),(region),()) — customer counts. */
   def q37GroupingSets(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")

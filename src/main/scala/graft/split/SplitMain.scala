@@ -5,9 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** CLI entry point for the incremental split pipeline — the Spark analog of
   * the reference's Glue job main (reference/src/Split/parquet-splitter.py:198-204).
   *
-  * Usage: SplitMain --KIND k --IN_DIR in --OUT_DIR out --MARKER_DIR markers [--KEY_COL item_id]
+  * Usage: SplitMain --KIND k --IN_DIR in --OUT_DIR out --MARKER_DIR markers
+  *   [--KEY_COL item_id] [--MODE batch|streaming] [--CHECKPOINT_DIR path]
   * Each `--NAME value` falls back to env var NAME, then to a default —
   * the same resolution order as the reference's get_arg (O1).
+  * MODE=streaming uses the checkpoint-based StreamingSplitJob instead of
+  * the marker-ledger anti-join (markers are written either way).
   */
 object SplitMain {
   def getArg(args: Array[String], name: String, default: String = null): String = {
@@ -37,11 +40,20 @@ object SplitMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val summary = new SplitJob(spark, config).run()
-    println(s"[split] kind=${summary.kind} inputs=${summary.inputDates} " +
-      s"done=${summary.doneDates} processed=${summary.processedDates.mkString(",")} " +
-      s"skippedMissing=${summary.skippedMissing.mkString(",")} " +
-      s"skippedEmpty=${summary.skippedEmpty.mkString(",")}")
+    getArg(args, "MODE", "batch") match {
+      case "streaming" =>
+        val ckpt = getArg(args, "CHECKPOINT_DIR")
+        require(ckpt != null, "CHECKPOINT_DIR is required in streaming mode")
+        val processed = new StreamingSplitJob(spark, config, ckpt).run()
+        println(s"[split] mode=streaming kind=${config.kind} " +
+          s"processed=${processed.mkString(",")}")
+      case _ =>
+        val summary = new SplitJob(spark, config).run()
+        println(s"[split] kind=${summary.kind} inputs=${summary.inputDates} " +
+          s"done=${summary.doneDates} processed=${summary.processedDates.mkString(",")} " +
+          s"skippedMissing=${summary.skippedMissing.mkString(",")} " +
+          s"skippedEmpty=${summary.skippedEmpty.mkString(",")}")
+    }
     spark.stop()
   }
 }

@@ -56,8 +56,17 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id") {
     val Array(total, nonNullCount) = df
       .agg(count(lit(1)), count(col(keyCol))).head().toSeq
       .map(_.asInstanceOf[Long]).toArray
-    val stagingDir = PathOps.normalizePrefix(outDir) + s"_staging_$date"
+    val outputs = writeGroups(df, outDir, date)
+    SplitOutcome.Written(outputs.sorted, outputs.size.toLong, total - nonNullCount)
+  }
 
+  /** The keyed write path alone (no guards): one output file per distinct
+    * non-null key at `outDir/{key}/{date}.parquet`. Shared by the batch
+    * ledger job and the streaming variant's foreachBatch. */
+  def writeGroups(df: DataFrame, outDir: String, date: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(outDir).getFileSystem(conf)
+    val stagingDir = PathOps.normalizePrefix(outDir) + s"_staging_$date"
     df.filter(col(keyCol).isNotNull)
       .withColumn("__split_key", col(keyCol))
       .repartition(col("__split_key"))
@@ -65,9 +74,7 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id") {
       .mode("overwrite")
       .partitionBy("__split_key")
       .parquet(stagingDir)
-
-    val outputs = promoteStaging(fs, stagingDir, outDir, date)
-    SplitOutcome.Written(outputs.sorted, outputs.size.toLong, total - nonNullCount)
+    promoteStaging(fs, stagingDir, outDir, date)
   }
 
   /** Move `_staging/{__split_key=k}/part-*.parquet` → `outDir/k/{date}.parquet`. */
