@@ -50,6 +50,7 @@ object SparkEntry {
     "q36_window_suite"    -> (Relational2.q36WindowSuite _),
     "q37_grouping_sets"   -> (Relational2.q37GroupingSets _),
     "q38_range_join"      -> (Relational2.q38RangeJoin _),
+    "q39_range_frame"     -> (Relational2.q39RangeFrame _),
     "q20_dedup_exact"     -> (TextQueries.q20DedupExact _),
     "q21_ngram_jaccard"   -> (TextQueries.q21NgramJaccard _),
     "q22_minhash_lsh"     -> (TextQueries.q22MinhashLsh _),
@@ -349,6 +350,18 @@ object SparkEntry {
         |  AND l.l_shipdate >= o.o_orderdate
         |  AND l.l_shipdate < CAST(CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q39_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day_n,
+        |  COUNT(*) OVER w AS orders_30d,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n
+        |  FROM orders WHERE o_custkey < 50)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day_n
+        |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day_n, o_orderkey""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -169,6 +169,21 @@ object Relational2 {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** RANGE-framed window: 30-day trailing order count per customer (frame
+    * bounds in value space — epoch days — not row space). */
+  def q39RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val byCustDays = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_n"))
+      .rangeBetween(-29, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .withColumn("day_n", datediff(col("o_orderdate").cast("date"), lit("1995-01-01")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_n"),
+        count(lit(1)).over(byCustDays).as("orders_30d"),
+        sum(dec(col("o_totalprice"), 2)).over(byCustDays).cast("double").as("spend_30d"))
+      .orderBy(col("o_custkey"), col("day_n"), col("o_orderkey"))
+  }
+
   /** Explicit GROUPING SETS ((region,nation),(region),()) — customer counts. */
   def q37GroupingSets(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")

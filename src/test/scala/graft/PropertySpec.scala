@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.{Fnv64, ShingleHashes, TextFunctions}
+import graft.split.Splitter
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import java.nio.file.Files
+
+/** Property-based invariants (SURVEY.md §5): randomized inputs against
+  * reference implementations and algebraic laws. Raw scalacheck runner
+  * (scalatestplus bridge isn't in the offline dependency set). */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val doc = Gen.listOf(word).map(_.mkString(" "))
+
+  test("Fnv64 expression equals the scalar reference on arbitrary strings") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(20, Gen.asciiPrintableStr)) { (ss: List[String]) =>
+      val got = ss.distinct.toDF("s").withColumn("fp", Fnv64.fnv64(col("s")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      ss.forall(s => got(s) == Fnv64.hash(s.getBytes("UTF-8")))
+    }, n = 10)
+  }
+
+  test("ShingleHashes cardinality equals distinct string-shingle cardinality") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(10, doc)) { (docs: List[String]) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val viaHash = df.select(size(ShingleHashes.shingleHashes(col("text"), 3)).as("n"))
+        .collect().map(_.getInt(0)).toSeq
+      val viaString = df.select(size(TextFunctions.shingles(col("text"), 3)).as("n"))
+        .collect().map(_.getInt(0)).toSeq
+      viaHash == viaString
+    }, n = 10)
+  }
+
+  test("split preserves the row multiset and emits single-key files (random tables)") {
+    import spark.implicits._
+    val keyGen = Gen.oneOf("k1", "k2", "k3", "k4")
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.zip(keyGen, Gen.chooseNum(0L, 100L)))) {
+      (rows: List[(String, Long)]) =>
+        val tmp = Files.createTempDirectory("prop-split").toString
+        val df = rows.toDF("item_id", "v")
+        val outputs = new Splitter(spark).writeGroups(df, s"$tmp/out", "d1")
+        val back = spark.read.parquet(s"$tmp/out/*/d1.parquet")
+        val multisetOk = back.count() == df.count() &&
+          df.exceptAll(back).isEmpty && back.exceptAll(df).isEmpty
+        val singleKeyOk = outputs.forall { p =>
+          spark.read.parquet(p).select("item_id").distinct().count() == 1
+        }
+        multisetOk && singleKeyOk
+    }, n = 5)
+  }
+}
