@@ -45,6 +45,15 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_bucket"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup on a key with bounded state: the watermark lets
+    * the engine drop dedup state older than the lateness horizon — the
+    * streaming form of the exact-dedup operator (without it, state grows
+    * unboundedly at 100 TB/day). */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(keyCols :+ "ts")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -32,6 +32,14 @@ class StreamingSpec extends SparkSpec {
       "session counts differ between streaming and batch")
   }
 
+  test("streaming dedup matches batch distinct count") {
+    val stream = EventStream.dedupByKey(EventStream.readEvents(spark, sf))
+      .select("event_id")
+    val got = EventStream.drainToTable(spark, stream, "dedup_out", "append")
+    val want = graft.Tables.load(spark, sf, "events").select("event_id").distinct()
+    assert(got.count() == want.count())
+  }
+
   test("watermarked append-mode windows drop nothing when data fits one batch horizon") {
     // structural check: the plan carries an event-time watermark
     val stream = EventStream.hourlyAgg(EventStream.readEvents(spark, sf))
