@@ -426,7 +426,8 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_count,
         |  CAST(length(text) AS BIGINT) AS char_len,
         |  ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-        |    / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len
+        |    / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len,
+        |  CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q41_text_quality" ->

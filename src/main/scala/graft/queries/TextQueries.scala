@@ -63,7 +63,11 @@ object TextQueries {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), TF.tokenCount(col("text")).as("token_count"),
         length(col("text")).cast("bigint").as("char_len"),
-        round(TF.avgWordLen(col("text")), 6).as("avg_word_len"))
+        round(TF.avgWordLen(col("text")), 6).as("avg_word_len"),
+        // BPE-ish LLM-token estimate: subword chunks of ≤4 chars per word
+        // (the chars/4 heuristic, floored at one token per word)
+        ceil(length(col("text")).cast("double") / 4.0).cast("bigint")
+          .as("est_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   def q41TextQuality(s: SparkSession, dir: String): DataFrame =
