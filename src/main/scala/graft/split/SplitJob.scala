@@ -11,7 +11,8 @@ final case class SplitConfig(
     inDir: String,
     outDir: String,
     markerDir: String,
-    keyCol: String = "item_id")
+    keyCol: String = "item_id",
+    preserveOrder: Boolean = false)
 
 /** Run summary (reference O15, parquet-splitter.py:190-196). */
 final case class SplitSummary(
@@ -32,7 +33,7 @@ final case class SplitSummary(
   */
 final class SplitJob(spark: SparkSession, config: SplitConfig) {
   private val ledger = new MarkerLedger(spark.sparkContext.hadoopConfiguration)
-  private val splitter = new Splitter(spark, config.keyCol)
+  private val splitter = new Splitter(spark, config.keyCol, config.preserveOrder)
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
     .withZone(ZoneOffset.UTC)
 

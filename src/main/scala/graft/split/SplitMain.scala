@@ -25,7 +25,8 @@ object SplitMain {
       inDir = getArg(args, "IN_DIR"),
       outDir = getArg(args, "OUT_DIR"),
       markerDir = getArg(args, "MARKER_DIR"),
-      keyCol = getArg(args, "KEY_COL", "item_id"))
+      keyCol = getArg(args, "KEY_COL", "item_id"),
+      preserveOrder = getArg(args, "PRESERVE_ORDER", "false").toBoolean)
     require(config.inDir != null && config.outDir != null && config.markerDir != null,
       "IN_DIR, OUT_DIR and MARKER_DIR are required (flag or env var)")
 

@@ -36,7 +36,14 @@ object SplitOutcome {
   *    the exact single-file-per-key layout is only contractual for the
   *    reference-parity mode.
   */
-final class Splitter(spark: SparkSession, keyCol: String = "item_id") {
+/** @param preserveOrder when true, each output file keeps the input's row
+  *   order within its key group (the reference's pandas-groupby semantics,
+  *   SURVEY.md §2.2.2): rows are tagged with a monotonic sequence before the
+  *   key shuffle and sorted within each output partition. Costs a
+  *   sort-within-partition per output task; leave false when only multiset
+  *   equality matters. */
+final class Splitter(spark: SparkSession, keyCol: String = "item_id",
+    preserveOrder: Boolean = false) {
 
   /** Split one date. Layout parity: writes via `partitionBy` on a duplicated
     * key column (so the data keeps `keyCol`, like the reference), then a
@@ -67,10 +74,16 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id") {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(outDir).getFileSystem(conf)
     val stagingDir = PathOps.normalizePrefix(outDir) + s"_staging_$date"
-    df.filter(col(keyCol).isNotNull)
+    val keyed = df.filter(col(keyCol).isNotNull)
       .withColumn("__split_key", col(keyCol))
-      .repartition(col("__split_key"))
-      .write
+    val arranged =
+      if (preserveOrder)
+        keyed.withColumn("__seq", monotonically_increasing_id())
+          .repartition(col("__split_key"))
+          .sortWithinPartitions(col("__split_key"), col("__seq"))
+          .drop("__seq")
+      else keyed.repartition(col("__split_key"))
+    arranged.write
       .mode("overwrite")
       .partitionBy("__split_key")
       .parquet(stagingDir)

@@ -102,6 +102,19 @@ class SplitSpec extends SparkSpec {
     assert(ex.getMessage.contains("item_id"))
   }
 
+  test("preserveOrder mode reproduces the golden files' exact row order") {
+    val tmp = Files.createTempDirectory("split-order").toString
+    val splitter = new Splitter(spark, preserveOrder = true)
+    splitter.splitOne(s"$golden/input/20251107.parquet", s"$tmp/out", "20251107")
+    for (item <- Seq("0000000001", "0000000002", "0000000003")) {
+      val got = spark.read.parquet(s"$tmp/out/$item/20251107.parquet")
+        .collect().map(_.toSeq).toSeq
+      val want = spark.read.parquet(s"$golden/output/$item/20251107.parquet")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"row ORDER differs from golden for $item")
+    }
+  }
+
   test("split preserves the row multiset (union of outputs == input minus null keys)") {
     val tmp = Files.createTempDirectory("split-multiset").toString
     freshJob(tmp).run()
