@@ -58,6 +58,7 @@ object SparkEntry {
     "q24_embedding_neardup" -> (TextQueries.q24EmbeddingNearDup _),
     "q30_knn_brute"       -> (TextQueries.q30KnnBrute _),
     "q31_knn_lsh"         -> (TextQueries.q31KnnLsh _),
+    "q44_knn_ivf"         -> (TextQueries.q44KnnIvf _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),

@@ -42,12 +42,12 @@ object Similarity {
       .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"), col("cosine"))
   }
 
-  /** IVF-style ANN: partition candidates into `nCells` buckets by a
-    * deterministic random-hyperplane sign signature (seeded hashes, no RNG
-    * state), probe only the query's own bucket plus `nProbe-1` mirror
-    * buckets. Scale path: each query scores |C|/nCells · nProbe candidates
-    * instead of |C|. Recall is approximate by construction; exactness is
-    * knnBrute's job. */
+  /** LSH/IVF-style ANN: candidates are bucketed by a deterministic
+    * random-hyperplane sign signature (seeded hashes, no RNG state); each
+    * query multi-probes its own bucket plus every Hamming-1 neighbor bucket
+    * (nPlanes+1 probes). Scale path: each query scores
+    * ≈|C|·(nPlanes+1)/2^nPlanes candidates instead of |C|. Recall is
+    * approximate by construction; exactness is knnBrute's job. */
   def knnLsh(queries: DataFrame, candidates: DataFrame, kNeighbors: Int = 3,
       nPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def signBits(vec: Column): Column = {
@@ -65,10 +65,59 @@ object Similarity {
     }
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       norm(col(vecCol)).as("qn"), signBits(col(vecCol)).as("bucket"))
+      .withColumn("probe", explode(array(
+        (Seq(col("bucket")) ++
+          (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p)))): _*)))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("ce"),
       norm(col(vecCol)).as("cn"), signBits(col(vecCol)).as("bucket"))
     val scored = broadcast(q).join(c,
-        col("qid") =!= col("cid") && q("bucket") === c("bucket"))
+        col("qid") =!= col("cid") && col("probe") === c("bucket"))
+      .withColumn("cosine", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"), col("cosine"))
+  }
+
+  /** IVF ANN: a k-means coarse quantizer (deterministic seed) buckets the
+    * candidates; each query probes its `nProbe` nearest centroids and scores
+    * only those cells — ≈|C|·nProbe/nCells work per query. The right ANN
+    * shape for clustered embeddings (hyperplane LSH needs tight angular
+    * clusters; IVF only needs any cluster structure). Build phase is one
+    * k-means fit over the candidate set — at 100 TB, fit on a sample and
+    * broadcast the centroids, exactly as done here. */
+  def knnIvf(queries: DataFrame, candidates: DataFrame, kNeighbors: Int = 3,
+      nCells: Int = 16, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val cdf = candidates.select(col(idCol).as("cid"), col(vecCol).as("ce"),
+      norm(col(vecCol)).as("cn"),
+      array_to_vector(col(vecCol)).as("__fv"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("cell").fit(cdf)
+    val assigned = model.transform(cdf).drop("__fv")
+
+    // tiny (nCells × dim) centroid table — broadcast side of every join
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
+      norm(col(vecCol)).as("qn"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", dot(col("qe"), col("centroid")) * -1 / col("qn"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("qe"), col("qn"), col("cell"))
+
+    val scored = broadcast(probes).join(assigned,
+        col("qid") =!= col("cid") && probes("cell") === assigned("cell"))
       .withColumn("cosine", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("cid"))

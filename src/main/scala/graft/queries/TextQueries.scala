@@ -57,6 +57,14 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** IVF ANN (k-means quantizer, top-2 probe) — rows-only driver check;
+    * recall vs brute pinned in SimilaritySpec. */
+  def q44KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    Similarity.knnIvf(e.filter(col("vec_id") < 10), e, 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // ---- text analysis -----------------------------------------------------
 
   def q40TextStats(s: SparkSession, dir: String): DataFrame =

@@ -28,6 +28,16 @@ class SimilaritySpec extends SparkSpec {
     assert(bad == 0, "ANN cannot return a better neighbor than exact search")
   }
 
+  test("knnIvf: valid shape, self excluded, never beats brute rank-1") {
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.knnIvf(q, emb, 3).cache()
+    assert(ivf.filter(col("qid") === col("cid")).count() == 0)
+    assert(ivf.groupBy("qid").count().filter(col("count") > 3).count() == 0)
+    val brute = Similarity.knnBrute(q, emb, 3)
+      .filter(col("rank") === 1).select(col("qid"), col("cosine").as("best"))
+    assert(ivf.join(brute, "qid").filter(col("cosine") > col("best")).count() == 0)
+  }
+
   test("cosineNearDup is symmetric-free (a<b) and matches dot/norm math on a known pair") {
     import spark.implicits._
     val d = Seq(
