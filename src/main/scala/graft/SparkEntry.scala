@@ -59,6 +59,7 @@ object SparkEntry {
     "q30_knn_brute"       -> (TextQueries.q30KnnBrute _),
     "q31_knn_lsh"         -> (TextQueries.q31KnnLsh _),
     "q44_knn_ivf"         -> (TextQueries.q44KnnIvf _),
+    "q45_map_ops"         -> (EventsQueries.q45MapOps _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),
@@ -468,6 +469,14 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q45_map_ops" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events WHERE event_id < 200
+        |ORDER BY event_id""".stripMargin,
 
     "q50_split_manifest" ->
       """SELECT user_id AS split_key, COUNT(*) AS n_rows,

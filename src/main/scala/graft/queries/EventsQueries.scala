@@ -38,6 +38,21 @@ object EventsQueries {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** Map-typed columns: parse the JSON props into map<string,bigint> and
+    * exercise map functions (size, sorted keys, value lookup). */
+  def q45MapOps(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .filter(col("event_id") < 200)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)))
+      .select(col("event_id"),
+        size(col("m")).cast("bigint").as("n_keys"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy(col("event_id"))
+
   /** Gap-based sessionization: a new session starts after a >30 min silence
     * per user. lag + running sum over an event-time window — the classic
     * two-window formulation; all arithmetic on integral epoch-micros so both
