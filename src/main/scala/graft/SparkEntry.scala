@@ -60,6 +60,7 @@ object SparkEntry {
     "q31_knn_lsh"         -> (TextQueries.q31KnnLsh _),
     "q44_knn_ivf"         -> (TextQueries.q44KnnIvf _),
     "q45_map_ops"         -> (EventsQueries.q45MapOps _),
+    "q46_topk_native"     -> (Relational2.q46TopKNative _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),
@@ -469,6 +470,16 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q46_topk_native" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q45_map_ops" ->
       """SELECT event_id,

@@ -184,6 +184,19 @@ object Relational2 {
       .orderBy(col("o_custkey"), col("day_n"), col("o_orderkey"))
   }
 
+  /** Top-3 orders per customer via the NATIVE TopKPerKey operator (custom
+    * LogicalPlan + Strategy + partial/final SparkPlans): map-side bounded
+    * heaps shrink the shuffle to ≤k rows per (key, partition) — the window
+    * formulation (q07) shuffles and sorts everything. */
+  def q46TopKNative(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+        Tables.load(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+        keyCols = Seq("o_custkey"),
+        order = Seq("o_orderdate" -> false, "o_orderkey" -> false),
+        k = 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
   /** Explicit GROUPING SETS ((region,nation),(region),()) — customer counts. */
   def q37GroupingSets(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.load(s, dir, "customer")

@@ -1,15 +1,26 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. Spark 4 routes Column through ColumnNode
-  * (the Connect refactor) and gates the classic conversion helpers as
-  * private[sql]; extension libraries shipping native Catalyst expressions
-  * need this one-hop bridge package to expose them as Columns.
+/** Column ⇄ Expression and Dataset ⇄ LogicalPlan bridge. Spark 4 routes
+  * Column through ColumnNode (the Connect refactor) and gates the classic
+  * conversion helpers as private[sql]; extension libraries shipping native
+  * Catalyst expressions / logical operators need this one-hop bridge
+  * package to expose them through the public API.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a (possibly unresolved) logical plan as a DataFrame; runs the
+    * full analyze/optimize/plan pipeline. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 }
