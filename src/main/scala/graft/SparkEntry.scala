@@ -61,6 +61,7 @@ object SparkEntry {
     "q44_knn_ivf"         -> (TextQueries.q44KnnIvf _),
     "q45_map_ops"         -> (EventsQueries.q45MapOps _),
     "q46_topk_native"     -> (Relational2.q46TopKNative _),
+    "q47_kmv_distinct"    -> (Relational2.q47KmvDistinct _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),

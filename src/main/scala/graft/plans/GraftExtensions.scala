@@ -40,7 +40,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotF(args(0), args(1))),
     (FunctionIdentifier("norm_f"),
       info("norm_f", "norm_f(array<float>) - double L2 norm"),
-      (args: Seq[Expression]) => NormF(args.head)))
+      (args: Seq[Expression]) => NormF(args.head)),
+    (FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct", "kmv_distinct(col[, k]) - KMV distinct-count sketch"),
+      (args: Seq[Expression]) => (args match {
+        case Seq(c) => graft.functions.KmvDistinct(c, 256)
+        case Seq(c, Literal(k: Int, _)) => graft.functions.KmvDistinct(c, k)
+        case _ => throw new IllegalArgumentException("kmv_distinct(col[, k:int literal])")
+      }).toAggregateExpression()))
 
   /** Register into an already-built session. */
   def install(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>

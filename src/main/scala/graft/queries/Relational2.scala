@@ -94,6 +94,17 @@ object Relational2 {
     hi.unionAll(lo).orderBy(col("tag"), col("o_orderkey"))
   }
 
+  /** Custom KMV sketch distinct (TypedImperativeAggregate) next to the
+    * exact count — rows-only driver check; error bound pinned in
+    * KmvSketchSpec. */
+  def q47KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.KmvDistinct.kmvDistinct(col("l_partkey"), 256).as("kmv_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** Approximate distinct (HLL++) — rows-only driver check (sketches are
     * engine-specific); the relative-error bound is pinned in QueriesSpec. */
   def q32ApproxDistinct(s: SparkSession, dir: String): DataFrame =

@@ -22,6 +22,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 5.0) < 1e-12)
   }
 
+  test("kmv_distinct is usable as a SQL aggregate") {
+    GraftFunctions.install(spark)
+    spark.range(0, 1000).createOrReplaceTempView("kmv_in")
+    val est = spark.sql("SELECT kmv_distinct(id % 100) AS e FROM kmv_in").head().getLong(0)
+    assert(est == 100L) // below k => exact
+  }
+
   test("default shingle size is 3 and type errors are caught at analysis") {
     GraftFunctions.install(spark)
     assert(spark.sql("SELECT size(shingle_hashes('a b c d')) AS n").head().getInt(0) == 2)
