@@ -60,11 +60,16 @@ object GraftFunctions {
     if (!cur.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
   }
+
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(e.injectFunction)
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    // NOTE: no auto-rewrite of rank<=k filters into TopKPerKeyNode — Spark
+    // >=3.5 already optimizes that pattern (InferWindowGroupLimit inserts
+    // partial/final WindowGroupLimit); an extra rule would stack redundant
+    // operators on top. TopK.perKey remains the explicit no-sort variant.
   }
 }

@@ -13,11 +13,12 @@ import org.apache.spark.sql.graftbridge.Bridge
 /** Whole-operator extension demo (SURVEY.md §7.3 ladder, rung (c)): top-k
   * rows per key as a first-class plan node.
   *
-  * Why not window+filter? `row_number().over(partition by k order by o) <= n`
-  * shuffles EVERY row, then sorts every partition. This operator keeps a
-  * bounded heap per key on the map side, so only ≤ k rows per (key,
-  * partition) reach the shuffle — at 100 TB with bounded key cardinality
-  * the shuffle shrinks by orders of magnitude, and no full sort ever runs.
+  * Relationship to built-ins: Spark ≥3.5's InferWindowGroupLimit already
+  * limits rank<=k window filters map-side (WindowGroupLimit), but it still
+  * SORTS each partition (O(n log n)); this operator keeps bounded heaps
+  * (O(n log k), no sort) and is available as an explicit API for pipelines
+  * that want per-key top-k without a rank column at all. Only ≤ k rows per
+  * (key, partition) reach the shuffle in either case.
   *
   * Pieces: logical node → planner Strategy → partial + final physical nodes
   * (the final declares ClusteredDistribution so EnsureRequirements inserts
