@@ -50,19 +50,26 @@ object Similarity {
     * approximate by construction; exactness is knnBrute's job. */
   def knnLsh(queries: DataFrame, candidates: DataFrame, kNeighbors: Int = 3,
       nPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def signBits(vec: Column): Column = {
-      // plane p, dim i weight = deterministic hash in [-0.5, 0.5)
-      val projections = (0 until nPlanes).map { p =>
-        aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-            x.cast("double") *
-              ((pmod(xxhash64(concat_ws("_", lit(p).cast("string"), i.cast("string"))),
-                lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
-          lit(0.0), (acc, v) => acc + v)
-      }
-      (0 until nPlanes).map(p => when(projections(p) > 0, 1 << p).otherwise(0))
-        .reduce(_ + _)
+    // deterministic hyperplane weights (splitmix64 per (plane, dim)),
+    // materialized as literal arrays so the projection is one native DotF
+    // per plane inside whole-stage codegen (dims beyond `maxDim` ignored —
+    // DotF sums over the shorter array)
+    val maxDim = 1024
+    def weightAt(p: Int, i: Int): Float = {
+      var z = (p.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
     }
+    val planes: Seq[Column] = (0 until nPlanes).map { p =>
+      typedlit(Array.tabulate(maxDim)(i => weightAt(p, i)))
+    }
+    def signBits(vec: Column): Column =
+      (0 until nPlanes).map(p =>
+        when(graft.functions.VectorExpressions.dotF(vec, planes(p)) > 0, 1 << p)
+          .otherwise(0))
+        .reduce(_ + _)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       norm(col(vecCol)).as("qn"), signBits(col(vecCol)).as("bucket"))
       .withColumn("probe", explode(array(
