@@ -62,6 +62,8 @@ object SparkEntry {
     "q45_map_ops"         -> (EventsQueries.q45MapOps _),
     "q46_topk_native"     -> (Relational2.q46TopKNative _),
     "q47_kmv_distinct"    -> (Relational2.q47KmvDistinct _),
+    "q48_corpus_filter"   -> (TextQueries.q48CorpusFilter _),
+    "q49_sequence_pack"   -> (TextQueries.q49SequencePack _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),
@@ -489,6 +491,54 @@ object SparkEntry {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
         |FROM events WHERE event_id < 200
         |ORDER BY event_id""".stripMargin,
+
+    "q48_corpus_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    CASE
+        |      WHEN e >= d AND e >= s AND e >= f AND e > 0 THEN 'en'
+        |      WHEN d >= s AND d >= f AND d > 0 THEN 'de'
+        |      WHEN s >= f AND s > 0 THEN 'es'
+        |      WHEN f > 0 THEN 'fr'
+        |      ELSE 'unknown' END AS pred_lang,
+        |    ROUND(LEAST(1.0, n / 100.0) * 0.5 + LEAST(1.0, (e / n) * 5.0) * 0.5, 6) AS quality
+        |  FROM (SELECT doc_id, text,
+        |      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n,
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['the','of','and','to','a','in','is','it','that','for'], t))) AS DOUBLE) AS e,
+        |      len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein'], t))) AS d,
+        |      len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['el','la','los','las','y','es','que','un','una','por'], t))) AS s,
+        |      len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['le','les','et','est','que','des','une','dans','pour','sur'], t))) AS f
+        |    FROM documents)),
+        |gated AS (
+        |  SELECT doc_id, text, pred_lang, quality FROM scored
+        |  WHERE pred_lang IN ('en') AND quality >= 0.6),
+        |dedup AS (
+        |  SELECT doc_id, pred_lang, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM gated)
+        |SELECT doc_id, pred_lang, quality FROM dedup WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q49_sequence_pack" ->
+      """WITH split AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |    CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT split, est_tokens,
+        |    CAST(FLOOR(CAST(SUM(est_tokens) OVER (PARTITION BY split ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - est_tokens AS DOUBLE)
+        |      / 1024) AS BIGINT) AS pack_id
+        |  FROM split)
+        |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT pack_id) AS n_packs,
+        |  CAST(SUM(est_tokens) AS BIGINT) AS total_tokens
+        |FROM packed GROUP BY split ORDER BY split""".stripMargin,
 
     "q50_split_manifest" ->
       """SELECT user_id AS split_key, COUNT(*) AS n_rows,

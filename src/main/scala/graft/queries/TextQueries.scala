@@ -96,6 +96,26 @@ object TextQueries {
       .select(col("doc_id"), Fnv64.fnv64(lower(trim(col("text")))).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Composed corpus-cleaning pipeline: lang gate + quality gate + exact
+    * dedup, one declarative plan (oracle replays every step in SQL). */
+  def q48CorpusFilter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.cleanFilter(
+        Tables.load(s, dir, "documents"), 0.6, Seq("en"))
+      .select(col("doc_id"), col("pred_lang"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic train/val/test split + sequence packing summary. */
+  def q49SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val packed = graft.operators.Corpus.sequencePack(
+      graft.operators.Corpus.datasetSplit(Tables.load(s, dir, "documents")),
+      tokenBudget = 1024, groupCol = "split")
+    packed.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("est_tokens")).as("total_tokens"))
+      .orderBy(col("split"))
+  }
+
   /** Multimodal metadata extraction: binary payload column → partition-wise
     * batched stub decode → typed metadata (oracle checks the
     * deterministic byte-derived fields). */
