@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure operator scaling beyond the provided testdata.
+  * Synthesizes an N×-replicated copy of the sf0.1 tables (keys offset per
+  * replica so cardinalities scale too), then times flagship operators at 1×
+  * and N× and reports the growth factor. Near-linear growth (≈N) means the
+  * plan scales; super-linear flags a quadratic/blowup operator.
+  *
+  * Usage: SPARK_GRAFT_SCALE=10 runMain graft.ScaleProbe
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val base = "/root/testdata/sf0.1"
+    val big = s"/tmp/graft_scale_${n}x"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(table: String, keyCols: Seq[String], offset: Long): Unit = {
+      val src = Tables.load(spark, base, table)
+      val out = (0 until n).map { r =>
+        keyCols.foldLeft(src) { (df, k) =>
+          df.withColumn(k, col(k) + lit(r * offset))
+        }
+      }.reduce(_.unionAll(_))
+      out.write.mode("overwrite").parquet(s"$big/$table.parquet")
+    }
+    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+      println(s"[scale] building ${n}x tables under $big …")
+      replicate("lineitem", Seq("l_orderkey"), 100000000L)
+      replicate("orders", Seq("o_orderkey"), 100000000L)
+      replicate("customer", Seq.empty, 0L) // same customers, n× orders each
+      replicate("documents", Seq("doc_id"), 100000000L)
+      replicate("embeddings", Seq("vec_id"), 100000000L)
+      for (t <- Seq("nation", "region", "part", "supplier", "events"))
+        Tables.load(spark, base, t).write.mode("overwrite").parquet(s"$big/$t.parquet")
+    }
+
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q01_agg" -> SparkEntry.queries("q01_agg"),
+      "q03_join_topk" -> SparkEntry.queries("q03_join_topk"),
+      "q06_star_join" -> SparkEntry.queries("q06_star_join"),
+      "q21_ngram_jaccard" -> SparkEntry.queries("q21_ngram_jaccard"),
+      "q22_minhash_lsh" -> SparkEntry.queries("q22_minhash_lsh"),
+      "q30_knn_brute" -> SparkEntry.queries("q30_knn_brute"),
+      "q46_topk_native" -> SparkEntry.queries("q46_topk_native"),
+      "q48_corpus_filter" -> SparkEntry.queries("q48_corpus_filter"))
+
+    // min of 3 runs: robust to GC/compilation noise in a shared JVM
+    def time(fn: => Long): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }.min
+    // warm-up
+    probes.foreach { case (_, fn) => fn(spark, base).count() }
+    println(f"${"query"}%-20s ${"1x sec"}%8s ${s"${n}x sec"}%8s ${"growth"}%7s  (linear = ${n}.0)")
+    probes.foreach { case (name, fn) =>
+      val t1 = time(fn(spark, base).count())
+      val tn = time(fn(spark, big).count())
+      println(f"$name%-20s $t1%8.2f $tn%8.2f ${tn / t1}%7.1f")
+    }
+    spark.stop()
+  }
+}
