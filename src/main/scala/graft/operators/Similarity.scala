@@ -102,7 +102,7 @@ object Similarity {
     val cdf = candidates.select(col(idCol).as("cid"), col(vecCol).as("ce"),
       norm(col(vecCol)).as("cn"),
       array_to_vector(col(vecCol)).as("__fv"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("cell").fit(cdf)
     val assigned = model.transform(cdf).drop("__fv")
 
