@@ -51,6 +51,7 @@ object ScaleProbe {
       "q03_join_topk" -> SparkEntry.queries("q03_join_topk"),
       "q06_star_join" -> SparkEntry.queries("q06_star_join"),
       "q21_ngram_jaccard" -> SparkEntry.queries("q21_ngram_jaccard"),
+      "q52_jaccard_capped" -> SparkEntry.queries("q52_ngram_jaccard_capped"),
       "q22_minhash_lsh" -> SparkEntry.queries("q22_minhash_lsh"),
       "q30_knn_brute" -> SparkEntry.queries("q30_knn_brute"),
       "q46_topk_native" -> SparkEntry.queries("q46_topk_native"),

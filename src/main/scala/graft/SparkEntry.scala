@@ -64,6 +64,7 @@ object SparkEntry {
     "q47_kmv_distinct"    -> (Relational2.q47KmvDistinct _),
     "q48_corpus_filter"   -> (TextQueries.q48CorpusFilter _),
     "q49_sequence_pack"   -> (TextQueries.q49SequencePack _),
+    "q52_ngram_jaccard_capped" -> (TextQueries.q52NgramJaccardCapped _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),
@@ -379,6 +380,24 @@ object SparkEntry {
         |sh AS (
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
         |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+        |FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q52_ngram_jaccard_capped" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
+        |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 50),
+        |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
         |pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter

@@ -22,6 +22,13 @@ object TextQueries {
     Dedup.ngramJaccard(Tables.load(s, dir, "documents"), 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Frequency-capped exact Jaccard: shingles with df > 50 dropped before
+    * pairing — bounds the inverted-index fan-out (the scale path for exact
+    * pairing; see Dedup.ngramJaccard scaladoc). Oracle replays the cap. */
+  def q52NgramJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.load(s, dir, "documents"), 0.5, maxDocFreq = Some(50))
+      .orderBy(col("a_id"), col("b_id"))
+
   /** MinHash+LSH near-dup (rows-only driver check; recall vs q21 is pinned
     * by DedupSpec instead — the signature hashes are Spark-specific). */
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
