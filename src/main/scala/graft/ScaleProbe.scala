@@ -46,7 +46,7 @@ object ScaleProbe {
         Tables.load(spark, base, t).write.mode("overwrite").parquet(s"$big/$t.parquet")
     }
 
-    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q01_agg" -> SparkEntry.queries("q01_agg"),
       "q03_join_topk" -> SparkEntry.queries("q03_join_topk"),
       "q06_star_join" -> SparkEntry.queries("q06_star_join"),
@@ -56,6 +56,7 @@ object ScaleProbe {
       "q30_knn_brute" -> SparkEntry.queries("q30_knn_brute"),
       "q46_topk_native" -> SparkEntry.queries("q46_topk_native"),
       "q48_corpus_filter" -> SparkEntry.queries("q48_corpus_filter"))
+    val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // min of 3 runs: robust to GC/compilation noise in a shared JVM
     def time(fn: => Long): Double = (1 to 3).map { _ =>
