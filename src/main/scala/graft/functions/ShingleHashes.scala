@@ -106,8 +106,11 @@ object ShingleHashes {
     if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut)
   }
 
+  // RE2 \s = [\t\n\f\r ] — deliberately EXCLUDES vertical tab (0x0b), unlike
+  // Java's \s. The DuckDB oracle tokenizes with RE2, so the engine-side
+  // tokenizer must agree byte-for-byte (TextFunctions uses the same class).
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
 
   /** Column API: distinct 64-bit word-n-gram shingle hashes. */
   def shingleHashes(text: Column, n: Int = 3): Column =

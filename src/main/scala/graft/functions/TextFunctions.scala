@@ -9,14 +9,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** RE2-compatible whitespace class: [\t\n\f\r ]. Java's \s additionally
+    * matches vertical tab (0x0b), which RE2 (the DuckDB oracle's regex
+    * engine) does not — the explicit class keeps both tokenizers identical
+    * on every byte (see also ShingleHashes.isSpace). */
+  private val ws = "[ \\t\\n\\f\\r]"
+
   /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), ws + "+")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
   /** Mean token length (chars excluding whitespace / token count). */
   def avgWordLen(text: Column): Column =
-    length(regexp_replace(text, "\\s", "")).cast("double") /
+    length(regexp_replace(text, ws, "")).cast("double") /
       size(tokens(text)).cast("double")
 
   /** Per-language stopword lists for the n-gram/stopword language heuristic.

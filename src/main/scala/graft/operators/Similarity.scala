@@ -22,6 +22,18 @@ object Similarity {
 
   def norm(a: Column): Column = graft.functions.VectorExpressions.normF(a)
 
+  /** Deterministic hyperplane weight for LSH plane `p`, dimension `i`
+    * (splitmix64 bit-mix → uniform in [-0.5, 0.5)). Public so the DuckDB
+    * oracle can replay the exact bucket assignment (SparkEntry builds the
+    * q31 oracle SQL from these same values). */
+  def hyperplaneWeight(p: Int, i: Int): Float = {
+    var z = (p.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    ((z >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
+  }
+
   /** Exact top-k cosine neighbors for each query vector — the correctness
     * baseline. The query side must be small (it is broadcast); candidates
     * stream through executors, so the cost is |Q|·|C| dot products with no
@@ -55,15 +67,8 @@ object Similarity {
     // per plane inside whole-stage codegen (dims beyond `maxDim` ignored —
     // DotF sums over the shorter array)
     val maxDim = 1024
-    def weightAt(p: Int, i: Int): Float = {
-      var z = (p.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^= (z >>> 31)
-      ((z >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
-    }
     val planes: Seq[Column] = (0 until nPlanes).map { p =>
-      typedlit(Array.tabulate(maxDim)(i => weightAt(p, i)))
+      typedlit(Array.tabulate(maxDim)(i => hyperplaneWeight(p, i)))
     }
     def signBits(vec: Column): Column =
       (0 until nPlanes).map(p =>
@@ -92,18 +97,23 @@ object Similarity {
     * only those cells — ≈|C|·nProbe/nCells work per query. The right ANN
     * shape for clustered embeddings (hyperplane LSH needs tight angular
     * clusters; IVF only needs any cluster structure). Build phase is one
-    * k-means fit over the candidate set — at 100 TB, fit on a sample and
-    * broadcast the centroids, exactly as done here. */
+    * k-means fit over a seeded SAMPLE of the candidates (`fitFraction`),
+    * with only the tiny centroid table broadcast — the 100 TB shape. */
   def knnIvf(queries: DataFrame, candidates: DataFrame, kNeighbors: Int = 3,
       nCells: Int = 16, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      fitFraction: Double = 0.5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val cdf = candidates.select(col(idCol).as("cid"), col(vecCol).as("ce"),
       norm(col(vecCol)).as("cn"),
       array_to_vector(col(vecCol)).as("__fv"))
+    // Quantizer fit on a seeded sample, never the full candidate table — at
+    // 100 TB the fit reads a bounded fraction and only the (nCells × dim)
+    // centroid table is broadcast. Pick fitFraction ≈ targetFitRows/|C|.
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("__fv").setPredictionCol("cell").fit(cdf)
+      .setFeaturesCol("__fv").setPredictionCol("cell")
+      .fit(cdf.sample(withReplacement = false, fitFraction, seed = 42L))
     val assigned = model.transform(cdf).drop("__fv")
 
     // tiny (nCells × dim) centroid table — broadcast side of every join

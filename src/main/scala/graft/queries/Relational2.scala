@@ -94,24 +94,36 @@ object Relational2 {
     hi.unionAll(lo).orderBy(col("tag"), col("o_orderkey"))
   }
 
-  /** Custom KMV sketch distinct (TypedImperativeAggregate) next to the
-    * exact count — rows-only driver check; error bound pinned in
-    * KmvSketchSpec. */
-  def q47KmvDistinct(s: SparkSession, dir: String): DataFrame =
+  /** Custom KMV sketch distinct (TypedImperativeAggregate) vs the exact
+    * count. The sketch value itself is engine-specific, so the hash-gated
+    * output is the exact count plus a deterministic error-bound check:
+    * |kmv − exact| ≤ 4σ·exact with σ = 1/√(k−2) — always true for a correct
+    * sketch, trivially SQL-expressible for the oracle. */
+  def q47KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val bound = 4.0 / math.sqrt(k - 2.0)
     Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        graft.functions.KmvDistinct.kmvDistinct(col("l_partkey"), 256).as("kmv_parts"),
+        graft.functions.KmvDistinct.kmvDistinct(col("l_partkey"), k).as("kmv_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("kmv_parts") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * bound).as("kmv_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
-  /** Approximate distinct (HLL++) — rows-only driver check (sketches are
-    * engine-specific); the relative-error bound is pinned in QueriesSpec. */
+  /** Approximate distinct (HLL++, default rsd 5%) vs exact. Same oracle
+    * shape as q47: exact count + a 3σ error-bound boolean (the sketch value
+    * is engine-specific, the bound check is deterministic). */
   def q32ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.15).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
   /** Ordered set collect: distinct market segments per nation, sorted and
