@@ -65,6 +65,7 @@ object SparkEntry {
     "q48_corpus_filter"   -> (TextQueries.q48CorpusFilter _),
     "q49_sequence_pack"   -> (TextQueries.q49SequencePack _),
     "q52_ngram_jaccard_capped" -> (TextQueries.q52NgramJaccardCapped _),
+    "q53_neardup_blocked" -> (TextQueries.q53NearDupBlocked _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),
@@ -182,6 +183,26 @@ object SparkEntry {
        |             + strpos('0123456789ABCDEF', substr(hex(encode($expr)), 2*i, 1)) - 1)),
        |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
        |                % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Shared by q24 (all-pairs audit baseline) and q53 (blocked exact
+    * flagship): both are exact cosine-threshold joins with identical
+    * output, so one oracle gates both plans. */
+  private val cosineNearDupSql =
+    """WITH n AS (
+      |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+      |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+      |  GROUP BY vec_id),
+      |d AS (
+      |  SELECT a_id, b_id, SUM(ax*bx) AS dot FROM (
+      |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |      CAST(UNNEST(a.embedding) AS DOUBLE) AS ax,
+      |      CAST(UNNEST(b.embedding) AS DOUBLE) AS bx
+      |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |  GROUP BY a_id, b_id)
+      |SELECT a_id, b_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+      |FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
+      |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -504,22 +525,8 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
-    "q24_embedding_neardup" ->
-      """WITH n AS (
-        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
-        |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
-        |  GROUP BY vec_id),
-        |d AS (
-        |  SELECT a_id, b_id, SUM(ax*bx) AS dot FROM (
-        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |      CAST(UNNEST(a.embedding) AS DOUBLE) AS ax,
-        |      CAST(UNNEST(b.embedding) AS DOUBLE) AS bx
-        |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |  GROUP BY a_id, b_id)
-        |SELECT a_id, b_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
-        |FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
-        |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q53_neardup_blocked" -> cosineNearDupSql,
+    "q24_embedding_neardup" -> cosineNearDupSql,
 
     "q30_knn_brute" -> knnBruteSql,
     "q31_knn_lsh"   -> knnLshSql,

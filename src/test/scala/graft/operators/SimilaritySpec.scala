@@ -38,6 +38,40 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.join(brute, "qid").filter(col("cosine") > col("best")).count() == 0)
   }
 
+  test("cosineNearDupBlocked output equals the all-pairs baseline (every block count)") {
+    val brute = Similarity.cosineNearDup(emb, 0.4).collect().toSet
+    for (nBlocks <- Seq(1, 3, 8)) {
+      val blocked = Similarity.cosineNearDupBlocked(emb, 0.4, nBlocks).collect().toSet
+      assert(blocked == brute, s"nBlocks=$nBlocks")
+    }
+  }
+
+  test("cosineNearDupBlocked plans an equi-join, not a nested-loop cartesian") {
+    val plan = Similarity.cosineNearDupBlocked(emb, 0.4, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("cosineNearDupBanded: recall 1.0 at a realistic threshold on clustered vectors") {
+    import spark.implicits._
+    // 40 base directions, 5 noisy copies each: true near-dups are the
+    // intra-cluster pairs (cosine > 0.99); cross-cluster pairs are far.
+    def vec(base: Int, copy: Int): Array[Float] = {
+      val r = new scala.util.Random(base)
+      val b = Array.fill(64)(r.nextGaussian())
+      val rn = new scala.util.Random(base * 1000 + copy + 1)
+      b.map(x => (x + 0.02 * rn.nextGaussian()).toFloat)
+    }
+    val rows = for (b <- 0 until 40; c <- 0 until 5)
+      yield (b * 5L + c, vec(b, c))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDup(df, 0.95).collect().toSet
+    assert(exact.size >= 40 * 10, s"expected >=400 intra-cluster pairs, got ${exact.size}")
+    val banded = Similarity.cosineNearDupBanded(df, 0.95).collect().toSet
+    assert(banded == exact, s"banded missed ${(exact -- banded).size} of ${exact.size} pairs")
+  }
+
   test("cosineNearDup is symmetric-free (a<b) and matches dot/norm math on a known pair") {
     import spark.implicits._
     val d = Seq(
