@@ -43,14 +43,24 @@ final class MarkerLedger(conf: Configuration) {
 
   private def fsFor(p: String): FileSystem = new Path(p).getFileSystem(conf)
 
-  /** List immediate children of `dir` whose names end with `suffix`.
-    * Mirrors the reference's paginated ListObjectsV2+suffix filter (O2). */
+  /** List files under `dir` RECURSIVELY whose names end with `suffix`,
+    * mirroring the reference's paginated ListObjectsV2+suffix filter (O2),
+    * which lists the whole prefix subtree (parquet-splitter.py:48-57,125).
+    * Faithful consequence (quirk §2.2.5): a file in a NESTED sub-prefix is
+    * discovered here, but the per-date read key is reconstructed flat as
+    * `{inDir}/{stem}.parquet` (SplitJob), so a nested input turns into a
+    * MissingInput warn-and-skip — exactly the reference's
+    * discovered-then-NoSuchKey behavior (parquet-splitter.py:145,150-152). */
   def listStems(dir: String, suffix: String): Set[String] = {
     val path = new Path(PathOps.normalizePrefix(dir))
     val fs = fsFor(dir)
     if (!fs.exists(path)) Set.empty
-    else PathOps.stemsWithSuffix(
-      fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath.toString), suffix)
+    else {
+      val files = scala.collection.mutable.ListBuffer.empty[String]
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) files += it.next().getPath.toString
+      PathOps.stemsWithSuffix(files.toSeq, suffix)
+    }
   }
 
   def inputDates(inDir: String): Set[String] = listStems(inDir, ".parquet")

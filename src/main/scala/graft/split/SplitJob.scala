@@ -5,14 +5,24 @@ import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 
 /** Job configuration (reference O1, parquet-splitter.py:14-26). MAX_WORKERS
-  * has no analog: Spark task parallelism replaces the thread pool. */
+  * has no analog: Spark task parallelism replaces the thread pool.
+  *
+  * @param emptyInputMarker O8 policy flag (SURVEY.md §2.2.4): false =
+  *   faithful to the reference's empty-file livelock (no marker, the date is
+  *   re-examined every run, forever); true = commit an `outputs: []` marker
+  *   so an empty date is done once and for all.
+  * @param maxRecordsPerFile / saltBuckets hot-key bounding (see Splitter):
+  *   defaults preserve the reference's one-file-per-key layout. */
 final case class SplitConfig(
     kind: String,
     inDir: String,
     outDir: String,
     markerDir: String,
     keyCol: String = "item_id",
-    preserveOrder: Boolean = false)
+    preserveOrder: Boolean = false,
+    emptyInputMarker: Boolean = false,
+    maxRecordsPerFile: Long = 0L,
+    saltBuckets: Int = 1)
 
 /** Run summary (reference O15, parquet-splitter.py:190-196). */
 final case class SplitSummary(
@@ -33,7 +43,8 @@ final case class SplitSummary(
   */
 final class SplitJob(spark: SparkSession, config: SplitConfig) {
   private val ledger = new MarkerLedger(spark.sparkContext.hadoopConfiguration)
-  private val splitter = new Splitter(spark, config.keyCol, config.preserveOrder)
+  private val splitter = new Splitter(spark, config.keyCol, config.preserveOrder,
+    config.maxRecordsPerFile, config.saltBuckets)
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
     .withZone(ZoneOffset.UTC)
 
@@ -57,7 +68,13 @@ final class SplitJob(spark: SparkSession, config: SplitConfig) {
             Marker(config.kind, date, inPath, outputs, tsFmt.format(Instant.now())))
           processed ::= date
         case SplitOutcome.MissingInput => skippedMissing ::= date
-        case SplitOutcome.EmptyInput => skippedEmpty ::= date
+        case SplitOutcome.EmptyInput =>
+          // O8 policy: faithful mode never commits (livelock quirk); the
+          // fixed mode writes an empty-outputs marker so the date is done
+          if (config.emptyInputMarker)
+            ledger.writeMarker(config.markerDir,
+              Marker(config.kind, date, inPath, Nil, tsFmt.format(Instant.now())))
+          skippedEmpty ::= date
       }
     }
     SplitSummary(config.kind, input.size, done.size, missing,

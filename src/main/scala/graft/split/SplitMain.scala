@@ -26,7 +26,10 @@ object SplitMain {
       outDir = getArg(args, "OUT_DIR"),
       markerDir = getArg(args, "MARKER_DIR"),
       keyCol = getArg(args, "KEY_COL", "item_id"),
-      preserveOrder = getArg(args, "PRESERVE_ORDER", "false").toBoolean)
+      preserveOrder = getArg(args, "PRESERVE_ORDER", "false").toBoolean,
+      emptyInputMarker = getArg(args, "EMPTY_INPUT_MARKER", "false").toBoolean,
+      maxRecordsPerFile = getArg(args, "MAX_RECORDS_PER_FILE", "0").toLong,
+      saltBuckets = getArg(args, "SALT_BUCKETS", "1").toInt)
     require(config.inDir != null && config.outDir != null && config.markerDir != null,
       "IN_DIR, OUT_DIR and MARKER_DIR are required (flag or env var)")
 

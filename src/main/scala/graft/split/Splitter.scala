@@ -13,8 +13,9 @@ object SplitOutcome {
       extends SplitOutcome
   /** Input object missing → warn + skip, no marker (quirk §2.2, O7). */
   case object MissingInput extends SplitOutcome
-  /** Empty input → skip, NO marker — faithful to the reference's
-    * empty-file livelock (parquet-splitter.py:154-156, SURVEY §2.2.4). */
+  /** Empty input → skip; marker policy decided by the caller (SplitJob):
+    * faithful mode writes NO marker — the reference's empty-file livelock
+    * (parquet-splitter.py:154-156, SURVEY §2.2.4). */
   case object EmptyInput extends SplitOutcome
 }
 
@@ -31,19 +32,30 @@ object SplitOutcome {
   *    as_completed + raise (parquet-splitter.py:169-171);
   *  - null keys are dropped explicitly (pandas groupby dropna quirk,
   *    SURVEY §2.2.3) and counted, instead of silently;
-  *  - at 100 TB a hot key becomes one giant task; `maxRecordsPerFile` bounds
-  *    file size and `repartition(N, keyCol, salt)` would bound task size —
-  *    the exact single-file-per-key layout is only contractual for the
-  *    reference-parity mode.
-  */
-/** @param preserveOrder when true, each output file keeps the input's row
+  *  - hot keys at 100 TB: `saltBuckets > 1` spreads one key's rows over that
+  *    many shuffle tasks and `maxRecordsPerFile > 0` bounds output file
+  *    size; both leave reference-parity mode (exactly one
+  *    `{key}/{date}.parquet` per key), so multi-part outputs are written as
+  *    numbered `{key}/{date}-NNNNN.parquet` files instead.
+  *
+  * @param preserveOrder when true, each output file keeps the input's row
   *   order within its key group (the reference's pandas-groupby semantics,
   *   SURVEY.md §2.2.2): rows are tagged with a monotonic sequence before the
   *   key shuffle and sorted within each output partition. Costs a
   *   sort-within-partition per output task; leave false when only multiset
-  *   equality matters. */
+  *   equality matters.
+  * @param maxRecordsPerFile 0 = single file per key (parity); >0 bounds rows
+  *   per output file (Spark splits a task's output at the bound).
+  * @param saltBuckets 1 = one task per key (parity); >1 shuffles each key's
+  *   rows across that many tasks, bounding task/file size under skew.
+  */
 final class Splitter(spark: SparkSession, keyCol: String = "item_id",
-    preserveOrder: Boolean = false) {
+    preserveOrder: Boolean = false, maxRecordsPerFile: Long = 0L,
+    saltBuckets: Int = 1) {
+  require(saltBuckets >= 1, "saltBuckets must be >= 1")
+
+  /** Reference-parity layout contract: exactly one part file per key. */
+  private def parityLayout: Boolean = maxRecordsPerFile == 0L && saltBuckets == 1
 
   /** Split one date. Layout parity: writes via `partitionBy` on a duplicated
     * key column (so the data keeps `keyCol`, like the reference), then a
@@ -64,49 +76,79 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id",
       .agg(count(lit(1)), count(col(keyCol))).head().toSeq
       .map(_.asInstanceOf[Long]).toArray
     val outputs = writeGroups(df, outDir, date)
-    SplitOutcome.Written(outputs.sorted, outputs.size.toLong, total - nonNullCount)
+    val distinctKeys = outputs
+      .map(p => new Path(p).getParent.getName).distinct.size.toLong
+    SplitOutcome.Written(outputs.sorted, distinctKeys, total - nonNullCount)
   }
 
-  /** The keyed write path alone (no guards): one output file per distinct
-    * non-null key at `outDir/{key}/{date}.parquet`. Shared by the batch
-    * ledger job and the streaming variant's foreachBatch. */
+  /** The keyed write path alone (no guards): output files per distinct
+    * non-null key at `outDir/{key}/{date}[-NNNNN].parquet`. Shared by the
+    * batch ledger job and the streaming variant's foreachBatch. */
   def writeGroups(df: DataFrame, outDir: String, date: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(outDir).getFileSystem(conf)
     val stagingDir = PathOps.normalizePrefix(outDir) + s"_staging_$date"
     val keyed = df.filter(col(keyCol).isNotNull)
       .withColumn("__split_key", col(keyCol))
-    val arranged =
-      if (preserveOrder)
+    val seqd =
+      if (preserveOrder || saltBuckets > 1)
         keyed.withColumn("__seq", monotonically_increasing_id())
-          .repartition(col("__split_key"))
+      else keyed
+    val arranged = (preserveOrder, saltBuckets) match {
+      case (true, 1) =>
+        seqd.repartition(col("__split_key"))
           .sortWithinPartitions(col("__split_key"), col("__seq"))
           .drop("__seq")
-      else keyed.repartition(col("__split_key"))
-    arranged.write
-      .mode("overwrite")
-      .partitionBy("__split_key")
-      .parquet(stagingDir)
+      case (true, n) => // salted + ordered: files partition the sequence
+        seqd.repartition(col("__split_key"), pmod(col("__seq"), lit(n)))
+          .sortWithinPartitions(col("__split_key"), col("__seq"))
+          .drop("__seq")
+      case (false, 1) => keyed.repartition(col("__split_key"))
+      case (false, n) => // salt spreads one hot key over n shuffle tasks
+        seqd.repartition(col("__split_key"), pmod(col("__seq"), lit(n)))
+          .drop("__seq")
+    }
+    val writer = arranged.write.mode("overwrite").partitionBy("__split_key")
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(stagingDir)
     promoteStaging(fs, stagingDir, outDir, date)
   }
 
-  /** Move `_staging/{__split_key=k}/part-*.parquet` → `outDir/k/{date}.parquet`. */
+  /** Move `_staging/{__split_key=k}/part-*.parquet` into place. Parity mode
+    * asserts exactly one part per key → `outDir/k/{date}.parquet`; bounded
+    * modes (salt / maxRecordsPerFile) number the parts in task order →
+    * `outDir/k/{date}-NNNNN.parquet` (a single part keeps the parity name,
+    * so unskewed keys look identical in either mode). */
   private def promoteStaging(fs: FileSystem, stagingDir: String, outDir: String,
       date: String): Seq[String] = {
     val staging = new Path(stagingDir)
     val outputs = fs.listStatus(staging).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__split_key="))
-      .map { st =>
+      .flatMap { st =>
         val key = st.getPath.getName.stripPrefix("__split_key=")
         val parts = fs.listStatus(st.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-        require(parts.size == 1,
+          .sortBy(_.getPath.getName)
+        if (parityLayout) require(parts.size == 1,
           s"expected exactly one part file for key $key, got ${parts.size}")
-        val target = new Path(PathOps.normalizePrefix(outDir) + s"$key/$date.parquet")
-        fs.mkdirs(target.getParent)
-        if (fs.exists(target)) fs.delete(target, false) // idempotent overwrite (O11)
-        require(fs.rename(parts.head.getPath, target), s"rename failed for $key")
-        target.toString
+        val targetDir = new Path(PathOps.normalizePrefix(outDir) + key)
+        fs.mkdirs(targetDir)
+        // idempotent overwrite (O11): clear every prior file for this date,
+        // including stale numbered parts from a previous bounded-mode run
+        // with a different part count
+        fs.listStatus(targetDir).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && (n == s"$date.parquet" ||
+            (n.startsWith(s"$date-") && n.endsWith(".parquet")))
+        }.foreach(f => fs.delete(f.getPath, false))
+        parts.zipWithIndex.map { case (part, i) =>
+          val name =
+            if (parts.size == 1) s"$date.parquet" else f"$date-$i%05d.parquet"
+          val target = new Path(targetDir, name)
+          require(fs.rename(part.getPath, target), s"rename failed for $key")
+          target.toString
+        }
       }
     fs.delete(staging, true)
     outputs

@@ -34,7 +34,10 @@ final class StreamingSplitJob(spark: SparkSession, config: SplitConfig,
     // schema from a one-time batch peek (file-stream sources need one)
     val schema = spark.read.parquet(inDir).schema
     val processed = scala.collection.mutable.ListBuffer.empty[String]
-    val splitter = new Splitter(spark, config.keyCol)
+    // full config pass-through: streaming honors preserveOrder and the
+    // hot-key bounding knobs exactly like the batch path
+    val splitter = new Splitter(spark, config.keyCol, config.preserveOrder,
+      config.maxRecordsPerFile, config.saltBuckets)
     val ledger = new MarkerLedger(spark.sparkContext.hadoopConfiguration)
 
     val stream = spark.readStream.schema(schema)

@@ -13,6 +13,21 @@ class SplitSpec extends SparkSpec {
   private def freshJob(tmp: String) = new SplitJob(spark,
     SplitConfig("test", s"$golden/input", s"$tmp/output", s"$tmp/markers"))
 
+  /** Write df as ONE plain parquet FILE at `target` (not a Spark dataset
+    * directory) — the reference's S3-object input shape, required for
+    * ledger-listing tests. */
+  private def writePlainParquet(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpDir = target + "_tmpwrite"
+    df.coalesce(1).write.parquet(tmpDir)
+    val part = fs.listStatus(new Path(tmpDir))
+      .find(_.getPath.getName.startsWith("part-")).get
+    fs.mkdirs(new Path(target).getParent)
+    fs.rename(part.getPath, new Path(target))
+    fs.delete(new Path(tmpDir), true)
+  }
+
   test("PathOps stems + prefix normalization handle reference edge cases") {
     assert(PathOps.normalizePrefix("a/b///") == "a/b/")
     assert(PathOps.normalizePrefix("a/b") == "a/b/")
@@ -113,6 +128,92 @@ class SplitSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(got == want, s"row ORDER differs from golden for $item")
     }
+  }
+
+  test("hot-key bounding: salt + maxRecordsPerFile produce bounded numbered files") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("split-skew").toString
+    // deliberately skewed: one key with 1000 rows, one with 10
+    val rows = (1 to 1000).map(i => ("2025/01/01", "HOTKEY", i.toLong, "0001")) ++
+      (1 to 10).map(i => ("2025/01/01", "COLD", i.toLong, "0002"))
+    rows.toDF("date", "item_id", "sales_figures", "store_id")
+      .coalesce(1).write.parquet(s"$tmp/in/20250101.parquet")
+
+    val splitter = new Splitter(spark, maxRecordsPerFile = 100L, saltBuckets = 4)
+    val outcome = splitter.splitOne(s"$tmp/in/20250101.parquet", s"$tmp/out", "20250101")
+    val outputs = outcome.asInstanceOf[SplitOutcome.Written].outputs
+    assert(outcome.asInstanceOf[SplitOutcome.Written].distinctKeys == 2L)
+
+    val hotFiles = outputs.filter(_.contains("/HOTKEY/"))
+    assert(hotFiles.size >= 10, s"hot key should split into many files: $hotFiles")
+    for (f <- outputs)
+      assert(spark.read.parquet(f).count() <= 100L, s"file over bound: $f")
+    // the unskewed key keeps the parity name when it fits one part
+    val coldFiles = outputs.filter(_.contains("/COLD/"))
+    assert(coldFiles == Seq(s"$tmp/out/COLD/20250101.parquet")
+      || coldFiles.forall(_.matches(".*/COLD/20250101(-\\d{5})?\\.parquet")), coldFiles)
+    // multiset preserved across all bounded parts
+    val in = spark.read.parquet(s"$tmp/in/20250101.parquet")
+    val out = spark.read.parquet(s"$tmp/out/*/2025*.parquet")
+    assert(out.count() == in.count())
+    assert(in.exceptAll(out).isEmpty && out.exceptAll(in).isEmpty)
+    // idempotence: a rerun (same config) leaves no stale numbered parts
+    val rerun = splitter.splitOne(s"$tmp/in/20250101.parquet", s"$tmp/out", "20250101")
+    val rerunOut = rerun.asInstanceOf[SplitOutcome.Written].outputs
+    val onDisk = spark.read.parquet(s"$tmp/out/*/2025*.parquet")
+    assert(onDisk.count() == in.count(), "stale parts left after rerun")
+    assert(rerunOut.nonEmpty)
+  }
+
+  test("O8 policy flag: emptyInputMarker=true commits an outputs:[] marker (no livelock)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("split-emptypolicy").toString
+    writePlainParquet(spark.emptyDataset[(String, String, Long, String)]
+      .toDF("date", "item_id", "sales_figures", "store_id"),
+      s"$tmp/in/20250101.parquet")
+
+    // faithful default: skipped every run, never done (livelock preserved)
+    val faithful = new SplitJob(spark,
+      SplitConfig("test", s"$tmp/in", s"$tmp/out", s"$tmp/markers_f")).run()
+    assert(faithful.skippedEmpty == Seq("20250101"))
+    assert(!Files.exists(Paths.get(s"$tmp/markers_f/20250101.json")))
+    val faithful2 = new SplitJob(spark,
+      SplitConfig("test", s"$tmp/in", s"$tmp/out", s"$tmp/markers_f")).run()
+    assert(faithful2.missingDates == Seq("20250101"), "livelock must persist")
+
+    // fixed mode: empty marker commits, second run is a no-op
+    val fixed = new SplitJob(spark,
+      SplitConfig("test", s"$tmp/in", s"$tmp/out", s"$tmp/markers_x",
+        emptyInputMarker = true)).run()
+    assert(fixed.skippedEmpty == Seq("20250101"))
+    val markerJson = new String(Files.readAllBytes(Paths.get(s"$tmp/markers_x/20250101.json")))
+    assert(markerJson.contains("\"outputs\": []"), markerJson)
+    assert(markerJson.contains("\"output_count\": 0"), markerJson)
+    val fixed2 = new SplitJob(spark,
+      SplitConfig("test", s"$tmp/in", s"$tmp/out", s"$tmp/markers_x",
+        emptyInputMarker = true)).run()
+    assert(fixed2.missingDates.isEmpty, "empty date must be done after its marker")
+  }
+
+  test("quirk parity: nested inputs are discovered recursively, then warn-skipped (§2.2.5)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("split-nested").toString
+    writePlainParquet(Seq(("2025/01/01", "0000000001", 5L, "0001"))
+      .toDF("date", "item_id", "sales_figures", "store_id"),
+      s"$tmp/in/20250101.parquet")
+    writePlainParquet(Seq(("2025/01/02", "0000000002", 6L, "0001"))
+      .toDF("date", "item_id", "sales_figures", "store_id"),
+      s"$tmp/in/nested/20250102.parquet")
+
+    val summary = new SplitJob(spark,
+      SplitConfig("test", s"$tmp/in", s"$tmp/out", s"$tmp/markers")).run()
+    // the nested file IS discovered (recursive listing, like ListObjectsV2)…
+    assert(summary.missingDates.contains("20250102"), summary.missingDates)
+    // …but the flat-key reconstruction misses it → warn + skip, no outputs
+    assert(summary.processedDates == Seq("20250101"))
+    assert(summary.skippedMissing == Seq("20250102"))
+    assert(!Files.exists(Paths.get(s"$tmp/out/0000000002")))
+    assert(!Files.exists(Paths.get(s"$tmp/markers/20250102.json")))
   }
 
   test("split preserves the row multiset (union of outputs == input minus null keys)") {
