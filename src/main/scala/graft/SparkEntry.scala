@@ -66,6 +66,7 @@ object SparkEntry {
     "q49_sequence_pack"   -> (TextQueries.q49SequencePack _),
     "q52_ngram_jaccard_capped" -> (TextQueries.q52NgramJaccardCapped _),
     "q53_neardup_blocked" -> (TextQueries.q53NearDupBlocked _),
+    "q54_csv_source"      -> (Relational2.q54CsvSource _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),
@@ -540,6 +541,12 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         |  true AS kmv_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q54_csv_source" ->
+      """SELECT n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q44_knn_ivf" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,

@@ -59,11 +59,17 @@ object Dedup {
     val sh = maxDocFreq match {
       case None => base
       case Some(cap) =>
-        base
-          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-          .filter(col("df") <= cap)
+        // Heavy hitters (df > cap) are by definition few (≤ rows/cap), so
+        // the drop-set is computed with a partial-aggregated narrow shuffle
+        // and BROADCAST into an anti-join — the wide exploded-row stream is
+        // never exchanged just to learn df (a Window.partitionBy(sh) pass
+        // would shuffle every row). Post-cap per-doc counts then ride along
+        // via one window on id, and the pair self-join's exchange on sh is
+        // shared between both sides by ReuseExchange.
+        val dropSet = base.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("sh"))
+        base.join(broadcast(dropSet), Seq("sh"), "left_anti")
           .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
-          .drop("df")
     }
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -42,7 +42,17 @@ abstract class TopKPerKeyExecBase extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
 
-  /** Keep the best ≤ k rows per distinct key within each partition. */
+  /** Keep the best ≤ k rows per distinct key within each partition.
+    *
+    * MEMORY CAVEAT: the partial stage holds one k-row heap per distinct key
+    * seen in the partition, in an unspillable HashMap — worst-case
+    * O(distinctKeysPerPartition × k) rows. That is the same order as what
+    * the partial stage must EMIT (its entire purpose is ≤ k rows per
+    * (key, partition) crossing the wire), so it is only a concern when a
+    * single input partition holds more distinct keys × k than executor
+    * memory — size input splits accordingly, or fall back to the window
+    * formulation (rank ≤ k), which sort-spills, for pathological
+    * cardinalities. */
   protected def topKPerPartition(iter: Iterator[InternalRow]): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keys, child.output)
     val rowOrd: Ordering[InternalRow] = GenerateOrdering.generate(order, child.output)

@@ -126,6 +126,27 @@ object Relational2 {
           col("exact_parts").cast("double") * 0.15).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** Non-parquet source path, oracle-gated: `nation` is re-exported as a
+    * header'd CSV (single deterministic file under the JVM tmpdir) and read
+    * back through the format-generic IO layer with an enforced schema, then
+    * broadcast-joined to the parquet `customer` table. The oracle computes
+    * the same aggregate reading nation from parquet — a green hash proves
+    * the csv scan/sink round-trip is lossless for this schema. */
+  def q54CsvSource(s: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(s, dir, "nation")
+    val csvPath = System.getProperty("java.io.tmpdir") +
+      "/graft_csv_nation_" + Integer.toHexString(dir.hashCode)
+    graft.sources.IO.write(nation, csvPath, format = "csv", coalesceTo = 1)
+    val nationCsv = graft.sources.IO.read(s, csvPath, format = "csv",
+      schema = Some(nation.schema))
+    val c = Tables.load(s, dir, "customer")
+    c.join(broadcast(nationCsv), c("c_nationkey") === nationCsv("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"), 2)).cast("double").as("total_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
   /** Ordered set collect: distinct market segments per nation, sorted and
     * comma-joined (deterministic replacement for raw collect_list). */
   def q33CollectAgg(s: SparkSession, dir: String): DataFrame = {

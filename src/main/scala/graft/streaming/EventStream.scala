@@ -14,7 +14,9 @@ import org.apache.spark.sql.types._
   *
   * The `events.parquet` nanos timestamp needs the same legacy-long read as
   * the batch path: the stream reads `ts` as raw nanos with an explicit
-  * schema, then converts to TIMESTAMP_NTZ microseconds.
+  * schema, then converts to TIMESTAMP (LTZ) microseconds — NOT the batch
+  * path's TIMESTAMP_NTZ, because watermarks require LTZ; readEvents
+  * enforces a UTC session so the two renderings coincide.
   */
 object EventStream {
 
@@ -29,6 +31,15 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file-stream sources require a directory; glob-filter to the one table
+    // Event time must stay TIMESTAMP_LTZ: Spark rejects watermarks on
+    // TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), while the batch
+    // path (Tables.load) uses NTZ. The two renderings agree only when the
+    // session timezone is UTC — enforce that as a fail-fast contract
+    // instead of letting a non-UTC session silently skew bucket strings.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "EventStream requires spark.sql.session.timeZone=UTC: streaming " +
+        "event-time is TIMESTAMP_LTZ (watermark requirement) and its " +
+        "rendering must match the batch path's TIMESTAMP_NTZ")
     spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
