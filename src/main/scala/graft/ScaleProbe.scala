@@ -54,20 +54,24 @@ object ScaleProbe {
       "q52_jaccard_capped" -> SparkEntry.queries("q52_ngram_jaccard_capped"),
       "q22_minhash_lsh" -> SparkEntry.queries("q22_minhash_lsh"),
       "q30_knn_brute" -> SparkEntry.queries("q30_knn_brute"),
+      "q44_knn_ivf" -> SparkEntry.queries("q44_knn_ivf"),
+      "q53_neardup_blocked" -> SparkEntry.queries("q53_neardup_blocked"),
       "q46_topk_native" -> SparkEntry.queries("q46_topk_native"),
       "q48_corpus_filter" -> SparkEntry.queries("q48_corpus_filter"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
-    // min of 3 runs: robust to GC/compilation noise in a shared JVM
-    def time(fn: => Long): Double = (1 to 3).map { _ =>
+    // noop-write action (same methodology as Bench: executes the full plan
+    // including final sorts); min of 3 runs, robust to GC noise
+    def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    def time(fn: => Unit): Double = (1 to 3).map { _ =>
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }.min
     // warm-up
-    probes.foreach { case (_, fn) => fn(spark, base).count() }
+    probes.foreach { case (_, fn) => run(fn(spark, base)) }
     println(f"${"query"}%-20s ${"1x sec"}%8s ${s"${n}x sec"}%8s ${"growth"}%7s  (linear = ${n}.0)")
     probes.foreach { case (name, fn) =>
-      val t1 = time(fn(spark, base).count())
-      val tn = time(fn(spark, big).count())
+      val t1 = time(run(fn(spark, base)))
+      val tn = time(run(fn(spark, big)))
       println(f"$name%-20s $t1%8.2f $tn%8.2f ${tn / t1}%7.1f")
     }
     spark.stop()
