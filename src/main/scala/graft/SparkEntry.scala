@@ -67,6 +67,8 @@ object SparkEntry {
     "q52_ngram_jaccard_capped" -> (TextQueries.q52NgramJaccardCapped _),
     "q53_neardup_blocked" -> (TextQueries.q53NearDupBlocked _),
     "q54_csv_source"      -> (Relational2.q54CsvSource _),
+    "q55_approx_percentile" -> (Relational2.q55ApproxPercentile _),
+    "q56_hash_sample"     -> (Relational2.q56HashSample _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
     "q42_lang_id"         -> (TextQueries.q42LangId _),
@@ -547,6 +549,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q55_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q56_hash_sample" ->
+      s"""SELECT doc_id, ((fp % 100) + 100) % 100 AS bucket, lang
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      ${fnvSql("text")} AS fnv
+         |    FROM documents))
+         |WHERE ((fp % 100) + 100) % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
 
     "q44_knn_ivf" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,

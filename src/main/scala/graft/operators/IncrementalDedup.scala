@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental cross-date near-dup detection for a date-partitioned corpus —
+  * the shape a 100 TB training pipeline actually runs: each ingestion date
+  * computes MinHash signatures for ITS OWN documents only, appends them to a
+  * persistent signature store (parquet, partitioned by date), and band-joins
+  * the new signatures against the accumulated store. Old documents are never
+  * re-read or re-shingled; per-day cost is O(new docs + matched candidates),
+  * not O(corpus).
+  *
+  * Signatures are component-wise minima (see [[Dedup.minhashSignatures]]),
+  * so they are mergeable state: the signature of a doc is independent of
+  * which batch computed it, which is exactly what makes the incremental
+  * union equal the from-scratch batch result (pinned in
+  * IncrementalDedupSpec).
+  *
+  * Similarity here is the SIGNATURE-estimated Jaccard (fraction of equal
+  * components, standard error ≈ √(j(1−j)/k)) — the store alone can score a
+  * candidate without re-reading either document's text. Exact verification
+  * (Dedup.minhashLsh) remains the right choice when the texts of both sides
+  * are still cheap to reach.
+  */
+object IncrementalDedup {
+
+  /** Compute and persist signatures for one date's documents. Overwrites
+    * only this date's partition (idempotent re-run, like the split engine's
+    * marker semantics). */
+  def appendSignatures(docs: DataFrame, store: String, date: String,
+      k: Int = 32, idCol: String = "doc_id"): Unit =
+    Dedup.minhashSignatures(docs, k, idCol)
+      .withColumn("ds", lit(date))
+      .write.mode("overwrite").partitionBy("ds")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(store)
+
+  /** All signatures accumulated so far. */
+  def loadSignatures(spark: SparkSession, store: String): DataFrame =
+    spark.read.parquet(store)
+
+  /** Banded candidate pairs between `newSigs` and `allSigs` (which may
+    * include newSigs itself), scored by signature-estimated Jaccard.
+    * Emits (a_id, b_id, est_jaccard) with a_id < b_id and est ≥ threshold.
+    * Band scheme matches [[Dedup.minhashLsh]] (rowsPerBand-hash bands), so
+    * candidate recall characteristics are identical. */
+  def newPairs(newSigs: DataFrame, allSigs: DataFrame, threshold: Double = 0.5,
+      rowsPerBand: Int = 2): DataFrame = {
+    val k = 32 // component count of the stored signatures
+    val nBands = k / rowsPerBand
+    def bands(sigs: DataFrame): DataFrame =
+      sigs.select(col("id"), col("sig"), posexplode(
+        array((0 until nBands).map { b =>
+          xxhash64((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
+        }: _*)).as(Seq("band", "bh")))
+    val x = bands(newSigs.select(col("id"), col("sig")))
+    val y = bands(allSigs.select(col("id"), col("sig")))
+    // cross-batch pairs keep (new=x, any=y); same-batch pairs dedupe by id
+    val candidates = x.as("x").join(y.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a_id"),
+        greatest(col("x.id"), col("y.id")).as("b_id"),
+        col("x.sig").as("siga"), col("y.sig").as("sigb"))
+      .dropDuplicates("a_id", "b_id")
+    val est = (0 until k)
+      .map(i => when(col("siga")(i) === col("sigb")(i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    candidates
+      .withColumn("est_jaccard", round(est, 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
+  /** One incremental step: signatures for `newDocs` are computed once,
+    * persisted under `date`, and paired against everything in the store
+    * (prior dates AND this one). */
+  def processDate(spark: SparkSession, newDocs: DataFrame, store: String,
+      date: String, threshold: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
+    appendSignatures(newDocs, store, date, idCol = idCol)
+    val all = loadSignatures(spark, store)
+    newPairs(all.filter(col("ds") === date), all, threshold)
+  }
+}

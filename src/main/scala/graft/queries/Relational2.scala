@@ -126,6 +126,37 @@ object Relational2 {
           col("exact_parts").cast("double") * 0.15).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate percentiles — the 100 TB scale path for q19's exact
+    * percentiles (approx_percentile is a mergeable KLL-style sketch with
+    * bounded RANK error, where exact percentile collects every value).
+    * Gated like q32/q47: the hash-exact output is the exact median plus a
+    * boolean asserting the sketch value lands within the p45–p55 exact
+    * band — a 5% rank-error envelope vs the sketch's 1/accuracy = 0.01%. */
+  def q55ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("median_price"),
+        percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
+        percentile(col("l_extendedprice"), lit(0.55)).as("p55"))
+      .select(col("l_returnflag"), col("median_price"),
+        (col("ap") >= col("p45") && col("ap") <= col("p55")).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+
+  /** Deterministic content-addressed sampling: keep documents whose
+    * FNV-1a(text) mod 100 < 10 — the reproducible ~10% sample a training
+    * pipeline needs (stable across runs, engines, partitionings, and
+    * cluster sizes, unlike seeded Bernoulli `sample()`, whose output
+    * depends on partitioning). Bit-exact oracle: DuckDB replays the hash. */
+  def q56HashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        pmod(graft.functions.Fnv64.fnv64(col("text")), lit(100L))
+          .cast("bigint").as("bucket"), col("lang"))
+      .filter(col("bucket") < 10)
+      .orderBy(col("doc_id"))
+
   /** Non-parquet source path, oracle-gated: `nation` is re-exported as a
     * header'd CSV (single deterministic file under the JVM tmpdir) and read
     * back through the format-generic IO layer with an enforced schema, then

@@ -22,6 +22,22 @@ class DedupSpec extends SparkSpec {
     assert(missed == 0, s"LSH missed $missed pairs with jaccard >= 0.6")
   }
 
+  test("df-capped Jaccard plans a broadcast anti-join, not a df window pass") {
+    // static (pre-execution) adaptive plan: the only form that prints the
+    // full operator tree (a finalized AQE plan collapses completed stages
+    // into opaque QueryStage references)
+    val plan = Dedup.ngramJaccard(docs, 0.5, maxDocFreq = Some(50))
+      .queryExecution.executedPlan.toString
+    // heavy hitters arrive via broadcast LEFT ANTI — the wide exploded-row
+    // stream is never exchanged to learn document frequency
+    assert("Broadcast\\w*Join .*LeftAnti".r.findFirstIn(plan).isDefined,
+      plan.take(1500))
+    // only the per-doc count window remains (one per self-join side); the
+    // old formulation carried an extra Window.partitionBy(sh) pass per side
+    val nWindows = "Window \\[".r.findAllIn(plan).size
+    assert(nWindows <= 2, s"expected <=2 Window ops, got $nWindows")
+  }
+
   test("minhash LSH reports no false positives below threshold (verified pairs only)") {
     val lsh = Dedup.minhashLsh(docs, 0.5)
     assert(lsh.filter(col("jaccard") < 0.5).count() == 0)

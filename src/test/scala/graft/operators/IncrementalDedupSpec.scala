@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IncrementalDedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("incremental day-by-day union equals the from-scratch batch result") {
+    val store = Files.createTempDirectory("incdedup").toString + "/sigs"
+    // partition the corpus into two ingestion "dates"
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val day2 = docs.filter(col("doc_id") % 2 === 1)
+
+    val p1 = IncrementalDedup.processDate(spark, day1, store, "d1").collect().toSet
+    val p2 = IncrementalDedup.processDate(spark, day2, store, "d2").collect().toSet
+
+    // batch reference: signatures over the whole corpus at once, all pairs
+    val allSigs = Dedup.minhashSignatures(docs)
+    val batch = IncrementalDedup.newPairs(allSigs, allSigs).collect().toSet
+
+    // every batch pair is found by exactly one incremental step:
+    // day1-internal pairs on d1; day2-internal + cross pairs on d2
+    assert((p1 ++ p2) == batch,
+      s"incremental ${p1.size}+${p2.size} vs batch ${batch.size}; " +
+        s"missing=${(batch -- p1 -- p2).take(5)} extra=${(p1 ++ p2 -- batch).take(5)}")
+    assert(p1.intersect(p2).isEmpty, "a pair must be reported on exactly one day")
+  }
+
+  test("signatures are batch-independent (mergeable state)") {
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val split = Dedup.minhashSignatures(day1)
+      .unionAll(Dedup.minhashSignatures(docs.filter(col("doc_id") % 2 === 1)))
+    val whole = Dedup.minhashSignatures(docs)
+    assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
+  }
+
+  test("estimated jaccard tracks exact jaccard on verified pairs") {
+    val sigs = Dedup.minhashSignatures(docs)
+    val est = IncrementalDedup.newPairs(sigs, sigs, threshold = 0.5)
+    val exact = Dedup.ngramJaccard(docs, 0.3) // wide net for the join
+    val joined = est.join(exact, Seq("a_id", "b_id"))
+      .select(abs(col("est_jaccard") - col("jaccard")).as("err"))
+      .agg(max(col("err"))).head.getDouble(0)
+    // k=32 components: σ ≈ √(j(1−j)/32) ≤ 0.088; allow ~4σ
+    assert(joined < 0.36, s"max |est - exact| = $joined")
+  }
+}

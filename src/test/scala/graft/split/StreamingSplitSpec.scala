@@ -32,4 +32,18 @@ class StreamingSplitSpec extends SparkSpec {
     val again = new StreamingSplitJob(spark, cfg, s"$tmp/ckpt").run()
     assert(again.isEmpty, s"expected no-op rerun, got $again")
   }
+
+  test("streaming honors preserveOrder: golden files' exact row order") {
+    val tmp = Files.createTempDirectory("stream-split-order").toString
+    val cfg = SplitConfig("stream", s"$golden/input", s"$tmp/output",
+      s"$tmp/markers", preserveOrder = true)
+    new StreamingSplitJob(spark, cfg, s"$tmp/ckpt").run()
+    for (item <- Seq("0000000001", "0000000002", "0000000003")) {
+      val got = spark.read.parquet(s"$tmp/output/$item/20251107.parquet")
+        .collect().map(_.toSeq).toSeq
+      val want = spark.read.parquet(s"$golden/output/$item/20251107.parquet")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"row ORDER differs from golden for $item (streaming)")
+    }
+  }
 }
