@@ -74,6 +74,7 @@ object SparkEntry {
     "q42_lang_id"         -> (TextQueries.q42LangId _),
     "q43_fingerprint"     -> (TextQueries.q43Fingerprint _),
     "q60_multimodal_meta" -> (TextQueries.q60MultimodalMeta _),
+    "q61_frame_sample"    -> (TextQueries.q61FrameSample _),
     "q50_split_manifest"  -> (SplitQueries.q50SplitManifest _),
     "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
   )
@@ -674,6 +675,31 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q61_frame_sample" ->
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id,
+         |    octet_length(encode(text)) % 30 + 1 AS n_frames,
+         |    ${fnvSql("text")} AS fnv0
+         |  FROM documents),
+         |fr AS (
+         |  SELECT media_id, CAST(i AS BIGINT) AS frame_idx, fnv0
+         |  FROM base, UNNEST(generate_series(0, n_frames - 1, 5)) AS u(i)),
+         |f AS (
+         |  SELECT media_id, frame_idx,
+         |    list_reduce(
+         |      list_prepend(fnv0,
+         |        list_transform([1::HUGEINT, 256, 65536, 16777216, 4294967296,
+         |                        1099511627776, 281474976710656, 72057594037927936],
+         |          p -> ((frame_idx::HUGEINT // p) % 256)::BIGINT)),
+         |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
+         |                % 18446744073709551616::HUGEINT) AS fp
+         |  FROM fr)
+         |SELECT media_id, frame_idx,
+         |  CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+         |    THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT) AS frame_fp
+         |FROM f
+         |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q46_topk_native" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate

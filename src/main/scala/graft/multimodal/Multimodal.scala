@@ -21,6 +21,7 @@ object Multimodal {
   final case class MediaRecord(media_id: Long, payload: Array[Byte])
   final case class MediaMeta(media_id: Long, n_bytes: Long, width: Long,
       height: Long, n_frames: Long, content_fp: Long)
+  final case class FrameSample(media_id: Long, frame_idx: Long, frame_fp: Long)
 
   /** STUB decode: deterministic fake metadata from payload bytes.
     * A real decoder would parse container headers here. */
@@ -34,6 +35,20 @@ object Multimodal {
         height = n % 480 + 1,
         n_frames = n % 30 + 1,
         content_fp = Fnv64.hash(r.payload))
+    }
+
+    /** STUB frame fingerprint: the payload's FNV-1a state continued over
+      * the 8 little-endian bytes of the frame index (a real decoder would
+      * hash the decoded frame's pixels). Deterministic and byte-replayable
+      * by the DuckDB oracle. */
+    def frameFp(payload: Array[Byte], idx: Long): Long = {
+      var h = Fnv64.hash(payload)
+      var s = 0
+      while (s < 8) {
+        h = (h ^ ((idx >>> (s * 8)) & 0xffL)) * Fnv64.Prime
+        s += 1
+      }
+      h
     }
   }
 
@@ -52,6 +67,25 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch => batch.map(StubDecoder.decode) }
+    }
+  }
+
+  /** Sample every `everyNth` frame of each payload: one row per sampled
+    * frame with a deterministic frame fingerprint. The fan-out happens
+    * executor-side inside the same bounded-batch iteration as extractMeta —
+    * the video-frame-sampling shape (decode container → iterate frames →
+    * emit per-frame features) with the codec stubbed. */
+  def sampleFrames(media: DataFrame, everyNth: Int = 5, batchSize: Int = 64)
+      (implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val nFrames = StubDecoder.decode(r).n_frames
+          (0L until nFrames by everyNth.toLong).map(i =>
+            FrameSample(r.media_id, i, StubDecoder.frameFp(r.payload, i)))
+        }
+      }
     }
   }
 }

@@ -170,4 +170,16 @@ object TextQueries {
       .select(col("media_id"), col("n_bytes"), col("width"), col("height"), col("n_frames"))
       .orderBy(col("media_id"))
   }
+
+  /** Frame sampling over binary payloads (every 5th frame, per-frame
+    * deterministic fingerprint = payload FNV state continued over the frame
+    * index bytes). The oracle replays the whole thing — frame counts, the
+    * sampling stride, and the fingerprint arithmetic — bit-exactly. */
+  def q61FrameSample(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.withPayload(Tables.load(s, dir, "documents")), 5)
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
 }

@@ -29,6 +29,24 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("sampleFrames: stride-5 coverage of every payload's frame range, deterministic fps") {
+    implicit val s = spark
+    val m = Multimodal.withPayload(Tables.load(spark, sf, "documents"))
+    val frames = Multimodal.sampleFrames(m, everyNth = 5).toDF().cache()
+    val meta = Multimodal.extractMeta(m).toDF()
+    // per media: frame count == ceil(n_frames / 5), indices are 0,5,10,…
+    val counts = frames.groupBy("media_id").agg(
+      count(lit(1)).as("sampled"), max("frame_idx").as("maxi"))
+    val bad = counts.join(meta, "media_id")
+      .filter(col("sampled") =!= ceil(col("n_frames").cast("double") / 5.0) ||
+        col("maxi") % 5 =!= 0 || col("maxi") >= col("n_frames"))
+    assert(bad.count() == 0)
+    // frame 0's fingerprint is the payload fp folded with idx 0 bytes — spot check
+    val f0 = frames.filter(col("frame_idx") === 0).orderBy("media_id").head()
+    val p0 = m.orderBy("media_id").head().getAs[Array[Byte]]("payload")
+    assert(f0.getAs[Long]("frame_fp") == Multimodal.StubDecoder.frameFp(p0, 0L))
+  }
+
   test("batching does not change results (batch size 1 vs 1000)") {
     implicit val s = spark
     val m = Multimodal.withPayload(Tables.load(spark, sf, "documents"))
