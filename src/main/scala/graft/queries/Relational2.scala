@@ -23,8 +23,12 @@ object Relational2 {
       .groupBy(col("l_returnflag"))
       .agg(
         round(percentile(col("l_quantity"), lit(0.5)), 6).as("median_qty"),
-        round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25_price"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75_price"))
+        // array form: one collection of l_extendedprice for both quantiles
+        percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.75))).as("pp"))
+      .select(col("l_returnflag"), col("median_qty"),
+        round(col("pp")(0), 6).as("p25_price"),
+        round(col("pp")(1), 6).as("p75_price"))
       .orderBy(col("l_returnflag"))
 
   /** CUBE over (region, order priority). */
@@ -137,11 +141,13 @@ object Relational2 {
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap"),
-        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("median_price"),
-        percentile(col("l_extendedprice"), lit(0.45)).as("p45"),
-        percentile(col("l_extendedprice"), lit(0.55)).as("p55"))
-      .select(col("l_returnflag"), col("median_price"),
-        (col("ap") >= col("p45") && col("ap") <= col("p55")).as("approx_ok"))
+        // one array-form percentile = ONE collection of the column for all
+        // three exact quantiles (three scalar calls would collect it 3x)
+        percentile(col("l_extendedprice"),
+          array(lit(0.45), lit(0.5), lit(0.55))).as("pct"))
+      .select(col("l_returnflag"),
+        round(col("pct")(1), 6).as("median_price"),
+        (col("ap") >= col("pct")(0) && col("ap") <= col("pct")(2)).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
   /** Deterministic content-addressed sampling: keep documents whose
