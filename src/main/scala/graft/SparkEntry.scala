@@ -68,6 +68,7 @@ object SparkEntry {
     "q53_neardup_blocked" -> (TextQueries.q53NearDupBlocked _),
     "q54_csv_source"      -> (Relational2.q54CsvSource _),
     "q55_approx_percentile" -> (Relational2.q55ApproxPercentile _),
+    "q57_salted_join"     -> (Relational2.q57SaltedJoin _),
     "q56_hash_sample"     -> (Relational2.q56HashSample _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
@@ -550,6 +551,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q57_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q55_approx_percentile" ->
       """SELECT l_returnflag,

@@ -13,12 +13,18 @@ import org.apache.spark.sql.types.{DataType, LongType}
 final class KmvBuffer(val k: Int) {
   // unsigned-comparable form: h ^ Long.MinValue, kept sorted ascending
   val mins = new java.util.TreeSet[java.lang.Long]()
+  // cached copy of mins.last() once the buffer is full: the overwhelmingly
+  // common per-row case (hash above the current k-th minimum) then costs
+  // one primitive compare instead of a boxed TreeSet.last() lookup
+  private var kth: Long = Long.MaxValue
 
   def add(h: Long): Unit = {
     val u = h ^ Long.MinValue
-    if (mins.size < k) { mins.add(u); () }
-    else if (u < mins.last()) {
-      if (mins.add(u)) { mins.pollLast(); () }
+    if (mins.size < k) {
+      mins.add(u)
+      if (mins.size == k) kth = mins.last()
+    } else if (u < kth) {
+      if (mins.add(u)) { mins.pollLast(); kth = mins.last() }
     }
   }
 
@@ -26,8 +32,10 @@ final class KmvBuffer(val k: Int) {
     val it = other.mins.iterator()
     while (it.hasNext) {
       val u = it.next()
-      if (mins.size < k) mins.add(u)
-      else if (u < mins.last() && mins.add(u)) { mins.pollLast(); () }
+      if (mins.size < k) {
+        mins.add(u)
+        if (mins.size == k) kth = mins.last()
+      } else if (u < kth && mins.add(u)) { mins.pollLast(); kth = mins.last() }
     }
   }
 
@@ -92,7 +100,7 @@ case class KmvDistinct(
     val buf = new KmvBuffer(bb.getInt)
     val n = bb.getInt
     var i = 0
-    while (i < n) { buf.mins.add(bb.getLong); i += 1 }
+    while (i < n) { buf.add(bb.getLong ^ Long.MinValue); i += 1 }
     buf
   }
 

@@ -130,6 +130,21 @@ object Relational2 {
           col("exact_parts").cast("double") * 0.15).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** Explicitly SALTED fact⋈dim join (Skew.saltedJoin): the large side is
+    * scattered across 8 salt buckets, the small side replicated 8× — the
+    * manual mitigation for hot keys beyond what AQE's skew-join split
+    * handles. Salting only splits work, so the oracle is the PLAIN join:
+    * a green hash proves salt-and-replicate changes nothing semantically. */
+  def q57SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val sup = Tables.load(s, dir, "supplier")
+    graft.operators.Skew.saltedJoin(li, sup, "l_suppkey", "s_suppkey", 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"), 2)).cast("double").as("total_qty"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Approximate percentiles — the 100 TB scale path for q19's exact
     * percentiles (approx_percentile is a mergeable KLL-style sketch with
     * bounded RANK error, where exact percentile collects every value).
