@@ -69,6 +69,7 @@ object SparkEntry {
     "q54_csv_source"      -> (Relational2.q54CsvSource _),
     "q55_approx_percentile" -> (Relational2.q55ApproxPercentile _),
     "q57_salted_join"     -> (Relational2.q57SaltedJoin _),
+    "q58_json_source"     -> (Relational2.q58JsonSource _),
     "q56_hash_sample"     -> (Relational2.q56HashSample _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
@@ -551,6 +552,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q58_json_source" ->
+      """SELECT r_name, COUNT(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q57_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n_items,

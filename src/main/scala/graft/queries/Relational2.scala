@@ -199,6 +199,24 @@ object Relational2 {
       .orderBy(col("n_name"))
   }
 
+  /** JSON source path, same contract as q54: `region` round-trips through
+    * line-delimited JSON via the IO layer (enforced schema) and joins back
+    * to parquet tables; the oracle reads region from parquet. */
+  def q58JsonSource(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region")
+    val jsonPath = System.getProperty("java.io.tmpdir") +
+      "/graft_json_region_" + Integer.toHexString(dir.hashCode)
+    graft.sources.IO.write(region, jsonPath, format = "json", coalesceTo = 1)
+    val regionJson = graft.sources.IO.read(s, jsonPath, format = "json",
+      schema = Some(region.schema))
+    val n = Tables.load(s, dir, "nation")
+    n.join(broadcast(regionJson), n("n_regionkey") === regionJson("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name"))
+  }
+
   /** Ordered set collect: distinct market segments per nation, sorted and
     * comma-joined (deterministic replacement for raw collect_list). */
   def q33CollectAgg(s: SparkSession, dir: String): DataFrame = {
