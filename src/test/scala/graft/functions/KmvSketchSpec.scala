@@ -25,6 +25,19 @@ class KmvSketchSpec extends SparkSpec {
     assert(est == 3L)
   }
 
+  test("serialize/deserialize round-trip preserves buffer contents and threshold") {
+    val agg = KmvDistinct(org.apache.spark.sql.graftbridge.Bridge
+      .expression(col("x")), 8)
+    val a = new KmvBuffer(8)
+    (1L to 100L).foreach(i => a.add(i * 0x9e3779b97f4a7c15L))
+    val b = agg.deserialize(agg.serialize(a))
+    assert(b.mins.equals(a.mins) && b.estimate == a.estimate)
+    // post-deserialize adds must keep evicting correctly (cached threshold)
+    val c = agg.deserialize(agg.serialize(a))
+    (101L to 200L).foreach { i => a.add(i * 0x9e3779b97f4a7c15L); c.add(i * 0x9e3779b97f4a7c15L) }
+    assert(c.mins.equals(a.mins) && c.estimate == a.estimate)
+  }
+
   test("grouped sketches agree with exact counts at small cardinality") {
     val li = Tables.load(spark, sf, "lineitem")
     val res = li.groupBy(col("l_returnflag"))
