@@ -71,7 +71,13 @@ object Dedup {
         base.join(broadcast(dropSet), Seq("sh"), "left_anti")
           .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     }
-    val pairs = sh.as("a").join(sh.as("b"),
+    // shuffle_hash: (a) AQE would otherwise broadcast one side at small
+    // scale, which breaks ReuseExchange and recomputes the whole shingle
+    // subtree per side (measured 2x slower at sf0.1); (b) at corpus scale a
+    // broadcast side is impossible and SMJ adds a pointless sort — the
+    // hash join partitioned by sh is the right plan at every size.
+    val shJ = sh.hint("shuffle_hash")
+    val pairs = shJ.as("a").join(shJ.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .agg(count(lit(1)).as("inter"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
@@ -112,7 +118,10 @@ object Dedup {
         array((0 until nBands).map { b =>
           xxhash64((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
         }: _*)).as(Seq("band", "bh")))
-    val candidates = bands.as("x").join(bands.as("y"),
+    // shuffle_hash: keeps the two identical band subtrees reusable as one
+    // exchange (AQE's broadcast choice would recompute signatures per side)
+    val bandsJ = bands.hint("shuffle_hash")
+    val candidates = bandsJ.as("x").join(bandsJ.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
@@ -136,7 +145,10 @@ object Dedup {
         array((0 until 4).map(b =>
           shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
       .as(Seq("band", "bh")))
-    bands.as("x").join(bands.as("y"),
+    // shuffle_hash: same reuse rationale as minhashLsh — one signature
+    // computation feeding both join sides
+    val bandsJ = bands.hint("shuffle_hash")
+    bandsJ.as("x").join(bandsJ.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
