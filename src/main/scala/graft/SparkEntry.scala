@@ -70,6 +70,7 @@ object SparkEntry {
     "q55_approx_percentile" -> (Relational2.q55ApproxPercentile _),
     "q57_salted_join"     -> (Relational2.q57SaltedJoin _),
     "q58_json_source"     -> (Relational2.q58JsonSource _),
+    "q59_orc_source"      -> (Relational2.q59OrcSource _),
     "q56_hash_sample"     -> (Relational2.q56HashSample _),
     "q40_text_stats"      -> (TextQueries.q40TextStats _),
     "q41_text_quality"    -> (TextQueries.q41TextQuality _),
@@ -552,6 +553,11 @@ object SparkEntry {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q59_orc_source" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  CAST(SUM(p_size) AS BIGINT) AS total_size
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q58_json_source" ->
       """SELECT r_name, COUNT(*) AS n_nations,

@@ -217,6 +217,21 @@ object Relational2 {
       .orderBy(col("r_name"))
   }
 
+  /** ORC source path (Spark's other vectorized columnar reader): `part`
+    * round-trips through ORC via the IO layer; oracle reads parquet. */
+  def q59OrcSource(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+    val orcPath = System.getProperty("java.io.tmpdir") +
+      "/graft_orc_part_" + Integer.toHexString(dir.hashCode)
+    graft.sources.IO.write(part, orcPath, format = "orc", coalesceTo = 1)
+    val partOrc = graft.sources.IO.read(s, orcPath, format = "orc",
+      schema = Some(part.schema))
+    partOrc.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_size").cast("bigint")).as("total_size"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Ordered set collect: distinct market segments per nation, sorted and
     * comma-joined (deterministic replacement for raw collect_list). */
   def q33CollectAgg(s: SparkSession, dir: String): DataFrame = {

@@ -40,6 +40,34 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("blocked near-dup equals all-pairs on random vectors at random block counts") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))
+      .map(_.toArray).suchThat(v => v.exists(_ != 0f))
+    check(Prop.forAll(Gen.listOfN(25, vecGen), Gen.chooseNum(1, 6)) {
+      (vs: List[Array[Float]], nBlocks: Int) =>
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "embedding")
+        val brute = Similarity.cosineNearDup(df, 0.2).collect().toSet
+        val blocked = Similarity.cosineNearDupBlocked(df, 0.2, nBlocks).collect().toSet
+        brute == blocked
+    }, n = 8)
+  }
+
+  test("hash-mod sampling is invariant to partitioning (content-addressed)") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(30, Gen.asciiPrintableStr)) { (ss: List[String]) =>
+      val df = ss.distinct.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def sample(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"))
+          .where(pmod(Fnv64.fnv64(col("text")), lit(100L)) < 30)
+          .collect().map(_.getLong(0)).toSet
+      sample(df.repartition(1)) == sample(df.repartition(7))
+    }, n = 8)
+  }
+
   test("split preserves the row multiset and emits single-key files (random tables)") {
     import spark.implicits._
     val keyGen = Gen.oneOf("k1", "k2", "k3", "k4")
