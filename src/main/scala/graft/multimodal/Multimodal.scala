@@ -37,12 +37,12 @@ object Multimodal {
         content_fp = Fnv64.hash(r.payload))
     }
 
-    /** STUB frame fingerprint: the payload's FNV-1a state continued over
-      * the 8 little-endian bytes of the frame index (a real decoder would
-      * hash the decoded frame's pixels). Deterministic and byte-replayable
-      * by the DuckDB oracle. */
-    def frameFp(payload: Array[Byte], idx: Long): Long = {
-      var h = Fnv64.hash(payload)
+    /** STUB frame fingerprint: the payload's FNV-1a state (`payloadHash`,
+      * computed ONCE per record) continued over the 8 little-endian bytes
+      * of the frame index (a real decoder would hash the decoded frame's
+      * pixels). Deterministic and byte-replayable by the DuckDB oracle. */
+    def frameFp(payloadHash: Long, idx: Long): Long = {
+      var h = payloadHash
       var s = 0
       while (s < 8) {
         h = (h ^ ((idx >>> (s * 8)) & 0xffL)) * Fnv64.Prime
@@ -81,9 +81,11 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
-          val nFrames = StubDecoder.decode(r).n_frames
+          // hash the payload ONCE; each frame folds only its 8 index bytes
+          val h0 = Fnv64.hash(r.payload)
+          val nFrames = r.payload.length.toLong % 30 + 1
           (0L until nFrames by everyNth.toLong).map(i =>
-            FrameSample(r.media_id, i, StubDecoder.frameFp(r.payload, i)))
+            FrameSample(r.media_id, i, StubDecoder.frameFp(h0, i)))
         }
       }
     }

@@ -59,16 +59,18 @@ object Dedup {
     val sh = maxDocFreq match {
       case None => base
       case Some(cap) =>
-        // Heavy hitters (df > cap) are by definition few (≤ rows/cap), so
-        // the drop-set is computed with a partial-aggregated narrow shuffle
-        // and BROADCAST into an anti-join — the wide exploded-row stream is
-        // never exchanged just to learn df (a Window.partitionBy(sh) pass
-        // would shuffle every row). Post-cap per-doc counts then ride along
-        // via one window on id, and the pair self-join's exchange on sh is
-        // shared between both sides by ReuseExchange.
+        // The drop-set (shingles with df > cap) is computed with a
+        // partial-aggregated narrow shuffle and anti-joined — the wide
+        // exploded-row stream is never exchanged just to learn df (a
+        // Window.partitionBy(sh) pass would shuffle every row). No forced
+        // broadcast: at small scale AQE converts the anti-join to a
+        // broadcast join at runtime; at corpus scale the drop-set is
+        // ~rows/cap keys (LINEAR in corpus size, not "few") and must be
+        // allowed to stay a shuffled join rather than blow the broadcast
+        // limit. Post-cap per-doc counts then ride along via one window.
         val dropSet = base.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("sh"))
-        base.join(broadcast(dropSet), Seq("sh"), "left_anti")
+        base.join(dropSet, Seq("sh"), "left_anti")
           .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
     }
     // shuffle_hash: (a) AQE would otherwise broadcast one side at small
@@ -107,17 +109,26 @@ object Dedup {
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** (id, band, bh) rows for LSH banding: one xxhash64 per `rowsPerBand`
+    * signature components. THE band scheme — shared by the in-memory LSH
+    * path and the incremental signature store so their candidate recall
+    * can never diverge. */
+  def bandRows(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
+    val nBands = k / rowsPerBand
+    sigs.select(col("id"), col("sig"), posexplode(
+      array((0 until nBands).map { b =>
+        xxhash64((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
+      }: _*)).as(Seq("band", "bh")))
+  }
+
   /** MinHash + LSH near-dup pairs: band the signature (rows-per-band=2 →
     * catch probability 1-(1-j²)^(k/2), ≈0.99 at j=0.5 with k=32), join on
     * (band index, band hash), then verify candidates with exact Jaccard. */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5, k: Int = 32,
       rowsPerBand: Int = 2, idCol: String = "doc_id"): DataFrame = {
     val sig = minhashSignatures(docs, k, idCol)
-    val nBands = k / rowsPerBand
-    val bands = sig.select(col("id"), posexplode(
-        array((0 until nBands).map { b =>
-          xxhash64((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
-        }: _*)).as(Seq("band", "bh")))
+    val bands = bandRows(sig, k, rowsPerBand).drop("sig")
     // shuffle_hash: keeps the two identical band subtrees reusable as one
     // exchange (AQE's broadcast choice would recompute signatures per side)
     val bandsJ = bands.hint("shuffle_hash")

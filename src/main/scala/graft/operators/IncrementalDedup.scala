@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * computes MinHash signatures for ITS OWN documents only, appends them to a
   * persistent signature store (parquet, partitioned by date), and band-joins
   * the new signatures against the accumulated store. Old documents are never
-  * re-read or re-shingled; per-day cost is O(new docs + matched candidates),
-  * not O(corpus).
+  * re-read or re-SHINGLED (the expensive text pass happens once per doc,
+  * ever); the daily join still scans the accumulated signature store —
+  * O(|store|) compact fixed-width rows, a tiny fraction of re-processing
+  * texts. To remove even that, productionize by persisting the store
+  * bucketed on band hash so the new-day side shuffles alone.
   *
   * Signatures are component-wise minima (see [[Dedup.minhashSignatures]]),
   * so they are mergeable state: the signature of a doc is independent of
@@ -43,19 +46,14 @@ object IncrementalDedup {
   /** Banded candidate pairs between `newSigs` and `allSigs` (which may
     * include newSigs itself), scored by signature-estimated Jaccard.
     * Emits (a_id, b_id, est_jaccard) with a_id < b_id and est ≥ threshold.
-    * Band scheme matches [[Dedup.minhashLsh]] (rowsPerBand-hash bands), so
-    * candidate recall characteristics are identical. */
+    * Uses [[Dedup.bandRows]] — literally the same band construction as the
+    * batch LSH path — so candidate recall can never diverge from it.
+    * `k` must match the component count the store was written with
+    * (appendSignatures' k). */
   def newPairs(newSigs: DataFrame, allSigs: DataFrame, threshold: Double = 0.5,
-      rowsPerBand: Int = 2): DataFrame = {
-    val k = 32 // component count of the stored signatures
-    val nBands = k / rowsPerBand
-    def bands(sigs: DataFrame): DataFrame =
-      sigs.select(col("id"), col("sig"), posexplode(
-        array((0 until nBands).map { b =>
-          xxhash64((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
-        }: _*)).as(Seq("band", "bh")))
-    val x = bands(newSigs.select(col("id"), col("sig")))
-    val y = bands(allSigs.select(col("id"), col("sig")))
+      rowsPerBand: Int = 2, k: Int = 32): DataFrame = {
+    val x = Dedup.bandRows(newSigs.select(col("id"), col("sig")), k, rowsPerBand)
+    val y = Dedup.bandRows(allSigs.select(col("id"), col("sig")), k, rowsPerBand)
     // cross-batch pairs keep (new=x, any=y); same-batch pairs dedupe by id
     val candidates = x.as("x").join(y.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -75,11 +73,13 @@ object IncrementalDedup {
 
   /** One incremental step: signatures for `newDocs` are computed once,
     * persisted under `date`, and paired against everything in the store
-    * (prior dates AND this one). */
+    * (prior dates AND this one). `k` is used for both the signature
+    * computation and the pairing bands. */
   def processDate(spark: SparkSession, newDocs: DataFrame, store: String,
-      date: String, threshold: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
-    appendSignatures(newDocs, store, date, idCol = idCol)
+      date: String, threshold: Double = 0.5, idCol: String = "doc_id",
+      k: Int = 32): DataFrame = {
+    appendSignatures(newDocs, store, date, k, idCol)
     val all = loadSignatures(spark, store)
-    newPairs(all.filter(col("ds") === date), all, threshold)
+    newPairs(all.filter(col("ds") === date), all, threshold, k = k)
   }
 }

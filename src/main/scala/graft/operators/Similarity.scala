@@ -108,12 +108,18 @@ object Similarity {
     val cdf = candidates.select(col(idCol).as("cid"), col(vecCol).as("ce"),
       norm(col(vecCol)).as("cn"),
       array_to_vector(col(vecCol)).as("__fv"))
-    // Quantizer fit on a seeded sample, never the full candidate table — at
-    // 100 TB the fit reads a bounded fraction and only the (nCells × dim)
-    // centroid table is broadcast. Pick fitFraction ≈ targetFitRows/|C|.
+    // Quantizer fit on a deterministic CONTENT-ADDRESSED sample, never the
+    // full candidate table — at 100 TB the fit reads a bounded fraction and
+    // only the (nCells × dim) centroid table is broadcast. A hash-mod
+    // filter (not Bernoulli sample()) keeps the selected rows identical
+    // across partitionings/core counts, so the fitted quantizer — and the
+    // q44 recall gate built on it — is environment-independent. Pick
+    // fitFraction ≈ targetFitRows/|C|.
+    val fitRows = cdf.filter(
+      pmod(xxhash64(col("cid")), lit(1000L)) < (fitFraction * 1000).toLong)
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("cell")
-      .fit(cdf.sample(withReplacement = false, fitFraction, seed = 42L))
+      .fit(fitRows)
     val assigned = model.transform(cdf).drop("__fv")
 
     // tiny (nCells × dim) centroid table — broadcast side of every join

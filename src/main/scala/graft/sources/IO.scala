@@ -42,6 +42,10 @@ object IO {
     * explicit timestamp format; JSON is lossless for our types already). */
   private def defaultsFor(format: String): Map[String, String] = format match {
     case "csv" => Map("header" -> "true",
+      // Spark's CSV writer trims edge whitespace by default — disable both
+      // so string columns with leading/trailing spaces round-trip losslessly
+      "ignoreLeadingWhiteSpace" -> "false",
+      "ignoreTrailingWhiteSpace" -> "false",
       "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
       "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS[XXX]")
     case _ => Map.empty

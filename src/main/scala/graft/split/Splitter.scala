@@ -136,11 +136,15 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id",
         fs.mkdirs(targetDir)
         // idempotent overwrite (O11): clear every prior file for this date,
         // including stale numbered parts from a previous bounded-mode run
-        // with a different part count
+        // with a different part count. Match ONLY this date's exact name or
+        // its `-NNNNN` part numbering — a looser `{date}-*` prefix would
+        // delete outputs of a DIFFERENT date whose stem merely starts with
+        // this one (stems are arbitrary strings, SURVEY §2.2.5).
+        val partPattern = java.util.regex.Pattern
+          .compile(java.util.regex.Pattern.quote(date) + "-\\d{5}\\.parquet")
         fs.listStatus(targetDir).toSeq.filter { f =>
           val n = f.getPath.getName
-          f.isFile && (n == s"$date.parquet" ||
-            (n.startsWith(s"$date-") && n.endsWith(".parquet")))
+          f.isFile && (n == s"$date.parquet" || partPattern.matcher(n).matches())
         }.foreach(f => fs.delete(f.getPath, false))
         parts.zipWithIndex.map { case (part, i) =>
           val name =

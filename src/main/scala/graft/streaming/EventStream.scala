@@ -36,8 +36,9 @@ object EventStream {
     // path (Tables.load) uses NTZ. The two renderings agree only when the
     // session timezone is UTC — enforce that as a fail-fast contract
     // instead of letting a non-UTC session silently skew bucket strings.
-    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-      "EventStream requires spark.sql.session.timeZone=UTC: streaming " +
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+      s"EventStream requires a UTC session timezone (got '$tz'): streaming " +
         "event-time is TIMESTAMP_LTZ (watermark requirement) and its " +
         "rendering must match the batch path's TIMESTAMP_NTZ")
     spark.readStream.schema(rawSchema)

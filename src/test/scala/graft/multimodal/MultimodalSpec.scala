@@ -44,7 +44,8 @@ class MultimodalSpec extends SparkSpec {
     // frame 0's fingerprint is the payload fp folded with idx 0 bytes — spot check
     val f0 = frames.filter(col("frame_idx") === 0).orderBy("media_id").head()
     val p0 = m.orderBy("media_id").head().getAs[Array[Byte]]("payload")
-    assert(f0.getAs[Long]("frame_fp") == Multimodal.StubDecoder.frameFp(p0, 0L))
+    assert(f0.getAs[Long]("frame_fp") ==
+      Multimodal.StubDecoder.frameFp(Fnv64.hash(p0), 0L))
   }
 
   test("batching does not change results (batch size 1 vs 1000)") {

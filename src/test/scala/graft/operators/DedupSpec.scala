@@ -28,10 +28,10 @@ class DedupSpec extends SparkSpec {
     // into opaque QueryStage references)
     val plan = Dedup.ngramJaccard(docs, 0.5, maxDocFreq = Some(50))
       .queryExecution.executedPlan.toString
-    // heavy hitters arrive via broadcast LEFT ANTI — the wide exploded-row
-    // stream is never exchanged to learn document frequency
-    assert("Broadcast\\w*Join .*LeftAnti".r.findFirstIn(plan).isDefined,
-      plan.take(1500))
+    // heavy hitters arrive via a LEFT ANTI join against the aggregated
+    // drop-set (AQE picks broadcast when it is small) — the wide
+    // exploded-row stream is never window-exchanged to learn df
+    assert("Join .*LeftAnti".r.findFirstIn(plan).isDefined, plan.take(1500))
     // only the per-doc count window remains (one per self-join side); the
     // old formulation carried an extra Window.partitionBy(sh) pass per side
     val nWindows = "Window \\[".r.findAllIn(plan).size
