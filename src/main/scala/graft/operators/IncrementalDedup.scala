@@ -52,8 +52,17 @@ object IncrementalDedup {
     * (appendSignatures' k). */
   def newPairs(newSigs: DataFrame, allSigs: DataFrame, threshold: Double = 0.5,
       rowsPerBand: Int = 2, k: Int = 32): DataFrame = {
-    val x = Dedup.bandRows(newSigs.select(col("id"), col("sig")), k, rowsPerBand)
-    val y = Dedup.bandRows(allSigs.select(col("id"), col("sig")), k, rowsPerBand)
+    // fail fast if the store was written with a different k than the
+    // caller's: indexing components past the stored length would either
+    // throw a cryptic ANSI array-index error (inside bandRows) or, with
+    // ANSI off, silently underestimate Jaccard. The guard wraps the sig
+    // column itself, so every consumer downstream reads a verified array.
+    val checkedSig = when(size(col("sig")) === k, col("sig"))
+      .otherwise(raise_error(concat(
+        lit(s"signature length mismatch: expected k=$k, store has "),
+        size(col("sig")).cast("string"), lit(" components"))))
+    val x = Dedup.bandRows(newSigs.select(col("id"), checkedSig.as("sig")), k, rowsPerBand)
+    val y = Dedup.bandRows(allSigs.select(col("id"), checkedSig.as("sig")), k, rowsPerBand)
     // cross-batch pairs keep (new=x, any=y); same-batch pairs dedupe by id
     val candidates = x.as("x").join(y.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

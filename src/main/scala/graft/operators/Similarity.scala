@@ -115,8 +115,14 @@ object Similarity {
     // across partitionings/core counts, so the fitted quantizer — and the
     // q44 recall gate built on it — is environment-independent. Pick
     // fitFraction ≈ targetFitRows/|C|.
-    val fitRows = cdf.filter(
-      pmod(xxhash64(col("cid")), lit(1000L)) < (fitFraction * 1000).toLong)
+    // round (not truncate) the per-mille cutoff and never let it hit 0;
+    // if the sample still yields fewer rows than nCells (tiny candidate
+    // set × small fitFraction), fall back to fitting on everything — a
+    // degenerate KMeans.fit would throw or collapse cells otherwise.
+    val cut = math.max(1L, math.round(fitFraction * 1000))
+    val sampled = cdf.filter(pmod(xxhash64(col("cid")), lit(1000L)) < cut)
+    val fitRows =
+      if (sampled.limit(nCells).count() < nCells) cdf else sampled
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(fitRows)

@@ -178,6 +178,14 @@ object Relational2 {
       .filter(col("bucket") < 10)
       .orderBy(col("doc_id"))
 
+  /** Per-process tmp dir for source round-trip queries. The PID component
+    * keeps two JVMs against the same SF dir (e.g. bench and the correctness
+    * gate running concurrently) from racing writer-vs-reader on one path;
+    * within a process the path is stable, so re-invocations just overwrite. */
+  private def roundTripPath(tag: String, dir: String): String =
+    System.getProperty("java.io.tmpdir") + s"/graft_${tag}_" +
+      Integer.toHexString(dir.hashCode) + "_p" + ProcessHandle.current().pid
+
   /** Non-parquet source path, oracle-gated: `nation` is re-exported as a
     * header'd CSV (single deterministic file under the JVM tmpdir) and read
     * back through the format-generic IO layer with an enforced schema, then
@@ -186,8 +194,7 @@ object Relational2 {
     * the csv scan/sink round-trip is lossless for this schema. */
   def q54CsvSource(s: SparkSession, dir: String): DataFrame = {
     val nation = Tables.load(s, dir, "nation")
-    val csvPath = System.getProperty("java.io.tmpdir") +
-      "/graft_csv_nation_" + Integer.toHexString(dir.hashCode)
+    val csvPath = roundTripPath("csv_nation", dir)
     graft.sources.IO.write(nation, csvPath, format = "csv", coalesceTo = 1)
     val nationCsv = graft.sources.IO.read(s, csvPath, format = "csv",
       schema = Some(nation.schema))
@@ -204,8 +211,7 @@ object Relational2 {
     * to parquet tables; the oracle reads region from parquet. */
   def q58JsonSource(s: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(s, dir, "region")
-    val jsonPath = System.getProperty("java.io.tmpdir") +
-      "/graft_json_region_" + Integer.toHexString(dir.hashCode)
+    val jsonPath = roundTripPath("json_region", dir)
     graft.sources.IO.write(region, jsonPath, format = "json", coalesceTo = 1)
     val regionJson = graft.sources.IO.read(s, jsonPath, format = "json",
       schema = Some(region.schema))
@@ -221,8 +227,7 @@ object Relational2 {
     * round-trips through ORC via the IO layer; oracle reads parquet. */
   def q59OrcSource(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.load(s, dir, "part")
-    val orcPath = System.getProperty("java.io.tmpdir") +
-      "/graft_orc_part_" + Integer.toHexString(dir.hashCode)
+    val orcPath = roundTripPath("orc_part", dir)
     graft.sources.IO.write(part, orcPath, format = "orc", coalesceTo = 1)
     val partOrc = graft.sources.IO.read(s, orcPath, format = "orc",
       schema = Some(part.schema))

@@ -46,8 +46,11 @@ object SplitOutcome {
   *   equality matters.
   * @param maxRecordsPerFile 0 = single file per key (parity); >0 bounds rows
   *   per output file (Spark splits a task's output at the bound).
-  * @param saltBuckets 1 = one task per key (parity); >1 shuffles each key's
-  *   rows across that many tasks, bounding task/file size under skew.
+  * @param saltBuckets 1 = one task per key (parity); >1 bounds task/file
+  *   size under skew. Unordered mode hash-salts each key over exactly that
+  *   many tasks; ordered mode range-partitions (key, sequence) into that
+  *   many TOTAL tasks so each key's files stay contiguous chunks of its
+  *   input order (concatenating them in numbered order reconstructs it).
   */
 final class Splitter(spark: SparkSession, keyCol: String = "item_id",
     preserveOrder: Boolean = false, maxRecordsPerFile: Long = 0L,
@@ -99,8 +102,14 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id",
         seqd.repartition(col("__split_key"))
           .sortWithinPartitions(col("__split_key"), col("__seq"))
           .drop("__seq")
-      case (true, n) => // salted + ordered: files partition the sequence
-        seqd.repartition(col("__split_key"), pmod(col("__seq"), lit(n)))
+      case (true, n) => // salted + ordered: a RANGE partitioner on
+        // (key, __seq) keeps each key's chunks contiguous — file p's rows
+        // all precede file p+1's in the input — so concatenating a key's
+        // numbered files in name order reconstructs its input sequence
+        // exactly (a pmod salt would round-robin rows across files and
+        // lose that property). n is the TOTAL task count here; the
+        // sampler gives hot keys proportionally more of them.
+        seqd.repartitionByRange(n, col("__split_key"), col("__seq"))
           .sortWithinPartitions(col("__split_key"), col("__seq"))
           .drop("__seq")
       case (false, 1) => keyed.repartition(col("__split_key"))
@@ -140,8 +149,11 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id",
         // its `-NNNNN` part numbering — a looser `{date}-*` prefix would
         // delete outputs of a DIFFERENT date whose stem merely starts with
         // this one (stems are arbitrary strings, SURVEY §2.2.5).
+        // \d{5,}: part numbers are zero-padded to 5 digits but grow wider
+        // past 99999 parts; the cleanup must match those too or a rerun
+        // with fewer parts would leave stale wide-numbered files behind.
         val partPattern = java.util.regex.Pattern
-          .compile(java.util.regex.Pattern.quote(date) + "-\\d{5}\\.parquet")
+          .compile(java.util.regex.Pattern.quote(date) + "-\\d{5,}\\.parquet")
         fs.listStatus(targetDir).toSeq.filter { f =>
           val n = f.getPath.getName
           f.isFile && (n == s"$date.parquet" || partPattern.matcher(n).matches())

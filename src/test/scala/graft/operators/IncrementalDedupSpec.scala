@@ -37,6 +37,17 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
   }
 
+  test("newPairs fails fast when caller k exceeds the stored signature length") {
+    val sigs = Dedup.minhashSignatures(docs, k = 16) // store written with k=16
+    val ex = intercept[Exception] {
+      IncrementalDedup.newPairs(sigs, sigs, threshold = 0.0, k = 32).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("signature length mismatch")),
+      s"expected a signature length error, got: $ex")
+  }
+
   test("estimated jaccard tracks exact jaccard on verified pairs") {
     val sigs = Dedup.minhashSignatures(docs)
     val est = IncrementalDedup.newPairs(sigs, sigs, threshold = 0.5)

@@ -38,6 +38,15 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.join(brute, "qid").filter(col("cosine") > col("best")).count() == 0)
   }
 
+  test("knnIvf: degenerate fit sample falls back to full-set fit (no throw)") {
+    val q = emb.filter(col("vec_id") < 3)
+    // fitFraction so small the hash-mod cutoff would select ~0 rows; the
+    // guard must round the cutoff up and fall back when rows < nCells
+    val ivf = Similarity.knnIvf(q, emb, 3, nCells = 16, fitFraction = 0.0004)
+    assert(ivf.count() > 0)
+    assert(ivf.filter(col("qid") === col("cid")).count() == 0)
+  }
+
   test("cosineNearDupBlocked output equals the all-pairs baseline (every block count)") {
     val brute = Similarity.cosineNearDup(emb, 0.4).collect().toSet
     for (nBlocks <- Seq(1, 3, 8)) {

@@ -165,6 +165,30 @@ class SplitSpec extends SparkSpec {
     assert(rerunOut.nonEmpty)
   }
 
+  test("salted + ordered: numbered files concatenate back to exact input order") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("split-saltorder").toString
+    // one hot key whose value column encodes its input position
+    val rows = (1 to 500).map(i => ("2025/01/01", "HOTKEY", i.toLong, "0001")) ++
+      (1 to 7).map(i => ("2025/01/01", "COLD", i.toLong, "0002"))
+    rows.toDF("date", "item_id", "sales_figures", "store_id")
+      .coalesce(1).write.parquet(s"$tmp/in/20250101.parquet")
+
+    val splitter = new Splitter(spark, preserveOrder = true, saltBuckets = 4)
+    val outcome = splitter.splitOne(s"$tmp/in/20250101.parquet", s"$tmp/out", "20250101")
+    val outputs = outcome.asInstanceOf[SplitOutcome.Written].outputs
+    val hotFiles = outputs.filter(_.contains("/HOTKEY/")).sorted
+    assert(hotFiles.size > 1, s"hot key should span multiple range parts: $hotFiles")
+    // range salting contract: concatenating a key's files in name order
+    // reconstructs that key's input sequence exactly
+    val concat = hotFiles.flatMap(f =>
+      spark.read.parquet(f).collect().map(_.getAs[Long]("sales_figures")))
+    assert(concat == (1L to 500L), "concatenated salted files must equal input order")
+    val cold = outputs.filter(_.contains("/COLD/")).sorted.flatMap(f =>
+      spark.read.parquet(f).collect().map(_.getAs[Long]("sales_figures")))
+    assert(cold == (1L to 7L))
+  }
+
   test("O8 policy flag: emptyInputMarker=true commits an outputs:[] marker (no livelock)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("split-emptypolicy").toString
