@@ -78,15 +78,19 @@ object SparkEntry {
     "q43_fingerprint"     -> (TextQueries.q43Fingerprint _),
     "q60_multimodal_meta" -> (TextQueries.q60MultimodalMeta _),
     "q61_frame_sample"    -> (TextQueries.q61FrameSample _),
+    "q62_dedup_components" -> (TextQueries.q62DedupComponents _),
+    "q63_bloom_join"      -> (Relational2.q63BloomJoin _),
+    "q64_tfidf_topterms"  -> (TextQueries.q64TfidfTopTerms _),
+    "q65_stratified_sample" -> (Relational2.q65StratifiedSample _),
+    "q66_embedding_quantize" -> (TextQueries.q66EmbeddingQuantize _),
     "q50_split_manifest"  -> (SplitQueries.q50SplitManifest _),
     "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
   )
 
-  /** Shared by q21 (exact all-pairs Jaccard) and q22 (MinHash+LSH): the LSH
-    * path verifies candidates with the same exact Jaccard, so a green hash
-    * match against the exact-pairs oracle IS a recall=1.0 gate at this SF. */
-  private val ngramJaccardSql =
-    """WITH toks AS (
+  /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
+    * shared by the q21/q22 pair oracles and q62's clustering oracle. */
+  private val ngramPairCtes =
+    """toks AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
@@ -94,12 +98,42 @@ object SparkEntry {
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Shared by q21 (exact all-pairs Jaccard) and q22 (MinHash+LSH): the LSH
+    * path verifies candidates with the same exact Jaccard, so a green hash
+    * match against the exact-pairs oracle IS a recall=1.0 gate at this SF. */
+  private val ngramJaccardSql =
+    s"""WITH $ngramPairCtes
       |SELECT a_id, b_id,
       |  ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
       |FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
       |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q62: the same exact pairs, then the TRANSITIVE CLOSURE — component id
+    * = min doc id reachable through any near-dup chain — via a recursive
+    * CTE. Gates the engine's distributed label propagation bit-exactly. */
+  private val dedupComponentsSql =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |pairsj AS (
+      |  SELECT a_id, b_id
+      |  FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+      |edges AS (
+      |  SELECT a_id AS s, b_id AS d FROM pairsj
+      |  UNION SELECT b_id, a_id FROM pairsj),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT s, s FROM edges
+      |  UNION
+      |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+      |lab AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      |siz AS (SELECT component, COUNT(*) AS csize FROM lab GROUP BY component)
+      |SELECT l.id AS doc_id, l.component,
+      |  CAST(s.csize AS BIGINT) AS component_size,
+      |  l.id = l.component AS is_canonical
+      |FROM lab l JOIN siz s USING (component)
+      |ORDER BY doc_id""".stripMargin
 
   /** Full DuckDB replay of the q31 LSH ANN semantics — NOT the brute-force
     * result. The synthetic embeddings are near-random at NN granularity
@@ -513,6 +547,61 @@ object SparkEntry {
 
     "q21_ngram_jaccard" -> ngramJaccardSql,
     "q22_minhash_lsh"   -> ngramJaccardSql,
+    "q62_dedup_components" -> dedupComponentsSql,
+
+    "q63_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q64_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ROUND(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY ROUND(tf * ln((n.n + 1.0) / (df + 1.0)), 6) DESC, term) AS rank
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+        |FROM scored WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q65_stratified_sample" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_returnflag
+         |FROM (
+         |  SELECT l_orderkey, l_linenumber, l_returnflag,
+         |    ((fp % 1000) + 1000) % 1000 AS bucket
+         |  FROM (
+         |    SELECT l_orderkey, l_linenumber, l_returnflag,
+         |      CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |        THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
+         |    FROM (
+         |      SELECT l_orderkey, l_linenumber, l_returnflag,
+         |        ${fnvSql("CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} AS fnv
+         |      FROM lineitem)))
+         |WHERE bucket < CASE l_returnflag WHEN 'A' THEN 50 WHEN 'N' THEN 100 ELSE 200 END
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q66_embedding_quantize" ->
+      """WITH n AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+        |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+        |  GROUP BY vec_id)
+        |SELECT e.vec_id, ROUND(n.nrm, 6) AS norm,
+        |  array_to_string(list_transform(e.embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127 / n.nrm) AS INT) AS VARCHAR)), ',') AS q8
+        |FROM embeddings e JOIN n ON e.vec_id = n.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q52_ngram_jaccard_capped" ->
       """WITH toks AS (

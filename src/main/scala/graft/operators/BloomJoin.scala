@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Explicit bloom-filter runtime pre-filtering for selective joins — the
+  * shape Spark's own `InjectRuntimeFilter` applies when statistics allow,
+  * made available on any DataFrame pair.
+  *
+  * Why it matters at 100 TB: a plain semi-join shuffles the ENTIRE probe
+  * side on the join key even when only a sliver of it matches. Building a
+  * compact bloom filter over the build side's keys (one distributed
+  * aggregate; only the serialized filter — kilobytes to a few MB — returns
+  * to the driver, same contract as any scalar subquery) lets the probe side
+  * drop ~all non-matching rows AT THE SCAN, before its shuffle: the
+  * exchange then carries |matches| + fpp·|probe| rows instead of |probe|.
+  * The final exact semi-join removes the bloom's false positives, so the
+  * output is EXACTLY the plain semi-join's.
+  *
+  * Uses Spark's public `DataFrameStatFunctions.bloomFilter` (build) and the
+  * codegen'd catalyst `BloomFilterMightContain` (probe; same expression the
+  * built-in runtime filter injects — it deserializes the filter once per
+  * task, and the per-row test stays inside whole-stage codegen).
+  */
+object BloomJoin {
+
+  /** `probe ⋉ build` with a bloom pre-filter on the probe side. Output is
+    * bit-identical to `probe.join(build, keys, "left_semi")`.
+    *
+    * @param expectedItems sizing for the bloom (≈ distinct build keys); at
+    *   scale pass an `approx_count_distinct` estimate. ~1.2 bytes/key at
+    *   fpp 0.03.
+    */
+  def semiJoin(probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val bytes = {
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // both sides hash raw longs (putLong / mightContainLong), so the value
+    // expression is the bare key column, cast to the expression's required
+    // bigint input type
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      Bridge.expression(col(probeKey).cast("long"))))
+    probe.filter(mightContain)
+      .join(build, probe(probeKey) === build(buildKey), "left_semi")
+  }
+}

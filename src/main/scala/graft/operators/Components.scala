@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair list — the step that turns near-dup
+  * PAIRS (q21/q22/q53 output) into dedup CLUSTERS: every document gets a
+  * component id (the minimum doc id reachable through any chain of
+  * near-dup relations), from which a pipeline keeps one canonical doc per
+  * component and drops the rest. Transitivity matters: if A~B and B~C,
+  * naive pairwise dropping can keep both A and C even though they are
+  * mutual near-dups through B.
+  *
+  * Algorithm: distributed min-label propagation. Every node starts
+  * labeled with its own id; each round propagates labels across edges and
+  * keeps the per-node minimum; fixpoint when no label changes. Each round
+  * is one shuffle (join + min-aggregate) over the EDGE list — never
+  * all-pairs — and converges in O(component diameter) rounds. Near-dup
+  * components are overwhelmingly small/star-shaped (a handful of variants
+  * of one document), so the diameter is small; `maxIter` caps pathological
+  * chains. The driver loop only ever inspects a one-row convergence flag,
+  * no data is collected. Lineage is truncated every round
+  * (localCheckpoint), the standard guard for iterative DataFrame jobs —
+  * at cluster scale use `spark.sparkContext.setCheckpointDir` +
+  * reliable checkpoints instead.
+  *
+  * (For very-high-diameter graphs the alternating large-star/small-star
+  * algorithm [Kiveris et al., "Connected Components in MapReduce", SoCC'14]
+  * converges in O(log²n) rounds with the same join-shaped primitive; the
+  * propagation loop here is the right tradeoff for dedup-shaped graphs.)
+  */
+object Components {
+
+  /** Component label per node: (id, component) where component = min
+    * reachable id. Only nodes that appear in `pairs` are labeled (isolated
+    * docs are trivially their own singleton component — join the result
+    * back with a left join and coalesce(component, id) if needed). */
+  def connected(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIter: Int = 30): DataFrame = {
+    // undirected: keep each edge in both directions so one join per round
+    // propagates labels both ways
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels flow along edges; keep the per-node minimum of
+      // (own label, every neighbor's label)
+      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("component"))
+      val next = viaEdges.union(labels)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      converged = next.select(col("id"), col("component").as("nc"))
+        .join(labels.select(col("id"), col("component").as("oc")), "id")
+        .filter(col("nc") =!= col("oc"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"label propagation did not converge in $maxIter rounds — component " +
+        "diameter exceeds the cap; raise maxIter or switch to large-star/small-star")
+    labels
+  }
+
+  /** Cluster summary per document: (doc id, component id, component size),
+    * the table a dedup pipeline joins against to keep `id == component`
+    * (the canonical member) and drop the rest. */
+  def dedupClusters(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val labeled = connected(pairs, aCol, bCol)
+    val sizes = labeled.groupBy("component").agg(count(lit(1)).as("component_size"))
+    labeled.join(sizes, "component")
+      .select(col("id"), col("component"), col("component_size"),
+        (col("id") === col("component")).as("is_canonical"))
+  }
+}

@@ -237,6 +237,43 @@ object Relational2 {
       .orderBy(col("p_brand"))
   }
 
+  /** Bloom-filtered selective semi-join (graft.operators.BloomJoin): a
+    * compact bloom over the urgent orders' keys pre-filters lineitem AT THE
+    * SCAN, before its shuffle; the exact semi-join then removes bloom false
+    * positives, so the result — and the oracle — is the plain semi-join.
+    * This is the explicit form of Spark's InjectRuntimeFilter shape: at
+    * 100 TB the probe-side exchange carries |matches| + fpp·N rows, not N. */
+  def q63BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+    val urgent = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    graft.operators.BloomJoin
+      .semiJoin(l, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 200000L, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"), 2)).cast("double").as("total_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Stratified deterministic sampling: per-stratum hash-mod rates
+    * (returnflag A 5%, N 10%, R 20%) over a content-addressed FNV-1a bucket
+    * of the row key — the "sample rares more heavily" primitive of training
+    * data curation, reproducible across runs/engines/partitionings (seeded
+    * Bernoulli sample() is partition-layout dependent; this is not).
+    * Bit-exact oracle: DuckDB replays the hash and the CASE rates. */
+  def q65StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .withColumn("bucket",
+        pmod(graft.functions.Fnv64.fnv64(
+          concat_ws("_", col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"))), lit(1000L)))
+      .filter(col("bucket") < when(col("l_returnflag") === "A", 50)
+        .when(col("l_returnflag") === "N", 100).otherwise(200))
+      .select(col("l_orderkey"), col("l_linenumber").cast("bigint").as("l_linenumber"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** Ordered set collect: distinct market segments per nation, sorted and
     * comma-joined (deterministic replacement for raw collect_list). */
   def q33CollectAgg(s: SparkSession, dir: String): DataFrame = {

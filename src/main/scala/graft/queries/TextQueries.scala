@@ -63,6 +63,20 @@ object TextQueries {
     Similarity.cosineNearDupBlocked(Tables.load(s, dir, "embeddings"), 0.4)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Near-dup pairs → dedup CLUSTERS via distributed connected components
+    * (min-label propagation, one edge-list shuffle per round — see
+    * graft.operators.Components). Pairs come from the oracle-gated
+    * MinHash+LSH path; the oracle replays the exact-Jaccard pairs and the
+    * transitive closure with a recursive CTE, so the gate covers the
+    * clustering semantics (component = min reachable doc id), not just the
+    * pair list. */
+  def q62DedupComponents(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Components.dedupClusters(
+        Dedup.minhashLsh(Tables.load(s, dir, "documents"), 0.5))
+      .select(col("id").as("doc_id"), col("component"),
+        col("component_size"), col("is_canonical"))
+      .orderBy(col("doc_id"))
+
   // ---- similarity search -------------------------------------------------
 
   /** Brute-force cosine top-3 for query vectors vec_id < 10 (oracle-checked). */
@@ -138,6 +152,45 @@ object TextQueries {
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), Fnv64.fnv64(lower(trim(col("text")))).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** TF-IDF top-3 terms per document: whitespace tokens, smoothed
+    * idf = ln((N+1)/(df+1)), rank by (score desc, term). Three shuffles
+    * total (tf agg, df agg, per-doc top-k window) — all key-partitioned,
+    * no all-pairs anywhere; the corpus size N joins in as a broadcast
+    * one-row aggregate, not a driver-side count. */
+  def q64TfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val score = round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("bigint").as("rank"),
+        col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Embedding post-processing for storage/serving: L2 norm + symmetric
+    * int8 quantization (round(127·x/‖x‖) per component), emitted as a
+    * comma-joined string so the hash gate covers every component. The
+    * arithmetic is double end-to-end (same as the cosine queries), so
+    * DuckDB replays it bit-exactly with list_transform. */
+  def q66EmbeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .withColumn("nrm", Similarity.norm(col("embedding")))
+      .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
+        array_join(transform(col("embedding"),
+          x => round(x.cast("double") * lit(127) / col("nrm"), 0)
+            .cast("int").cast("string")), ",").as("q8"))
+      .orderBy(col("vec_id"))
 
   /** Composed corpus-cleaning pipeline: lang gate + quality gate + exact
     * dedup, one declarative plan (oracle replays every step in SQL). */
