@@ -44,24 +44,27 @@ object Components {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed = round one fused into initialization: label(n) = min(n, min
+    // neighbor) from a single edge aggregation — star-shaped components
+    // (the common near-dup case) converge on the first fixpoint check
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), min(col("src"))).as("component"))
       .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // neighbor labels flow along edges; keep the per-node minimum of
-      // (own label, every neighbor's label)
+      // (own label, every neighbor's label). The OLD label rides along so
+      // the fixpoint check is a filter on the checkpointed result — no
+      // second join-job per round.
       val viaEdges = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("component"))
       val next = viaEdges.union(labels)
         .groupBy("id").agg(min(col("component")).as("component"))
+        .join(labels.select(col("id"), col("component").as("__prev")), "id")
         .localCheckpoint()
-      converged = next.select(col("id"), col("component").as("nc"))
-        .join(labels.select(col("id"), col("component").as("oc")), "id")
-        .filter(col("nc") =!= col("oc"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component") =!= col("__prev")).isEmpty
+      labels = next.drop("__prev")
       iter += 1
     }
     edges.unpersist()

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * re-read or re-SHINGLED (the expensive text pass happens once per doc,
   * ever); the daily join still scans the accumulated signature store —
   * O(|store|) compact fixed-width rows, a tiny fraction of re-processing
-  * texts. To remove even that, productionize by persisting the store
-  * bucketed on band hash so the new-day side shuffles alone.
+  * texts. To remove even that shuffle, [[appendBandsBucketed]] /
+  * [[newPairsBucketed]] persist the store bucketed on (band, bh): the
+  * daily candidate join is then exchange-free on BOTH sides.
   *
   * Signatures are component-wise minima (see [[Dedup.minhashSignatures]]),
   * so they are mergeable state: the signature of a doc is independent of
@@ -64,13 +65,23 @@ object IncrementalDedup {
     val x = Dedup.bandRows(newSigs.select(col("id"), checkedSig.as("sig")), k, rowsPerBand)
     val y = Dedup.bandRows(allSigs.select(col("id"), checkedSig.as("sig")), k, rowsPerBand)
     // cross-batch pairs keep (new=x, any=y); same-batch pairs dedupe by id
-    val candidates = x.as("x").join(y.as("y"),
+    scoreCandidates(bandCandidates(x, y), k, threshold)
+  }
+
+  /** Banded candidate pairs from two (id, sig, band, bh) sides: same-band
+    * same-hash different-id, deduped to unordered (a_id, b_id). */
+  private def bandCandidates(x: DataFrame, y: DataFrame): DataFrame =
+    x.as("x").join(y.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") =!= col("y.id"))
       .select(least(col("x.id"), col("y.id")).as("a_id"),
         greatest(col("x.id"), col("y.id")).as("b_id"),
         col("x.sig").as("siga"), col("y.sig").as("sigb"))
       .dropDuplicates("a_id", "b_id")
+
+  /** Signature-estimated Jaccard over candidate pairs carrying siga/sigb. */
+  private def scoreCandidates(candidates: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
     val est = (0 until k)
       .map(i => when(col("siga")(i) === col("sigb")(i), 1).otherwise(0))
       .reduce(_ + _).cast("double") / k
@@ -78,6 +89,40 @@ object IncrementalDedup {
       .withColumn("est_jaccard", round(est, 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
+  }
+
+  /** BUCKETED signature store — the shuffle-free production shape teased in
+    * the class scaladoc. Band rows (id, sig, band, bh) are persisted as a
+    * table bucketed on (band, bh) and partitioned by ingestion date: the
+    * daily candidate join then reads BOTH sides from the bucketed layout
+    * (new day = one pruned date partition, store = all of them), so the
+    * join plans with ZERO exchanges — at 100 TB the accumulated store never
+    * crosses the wire again; its one shuffle is amortized into each date's
+    * write, once per row ever (pinned in IncrementalDedupSpec).
+    *
+    * Append-only by design (a date is written once, like the split engine's
+    * markers); a re-run of a failed date should drop the table's date
+    * partition first. `nBuckets` must stay constant for the table's life —
+    * size it as |store at horizon| · rowBytes / targetPartitionBytes. */
+  def appendBandsBucketed(docs: DataFrame, table: String, date: String,
+      k: Int = 32, rowsPerBand: Int = 2, idCol: String = "doc_id",
+      nBuckets: Int = 8): Unit =
+    Dedup.bandRows(Dedup.minhashSignatures(docs, k, idCol), k, rowsPerBand)
+      .withColumn("ds", lit(date))
+      .write.mode("append")
+      .partitionBy("ds")
+      .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
+      .saveAsTable(table)
+
+  /** One incremental step against the bucketed store: pairs involving at
+    * least one `date` document, scored by signature-estimated Jaccard —
+    * same output as [[processDate]] on an equivalent parquet store, but the
+    * candidate join is exchange-free (both sides bucket-aligned). */
+  def newPairsBucketed(spark: SparkSession, table: String, date: String,
+      threshold: Double = 0.5, k: Int = 32): DataFrame = {
+    val store = spark.table(table)
+    val newDay = store.filter(col("ds") === date)
+    scoreCandidates(bandCandidates(newDay, store), k, threshold)
   }
 
   /** One incremental step: signatures for `newDocs` are computed once,

@@ -37,6 +37,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(split.exceptAll(whole).isEmpty && whole.exceptAll(split).isEmpty)
   }
 
+  test("bucketed store matches the parquet-store path and joins exchange-free") {
+    val store = Files.createTempDirectory("incdedup-bkt").toString + "/sigs"
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val day2 = docs.filter(col("doc_id") % 2 === 1)
+    spark.sql("DROP TABLE IF EXISTS sig_store_bkt")
+    try {
+      // collect each day's pairs BEFORE the next append: the table read is
+      // lazy, so a later .collect() would see later dates too
+      IncrementalDedup.appendBandsBucketed(day1, "sig_store_bkt", "d1")
+      val b1 = IncrementalDedup.newPairsBucketed(spark, "sig_store_bkt", "d1")
+        .collect().toSet
+      IncrementalDedup.appendBandsBucketed(day2, "sig_store_bkt", "d2")
+      val b2 = IncrementalDedup.newPairsBucketed(spark, "sig_store_bkt", "d2")
+        .collect().toSet
+
+      val p1 = IncrementalDedup.processDate(spark, day1, store, "d1").collect().toSet
+      val p2 = IncrementalDedup.processDate(spark, day2, store, "d2").collect().toSet
+      assert(b1 == p1)
+      assert(b2 == p2)
+
+      // scale shape: with broadcast off, the parquet path must exchange both
+      // join sides; the bucketed path's only exchange is the pair-dedup —
+      // the store itself never reshuffles
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+          "Exchange hashpartitioning".r
+            .findAllIn(df.queryExecution.executedPlan.toString).size
+        val bucketed = IncrementalDedup.newPairsBucketed(spark, "sig_store_bkt", "d2")
+        val all = IncrementalDedup.loadSignatures(spark, store)
+        val parquet = IncrementalDedup.newPairs(all.filter(col("ds") === "d2"), all)
+        assert(nExchanges(bucketed) <= 1,
+          s"bucketed join must not reshuffle the store:\n${bucketed.queryExecution.executedPlan}")
+        assert(nExchanges(parquet) >= 3, "parquet path should shuffle both sides + dedup")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS sig_store_bkt")
+  }
+
   test("newPairs fails fast when caller k exceeds the stored signature length") {
     val sigs = Dedup.minhashSignatures(docs, k = 16) // store written with k=16
     val ex = intercept[Exception] {
