@@ -96,6 +96,30 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join — the streaming dual of the as-of/interval
+    * join shape (batch q18/q38): each purchase joins every click by the
+    * SAME user in the preceding hour. Both sides carry watermarks and the
+    * join condition bounds each side's event time relative to the other,
+    * which is exactly what lets the engine EXPIRE buffered rows: a click
+    * older than (purchase watermark − 1 h) can never match again and its
+    * state is dropped — without the time bound, stream-stream join state
+    * grows forever at 100 TB/day. Inner join → append mode. */
+  def purchaseClickJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** Drain a streaming DataFrame through a memory sink synchronously
     * (AvailableNow semantics for tests/backfills); returns the result table. */
   def drainToTable(spark: SparkSession, stream: DataFrame, name: String,

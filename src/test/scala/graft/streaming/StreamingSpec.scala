@@ -40,6 +40,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count())
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    // two independent source streams over the same file (self-joins of one
+    // stream instance are restricted; two readers are the documented shape)
+    val stream = EventStream.purchaseClickJoin(
+      EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
+    val got = EventStream.drainToTable(spark, stream, "ssjoin_out", "append")
+
+    val ev = graft.Tables.load(spark, sf, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val want = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+    assert(got.count() > 0, "interval join should produce matches on this data")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream-stream join differs from the batch interval join")
+  }
+
   test("watermarked append-mode windows drop nothing when data fits one batch horizon") {
     // structural check: the plan carries an event-time watermark
     val stream = EventStream.hourlyAgg(EventStream.readEvents(spark, sf))
