@@ -57,7 +57,11 @@ object ScaleProbe {
       "q44_knn_ivf" -> SparkEntry.queries("q44_knn_ivf"),
       "q53_neardup_blocked" -> SparkEntry.queries("q53_neardup_blocked"),
       "q46_topk_native" -> SparkEntry.queries("q46_topk_native"),
-      "q48_corpus_filter" -> SparkEntry.queries("q48_corpus_filter"))
+      "q48_corpus_filter" -> SparkEntry.queries("q48_corpus_filter"),
+      "q62_dedup_components" -> SparkEntry.queries("q62_dedup_components"),
+      "q63_bloom_join" -> SparkEntry.queries("q63_bloom_join"),
+      "q64_tfidf_topterms" -> SparkEntry.queries("q64_tfidf_topterms"),
+      "q65_stratified_sample" -> SparkEntry.queries("q65_stratified_sample"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
