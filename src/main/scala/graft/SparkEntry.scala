@@ -83,6 +83,7 @@ object SparkEntry {
     "q64_tfidf_topterms"  -> (TextQueries.q64TfidfTopTerms _),
     "q65_stratified_sample" -> (Relational2.q65StratifiedSample _),
     "q66_embedding_quantize" -> (TextQueries.q66EmbeddingQuantize _),
+    "q67_winnowing"       -> (TextQueries.q67Winnowing _),
     "q50_split_manifest"  -> (SplitQueries.q50SplitManifest _),
     "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
   )
@@ -591,6 +592,29 @@ object SparkEntry {
          |      FROM lineitem)))
          |WHERE bucket < CASE l_returnflag WHEN 'A' THEN 50 WHEN 'N' THEN 100 ELSE 200 END
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q67_winnowing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s3
+         |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+         |  WHERE len(t) >= 3),
+         |h AS (
+         |  SELECT doc_id, i,
+         |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS h
+         |  FROM (SELECT doc_id, i, ${fnvSql("s3")} AS fnv FROM sh)),
+         |wmin AS (
+         |  SELECT doc_id, i,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM h),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4)
+         |SELECT doc_id, COUNT(*) AS n_fp, bit_xor(fp) AS fp_xor,
+         |  MIN(fp) AS fp_min, MAX(fp) AS fp_max
+         |FROM fps GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q66_embedding_quantize" ->
       """WITH n AS (

@@ -167,4 +167,42 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Winnowed rolling-hash fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    * the MOSS scheme): hash every POSITIONED word 3-gram (FNV-1a, so the
+    * oracle can replay it), slide a window of `w` consecutive shingle
+    * positions over the document, and keep the minimum hash of each full
+    * window. The distinct kept hashes are the document's fingerprint set —
+    * any shared substring of ≥ w+2 words between two documents GUARANTEES a
+    * shared fingerprint (winnowing's coverage property), which is what makes
+    * the selected ~1/w fraction of shingles a sound overlap sketch, unlike
+    * naive every-wth sampling.
+    *
+    * Pure window-function plan: one shuffle on doc id (the per-doc window
+    * sort), no self-join — scan-shaped at 100 TB. Emits (id, fp) distinct
+    * rows; overlap detection joins fingerprints exactly like the shingle
+    * inverted index, at 1/w the index size. */
+  def winnowedHashes(docs: DataFrame, w: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, "winnowing needs a window of at least 2 shingle positions")
+    val toks = docs
+      .select(col(idCol).as("id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3) // guard: sequence(0, n) counts DOWN for n<0
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 3)).as("pos"))
+      .select(col("id"), col("pos"),
+        graft.functions.Fnv64.fnv64(concat_ws(" ",
+          element_at(col("t"), col("pos") + 1),
+          element_at(col("t"), col("pos") + 2),
+          element_at(col("t"), col("pos") + 3))).as("h"))
+    val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    toks
+      .withColumn("fp", min(col("h")).over(frame))
+      .filter(col("pos") >= w - 1) // full windows only
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
 }

@@ -192,6 +192,20 @@ object TextQueries {
             .cast("int").cast("string")), ",").as("q8"))
       .orderBy(col("vec_id"))
 
+  /** Winnowed rolling-hash document fingerprints (MOSS scheme, window=4):
+    * per doc, the count/xor/min/max of its winnowed fingerprint set — a
+    * deterministic digest of the whole set, so the hash gate covers every
+    * selected fingerprint. The oracle replays positioned-shingle FNV-1a
+    * hashing AND the sliding-window minimum selection in SQL. */
+  def q67Winnowing(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedHashes(Tables.load(s, dir, "documents"), 4)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"),
+        min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+      .select(col("id").as("doc_id"), col("n_fp"), col("fp_xor"),
+        col("fp_min"), col("fp_max"))
+      .orderBy(col("doc_id"))
+
   /** Composed corpus-cleaning pipeline: lang gate + quality gate + exact
     * dedup, one declarative plan (oracle replays every step in SQL). */
   def q48CorpusFilter(s: SparkSession, dir: String): DataFrame =

@@ -68,4 +68,33 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.ngramJaccard(d, 0.1)
     assert(out.count() == 0)
   }
+
+  test("winnowing coverage: docs sharing a >= w+2 word substring share a fingerprint") {
+    import spark.implicits._
+    // distinct prefixes/suffixes, one 8-word shared run (w=4 needs >= 6)
+    val shared = "the quick brown fox jumps over lazy dogs"
+    val d = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"uno dos tres cuatro $shared cinco"),
+      (3L, "completely unrelated words in this other document here")).toDF("doc_id", "text")
+    val fps = Dedup.winnowedHashes(d, 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "winnowing must select a shared fingerprint inside the shared run")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "no token overlap should mean no shared fingerprints")
+  }
+
+  test("winnowing density: fingerprints are a ~1/w subset of the doc's shingle hashes") {
+    val fp = Dedup.winnowedHashes(docs, 4)
+    val perDoc = fp.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val shingles = docs.select(col("doc_id").as("id"),
+      size(graft.functions.ShingleHashes.shingleHashes(col("text"), 3))
+        .cast("bigint").as("n_sh"))
+    val joined = perDoc.join(shingles, "id")
+      .agg(sum("n_fp").cast("double") / sum("n_sh")).head.getDouble(0)
+    // expected selection density for window w is ~2/(w+1) = 0.4 on random
+    // hashes; allow a wide band (repeated shingles shrink the distinct set)
+    assert(joined > 0.15 && joined < 0.75, s"selection density $joined")
+  }
 }
