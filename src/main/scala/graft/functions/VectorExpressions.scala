@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 
 /** Native codegen'd vector math over `array<float>` embedding columns.
   *
@@ -107,9 +107,57 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): NormF = copy(child = c)
   }
 
+  /** Comma-joined symmetric int8 quantization: round(127·xᵢ/norm) per
+    * component, one output string. Replaces the `transform()` HOF
+    * formulation (CodegenFallback, per-element interpreted eval) with a
+    * single codegen'd call; rounding is BigDecimal HALF_UP — bit-identical
+    * to Spark's `round(col, 0)` on doubles, which the DuckDB oracle
+    * replays. */
+  case class Quant8F(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkFloatArray(left.dataType, "quant8_f") match {
+        case TypeCheckResult.TypeCheckSuccess if right.dataType != DoubleType =>
+          TypeCheckResult.TypeCheckFailure(
+            s"quant8_f norm must be double, got ${right.dataType.simpleString}")
+        case r => r
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      VectorQuant.quantize(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorQuant.quantize($a, $b);")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Quant8F =
+      copy(left = l, right = r)
+  }
+
   def dotF(a: Column, b: Column): Column =
     Bridge.column(DotF(Bridge.expression(a), Bridge.expression(b)))
 
   def normF(a: Column): Column =
     Bridge.column(NormF(Bridge.expression(a)))
+
+  def quant8F(vec: Column, norm: Column): Column =
+    Bridge.column(Quant8F(Bridge.expression(vec), Bridge.expression(norm)))
+}
+
+/** Static helper shared by Quant8F's interpreted eval and generated code
+  * (top-level object → Java static forwarder, callable from codegen). */
+object VectorQuant {
+  def quantize(arr: ArrayData, norm: Double): org.apache.spark.unsafe.types.UTF8String = {
+    val sb = new java.lang.StringBuilder
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(',')
+      sb.append(java.math.BigDecimal
+        .valueOf(arr.getFloat(i).toDouble * 127.0 / norm)
+        .setScale(0, java.math.RoundingMode.HALF_UP).intValue())
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
 }

@@ -32,6 +32,14 @@ object BloomJoin {
   /** `probe ⋉ build` with a bloom pre-filter on the probe side. Output is
     * bit-identical to `probe.join(build, keys, "left_semi")`.
     *
+    * Cost model, stated plainly: the BUILD side is executed twice — once
+    * for the bloom aggregate, once as the exact join's right side. That is
+    * the winning trade exactly when build ≪ probe (the operator's use
+    * case): two scans of the small side buy removing ~all of the LARGE
+    * side's shuffle. If the build side is expensive to recompute, persist
+    * it before calling (caller-owned lifecycle), or let AQE reuse the
+    * exchange.
+    *
     * @param expectedItems sizing for the bloom (≈ distinct build keys); at
     *   scale pass an `approx_count_distinct` estimate. ~1.2 bytes/key at
     *   fpp 0.03.

@@ -64,6 +64,9 @@ object Components {
         .join(labels.select(col("id"), col("component").as("__prev")), "id")
         .localCheckpoint()
       converged = next.filter(col("component") =!= col("__prev")).isEmpty
+      // free the superseded round's checkpoint NOW — relying on driver GC
+      // would accumulate up to maxIter label snapshots in executor storage
+      freeLocalCheckpoint(labels)
       labels = next.drop("__prev")
       iter += 1
     }
@@ -73,6 +76,16 @@ object Components {
         "diameter exceeds the cap; raise maxIter or switch to large-star/small-star")
     labels
   }
+
+  /** Unpersist the RDD behind a localCheckpoint'd DataFrame (Dataset
+    * .unpersist only covers cache-manager entries; a local checkpoint's
+    * materialized RDD is reachable through the plan's LogicalRDD leaves). */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Cluster summary per document: (doc id, component id, component size),
     * the table a dedup pipeline joins against to keep `id == component`

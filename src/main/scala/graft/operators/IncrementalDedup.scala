@@ -79,14 +79,24 @@ object IncrementalDedup {
         col("x.sig").as("siga"), col("y.sig").as("sigb"))
       .dropDuplicates("a_id", "b_id")
 
-  /** Signature-estimated Jaccard over candidate pairs carrying siga/sigb. */
+  /** Signature-estimated Jaccard over candidate pairs carrying siga/sigb.
+    * Guards the signature length here too (not only in [[newPairs]]'s input
+    * wrap): the bucketed path reads sigs straight from the store, and a k
+    * mismatch must fail with a clear error, not a cryptic ANSI index error
+    * or (ANSI off) a silently halved estimate. */
   private def scoreCandidates(candidates: DataFrame, k: Int,
       threshold: Double): DataFrame = {
     val est = (0 until k)
       .map(i => when(col("siga")(i) === col("sigb")(i), 1).otherwise(0))
       .reduce(_ + _).cast("double") / k
+    val estChecked = when(
+      size(col("siga")) === k && size(col("sigb")) === k, est)
+      .otherwise(raise_error(concat(
+        lit(s"signature length mismatch: expected k=$k, store has "),
+        least(size(col("siga")), size(col("sigb"))).cast("string"),
+        lit(" components"))))
     candidates
-      .withColumn("est_jaccard", round(est, 6))
+      .withColumn("est_jaccard", round(estChecked, 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }

@@ -119,10 +119,13 @@ object Similarity {
     // if the sample still yields fewer rows than nCells (tiny candidate
     // set × small fitFraction), fall back to fitting on everything — a
     // degenerate KMeans.fit would throw or collapse cells otherwise.
+    // The probe job (limit(nCells).count(), early-exiting) only runs for
+    // aggressive cuts < 5%, where undershoot is plausible; the common
+    // default never pays it.
     val cut = math.max(1L, math.round(fitFraction * 1000))
     val sampled = cdf.filter(pmod(xxhash64(col("cid")), lit(1000L)) < cut)
     val fitRows =
-      if (sampled.limit(nCells).count() < nCells) cdf else sampled
+      if (cut < 50 && sampled.limit(nCells).count() < nCells) cdf else sampled
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("__fv").setPredictionCol("cell")
       .fit(fitRows)

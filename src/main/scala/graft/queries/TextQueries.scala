@@ -180,16 +180,17 @@ object TextQueries {
 
   /** Embedding post-processing for storage/serving: L2 norm + symmetric
     * int8 quantization (round(127·x/‖x‖) per component), emitted as a
-    * comma-joined string so the hash gate covers every component. The
-    * arithmetic is double end-to-end (same as the cosine queries), so
-    * DuckDB replays it bit-exactly with list_transform. */
+    * comma-joined string so the hash gate covers every component. Uses the
+    * native codegen'd Quant8F expression (a transform() HOF would run
+    * interpreted per element); the arithmetic is double end-to-end (same
+    * as the cosine queries), so DuckDB replays it bit-exactly with
+    * list_transform. */
   def q66EmbeddingQuantize(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .withColumn("nrm", Similarity.norm(col("embedding")))
       .select(col("vec_id"), round(col("nrm"), 6).as("norm"),
-        array_join(transform(col("embedding"),
-          x => round(x.cast("double") * lit(127) / col("nrm"), 0)
-            .cast("int").cast("string")), ",").as("q8"))
+        graft.functions.VectorExpressions
+          .quant8F(col("embedding"), col("nrm")).as("q8"))
       .orderBy(col("vec_id"))
 
   /** Winnowed rolling-hash document fingerprints (MOSS scheme, window=4):

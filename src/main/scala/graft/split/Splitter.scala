@@ -32,11 +32,14 @@ object SplitOutcome {
   *    as_completed + raise (parquet-splitter.py:169-171);
   *  - null keys are dropped explicitly (pandas groupby dropna quirk,
   *    SURVEY §2.2.3) and counted, instead of silently;
-  *  - hot keys at 100 TB: `saltBuckets > 1` spreads one key's rows over that
-  *    many shuffle tasks and `maxRecordsPerFile > 0` bounds output file
-  *    size; both leave reference-parity mode (exactly one
-  *    `{key}/{date}.parquet` per key), so multi-part outputs are written as
-  *    numbered `{key}/{date}-NNNNN.parquet` files instead.
+  *  - hot keys at 100 TB: `saltBuckets > 1` spreads hot keys across tasks
+  *    (hash-salted round-robin in unordered mode; range-partitioned into
+  *    max(saltBuckets, shuffle partitions) contiguous chunks in ordered
+  *    mode) and `maxRecordsPerFile > 0` bounds output file size; both
+  *    leave reference-parity mode (exactly one `{key}/{date}.parquet` per
+  *    key), so multi-part outputs are written as numbered
+  *    `{key}/{date}-NNNNN.parquet` files instead (numeric part order =
+  *    input order in ordered mode; N widens past 5 digits as needed).
   *
   * @param preserveOrder when true, each output file keeps the input's row
   *   order within its key group (the reference's pandas-groupby semantics,
@@ -48,9 +51,10 @@ object SplitOutcome {
   *   per output file (Spark splits a task's output at the bound).
   * @param saltBuckets 1 = one task per key (parity); >1 bounds task/file
   *   size under skew. Unordered mode hash-salts each key over exactly that
-  *   many tasks; ordered mode range-partitions (key, sequence) into that
-  *   many TOTAL tasks so each key's files stay contiguous chunks of its
-  *   input order (concatenating them in numbered order reconstructs it).
+  *   many tasks; ordered mode range-partitions (key, sequence) into
+  *   max(saltBuckets, session shuffle partitions) total tasks so each
+  *   key's files stay contiguous chunks of its input order (concatenating
+  *   them in numeric part order reconstructs it).
   */
 final class Splitter(spark: SparkSession, keyCol: String = "item_id",
     preserveOrder: Boolean = false, maxRecordsPerFile: Long = 0L,
@@ -105,11 +109,17 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id",
       case (true, n) => // salted + ordered: a RANGE partitioner on
         // (key, __seq) keeps each key's chunks contiguous — file p's rows
         // all precede file p+1's in the input — so concatenating a key's
-        // numbered files in name order reconstructs its input sequence
+        // numbered files in part order reconstructs its input sequence
         // exactly (a pmod salt would round-robin rows across files and
-        // lose that property). n is the TOTAL task count here; the
-        // sampler gives hot keys proportionally more of them.
-        seqd.repartitionByRange(n, col("__split_key"), col("__seq"))
+        // lose that property). The task count is max(n, session shuffle
+        // partitions) so a small saltBuckets never CAPS job parallelism —
+        // the sampler gives hot keys proportionally more tasks. Note the
+        // range boundaries come from sampling: WHICH rows land in which
+        // file may vary run to run; the per-key concatenation order and
+        // the row multiset are the invariants.
+        val parts = math.max(n,
+          spark.sessionState.conf.numShufflePartitions)
+        seqd.repartitionByRange(parts, col("__split_key"), col("__seq"))
           .sortWithinPartitions(col("__split_key"), col("__seq"))
           .drop("__seq")
       case (false, 1) => keyed.repartition(col("__split_key"))
@@ -136,9 +146,19 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id",
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__split_key="))
       .flatMap { st =>
         val key = st.getPath.getName.stripPrefix("__split_key=")
+        // NUMERIC sort on the part id: lexicographic name order misorders
+        // ids past 99999 ("part-100000" < "part-10001"), which would break
+        // the ordered-mode concatenation contract exactly in the huge-date
+        // regime; same for our own emitted "-NNNNN" numbering below.
+        val partId = "part-(\\d+)".r
         val parts = fs.listStatus(st.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-          .sortBy(_.getPath.getName)
+          .sortBy { f => // (numeric task id, name) — name breaks ties among
+            // a task's own maxRecordsPerFile splits (…-c000, …-c001)
+            val nm = f.getPath.getName
+            (partId.findFirstMatchIn(nm).map(_.group(1).toLong)
+              .getOrElse(Long.MaxValue), nm)
+          }
         if (parityLayout) require(parts.size == 1,
           s"expected exactly one part file for key $key, got ${parts.size}")
         val targetDir = new Path(PathOps.normalizePrefix(outDir) + key)

@@ -55,6 +55,19 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("Quant8F equals the transform() HOF formulation on the embeddings table") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumn("nrm", graft.functions.VectorExpressions.normF(col("embedding")))
+    val native = e.select(col("vec_id"),
+      graft.functions.VectorExpressions.quant8F(col("embedding"), col("nrm")).as("q8"))
+    val hof = e.select(col("vec_id"),
+      array_join(transform(col("embedding"),
+        x => round(x.cast("double") * lit(127) / col("nrm"), 0)
+          .cast("int").cast("string")), ",").as("q8"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "native quantization must be bit-identical to the HOF formulation")
+  }
+
   test("hash-mod sampling is invariant to partitioning (content-addressed)") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(30, Gen.asciiPrintableStr)) { (ss: List[String]) =>
