@@ -41,6 +41,10 @@ object GraftFunctions {
     (FunctionIdentifier("norm_f"),
       info("norm_f", "norm_f(array<float>) - double L2 norm"),
       (args: Seq[Expression]) => NormF(args.head)),
+    (FunctionIdentifier("quant8_f"),
+      info("quant8_f", "quant8_f(array<float>, norm:double) - comma-joined int8 quantization"),
+      (args: Seq[Expression]) =>
+        graft.functions.VectorExpressions.Quant8F(args(0), args(1))),
     (FunctionIdentifier("kmv_distinct"),
       info("kmv_distinct", "kmv_distinct(col[, k]) - KMV distinct-count sketch"),
       (args: Seq[Expression]) => (args match {

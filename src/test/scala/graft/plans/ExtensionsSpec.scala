@@ -29,6 +29,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(est == 100L) // below k => exact
   }
 
+  test("quant8_f is usable from SQL and matches its Column form") {
+    GraftFunctions.install(spark)
+    val q8 = spark.sql(
+      """SELECT quant8_f(array(CAST(3.0 AS FLOAT), CAST(-4.0 AS FLOAT)),
+        |  norm_f(array(CAST(3.0 AS FLOAT), CAST(-4.0 AS FLOAT)))) AS q8""".stripMargin)
+      .head().getString(0)
+    // norm 5: 3*127/5 = 76.2 -> 76; -4*127/5 = -101.6 -> -102 (HALF_UP)
+    assert(q8 == "76,-102", s"got $q8")
+  }
+
   test("default shingle size is 3 and type errors are caught at analysis") {
     GraftFunctions.install(spark)
     assert(spark.sql("SELECT size(shingle_hashes('a b c d')) AS n").head().getInt(0) == 2)
