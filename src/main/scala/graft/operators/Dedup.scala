@@ -187,16 +187,14 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 2, "winnowing needs a window of at least 2 shingle positions")
+    // one GenerateExec row per positioned 3-gram (native UDTF) — no
+    // intermediate token-array column, short docs emit nothing
     val toks = docs
-      .select(col(idCol).as("id"), split(trim(col("text")), "\\s+").as("t"))
-      .filter(size(col("t")) >= 3) // guard: sequence(0, n) counts DOWN for n<0
-      .select(col("id"), col("t"),
-        explode(sequence(lit(0), size(col("t")) - 3)).as("pos"))
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleRows.shingleRows(col("text"), 3)
+          .as(Seq("pos", "s3")))
       .select(col("id"), col("pos"),
-        graft.functions.Fnv64.fnv64(concat_ws(" ",
-          element_at(col("t"), col("pos") + 1),
-          element_at(col("t"), col("pos") + 2),
-          element_at(col("t"), col("pos") + 3))).as("h"))
+        graft.functions.Fnv64.fnv64(col("s3")).as("h"))
     val frame = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
     toks

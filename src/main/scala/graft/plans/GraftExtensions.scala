@@ -41,6 +41,14 @@ object GraftFunctions {
     (FunctionIdentifier("norm_f"),
       info("norm_f", "norm_f(array<float>) - double L2 norm"),
       (args: Seq[Expression]) => NormF(args.head)),
+    (FunctionIdentifier("shingle_rows"),
+      info("shingle_rows", "shingle_rows(str[, n]) - UDTF: one (pos, shingle) row per positioned word n-gram"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.ShingleRows(c, 3)
+        case Seq(c, Literal(n: Int, _)) => graft.functions.ShingleRows(c, n)
+        case _ => throw new IllegalArgumentException(
+          "shingle_rows(text[, n:int literal])")
+      }),
     (FunctionIdentifier("quant8_f"),
       info("quant8_f", "quant8_f(array<float>, norm:double) - comma-joined int8 quantization"),
       (args: Seq[Expression]) =>

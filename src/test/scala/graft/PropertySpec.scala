@@ -55,6 +55,26 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("ShingleRows generator equals the split/sequence formulation on arbitrary docs") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(8, Gen.oneOf(doc, Gen.const(""), Gen.const("  a  b ")))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val viaGen = df.select(col("id"),
+          graft.functions.ShingleRows.shingleRows(col("text"), 3).as(Seq("pos", "s3")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val viaArray = df
+        .select(col("id"), split(trim(col("text")), "\\s+").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("id"), explode(sequence(lit(0), size(col("t")) - 3)).as("pos"), col("t"))
+        .select(col("id"), col("pos"), concat_ws(" ",
+          element_at(col("t"), col("pos") + 1),
+          element_at(col("t"), col("pos") + 2),
+          element_at(col("t"), col("pos") + 3)).as("s3"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      viaGen == viaArray
+    }, n = 15)
+  }
+
   test("Quant8F equals the transform() HOF formulation on the embeddings table") {
     val e = Tables.load(spark, sf, "embeddings")
       .withColumn("nrm", graft.functions.VectorExpressions.normF(col("embedding")))

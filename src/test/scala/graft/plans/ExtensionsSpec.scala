@@ -39,6 +39,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(q8 == "76,-102", s"got $q8")
   }
 
+  test("shingle_rows works as a SQL table-generating function (LATERAL VIEW)") {
+    GraftFunctions.install(spark)
+    spark.sql("SELECT 'a b c d' AS text").createOrReplaceTempView("sr_in")
+    val rows = spark.sql(
+      """SELECT pos, shingle FROM sr_in
+        |LATERAL VIEW shingle_rows(text, 2) t AS pos, shingle
+        |ORDER BY pos""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((0, "a b"), (1, "b c"), (2, "c d")))
+  }
+
   test("default shingle size is 3 and type errors are caught at analysis") {
     GraftFunctions.install(spark)
     assert(spark.sql("SELECT size(shingle_hashes('a b c d')) AS n").head().getInt(0) == 2)
