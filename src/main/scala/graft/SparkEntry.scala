@@ -84,6 +84,7 @@ object SparkEntry {
     "q65_stratified_sample" -> (Relational2.q65StratifiedSample _),
     "q66_embedding_quantize" -> (TextQueries.q66EmbeddingQuantize _),
     "q67_winnowing"       -> (TextQueries.q67Winnowing _),
+    "q68_session_window"  -> (EventsQueries.q68SessionWindow _),
     "q50_split_manifest"  -> (SplitQueries.q50SplitManifest _),
     "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
   )
@@ -549,6 +550,25 @@ object SparkEntry {
     "q21_ngram_jaccard" -> ngramJaccardSql,
     "q22_minhash_lsh"   -> ngramJaccardSql,
     "q62_dedup_components" -> dedupComponentsSql,
+
+    "q68_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, EPOCH_US(ts) AS ts_us,
+        |    LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q63_bloom_join" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,

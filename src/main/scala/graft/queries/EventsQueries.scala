@@ -74,6 +74,22 @@ object EventsQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Native session_window sessionization — the BUILT-IN operator next to
+    * q17's composed lag/sum formulation (one shuffle on (user, session),
+    * merge-capable, and the same operator Structured Streaming uses for
+    * session state). Boundary semantics differ from q17 by one instant: a
+    * session closes when the next event is >= gap after the latest one
+    * (interval end exclusive), where q17's lag test uses strict >. The
+    * oracle replays the >= rule, gating the actual operator semantics. */
+  def q68SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start").cast("timestamp")).as("session_start_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   /** As-of join: for every purchase, the value of that user's most recent
     * strictly-earlier click. Composed from built-ins (window + last/ignoreNulls
     * over a union of both event kinds) rather than a custom physical operator —
