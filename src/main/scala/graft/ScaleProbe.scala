@@ -35,14 +35,18 @@ object ScaleProbe {
       }.reduce(_.unionAll(_))
       out.write.mode("overwrite").parquet(s"$big/$table.parquet")
     }
-    if (!new java.io.File(s"$big/lineitem.parquet").exists()) {
+    if (!new java.io.File(s"$big/lineitem.parquet").exists()
+        || !new java.io.File(s"$big/events.parquet").exists()) {
       println(s"[scale] building ${n}x tables under $big …")
       replicate("lineitem", Seq("l_orderkey"), 100000000L)
       replicate("orders", Seq("o_orderkey"), 100000000L)
       replicate("customer", Seq.empty, 0L) // same customers, n× orders each
       replicate("documents", Seq("doc_id"), 100000000L)
       replicate("embeddings", Seq("vec_id"), 100000000L)
-      for (t <- Seq("nation", "region", "part", "supplier", "events"))
+      // events: offset user_id too, so the per-user event density (and
+      // session structure) stays constant while the corpus grows 10x
+      replicate("events", Seq("event_id", "user_id"), 100000000L)
+      for (t <- Seq("nation", "region", "part", "supplier"))
         Tables.load(spark, base, t).write.mode("overwrite").parquet(s"$big/$t.parquet")
     }
 
@@ -61,7 +65,9 @@ object ScaleProbe {
       "q62_dedup_components" -> SparkEntry.queries("q62_dedup_components"),
       "q63_bloom_join" -> SparkEntry.queries("q63_bloom_join"),
       "q64_tfidf_topterms" -> SparkEntry.queries("q64_tfidf_topterms"),
-      "q65_stratified_sample" -> SparkEntry.queries("q65_stratified_sample"))
+      "q65_stratified_sample" -> SparkEntry.queries("q65_stratified_sample"),
+      "q67_winnowing" -> SparkEntry.queries("q67_winnowing"),
+      "q68_session_window" -> SparkEntry.queries("q68_session_window"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -24,9 +24,13 @@ object Tables {
     if (name == "events") {
       // Runtime-settable legacy conf; scoped to this session.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts",
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // driver testdata carries raw INT64 nanos; a re-written copy (e.g.
+      // ScaleProbe's replicated tables) is already a converted timestamp
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      else raw
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
