@@ -85,6 +85,7 @@ object SparkEntry {
     "q66_embedding_quantize" -> (TextQueries.q66EmbeddingQuantize _),
     "q67_winnowing"       -> (TextQueries.q67Winnowing _),
     "q68_session_window"  -> (EventsQueries.q68SessionWindow _),
+    "q69_winnowed_pairs"  -> (TextQueries.q69WinnowedPairs _),
     "q50_split_manifest"  -> (SplitQueries.q50SplitManifest _),
     "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
   )
@@ -549,6 +550,7 @@ object SparkEntry {
 
     "q21_ngram_jaccard" -> ngramJaccardSql,
     "q22_minhash_lsh"   -> ngramJaccardSql,
+    "q69_winnowed_pairs" -> ngramJaccardSql,
     "q62_dedup_components" -> dedupComponentsSql,
 
     "q68_session_window" ->

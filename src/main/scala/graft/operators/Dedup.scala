@@ -136,7 +136,15 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    verifyCandidates(docs, candidates, threshold, idCol)
+  }
 
+  /** Exact-Jaccard verification of (a_id, b_id) candidate pairs: join both
+    * sides back to the shingle index, count intersections, filter. Shared
+    * by every candidate-generation scheme (MinHash bands, winnowed
+    * fingerprints) so verified semantics can never diverge between them. */
+  private def verifyCandidates(docs: DataFrame, candidates: DataFrame,
+      threshold: Double, idCol: String): DataFrame = {
     val sh = shingleIndex(docs, idCol)
     val pairs = candidates
       .join(sh.as("a"), col("a_id") === col("a.id"))
@@ -144,6 +152,27 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"), min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
     jaccardFilter(pairs, threshold)
+  }
+
+  /** Near-dup pairs with WINNOWED-fingerprint candidate generation: docs
+    * sharing any winnowed fingerprint (see [[winnowedHashes]]) become
+    * candidates, then exact Jaccard verifies — same output contract as
+    * [[minhashLsh]], different candidate economics: the fingerprint index
+    * is ~1/w the shingle inverted index (no signature computation at all),
+    * and winnowing's coverage property makes candidate recall structural —
+    * any pair sharing one ≥ w+2 word run collides, which high-Jaccard
+    * near-dups of real corpora always do. The MinHash path bounds recall
+    * probabilistically instead and stays the default for paraphrase-style
+    * similarity without long shared runs. */
+  def winnowedJaccard(docs: DataFrame, threshold: Double = 0.5, w: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = winnowedHashes(docs, w, idCol)
+    // shuffle_hash: same exchange-reuse rationale as minhashLsh
+    val fpJ = fp.hint("shuffle_hash")
+    val candidates = fpJ.as("x").join(fpJ.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    verifyCandidates(docs, candidates, threshold, idCol)
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc via the typed

@@ -207,6 +207,16 @@ object TextQueries {
         col("fp_min"), col("fp_max"))
       .orderBy(col("doc_id"))
 
+  /** Winnowed-fingerprint near-dup pairing: candidates from shared
+    * winnowed fingerprints (1/w the index volume of full shingles, no
+    * signatures), exact-Jaccard verified. Same oracle as q21/q22 — a green
+    * hash is a recall=1.0 gate for the winnowed candidate scheme at this
+    * SF, exercising q67's fingerprints as the candidate index they exist
+    * to be. */
+  def q69WinnowedPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedJaccard(Tables.load(s, dir, "documents"), 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
   /** Composed corpus-cleaning pipeline: lang gate + quality gate + exact
     * dedup, one declarative plan (oracle replays every step in SQL). */
   def q48CorpusFilter(s: SparkSession, dir: String): DataFrame =

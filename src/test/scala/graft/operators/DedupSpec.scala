@@ -69,6 +69,14 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("winnowed-candidate pairing equals exact all-pairs Jaccard on the corpus") {
+    val exact = Dedup.ngramJaccard(docs, 0.5)
+    val winnowed = Dedup.winnowedJaccard(docs, 0.5)
+    assert(exact.count() > 0)
+    assert(winnowed.exceptAll(exact).isEmpty && exact.exceptAll(winnowed).isEmpty,
+      "winnowed candidates must reach recall 1.0 on this corpus (verified pairs equal)")
+  }
+
   test("winnowing coverage: docs sharing a >= w+2 word substring share a fingerprint") {
     import spark.implicits._
     // distinct prefixes/suffixes, one 8-word shared run (w=4 needs >= 6)
