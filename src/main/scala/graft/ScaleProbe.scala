@@ -67,7 +67,8 @@ object ScaleProbe {
       "q64_tfidf_topterms" -> SparkEntry.queries("q64_tfidf_topterms"),
       "q65_stratified_sample" -> SparkEntry.queries("q65_stratified_sample"),
       "q67_winnowing" -> SparkEntry.queries("q67_winnowing"),
-      "q68_session_window" -> SparkEntry.queries("q68_session_window"))
+      "q68_session_window" -> SparkEntry.queries("q68_session_window"),
+      "q69_winnowed_pairs" -> SparkEntry.queries("q69_winnowed_pairs"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
