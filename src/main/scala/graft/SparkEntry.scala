@@ -555,17 +555,17 @@ object SparkEntry {
 
     "q68_session_window" ->
       """WITH t AS (
-        |  SELECT user_id, EPOCH_US(ts) AS ts_us,
+        |  SELECT user_id, EPOCH_US(ts) AS ts_us, event_id,
         |    LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events),
         |m AS (
-        |  SELECT user_id, ts_us,
+        |  SELECT user_id, ts_us, event_id,
         |    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
         |      THEN 1 ELSE 0 END AS is_new
         |  FROM t),
         |s AS (
         |  SELECT user_id, ts_us,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM m)
         |SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events

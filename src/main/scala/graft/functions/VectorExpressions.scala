@@ -115,6 +115,10 @@ object VectorExpressions {
     * replays. */
   case class Quant8F(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = StringType
+    // degenerate vectors (norm 0 / non-finite quotient) quantize to null —
+    // same degradation the transform() HOF formulation had — so the
+    // expression is nullable even over non-null inputs
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       checkFloatArray(left.dataType, "quant8_f") match {
         case TypeCheckResult.TypeCheckSuccess if right.dataType != DoubleType =>
@@ -128,7 +132,9 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.VectorQuant.quantize($a, $b);")
+        s"""${ev.value} = graft.functions.VectorQuant.quantize($a, $b);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Quant8F =
       copy(left = l, right = r)
@@ -147,14 +153,22 @@ object VectorExpressions {
 /** Static helper shared by Quant8F's interpreted eval and generated code
   * (top-level object → Java static forwarder, callable from codegen). */
 object VectorQuant {
+  /** Returns null for degenerate inputs (norm 0 or non-finite, or a
+    * non-finite component quotient): BigDecimal.valueOf(NaN) would throw
+    * and fail the whole job at runtime, and an all-zero embedding has no
+    * meaningful int8 quantization — null is the "can't quantize" signal. */
   def quantize(arr: ArrayData, norm: Double): org.apache.spark.unsafe.types.UTF8String = {
+    if (norm == 0.0 || java.lang.Double.isNaN(norm) || java.lang.Double.isInfinite(norm))
+      return null
     val sb = new java.lang.StringBuilder
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(',')
+      val q = arr.getFloat(i).toDouble * 127.0 / norm
+      if (java.lang.Double.isNaN(q) || java.lang.Double.isInfinite(q)) return null
       sb.append(java.math.BigDecimal
-        .valueOf(arr.getFloat(i).toDouble * 127.0 / norm)
+        .valueOf(q)
         .setScale(0, java.math.RoundingMode.HALF_UP).intValue())
       i += 1
     }

@@ -47,18 +47,42 @@ object BloomJoin {
   def semiJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
-    val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    // Hash agreement between build and probe is a CORRECTNESS precondition:
+    // stat.bloomFilter hashes a long column with putLong, which is what the
+    // probe-side BloomFilterMightContain (mightContainLong) replays — but a
+    // string column is inserted as raw UTF8 bytes, which mightContainLong
+    // can never match, yielding silent bloom false NEGATIVES the exact join
+    // cannot recover. Integral keys use the native long path; any other
+    // type is routed through xxhash64 on BOTH sides (hash collisions are
+    // bloom false positives, removed by the exact semi-join). Differing
+    // key types fail at plan time rather than corrupt results.
+    import org.apache.spark.sql.types._
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val pt = probe.schema(probeKey).dataType
+    val bt = build.schema(buildKey).dataType
+    val (buildCol, probeCol) =
+      if (integral(pt) && integral(bt))
+        (col(buildKey).cast("long"), col(probeKey).cast("long"))
+      else {
+        require(pt == bt,
+          s"bloom semi-join keys must be both integral or the same type, " +
+            s"got probe=${pt.simpleString} build=${bt.simpleString}")
+        (xxhash64(col(buildKey)), xxhash64(col(probeKey)))
+      }
+    val bf = build.stat.bloomFilter(buildCol, expectedItems, fpp)
     val bytes = {
       val bos = new ByteArrayOutputStream()
       bf.writeTo(bos)
       bos.toByteArray
     }
-    // both sides hash raw longs (putLong / mightContainLong), so the value
-    // expression is the bare key column, cast to the expression's required
-    // bigint input type
+    // both sides hash raw longs (putLong / mightContainLong); probeCol is
+    // the same long-valued expression the build side was inserted with
     val mightContain = Bridge.column(BloomFilterMightContain(
       Literal(bytes, BinaryType),
-      Bridge.expression(col(probeKey).cast("long"))))
+      Bridge.expression(probeCol)))
     probe.filter(mightContain)
       .join(build, probe(probeKey) === build(buildKey), "left_semi")
   }

@@ -181,10 +181,25 @@ object Dedup {
     //    (uncapped single-fp candidates: ~9.5 s; this plan: ~2 s).
     // True near-dups share many rare runs, so recall survives both: the
     // oracle gate stays hash-exact (recall 1.0) at sf0.001/0.01/0.1.
-    val fp = winnowedHashes(docs, w, idCol)
+    //
+    // Over-cap fingerprints are NOT discarded: a df cap alone blinds the
+    // operator to exactly the content dedup exists to catch — the same
+    // text duplicated across MORE than maxDocFreq docs puts every one of
+    // its fingerprints over the cap, zeroing its candidates. Those groups
+    // instead take a linear STAR path: each member is paired with the
+    // group's minimum id (df−1 pairs per group, never df²), exact
+    // verification keeps the true dups, and transitive closure (q62's
+    // connected components) recovers the full cluster through the star
+    // center. Popular-but-unrelated fingerprints (a common phrase) cost
+    // one cheap verification per member and verify away.
+    val allFp = winnowedHashes(docs, w, idCol)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
+    val fp = allFp.filter(col("df") <= maxDocFreq).drop("df")
+    val starPairs = allFp.filter(col("df") > maxDocFreq)
+      .withColumn("m", min(col("id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("id") =!= col("m"))
+      .select(col("m").as("a_id"), col("id").as("b_id"))
+      .distinct()
     // shuffle_hash: same exchange-reuse rationale as minhashLsh
     val fpJ = fp.hint("shuffle_hash")
     val candidates = fpJ.as("x").join(fpJ.as("y"),
@@ -193,7 +208,7 @@ object Dedup {
       .agg(count(lit(1)).as("nshared"))
       .filter(col("nshared") >= minShared)
       .select(col("a_id"), col("b_id"))
-    verifyCandidates(docs, candidates, threshold, idCol)
+    verifyCandidates(docs, candidates.union(starPairs).distinct(), threshold, idCol)
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc via the typed

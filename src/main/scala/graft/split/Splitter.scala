@@ -151,13 +151,21 @@ final class Splitter(spark: SparkSession, keyCol: String = "item_id",
         // the ordered-mode concatenation contract exactly in the huge-date
         // regime; same for our own emitted "-NNNNN" numbering below.
         val partId = "part-(\\d+)".r
+        // the c-counter (a task's maxRecordsPerFile split index) sits right
+        // before the extension: "…-c000.snappy.parquet". Anchor on the
+        // trailing dot so a uuid segment that happens to start with 'c' can
+        // never match.
+        val cId = "-c(\\d+)\\.".r
         val parts = fs.listStatus(st.getPath).toSeq
           .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-          .sortBy { f => // (numeric task id, name) — name breaks ties among
-            // a task's own maxRecordsPerFile splits (…-c000, …-c001)
+          .sortBy { f => // (numeric task id, numeric c-counter, name): both
+            // ids are NUMERIC — lexicographic order misorders either counter
+            // once it widens past its zero-padding (…-c999 → …-c1000)
             val nm = f.getPath.getName
             (partId.findFirstMatchIn(nm).map(_.group(1).toLong)
-              .getOrElse(Long.MaxValue), nm)
+              .getOrElse(Long.MaxValue),
+              cId.findFirstMatchIn(nm).map(_.group(1).toLong).getOrElse(0L),
+              nm)
           }
         if (parityLayout) require(parts.size == 1,
           s"expected exactly one part file for key $key, got ${parts.size}")

@@ -88,6 +88,21 @@ class PropertySpec extends SparkSpec {
       "native quantization must be bit-identical to the HOF formulation")
   }
 
+  test("Quant8F quantizes degenerate vectors (zero norm) to null, not a crash") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Array(0f, 0f, 0f)),        // all-zero → norm 0 → null
+      (2L, Array(3f, 4f))             // healthy → "76,102" (127·3/5, 127·4/5)
+    ).toDF("vec_id", "embedding")
+      .withColumn("nrm", graft.functions.VectorExpressions.normF(col("embedding")))
+      .withColumn("q8", graft.functions.VectorExpressions
+        .quant8F(col("embedding"), col("nrm")))
+    val rows = d.select("vec_id", "q8").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(1L) == null, "zero-norm vector must quantize to null")
+    assert(rows(2L) == "76,102")
+  }
+
   test("hash-mod sampling is invariant to partitioning (content-addressed)") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(30, Gen.asciiPrintableStr)) { (ss: List[String]) =>

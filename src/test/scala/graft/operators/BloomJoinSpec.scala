@@ -36,6 +36,28 @@ class BloomJoinSpec extends SparkSpec {
     assert(kept < total * 0.4, s"bloom kept $kept of $total probe rows")
   }
 
+  test("string keys route through xxhash64 and equal the plain semi-join") {
+    // regression: the long-only path inserted UTF8 bytes on the build side
+    // but probed with mightContainLong → silent false negatives on strings
+    val nation = Tables.load(spark, sf, "nation")
+    // key on a STRING column: nation name joined against a derived build set
+    val build = nation.select(col("n_name").as("k")).limit(5)
+    val probe = nation.select(col("n_name"), col("n_nationkey"))
+    val bloomed = BloomJoin.semiJoin(probe, build, "n_name", "k",
+      expectedItems = 100L, fpp = 0.03)
+    val plain = probe.join(build, probe("n_name") === build("k"), "left_semi")
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty,
+      "string-keyed bloom semi-join must be bit-identical to the plain semi-join")
+  }
+
+  test("mismatched non-integral key types fail at plan time, not silently") {
+    val nation = Tables.load(spark, sf, "nation")
+    val build = nation.select(col("n_nationkey").cast("string").as("k"))
+    intercept[IllegalArgumentException] {
+      BloomJoin.semiJoin(nation, build, "n_nationkey", "k", 100L, 0.03)
+    }
+  }
+
   test("false positives are removed: bloom result never exceeds exact matches") {
     // tiny filter (high fpp) to force false positives through the bloom
     val bloomed = BloomJoin.semiJoin(lineitem, urgent, "l_orderkey", "o_orderkey",

@@ -93,6 +93,24 @@ class DedupSpec extends SparkSpec {
       "no token overlap should mean no shared fingerprints")
   }
 
+  test("over-cap duplicate clusters survive the df cap via the star path") {
+    import spark.implicits._
+    // one text duplicated across 12 docs with a cap of 5: every fingerprint
+    // of the cluster has df=12 > 5, so the capped candidate path alone sees
+    // NOTHING — the star path must pair each member with the cluster min
+    val dup = "the exact same long document text repeated verbatim across " +
+      "many different ingestion dates with identical token content"
+    val d = ((1L to 12L).map(i => (i, dup)) ++
+      Seq((100L, "an unrelated singleton document with its own words here")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowedJaccard(d, 0.5, maxDocFreq = 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert((2L to 12L).forall(i => pairs.contains((1L, i))),
+      s"star path must pair every cluster member with the min id; got $pairs")
+    assert(pairs.forall { case (a, b) => a <= 12 && b <= 12 },
+      "the singleton must not appear in any pair")
+  }
+
   test("winnowing density: fingerprints are a ~1/w subset of the doc's shingle hashes") {
     val fp = Dedup.winnowedHashes(docs, 4)
     val perDoc = fp.groupBy("id").agg(count(lit(1)).as("n_fp"))
