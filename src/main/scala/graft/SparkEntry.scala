@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventsQueries, Relational, Relational2, SplitQueries, TextQueries}
+import graft.queries.{EventsQueries, Quality, Relational, Relational2, SplitQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,6 +88,12 @@ object SparkEntry {
     "q69_winnowed_pairs"  -> (TextQueries.q69WinnowedPairs _),
     "q50_split_manifest"  -> (SplitQueries.q50SplitManifest _),
     "q51_ledger_antijoin" -> (SplitQueries.q51LedgerAntiJoin _),
+    "q70_heavy_hitters"   -> (Quality.q70HeavyHitters _),
+    "q71_histogram"       -> (Quality.q71Histogram _),
+    "q72_repetition"      -> (Quality.q72Repetition _),
+    "q73_pii_redact"      -> (Quality.q73PiiRedact _),
+    "q74_bm25"            -> (Quality.q74Bm25 _),
+    "q75_trigram_lm"      -> (Quality.q75TrigramLm _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -934,5 +940,114 @@ object SparkEntry {
         |EXCEPT
         |SELECT CAST(o_orderdate AS DATE) AS d FROM orders
         |ORDER BY d""".stripMargin,
+
+    // q70: the sketch content is merge-order-dependent; the gate covers the
+    // EXACT top-10 (SQL-replayable) plus the Space-Saving invariant as a
+    // boolean that must be true (q32/q47 convention).
+    "q70_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tok AS (SELECT term FROM toks WHERE len(term) > 0),
+        |cnt AS (SELECT term, COUNT(*) AS n_term FROM tok GROUP BY 1)
+        |SELECT term, n_term, true AS guarantee_ok
+        |FROM cnt ORDER BY n_term DESC, term LIMIT 10""".stripMargin,
+
+    "q71_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 0.0) / 5000.0),
+        |      0.0), 23.0) AS BIGINT) AS bucket,
+        |    l_extendedprice AS v
+        |  FROM lineitem)
+        |SELECT bucket,
+        |  ROUND(0.0 + bucket * 5000.0, 6) AS bucket_lo,
+        |  ROUND(0.0 + (bucket + 1) * 5000.0, 6) AS bucket_hi,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q72_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(l) AS w FROM t),
+        |n AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |mw AS (SELECT doc_id, MAX(c) AS max_w FROM wc GROUP BY 1),
+        |bgs AS (
+        |  SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+        |  FROM t, UNNEST(generate_series(1, len(l) - 1)) AS u(i)
+        |  WHERE len(l) >= 2),
+        |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+        |mb AS (SELECT doc_id, MAX(c) AS max_bg FROM bc GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens,
+        |  ROUND(CAST(max_w AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+        |  ROUND(CAST(max_bg AS DOUBLE) / (n_tokens - 1), 6) AS top_bigram_frac,
+        |  ROUND(CAST(max_bg AS DOUBLE) / (n_tokens - 1), 6) > 0.2 AS repetitive
+        |FROM n JOIN mw USING (doc_id) JOIN mb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q73: the corpus has no PII, so the query appends a deterministic
+    // contact line (from existing columns) before scrubbing; the oracle
+    // replays augmentation + redaction byte-for-byte. DuckDB regexp_replace
+    // needs the explicit 'g' flag (Spark replaces all matches by default).
+    "q73_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact ' || source || '@example.com or 555-867-5309' AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // q74: BM25 partials rounded to 6 then summed through DECIMAL (exact,
+    // order-independent) — the arithmetic shape mirrors the Spark plan
+    // token for token so doubles agree bit-exactly.
+    "q74_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('data', 'query') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |part AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |        * (tf * (1.2 + 1.0))
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus)
+        |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score, COUNT(*) AS n_hit_terms
+        |FROM part GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // q75: corpus-trained char-trigram LM; per-occurrence ln rounded to 6,
+    // decimal-summed (exact), emitted as double.
+    "q75_trigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(trim(text)) AS t FROM documents
+        |  WHERE length(trim(text)) >= 3),
+        |tri AS (
+        |  SELECT doc_id, substr(t, i, 3) AS tri
+        |  FROM t, UNNEST(generate_series(1, length(t) - 2)) AS u(i)),
+        |m3 AS (SELECT tri, COUNT(*) AS n3 FROM tri GROUP BY 1),
+        |m2 AS (SELECT substr(tri, 1, 2) AS pre, CAST(SUM(n3) AS BIGINT) AS n2
+        |  FROM m3 GROUP BY 1),
+        |lnp AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(ln(CAST(n3 AS DOUBLE) / n2), 6) AS DECIMAL(18,6)) AS lnp
+        |  FROM tri JOIN m3 USING (tri) JOIN m2 ON substr(tri.tri, 1, 2) = m2.pre)
+        |SELECT doc_id, COUNT(*) AS n_trigrams, CAST(SUM(lnp) AS DOUBLE) AS sum_lnp,
+        |  ROUND(CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS avg_lnp
+        |FROM lnp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over a document corpus — BM25 (Robertson &
+  * Zaragoza, "The Probabilistic Relevance Framework: BM25 and Beyond",
+  * FnTIR'09), the default lexical scoring function of every production
+  * search stack (Lucene/Elasticsearch) and the standard sparse half of
+  * hybrid LLM retrieval pipelines.
+  *
+  * Scale shape: tf and df are key-partitioned hash aggregates over the
+  * token stream; the per-(doc, term) score joins tf against a BROADCAST
+  * term-stats table (|query terms| rows) and a broadcast 1-row corpus
+  * aggregate — so the only data-sized shuffles are the two aggregations,
+  * both with map-side combine. No corpus-wide inverted index is
+  * materialized for ad-hoc queries; a serving deployment would persist
+  * `tf` bucketed by term and reuse it across queries.
+  */
+object Search {
+
+  /** BM25 top-k: (doc_id, score, n_hit_terms) for documents matching ≥ 1
+    * query term, ranked by (score desc, doc_id).
+    *
+    * Determinism contract (oracle-replayable): per-(doc, term) partial
+    * scores are rounded to 6 decimals and summed through DECIMAL — decimal
+    * addition is exact and order-independent, unlike double addition, so
+    * the total is bit-stable under any partitioning — then emitted as
+    * double. idf is the standard smoothed ln(1 + (N−df+0.5)/(df+0.5)). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    // per-doc length and corpus stats (1 row, broadcast)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // tf for query terms only — the filter prunes the token stream BEFORE
+    // the aggregation, so the tf shuffle carries query-matching rows only
+    val tf = toks.filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val partial = round(
+      idf * (col("tf") * (lit(k1) + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+      6)
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), partial.cast("decimal(18,6)").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).cast("double").as("score"),
+        count(lit(1)).as("n_hit_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

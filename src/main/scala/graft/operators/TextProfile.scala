@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality profiling beyond per-row scalar features (those live in
+  * functions.TextFunctions): repetition metrics, an in-corpus character
+  * n-gram language model, and PII redaction — the document-level filters a
+  * training-data pipeline applies between ingestion and tokenization.
+  */
+object TextProfile {
+
+  /** Gopher-style repetition metrics (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446, §A1.1): the fraction of a document covered by its
+    * most-frequent word and most-frequent word 2-gram. Heavily repeated
+    * content (boilerplate, keyword stuffing, generation loops) shows up as
+    * a high top-fraction long before exact dedup can catch it.
+    *
+    * Output: (doc_id, n_tokens, top_word_frac, top_bigram_frac,
+    * repetitive) with fractions rounded to 6. One shuffle on doc_id (the
+    * bigram window + the three per-doc aggregates all share it).
+    *
+    * `repetitive` flags top_bigram_frac > threshold — Gopher's published
+    * cut for duplicate 2-grams is 0.20; it is a parameter here. */
+  def repetitionMetrics(docs: DataFrame, threshold: Double = 0.2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = toks
+      .withColumn("nxt", lead(col("w"), 1).over(wOrd))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("nxt")).as("bg"))
+    val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val topW = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_w"))
+    val topB = big.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_bg"))
+    n.join(topW, "doc_id").join(topB, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("max_w").cast("double") / col("n_tokens"), 6).as("top_word_frac"),
+        round(col("max_bg").cast("double") / (col("n_tokens") - 1), 6).as("top_bigram_frac"))
+      .withColumn("repetitive", col("top_bigram_frac") > threshold)
+  }
+
+  /** In-corpus character-trigram language-model score — the KenLM-style
+    * fluency filter (Wenzek et al., "CCNet: Extracting High Quality
+    * Monolingual Datasets from Web Crawl Data", LREC'20) with the model
+    * TRAINED ON THE CORPUS ITSELF in the same job: two aggregations build
+    * the trigram model (count(tri) and its 2-char-prefix marginal), then
+    * every trigram occurrence scores ln P(c₃|c₁c₂) = ln(c3/c2) and docs
+    * aggregate (n_trigrams, total log-prob). Outlier documents (wrong
+    * language, binary junk, unnatural character stats) sit far below the
+    * corpus's per-trigram average.
+    *
+    * Scale shape: the trigram stream is scan-local (sequence+transform,
+    * one row per char position); the model tables are bounded by
+    * |charset|³ distinct trigrams — broadcast-sized for any real corpus —
+    * so scoring is a broadcast join, and the only data-sized shuffles are
+    * the model aggregation and the per-doc rollup.
+    *
+    * Determinism contract: per-occurrence ln rounded to 6, summed through
+    * DECIMAL (exact, order-independent), emitted as double. */
+  def trigramLmScore(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tri = docs
+      .select(col(idCol).as("doc_id"), lower(trim(col(textCol))).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
+    val c3 = tri.groupBy("tri").agg(count(lit(1)).as("c3"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("pre"))
+      .agg(sum(col("c3")).as("c2"))
+    val lnp = round(log(col("c3").cast("double") / col("c2")), 6)
+    tri.join(broadcast(c3), "tri")
+      .join(broadcast(c2.withColumnRenamed("pre", "p2")),
+        substring(col("tri"), 1, 2) === col("p2"))
+      .select(col("doc_id"), lnp.cast("decimal(18,6)").as("lnp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("lnp")).cast("double").as("sum_lnp"))
+      .select(col("doc_id"), col("n_trigrams"),
+        col("sum_lnp"),
+        round(col("sum_lnp") / col("n_trigrams"), 6).as("avg_lnp"))
+  }
+
+  // Conservative, RE2-and-Java-compatible patterns (no lookarounds, no
+  // backrefs) so the exact same regex runs in Spark and in the DuckDB
+  // oracle. \b is supported by both.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrubbing: count and redact email addresses and NNN-NNN-NNNN
+    * phone numbers. Purely scan-local (regex per row, no shuffle) — the
+    * shape that matters, since redaction runs over EVERY byte of a 100 TB
+    * corpus and must stay inside the scan stage. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(EmailRe)), regexp_count(text, lit(PhoneRe)))
+}

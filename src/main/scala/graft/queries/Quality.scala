@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.HeavyHitters
+import graft.operators.{Search, Stats, TextProfile}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 query registrations: frequency sketches, distribution
+  * profiling, corpus-quality filters, lexical search — the
+  * profile-and-filter layer of a training-data pipeline.
+  */
+object Quality {
+
+  /** Space-Saving heavy hitters over the document token stream, gated the
+    * sketch way (q32/q47 convention): output = exact top-10 terms (fully
+    * SQL-replayable) plus `guarantee_ok`, the deterministic Space-Saving
+    * invariant — a retained item overcounts by at most n/k, an absent item
+    * has true count ≤ n/k. The raw sketch content is merge-order-dependent
+    * and is spec-tested instead (HeavyHittersSpec). */
+  def q70HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val sketch = toks.agg(
+      HeavyHitters.heavyHitters(col("term"), k).as("hh"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("n_term"))
+      .orderBy(col("n_term").desc, col("term")).limit(10)
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est", try_element_at(col("hh"), col("term")))
+      .select(col("term"), col("n_term"),
+        when(col("est").isNotNull,
+          col("est") >= col("n_term") &&
+            (col("est") - col("n_term")).cast("double") <=
+              col("n_total").cast("double") / k)
+          .otherwise(col("n_term").cast("double") <=
+            col("n_total").cast("double") / k)
+          .as("guarantee_ok"))
+      .orderBy(col("n_term").desc, col("term"))
+  }
+
+  /** Equi-width histogram of lineitem extended price (24 × 5000-wide
+    * buckets over [0, 120000), open tails clamped). */
+  def q71Histogram(s: SparkSession, dir: String): DataFrame =
+    Stats.equiWidthHistogram(Tables.load(s, dir, "lineitem"),
+        col("l_extendedprice"), 0.0, 120000.0, 24)
+      .orderBy(col("bucket"))
+
+  /** Gopher-style repetition metrics per document. */
+  def q72Repetition(s: SparkSession, dir: String): DataFrame =
+    TextProfile.repetitionMetrics(Tables.load(s, dir, "documents"), 0.2)
+      .orderBy(col("doc_id"))
+
+  /** PII redaction. The raw corpus contains no PII, so the query insures
+    * the gate actually exercises the patterns by appending a
+    * deterministic contact line (derived from existing columns) to every
+    * document before scrubbing — the oracle replays the augmentation and
+    * the redaction byte-for-byte. */
+  def q73PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"), lit(" contact "), col("source"),
+      lit("@example.com or 555-867-5309"))
+    val (emails, phones) = TextProfile.piiCounts(aug)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        emails.cast("bigint").as("n_emails"),
+        phones.cast("bigint").as("n_phones"),
+        TextProfile.piiRedact(aug).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 ranked retrieval for a two-term keyword query. Two terms keep
+    * the per-doc score a single commutative double add (order-proof) on
+    * top of the decimal-summed partials. */
+  def q74Bm25(s: SparkSession, dir: String): DataFrame =
+    Search.bm25(Tables.load(s, dir, "documents"), Seq("data", "query"), 10)
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** Corpus-trained character-trigram LM score per document. */
+  def q75TrigramLm(s: SparkSession, dir: String): DataFrame =
+    TextProfile.trigramLmScore(Tables.load(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+}
