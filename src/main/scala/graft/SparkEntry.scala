@@ -94,6 +94,9 @@ object SparkEntry {
     "q73_pii_redact"      -> (Quality.q73PiiRedact _),
     "q74_bm25"            -> (Quality.q74Bm25 _),
     "q75_trigram_lm"      -> (Quality.q75TrigramLm _),
+    "q76_label_centroids" -> (Quality.q76LabelCentroids _),
+    "q77_token_entropy"   -> (Quality.q77TokenEntropy _),
+    "q78_gap_fill"        -> (EventsQueries.q78GapFill _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1049,5 +1052,56 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_trigrams, CAST(SUM(lnp) AS DOUBLE) AS sum_lnp,
         |  ROUND(CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS avg_lnp
         |FROM lnp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q76: DuckDB has no posexplode — 1-based generate_series over the list
+    // length, dim = i - 1. Float components go through DOUBLE → DECIMAL
+    // (exact binary fractions can never tie at the decimal cut, so both
+    // engines round identically).
+    "q76_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10)) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i))
+        |SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_x
+        |FROM x GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+
+    "q77_token_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tok AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
+        |tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |n AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+        |h AS (
+        |  SELECT tc.doc_id, n.n_tokens,
+        |    CAST(ROUND(-(CAST(c AS DOUBLE) / n_tokens)
+        |      * ln(CAST(c AS DOUBLE) / n_tokens), 6) AS DECIMAL(18,6)) AS h
+        |  FROM tc JOIN n USING (doc_id))
+        |SELECT doc_id, MAX(n_tokens) AS n_tokens, COUNT(*) AS n_distinct,
+        |  CAST(SUM(h) AS DOUBLE) AS entropy
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q78: the date spine is generate_series(lo, hi, 1 day) per user;
+    // LOCF = LAST_VALUE IGNORE NULLS over the densified frame.
+    "q78_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, CAST(s AS DATE) AS d
+        |  FROM span, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(s))
+        |SELECT spine.user_id, strftime(spine.d, '%Y-%m-%d') AS day,
+        |  COALESCE(daily.n, 0) AS n_events,
+        |  daily.n IS NULL AS filled,
+        |  LAST_VALUE(daily.sum_v IGNORE NULLS) OVER (
+        |    PARTITION BY spine.user_id ORDER BY spine.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_v
+        |FROM spine LEFT JOIN daily
+        |  ON spine.user_id = daily.user_id AND spine.d = daily.d
+        |ORDER BY spine.user_id, day""".stripMargin,
   )
 }

@@ -107,4 +107,32 @@ object EventsQueries {
               col("value").as("purchase_value"), col("last_click_value"))
       .orderBy(col("event_id"))
   }
+
+  /** Time-series resample + gap-fill: daily per-user activity densified
+    * over each user's own [first, last] day span (a generated date spine,
+    * exploded per user — no driver-side calendar), missing days zero-
+    * filled and the daily value total carried forward (LOCF). The spine
+    * explode and the left join both key on user_id, so the whole plan
+    * re-uses one partitioning; at 100 TB the spine side is |users|·|days|
+    * rows — tiny next to the event stream it fills. */
+  def q78GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("value"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    val locf = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("n").isNull.as("filled"),
+        last(col("sum_v"), ignoreNulls = true).over(locf).as("locf_sum_v"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

@@ -81,4 +81,44 @@ object Quality {
   def q75TrigramLm(s: SparkSession, dir: String): DataFrame =
     TextProfile.trigramLmScore(Tables.load(s, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  /** Per-label embedding centroids — the distributed vector aggregation
+    * behind semantic clustering / class prototypes: posexplode to
+    * (label, dim, x) rows, one hash-aggregate on (label, dim), means
+    * summed through DECIMAL for partition-order independence. Exact ties
+    * at the decimal cut are impossible for binary-fraction (float)
+    * inputs, so Spark and DuckDB round identically. The row form (not an
+    * array rebuild) IS the scale shape: 100 TB of vectors aggregate with
+    * map-side combine and never collect a dimension axis anywhere. */
+  def q76LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("double").cast("decimal(28,10)")).cast("double").as("sum_x"))
+      .select(col("label"), col("dim").cast("bigint").as("dim"), col("n"),
+        round(col("sum_x") / col("n"), 6).as("mean_x"))
+      .orderBy(col("label"), col("dim"))
+
+  /** Shannon token entropy per document — the vocabulary-diversity quality
+    * signal (low entropy = repetitive/templated text, complements q72's
+    * repetition fractions). Per-term contributions −p·ln p rounded then
+    * decimal-summed (exact, order-independent). */
+  def q77TokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val p = col("c").cast("double") / col("n_tokens")
+    tc.join(n, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(-p * log(p), 6).cast("decimal(18,6)").as("h"))
+      .groupBy("doc_id")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("h")).cast("double").as("entropy"))
+      .orderBy(col("doc_id"))
+  }
 }
