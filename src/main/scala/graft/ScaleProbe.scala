@@ -68,7 +68,14 @@ object ScaleProbe {
       "q65_stratified_sample" -> SparkEntry.queries("q65_stratified_sample"),
       "q67_winnowing" -> SparkEntry.queries("q67_winnowing"),
       "q68_session_window" -> SparkEntry.queries("q68_session_window"),
-      "q69_winnowed_pairs" -> SparkEntry.queries("q69_winnowed_pairs"))
+      "q69_winnowed_pairs" -> SparkEntry.queries("q69_winnowed_pairs"),
+      "q70_heavy_hitters" -> SparkEntry.queries("q70_heavy_hitters"),
+      "q72_repetition" -> SparkEntry.queries("q72_repetition"),
+      "q74_bm25" -> SparkEntry.queries("q74_bm25"),
+      "q75_trigram_lm" -> SparkEntry.queries("q75_trigram_lm"),
+      "q76_label_centroids" -> SparkEntry.queries("q76_label_centroids"),
+      "q77_token_entropy" -> SparkEntry.queries("q77_token_entropy"),
+      "q78_gap_fill" -> SparkEntry.queries("q78_gap_fill"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

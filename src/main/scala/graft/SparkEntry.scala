@@ -97,6 +97,8 @@ object SparkEntry {
     "q76_label_centroids" -> (Quality.q76LabelCentroids _),
     "q77_token_entropy"   -> (Quality.q77TokenEntropy _),
     "q78_gap_fill"        -> (EventsQueries.q78GapFill _),
+    "q79_weighted_sample" -> (Quality.q79WeightedSample _),
+    "q80_mad_outliers"    -> (Quality.q80MadOutliers _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1103,5 +1105,35 @@ object SparkEntry {
         |FROM spine LEFT JOIN daily
         |  ON spine.user_id = daily.user_id AND spine.d = daily.d
         |ORDER BY spine.user_id, day""".stripMargin,
+
+    // q79: A-ES weighted sampling — the uniform is the content FNV hash's
+    // top 53 bits (replayed via fnvSql; `// 2048` == unsigned >> 11), so
+    // selection is a pure function of the data.
+    "q79_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(((fnv // 2048) + 1) AS DOUBLE) / 9007199254740992.0 AS u
+         |  FROM (SELECT doc_id, n_chars, ${fnvSql("text")} AS fnv
+         |        FROM documents WHERE n_chars > 0))
+         |SELECT doc_id, n_chars, ROUND(ln(u) / n_chars, 6) AS skey
+         |FROM h ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q80_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n,
+        |  ROUND(MIN(d.med), 6) AS median,
+        |  ROUND(MIN(m.mad), 6) AS mad_r,
+        |  CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
   )
 }

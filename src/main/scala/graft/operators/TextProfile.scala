@@ -66,11 +66,11 @@ object TextProfile {
     * DECIMAL (exact, order-independent), emitted as double. */
   def trigramLmScore(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tri = docs
-      .select(col(idCol).as("doc_id"), lower(trim(col(textCol))).as("t"))
-      .filter(length(col("t")) >= 3)
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
+    // native generator: one row per char trigram straight off the scan —
+    // the transform(sequence(...)) HOF it replaces is interpreted AND
+    // allocates a document-length array per row before exploding
+    val tri = docs.select(col(idCol).as("doc_id"),
+      graft.functions.CharNgramRows.charNgramRows(col(textCol), 3).as("tri"))
     val c3 = tri.groupBy("tri").agg(count(lit(1)).as("c3"))
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("pre"))
       .agg(sum(col("c3")).as("c2"))

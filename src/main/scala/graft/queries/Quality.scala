@@ -100,6 +100,52 @@ object Quality {
         round(col("sum_x") / col("n"), 6).as("mean_x"))
       .orderBy(col("label"), col("dim"))
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL'06 — the
+    * A-ES scheme): each item draws u ∈ (0,1] and the top-k by u^(1/w)
+    * win, giving inclusion probability ∝ weight. The uniform comes from
+    * the CONTENT hash (FNV-1a, replayed by the oracle), not a seeded RNG,
+    * so the sample is a pure function of the data — stable across runs,
+    * engines, partitionings, and cluster sizes, the property q56's
+    * unweighted hash-mod gate established. Ranking key = ln(u)/w
+    * (monotone in u^(1/w), no pow needed); weight = document length, so
+    * longer docs are proportionally likelier — the byte-budgeted corpus
+    * subsampling shape. Top-k via TakeOrdered: no global sort at scale. */
+  def q79WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (shiftrightunsigned(graft.functions.Fnv64.fnv64(col("text")), 11) + 1)
+      .cast("double") / lit(9007199254740992.0) // 2^53
+    Tables.load(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars")).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars"), round(col("key"), 6).as("skey"))
+  }
+
+  /** Robust outlier detection per event type: median + MAD (median
+    * absolute deviation), flagging |x − median| > 3·1.4826·MAD — the
+    * classical robust z-score. Exact percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont`, same interpolation); two key-partitioned
+    * aggregation passes + broadcast joins of the tiny per-type stats. */
+  def q80MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("median"),
+        round(min(col("mad")), 6).as("mad_r"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Shannon token entropy per document — the vocabulary-diversity quality
     * signal (low entropy = repetitive/templated text, complements q72's
     * repetition fractions). Per-term contributions −p·ln p rounded then

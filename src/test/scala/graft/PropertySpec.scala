@@ -88,6 +88,22 @@ class PropertySpec extends SparkSpec {
       "native quantization must be bit-identical to the HOF formulation")
   }
 
+  test("CharNgramRows equals the transform(sequence) HOF formulation") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(20, Gen.asciiPrintableStr)) { (ss: List[String]) =>
+      val df = ss.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val viaGen = df.select(col("id"),
+          graft.functions.CharNgramRows.charNgramRows(col("text"), 3).as("tri"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val viaHof = df.select(col("id"), lower(trim(col("text"))).as("t"))
+        .filter(length(col("t")) >= 3)
+        .select(col("id"), explode(
+          expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      viaGen == viaHof
+    }, n = 15)
+  }
+
   test("Quant8F quantizes degenerate vectors (zero norm) to null, not a crash") {
     import spark.implicits._
     val d = Seq(
