@@ -99,6 +99,7 @@ object SparkEntry {
     "q78_gap_fill"        -> (EventsQueries.q78GapFill _),
     "q79_weighted_sample" -> (Quality.q79WeightedSample _),
     "q80_mad_outliers"    -> (Quality.q80MadOutliers _),
+    "q81_pagerank"        -> (TextQueries.q81PageRank _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -148,6 +149,42 @@ object SparkEntry {
       |  l.id = l.component AS is_canonical
       |FROM lab l JOIN siz s USING (component)
       |ORDER BY doc_id""".stripMargin
+
+  /** q81: PageRank over the same near-dup edges as q62, 5 power iterations
+    * UNROLLED as chained CTEs — a fixed iteration count makes the result a
+    * closed-form function of the edge list, so the oracle replays the whole
+    * iteration arithmetic. Doubles are forced explicitly (DuckDB decimal
+    * literals would otherwise run decimal arithmetic where Spark runs
+    * double); per-edge contributions round to 12 then decimal-sum, exactly
+    * like the Spark operator. */
+  private val pageRankSql: String = {
+    val iters = (1 to 5).map { t =>
+      val prev = if (t == 1) "pr0" else s"it${t - 1}"
+      s"""it$t AS (
+         |  SELECT e.dst AS id,
+         |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |      + CAST(0.85 AS DOUBLE) * CAST(SUM(
+         |        CAST(ROUND(p.pr / d.deg, 12) AS DECIMAL(28,12))) AS DOUBLE) AS pr
+         |  FROM edges e JOIN $prev p ON e.src = p.id
+         |    JOIN deg d ON e.src = d.src CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ngramPairCtes,
+       |pairsj AS (
+       |  SELECT a_id, b_id
+       |  FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairsj
+       |  UNION SELECT b_id, a_id FROM pairsj),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |pr0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / nn.n AS pr
+       |  FROM deg CROSS JOIN nn),
+       |$iters
+       |SELECT id AS doc_id, ROUND(pr, 9) AS pagerank
+       |FROM it5 ORDER BY doc_id""".stripMargin
+  }
 
   /** Full DuckDB replay of the q31 LSH ANN semantics — NOT the brute-force
     * result. The synthetic embeddings are near-random at NN granularity
@@ -563,6 +600,7 @@ object SparkEntry {
     "q22_minhash_lsh"   -> ngramJaccardSql,
     "q69_winnowed_pairs" -> ngramJaccardSql,
     "q62_dedup_components" -> dedupComponentsSql,
+    "q81_pagerank"      -> pageRankSql,
 
     "q68_session_window" ->
       """WITH t AS (

@@ -79,8 +79,10 @@ object Components {
 
   /** Unpersist the RDD behind a localCheckpoint'd DataFrame (Dataset
     * .unpersist only covers cache-manager entries; a local checkpoint's
-    * materialized RDD is reachable through the plan's LogicalRDD leaves). */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    * materialized RDD is reachable through the plan's LogicalRDD leaves).
+    * Shared by the iterative graph operators (label propagation here,
+    * power iteration in [[Graph]]). */
+  private[operators] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

@@ -77,6 +77,17 @@ object TextQueries {
         col("component_size"), col("is_canonical"))
       .orderBy(col("doc_id"))
 
+  /** PageRank centrality over the near-dup graph (same oracle-gated
+    * MinHash+LSH pairs as q62), 5 power iterations — within a dup cluster
+    * the top-rank doc is the most-connected variant (a canonical-pick
+    * criterion), and the unrolled-SQL oracle gates the whole iteration
+    * arithmetic, not just connectivity. */
+  def q81PageRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(
+        Dedup.minhashLsh(Tables.load(s, dir, "documents"), 0.5), 5)
+      .select(col("id").as("doc_id"), round(col("pr"), 9).as("pagerank"))
+      .orderBy(col("doc_id"))
+
   // ---- similarity search -------------------------------------------------
 
   /** Brute-force cosine top-3 for query vectors vec_id < 10 (oracle-checked). */

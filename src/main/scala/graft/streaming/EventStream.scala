@@ -66,6 +66,18 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Key-only streaming dedup: unlike [[dedupByKey]] (exact (key, ts)
+    * match), this drops a RE-DELIVERED event whose retry carries a
+    * different timestamp — the at-least-once-ingestion case — as long as
+    * the copies arrive within the watermark of each other. State stores
+    * only keys and expires on the watermark, so it stays bounded without
+    * requiring duplicate timestamps to be byte-identical. */
+  def dedupWithinWatermark(events: DataFrame,
+      keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(lastTsUs: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

@@ -40,6 +40,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want.count())
   }
 
+  test("key-only dedup within watermark drops retries with differing timestamps") {
+    import spark.implicits._
+    // simulate at-least-once delivery: write a doubled events file where
+    // the duplicate copy of each event is 1s late (different ts, same id)
+    val dir = s"/tmp/graft_test_dedup_ww_${ProcessHandle.current().pid()}"
+    val base = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val dup = base.withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+    // streaming source reads raw nanos with an explicit schema — write the
+    // union back with ts as raw int64 nanos to match readEvents's contract.
+    // The source globs a FILE named events.parquet, so stage the Spark
+    // write (a directory) and rename its single part file out.
+    base.unionAll(dup)
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_staging")
+    val part = new java.io.File(s"$dir/_staging").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    assert(part.renameTo(new java.io.File(s"$dir/events.parquet")))
+    val stream = EventStream.dedupWithinWatermark(
+      EventStream.readEvents(spark, dir)).select("event_id")
+    val got = EventStream.drainToTable(spark, stream, "dedup_ww_out", "append")
+    val want = base.select("event_id").distinct()
+    assert(got.count() == want.count(),
+      s"watermark dedup must collapse retried ids: got ${got.count()}, want ${want.count()}")
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     // two independent source streams over the same file (self-joins of one
     // stream instance are restricted; two readers are the documented shape)
