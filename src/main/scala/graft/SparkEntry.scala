@@ -100,6 +100,9 @@ object SparkEntry {
     "q79_weighted_sample" -> (Quality.q79WeightedSample _),
     "q80_mad_outliers"    -> (Quality.q80MadOutliers _),
     "q81_pagerank"        -> (TextQueries.q81PageRank _),
+    "q82_zorder"          -> (Relational2.q82Zorder _),
+    "q83_funnel"          -> (EventsQueries.q83Funnel _),
+    "q84_retention"       -> (EventsQueries.q84Retention _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -185,6 +188,29 @@ object SparkEntry {
        |SELECT id AS doc_id, ROUND(pr, 9) AS pagerank
        |FROM it5 ORDER BY doc_id""".stripMargin
   }
+
+  /** q82: the Morton bit-spread ladder as SQL — pure BIGINT shifts/masks,
+    * identical on both engines. */
+  private def spreadSql(v: String): String = {
+    val s0 = s"((($v) | (($v) << 8)) & 16711935)"
+    val s1 = s"(($s0 | ($s0 << 4)) & 252645135)"
+    val s2 = s"(($s1 | ($s1 << 2)) & 858993459)"
+    s"(($s2 | ($s2 << 1)) & 1431655765)"
+  }
+
+  private val zorderSql: String =
+    s"""WITH k AS (
+       |  SELECT l_partkey % 65536 AS xk, l_suppkey % 65536 AS yk FROM lineitem),
+       |z AS (
+       |  SELECT xk, yk,
+       |    (${spreadSql("xk")} | (${spreadSql("yk")} << 1)) AS z
+       |  FROM k),
+       |m AS (SELECT MAX(z) AS zmax FROM z)
+       |SELECT CAST(FLOOR(z * 64.0 / (zmax + 1)) AS BIGINT) AS zbucket,
+       |  COUNT(*) AS n,
+       |  MIN(xk) AS x_min, MAX(xk) AS x_max,
+       |  MIN(yk) AS y_min, MAX(yk) AS y_max
+       |FROM z CROSS JOIN m GROUP BY 1 ORDER BY zbucket""".stripMargin
 
   /** Full DuckDB replay of the q31 LSH ANN semantics — NOT the brute-force
     * result. The synthetic embeddings are near-random at NN granularity
@@ -1155,6 +1181,34 @@ object SparkEntry {
          |        FROM documents WHERE n_chars > 0))
          |SELECT doc_id, n_chars, ROUND(ln(u) / n_chars, 6) AS skey
          |FROM h ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q82_zorder" -> zorderSql,
+
+    "q83_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, EPOCH_US(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, MIN(ts_us) AS tv FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(ts_us) AS tc
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND ts_us > tv GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(ts_us) AS tp
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND ts_us > tc GROUP BY 1)
+        |SELECT '1_view' AS stage, COUNT(*) AS n FROM v
+        |UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "q84_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, MIN(d) AS cohort FROM act GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', cohort, d) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q80_mad_outliers" ->
       """WITH med AS (

@@ -108,6 +108,47 @@ object EventsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered funnel analysis: view → click → purchase, each stage's entry
+    * timestamp being the user's FIRST qualifying event strictly after the
+    * previous stage (min-aggregate per stage + broadcast join of the
+    * shrinking per-user stage table — never a window over the full
+    * stream). Emits stage populations, the classic conversion report. */
+  def q83Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("tv"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_us") > col("tv"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("tc"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_us") > col("tc"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("tp"))
+    v.agg(count(lit(1)).as("n")).select(lit("1_view").as("stage"), col("n"))
+      .unionAll(c.agg(count(lit(1)).as("n"))
+        .select(lit("2_click_after_view").as("stage"), col("n")))
+      .unionAll(p.agg(count(lit(1)).as("n"))
+        .select(lit("3_purchase_after_click").as("stage"), col("n")))
+      .orderBy(col("stage"))
+  }
+
+  /** Retention cohorts: users grouped by first-activity day, counted on
+    * each subsequent activity-day offset — the standard warehouse cohort
+    * triangle. Two key-partitioned aggregates + one join, all on user_id
+    * then (cohort, offset). */
+  def q84Retention(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val coh = act.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    act.join(coh, "user_id")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("bigint").as("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Time-series resample + gap-fill: daily per-user activity densified
     * over each user's own [first, last] day span (a generated date spine,
     * exploded per user — no driver-side calendar), missing days zero-

@@ -383,4 +383,27 @@ object Relational2 {
         col("n_customers"))
       .orderBy(col("region"), col("nation"))
   }
+
+  /** Z-order (Morton) clustering audit: interleave (l_partkey, l_suppkey)
+    * into a Z-value, bucket by its high bits, and emit each bucket's
+    * min/max of BOTH keys — the bounded per-bucket rectangles are exactly
+    * the min/max file statistics that let a Z-ordered layout prune scans
+    * on either key (Layout.zOrderBy is the write-side operator; this query
+    * gates the interleave arithmetic bit-exactly). */
+  def q82Zorder(s: SparkSession, dir: String): DataFrame = {
+    val x = pmod(col("l_partkey"), lit(65536L))
+    val y = pmod(col("l_suppkey"), lit(65536L))
+    val zs = Tables.load(s, dir, "lineitem")
+      .select(graft.operators.Layout.zValue(x, y).as("z"), x.as("xk"), y.as("yk"))
+    // 64 buckets normalized by the corpus's max z (key ranges differ by
+    // SF): z·64/(zmax+1) — exact double arithmetic (z < 2^32, ·64 < 2^38)
+    val zmax = zs.agg(max(col("z")).as("zmax"))
+    zs.crossJoin(broadcast(zmax))
+      .groupBy(floor(col("z") * lit(64.0) / (col("zmax") + 1)).cast("bigint")
+        .as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xk")).as("x_min"), max(col("xk")).as("x_max"),
+        min(col("yk")).as("y_min"), max(col("yk")).as("y_max"))
+      .orderBy(col("zbucket"))
+  }
 }
