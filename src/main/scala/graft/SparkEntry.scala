@@ -103,6 +103,7 @@ object SparkEntry {
     "q82_zorder"          -> (Relational2.q82Zorder _),
     "q83_funnel"          -> (EventsQueries.q83Funnel _),
     "q84_retention"       -> (EventsQueries.q84Retention _),
+    "q85_upsert"          -> (Relational2.q85Upsert _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1183,6 +1184,26 @@ object SparkEntry {
          |FROM h ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 100""".stripMargin,
 
     "q82_zorder" -> zorderSql,
+
+    "q85_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer),
+        |changes AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    ROUND(c_acctbal + 100.0, 2) AS c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'new-' || c_name, c_nationkey,
+        |    0.0, 'STARTUP'
+        |  FROM base WHERE c_custkey % 13 = 0)
+        |SELECT COALESCE(c.c_custkey, b.c_custkey) AS c_custkey,
+        |  COALESCE(c.c_name, b.c_name) AS c_name,
+        |  COALESCE(c.c_nationkey, b.c_nationkey) AS c_nationkey,
+        |  COALESCE(c.c_acctbal, b.c_acctbal) AS c_acctbal,
+        |  COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+        |FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     "q83_funnel" ->
       """WITH e AS (

@@ -384,6 +384,27 @@ object Relational2 {
       .orderBy(col("region"), col("nation"))
   }
 
+  /** MERGE / upsert (SCD type-1): a deterministic change set — updated
+    * balances for every 7th customer, plus brand-new customer rows —
+    * applied to the base table through Merge.upsert's full-outer
+    * coalesce plan (what MERGE INTO executes underneath). The oracle
+    * replays change derivation and merge. */
+  def q85Upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val updates = base.filter(pmod(col("c_custkey"), lit(7L)) === 0)
+      .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
+    val inserts = base.filter(pmod(col("c_custkey"), lit(13L)) === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(lit("new-"), col("c_name")).as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"),
+        lit("STARTUP").as("c_mktsegment"))
+    graft.operators.Merge.upsert(base, updates.unionAll(inserts),
+        Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Z-order (Morton) clustering audit: interleave (l_partkey, l_suppkey)
     * into a Z-value, bucket by its high bits, and emit each bucket's
     * min/max of BOTH keys — the bounded per-bucket rectangles are exactly
