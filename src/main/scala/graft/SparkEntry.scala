@@ -104,6 +104,8 @@ object SparkEntry {
     "q83_funnel"          -> (EventsQueries.q83Funnel _),
     "q84_retention"       -> (EventsQueries.q84Retention _),
     "q85_upsert"          -> (Relational2.q85Upsert _),
+    "q86_contamination"   -> (TextQueries.q86Contamination _),
+    "q87_scd2"            -> (Relational2.q87Scd2 _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1184,6 +1186,50 @@ object SparkEntry {
          |FROM h ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 100""".stripMargin,
 
     "q82_zorder" -> zorderSql,
+
+    "q86_contamination" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS t
+        |  FROM sp),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, split, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s3
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |train AS (SELECT DISTINCT s3 FROM sh WHERE split = 'train'),
+        |ev AS (SELECT doc_id, split, s3 FROM sh WHERE split <> 'train'),
+        |n AS (SELECT doc_id, split, COUNT(*) AS n_sh FROM ev GROUP BY 1, 2),
+        |h AS (SELECT doc_id, COUNT(*) AS n_hit
+        |  FROM ev JOIN train USING (s3) GROUP BY 1)
+        |SELECT n.doc_id, n.split, n.n_sh,
+        |  COALESCE(h.n_hit, 0) AS n_hit,
+        |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_sh, 6) AS contamination,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_sh >= 0.8 AS contaminated
+        |FROM n LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q87_scd2" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_acctbal, '2024-01-01' AS valid_from FROM customer),
+        |hist AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT c_custkey, ROUND(c_acctbal + 100.0, 2), '2024-06-01'
+        |  FROM base WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, ROUND(c_acctbal - 50.0, 2), '2024-09-01'
+        |  FROM base WHERE c_custkey % 11 = 0)
+        |SELECT c_custkey, c_acctbal, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+        |    AS valid_to,
+        |  LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+        |    IS NULL AS is_current
+        |FROM hist
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "q85_upsert" ->
       """WITH base AS (

@@ -53,4 +53,41 @@ object Corpus {
           .cast("bigint"))
       .select(col(idCol), col(groupCol), col("est_tokens"), col("pack_id"))
   }
+
+  /** Train→eval DECONTAMINATION check (the n-gram overlap audit run before
+    * every evaluation: e.g. GPT-3's 13-gram and PaLM's 8-gram analyses;
+    * here word 3-grams to suit the tiny fixture docs): for every val/test
+    * document, the fraction of its distinct shingles that also appear
+    * anywhere in the train split. A high fraction means the eval doc leaks
+    * (near-)verbatim training content and must be dropped or the metric
+    * discounted.
+    *
+    * Scale shape: one distinct-shingle index (shuffle on shingle), one
+    * semi-join of eval shingles against the train set (same shingle
+    * partitioning, reused), one per-doc count — never doc×doc. The train
+    * side is corpus-sized, so the semi-join is shuffle-on-key, not
+    * broadcast; a bloom pre-filter (see BloomJoin) drops non-matching eval
+    * shingles at the scan when the overlap is sparse.
+    *
+    * Docs with fewer than 3 tokens have no shingles and are absent from
+    * the report (nothing to measure). */
+  def contamination(docs: DataFrame, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = datasetSplit(docs, idCol)
+      .select(col(idCol).as("id"), col("split"),
+        graft.functions.ShingleRows.shingleRows(col(textCol), 3).as(Seq("pos", "s3")))
+      .select(col("id"), col("split"), col("s3"))
+      .distinct()
+    val train = sh.filter(col("split") === "train").select(col("s3")).distinct()
+    val ev = sh.filter(col("split") =!= "train")
+    val hits = ev.join(train, Seq("s3"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    val frac = coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh")
+    ev.groupBy("id", "split").agg(count(lit(1)).as("n_sh"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("split"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(frac, 6).as("contamination"),
+        (frac >= threshold).as("contaminated"))
+  }
 }

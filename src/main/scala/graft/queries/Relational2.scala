@@ -405,6 +405,28 @@ object Relational2 {
       .orderBy(col("c_custkey"))
   }
 
+  /** SCD type-2 history build: the base snapshot plus two dated change
+    * batches become a per-key version chain — valid_from/valid_to via one
+    * lead() window per key, open-ended current row flagged. The companion
+    * to q85's type-1 overwrite; all arithmetic deterministic (rounded
+    * decimals, string dates). */
+  def q87Scd2(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("valid_from", lit("2024-01-01"))
+    val b1 = base.filter(pmod(col("c_custkey"), lit(7L)) === 0)
+      .select(col("c_custkey"), round(col("c_acctbal") + 100.0, 2).as("c_acctbal"),
+        lit("2024-06-01").as("valid_from"))
+    val b2 = base.filter(pmod(col("c_custkey"), lit(11L)) === 0)
+      .select(col("c_custkey"), round(col("c_acctbal") - 50.0, 2).as("c_acctbal"),
+        lit("2024-09-01").as("valid_from"))
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("valid_from"))
+    base.unionAll(b1).unionAll(b2)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** Z-order (Morton) clustering audit: interleave (l_partkey, l_suppkey)
     * into a Z-value, bucket by its high bits, and emit each bucket's
     * min/max of BOTH keys — the bounded per-bucket rectangles are exactly

@@ -228,6 +228,13 @@ object TextQueries {
     Dedup.winnowedJaccard(Tables.load(s, dir, "documents"), 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Train→eval decontamination report: per val/test doc, the fraction of
+    * its distinct word 3-grams appearing anywhere in the train split (the
+    * overlap audit run before every LLM evaluation). */
+  def q86Contamination(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.contamination(Tables.load(s, dir, "documents"), 0.8)
+      .orderBy(col("doc_id"))
+
   /** Composed corpus-cleaning pipeline: lang gate + quality gate + exact
     * dedup, one declarative plan (oracle replays every step in SQL). */
   def q48CorpusFilter(s: SparkSession, dir: String): DataFrame =
