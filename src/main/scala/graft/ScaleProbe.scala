@@ -75,7 +75,14 @@ object ScaleProbe {
       "q75_trigram_lm" -> SparkEntry.queries("q75_trigram_lm"),
       "q76_label_centroids" -> SparkEntry.queries("q76_label_centroids"),
       "q77_token_entropy" -> SparkEntry.queries("q77_token_entropy"),
-      "q78_gap_fill" -> SparkEntry.queries("q78_gap_fill"))
+      "q78_gap_fill" -> SparkEntry.queries("q78_gap_fill"),
+      "q79_weighted_sample" -> SparkEntry.queries("q79_weighted_sample"),
+      "q81_pagerank" -> SparkEntry.queries("q81_pagerank"),
+      "q82_zorder" -> SparkEntry.queries("q82_zorder"),
+      "q84_retention" -> SparkEntry.queries("q84_retention"),
+      // q85 upsert probes nothing here: its base table (customer) is not
+      // replicated by design (same customers, n× orders)
+      "q86_contamination" -> SparkEntry.queries("q86_contamination"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

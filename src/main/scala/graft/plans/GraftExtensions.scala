@@ -59,7 +59,22 @@ object GraftFunctions {
         case Seq(c) => graft.functions.KmvDistinct(c, 256)
         case Seq(c, Literal(k: Int, _)) => graft.functions.KmvDistinct(c, k)
         case _ => throw new IllegalArgumentException("kmv_distinct(col[, k:int literal])")
-      }).toAggregateExpression()))
+      }).toAggregateExpression()),
+    (FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(str[, k]) - Space-Saving frequent-items map"),
+      (args: Seq[Expression]) => (args match {
+        case Seq(c) => graft.functions.HeavyHittersAgg(c, 64)
+        case Seq(c, Literal(k: Int, _)) => graft.functions.HeavyHittersAgg(c, k)
+        case _ => throw new IllegalArgumentException("heavy_hitters(col[, k:int literal])")
+      }).toAggregateExpression()),
+    (FunctionIdentifier("char_ngram_rows"),
+      info("char_ngram_rows", "char_ngram_rows(str[, n]) - UDTF: one row per char n-gram of lower(trim(str))"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => graft.functions.CharNgramRows(c, 3)
+        case Seq(c, Literal(n: Int, _)) => graft.functions.CharNgramRows(c, n)
+        case _ => throw new IllegalArgumentException(
+          "char_ngram_rows(text[, n:int literal])")
+      }))
 
   /** Register into an already-built session. */
   def install(spark: SparkSession): Unit = all.foreach { case (id, inf, builder) =>

@@ -50,6 +50,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows == Seq((0, "a b"), (1, "b c"), (2, "c d")))
   }
 
+  test("heavy_hitters is usable as a SQL aggregate (map of item -> estimate)") {
+    GraftFunctions.install(spark)
+    spark.sql("SELECT explode(array('a','a','a','b','b','c')) AS w")
+      .createOrReplaceTempView("hh_in")
+    val m = spark.sql("SELECT heavy_hitters(w, 8) AS hh FROM hh_in")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("hh")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 3L, "b" -> 2L, "c" -> 1L)) // under capacity => exact
+  }
+
+  test("char_ngram_rows works as a SQL table-generating function") {
+    GraftFunctions.install(spark)
+    spark.sql("SELECT ' AbC ' AS text").createOrReplaceTempView("cn_in")
+    val rows = spark.sql(
+      """SELECT gram FROM cn_in
+        |LATERAL VIEW char_ngram_rows(text, 2) t AS gram""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("ab", "bc")) // trimmed + lowercased, 2-grams
+  }
+
   test("default shingle size is 3 and type errors are caught at analysis") {
     GraftFunctions.install(spark)
     assert(spark.sql("SELECT size(shingle_hashes('a b c d')) AS n").head().getInt(0) == 2)
