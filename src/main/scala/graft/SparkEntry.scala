@@ -1182,7 +1182,7 @@ object SparkEntry {
          |    CAST(((fnv // 2048) + 1) AS DOUBLE) / 9007199254740992.0 AS u
          |  FROM (SELECT doc_id, n_chars, ${fnvSql("text")} AS fnv
          |        FROM documents WHERE n_chars > 0))
-         |SELECT doc_id, n_chars, ROUND(ln(u) / n_chars, 6) AS skey
+         |SELECT doc_id, n_chars, ROUND(ln(u) / n_chars, 6) + 0.0 AS skey
          |FROM h ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 100""".stripMargin,
 
     "q82_zorder" -> zorderSql,

@@ -120,7 +120,11 @@ object Quality {
         (log(u) / col("n_chars")).as("key"))
       .orderBy(col("key").desc, col("doc_id"))
       .limit(100)
-      .select(col("doc_id"), col("n_chars"), round(col("key"), 6).as("skey"))
+      // + 0.0 canonicalizes IEEE negative zero: a key in (-5e-7, 0) rounds
+      // to -0.0 in DuckDB (sign-preserving ROUND) but +0.0 through Spark's
+      // BigDecimal path — adding positive zero maps both to +0.0
+      .select(col("doc_id"), col("n_chars"),
+        (round(col("key"), 6) + lit(0.0)).as("skey"))
   }
 
   /** Robust outlier detection per event type: median + MAD (median

@@ -74,4 +74,43 @@ class QueriesSpec extends SparkSpec {
       .filter(col("last_click_value").isNotNull).count()
     assert(bad === 0)
   }
+
+  test("q74 BM25 broadcasts its model tables (term stats + corpus row)") {
+    val plan = graft.queries.Quality.q74Bm25(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"BM25 model tables must broadcast, got:\n$plan")
+    // the token stream must never be on the build side of a broadcast:
+    // model tables are |query terms| + 1 rows
+    assert(!plan.contains("CartesianProduct"), "no cartesian in the BM25 plan")
+  }
+
+  test("q73 PII redaction is scan-local: one exchange (the output sort)") {
+    val plan = graft.queries.Quality.q73PiiRedact(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"redaction must not shuffle data (scan → project → sort), got $exchanges:\n$plan")
+  }
+
+  test("q70 heavy-hitters guarantee booleans are all true (space-saving invariant)") {
+    val df = graft.queries.Quality.q70HeavyHitters(spark, sf)
+    assert(df.filter(!col("guarantee_ok")).count() === 0)
+  }
+
+  test("q79 weighted sample favors heavier docs: mean sampled length > corpus mean") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sampled = graft.queries.Quality.q79WeightedSample(spark, sf)
+    val mAll = docs.agg(avg(col("n_chars"))).head.getDouble(0)
+    val mSel = sampled.agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(mSel > mAll,
+      s"length-weighted sampling must tilt long: sampled $mSel vs corpus $mAll")
+  }
+
+  test("q86 contamination: train docs never appear; fractions within [0,1]") {
+    val df = graft.queries.TextQueries.q86Contamination(spark, sf)
+    assert(df.filter(col("split") === "train").count() === 0)
+    assert(df.filter(col("contamination") < 0 || col("contamination") > 1).count() === 0)
+  }
 }
