@@ -44,7 +44,9 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -dt
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else times.head)
+      // ANY failed rep marks the query failed — a flaky query must never
+      // masquerade as a fast success just because one rep got through
+      name -> (if (times.forall(_ >= 0)) times.min else times.filter(_ < 0).head)
     }
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

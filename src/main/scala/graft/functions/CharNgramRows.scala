@@ -42,12 +42,24 @@ case class CharNgramRows(child: Expression, n: Int)
     // trim()/lower() expressions — NOT java.lang.String.trim (which strips
     // all control chars, not just spaces) or locale-sensitive toLowerCase
     val s = v.asInstanceOf[UTF8String].trim().toLowerCase().toString
-    if (s.length < n) return Nil
+    // Slice by CODE POINTS, not UTF-16 code units: Spark substring()/
+    // length() and DuckDB substr()/length() both count code points, so a
+    // non-BMP character (surrogate pair) must be one gram position —
+    // java String.substring(i, i+n) would split surrogate pairs and
+    // diverge from the HOF formulation and the oracle on any emoji/CJK-ext
+    // text. One pass precomputes the code-point start offsets.
+    val cp = s.codePointCount(0, s.length)
+    if (cp < n) return Nil
+    val off = new Array[Int](cp + 1)
+    var u = 0
+    var j = 0
+    while (j < cp) { off(j) = u; u = s.offsetByCodePoints(u, 1); j += 1 }
+    off(cp) = s.length
     new Iterator[InternalRow] {
       private var i = 0
-      override def hasNext: Boolean = i <= s.length - n
+      override def hasNext: Boolean = i <= cp - n
       override def next(): InternalRow = {
-        val r = InternalRow(UTF8String.fromString(s.substring(i, i + n)))
+        val r = InternalRow(UTF8String.fromString(s.substring(off(i), off(i + n))))
         i += 1
         r
       }

@@ -167,7 +167,12 @@ case class HeavyHittersAgg(
     val it = buf.items.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
+      // length-prefixed raw UTF-8, not writeUTF: writeUTF throws on items
+      // whose encoding exceeds 65535 bytes, and this aggregate is exposed
+      // over arbitrary string columns (e.g. whole documents)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(e.getValue()(0)); out.writeLong(e.getValue()(1))
     }
     out.flush()
     bos.toByteArray
@@ -180,7 +185,9 @@ case class HeavyHittersAgg(
     val sz = in.readInt()
     var i = 0
     while (i < sz) {
-      val key = in.readUTF()
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
       buf.items.put(key, Array(in.readLong(), in.readLong()))
       i += 1
     }

@@ -163,7 +163,18 @@ object Dedup {
     * any pair sharing one ≥ w+2 word run collides, which high-Jaccard
     * near-dups of real corpora always do. The MinHash path bounds recall
     * probabilistically instead and stays the default for paraphrase-style
-    * similarity without long shared runs. */
+    * similarity without long shared runs.
+    *
+    * OUTPUT CONTRACT CAVEAT in the over-cap regime: a duplicate cluster
+    * larger than `maxDocFreq` is reported as its star pairs (each member
+    * paired with the cluster min id), NOT all C(df, 2) intra-cluster
+    * pairs — the all-pairs output is itself quadratic in the cluster
+    * size, so no sub-quadratic algorithm can emit it. The star edges are
+    * exactly what clustering consumers ([[Components.dedupClusters]],
+    * q62) need to recover the full component; a consumer that needs the
+    * literal all-pairs list for clusters that large must use
+    * [[ngramJaccard]] (uncapped, quadratic by design). Below the cap the
+    * output IS the complete verified pair list. */
   def winnowedJaccard(docs: DataFrame, threshold: Double = 0.5, w: Int = 4,
       idCol: String = "doc_id", maxDocFreq: Int = 50,
       minShared: Int = 2): DataFrame = {

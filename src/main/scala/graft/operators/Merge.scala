@@ -24,10 +24,25 @@ object Merge {
     * Column-level contract: a change row REPLACES the whole base row
     * (type-1), except columns where the change carries null — those fall
     * back to the base value (partial-update friendly; pass complete rows
-    * for strict replacement semantics). */
-  def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    * for strict replacement semantics).
+    *
+    * Key-uniqueness contract: like MERGE INTO, a key may appear at most
+    * once in `changes` — duplicates would fan the full-outer join out
+    * into duplicate primary keys. `verifyUniqueKeys` (default on) runs
+    * one aggregation over the CHANGES side only (the small side of every
+    * sane merge) and fails fast; disable it for very large change sets
+    * whose uniqueness is guaranteed upstream. */
+  def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      verifyUniqueKeys: Boolean = true): DataFrame = {
     require(base.columns.toSeq == changes.columns.toSeq,
       s"upsert needs identical schemas, got ${base.columns.toSeq} vs ${changes.columns.toSeq}")
+    if (verifyUniqueKeys) {
+      val dup = changes.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"upsert changes contain duplicate keys (e.g. ${dup.headOption.orNull}) — " +
+          "MERGE semantics require at most one change row per key")
+    }
     val b = base.as("b")
     val c = changes.as("c")
     val cond = keyCols.map(k => col(s"b.$k") === col(s"c.$k")).reduce(_ && _)

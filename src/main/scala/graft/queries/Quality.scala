@@ -85,11 +85,14 @@ object Quality {
   /** Per-label embedding centroids — the distributed vector aggregation
     * behind semantic clustering / class prototypes: posexplode to
     * (label, dim, x) rows, one hash-aggregate on (label, dim), means
-    * summed through DECIMAL for partition-order independence. Exact ties
-    * at the decimal cut are impossible for binary-fraction (float)
-    * inputs, so Spark and DuckDB round identically. The row form (not an
-    * array rebuild) IS the scale shape: 100 TB of vectors aggregate with
-    * map-side combine and never collect a dimension axis anywhere. */
+    * summed through DECIMAL for partition-order independence. Cross-engine
+    * note: the double→DECIMAL cast rounds half-way cases differently in
+    * corner cases (a float whose shortest decimal form terminates exactly
+    * at the cut with a trailing 5 — DuckDB's cast is not consistently
+    * half-up), but no component of this dataset hits one: verified
+    * hash-exact at sf0.001/0.01/0.1. The row form (not an array rebuild)
+    * IS the scale shape: 100 TB of vectors aggregate with map-side
+    * combine and never collect a dimension axis anywhere. */
   def q76LabelCentroids(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))

@@ -104,6 +104,25 @@ class PropertySpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("CharNgramRows counts code points, not UTF-16 units (non-BMP parity with HOF)") {
+    import spark.implicits._
+    // 😀 is a surrogate pair: substring()-style code-point semantics must
+    // treat it as ONE gram position, never split it
+    val df = Seq((1L, "a😀b"), (2L, "😀😁😂x"))
+      .toDF("id", "text")
+    val viaGen = df.select(col("id"),
+        graft.functions.CharNgramRows.charNgramRows(col("text"), 3).as("tri"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val viaHof = df.select(col("id"), lower(trim(col("text"))).as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("id"), explode(
+        expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("tri"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(viaGen == viaHof, s"gen=$viaGen hof=$viaHof")
+    assert(viaGen.map(_._2).forall(g => g.codePointCount(0, g.length) == 3),
+      "every gram must be exactly 3 code points")
+  }
+
   test("Quant8F quantizes degenerate vectors (zero norm) to null, not a crash") {
     import spark.implicits._
     val d = Seq(

@@ -36,6 +36,18 @@ class MergeSpec extends SparkSpec {
     assert(r.getDouble(2) == 555.55)
   }
 
+  test("upsert rejects duplicate change keys (MERGE multiple-match semantics)") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, "first", 1.0),
+      (1L, "second", 2.0) // same key twice — would fan the join out
+    ).toDF("c_custkey", "c_name", "c_acctbal")
+    val err = intercept[IllegalArgumentException] {
+      Merge.upsert(base, changes, Seq("c_custkey"))
+    }
+    assert(err.getMessage.contains("duplicate keys"))
+  }
+
   test("upsert rejects mismatched schemas at plan time") {
     import spark.implicits._
     val bad = Seq((1L, "x")).toDF("c_custkey", "c_name")
