@@ -106,6 +106,7 @@ object SparkEntry {
     "q85_upsert"          -> (Relational2.q85Upsert _),
     "q86_contamination"   -> (TextQueries.q86Contamination _),
     "q87_scd2"            -> (Relational2.q87Scd2 _),
+    "q88_heavy_hitters_by_lang" -> (Quality.q88HeavyHittersByLang _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1024,6 +1025,21 @@ object SparkEntry {
         |cnt AS (SELECT term, COUNT(*) AS n_term FROM tok GROUP BY 1)
         |SELECT term, n_term, true AS guarantee_ok
         |FROM cnt ORDER BY n_term DESC, term LIMIT 10""".stripMargin,
+
+    "q88_heavy_hitters_by_lang" ->
+      """WITH toks AS (
+        |  SELECT lang, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tok AS (SELECT lang, term FROM toks WHERE len(term) > 0),
+        |cnt AS (SELECT lang, term, COUNT(*) AS n_term FROM tok GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, term, n_term,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_term DESC, term) AS rk
+        |  FROM cnt)
+        |SELECT lang, term, n_term, true AS guarantee_ok
+        |FROM rk WHERE rk <= 3
+        |ORDER BY lang, n_term DESC, term""".stripMargin,
 
     "q71_histogram" ->
       """WITH b AS (

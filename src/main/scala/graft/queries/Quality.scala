@@ -41,6 +41,36 @@ object Quality {
       .orderBy(col("n_term").desc, col("term"))
   }
 
+  /** Grouped Space-Saving: heavy hitters PER LANGUAGE — the sketch as an
+    * ordinary grouped aggregate (one partial-merged buffer per group, no
+    * per-group topology anywhere). Gate: exact per-group top-3 plus the
+    * per-group n/k invariant boolean. */
+  def q88HeavyHittersByLang(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val sk = toks.groupBy("lang")
+      .agg(HeavyHitters.heavyHitters(col("term"), k).as("hh"),
+        count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_term").desc, col("term"))
+    val top = toks.groupBy("lang", "term").agg(count(lit(1)).as("n_term"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+    top.join(broadcast(sk), "lang")
+      .withColumn("est", try_element_at(col("hh"), col("term")))
+      .select(col("lang"), col("term"), col("n_term"),
+        when(col("est").isNotNull,
+          col("est") >= col("n_term") &&
+            (col("est") - col("n_term")).cast("double") <=
+              col("n_total").cast("double") / k)
+          .otherwise(col("n_term").cast("double") <=
+            col("n_total").cast("double") / k)
+          .as("guarantee_ok"))
+      .orderBy(col("lang"), col("n_term").desc, col("term"))
+  }
+
   /** Equi-width histogram of lineitem extended price (24 × 5000-wide
     * buckets over [0, 120000), open tails clamped). */
   def q71Histogram(s: SparkSession, dir: String): DataFrame =
