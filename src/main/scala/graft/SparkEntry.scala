@@ -107,6 +107,8 @@ object SparkEntry {
     "q86_contamination"   -> (TextQueries.q86Contamination _),
     "q87_scd2"            -> (Relational2.q87Scd2 _),
     "q88_heavy_hitters_by_lang" -> (Quality.q88HeavyHittersByLang _),
+    "q89_corr"            -> (Quality.q89Corr _),
+    "q90_equi_depth"      -> (Quality.q90EquiDepth _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1040,6 +1042,36 @@ object SparkEntry {
         |SELECT lang, term, n_term, true AS guarantee_ok
         |FROM rk WHERE rk <= 3
         |ORDER BY lang, n_term DESC, term""".stripMargin,
+
+    // q89: moment sums decimal-accumulated exactly like the Spark plan;
+    // the formula arithmetic mirrors token for token.
+    "q89_corr" ->
+      """WITH e AS (
+        |  SELECT event_type, value AS x,
+        |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar,
+        |  ROUND((sxy - sx * sy / n) /
+        |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q90_equi_depth" ->
+      """SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+        |FROM (
+        |  SELECT value AS v,
+        |    NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+        |  FROM events)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q71_histogram" ->
       """WITH b AS (

@@ -78,6 +78,27 @@ object Quality {
         col("l_extendedprice"), 0.0, 120000.0, 24)
       .orderBy(col("bucket"))
 
+  /** Reproducible Pearson correlation/covariance of (value, props.k) per
+    * event type — moment sums through DECIMAL (built-in corr/covar are
+    * partition-order-dependent running doubles), formulas applied once on
+    * the aggregated values. */
+  def q89Corr(s: SparkSession, dir: String): DataFrame =
+    Stats.corrByKey(
+        Tables.load(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+          .filter(col("k").isNotNull),
+        col("event_type"), col("value"), col("k"))
+      .withColumnRenamed("key", "event_type")
+      .orderBy(col("event_type"))
+
+  /** Exact equi-depth histogram of event values (10 buckets, deterministic
+    * (value, event_id) order) — the audit-scale reference for q55's
+    * mergeable approx-percentile edges. */
+  def q90EquiDepth(s: SparkSession, dir: String): DataFrame =
+    Stats.equiDepthHistogram(Tables.load(s, dir, "events"),
+        col("value"), col("event_id"), 10)
+      .orderBy(col("bucket"))
+
   /** Gopher-style repetition metrics per document. */
   def q72Repetition(s: SparkSession, dir: String): DataFrame =
     TextProfile.repetitionMetrics(Tables.load(s, dir, "documents"), 0.2)
