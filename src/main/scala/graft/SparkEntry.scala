@@ -109,6 +109,7 @@ object SparkEntry {
     "q88_heavy_hitters_by_lang" -> (Quality.q88HeavyHittersByLang _),
     "q89_corr"            -> (Quality.q89Corr _),
     "q90_equi_depth"      -> (Quality.q90EquiDepth _),
+    "q91_incremental_dedup" -> (TextQueries.q91IncrementalDedup _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -631,6 +632,7 @@ object SparkEntry {
     "q21_ngram_jaccard" -> ngramJaccardSql,
     "q22_minhash_lsh"   -> ngramJaccardSql,
     "q69_winnowed_pairs" -> ngramJaccardSql,
+    "q91_incremental_dedup" -> ngramJaccardSql,
     "q62_dedup_components" -> dedupComponentsSql,
     "q81_pagerank"      -> pageRankSql,
 

@@ -154,6 +154,15 @@ object Dedup {
     jaccardFilter(pairs, threshold)
   }
 
+  /** Public surface of the shared exact-Jaccard verifier: turn ANY
+    * (a_id, b_id) candidate list — banded LSH, winnowed fingerprints, an
+    * incremental signature store — into the verified pair list with true
+    * Jaccard ≥ threshold. Exactly the verifier the internal paths use, so
+    * verified semantics can never diverge between candidate schemes. */
+  def verifyPairs(docs: DataFrame, candidates: DataFrame,
+      threshold: Double = 0.5, idCol: String = "doc_id"): DataFrame =
+    verifyCandidates(docs, candidates, threshold, idCol)
+
   /** Near-dup pairs with WINNOWED-fingerprint candidate generation: docs
     * sharing any winnowed fingerprint (see [[winnowedHashes]]) become
     * candidates, then exact Jaccard verifies — same output contract as

@@ -228,6 +228,44 @@ object TextQueries {
     Dedup.winnowedJaccard(Tables.load(s, dir, "documents"), 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** The INCREMENTAL ingestion-over-time dedup shape under the oracle
+    * gate: documents arrive in three pseudo-dates (doc_id mod 3); each
+    * date computes MinHash signatures for its own docs only, appends them
+    * to a persistent parquet signature store, and band-joins against the
+    * accumulated store (IncrementalDedup.processDate — texts are never
+    * re-shingled). The union of the daily candidate sets is then
+    * exact-Jaccard verified, so the oracle (the q21 exact all-pairs SQL)
+    * gates recall = 1.0 for the whole incremental pipeline, not just one
+    * batch. Store writes happen inside the query call — bench timings
+    * include them (honest cost of the incremental contract). */
+  def q91IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val store = s"/tmp/graft_q91_${ProcessHandle.current().pid()}_" +
+      s"${Integer.toHexString(dir.hashCode)}/sigstore"
+    // clean slate per (process, sf dir): a stale store from an earlier run
+    // would pollute the candidate set
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    val docs = Tables.load(s, dir, "documents")
+    val daily = (0 until 3).map { d =>
+      graft.operators.IncrementalDedup.processDate(s,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), store, s"d$d",
+        // loose estimation threshold: keep every banded candidate that
+        // could be a true 0.5-pair; exact verification does the filtering
+        threshold = 0.2)
+        // EAGERLY materialize this day's pairs before the next append —
+        // a lazy plan over the store path re-lists/re-reads at action
+        // time and does NOT see the store as it was at this step (the
+        // spec's incremental==batch invariant collects per day for the
+        // same reason)
+        .localCheckpoint()
+    }
+    Dedup.verifyPairs(docs,
+        daily.reduce(_ unionAll _).select(col("a_id"), col("b_id")).distinct(),
+        0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Train→eval decontamination report: per val/test doc, the fraction of
     * its distinct word 3-grams appearing anywhere in the train split (the
     * overlap audit run before every LLM evaluation). */
