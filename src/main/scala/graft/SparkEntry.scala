@@ -1062,9 +1062,12 @@ object SparkEntry {
         |    CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy
         |  FROM e GROUP BY 1)
         |SELECT event_type, n,
-        |  ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar,
-        |  ROUND((sxy - sx * sy / n) /
-        |    sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr
+        |  CASE WHEN n > 1
+        |    THEN ROUND((sxy - sx * sy / n) / (n - 1), 6) END AS covar,
+        |  CASE WHEN n > 1
+        |    AND (sxx - sx * sx / n) * (syy - sy * sy / n) > 0
+        |    THEN ROUND((sxy - sx * sy / n) /
+        |      sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) END AS corr
         |FROM m ORDER BY event_type""".stripMargin,
 
     "q90_equi_depth" ->

@@ -17,10 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row before exploding — per-row allocation the generator never
   * does (it walks the string once, emitting rows).
   *
-  * Semantics contract (oracle-replayable): grams are formed over UTF-16
-  * code units of the lowercased trimmed string exactly like
-  * `substring(t, i, n)` — identical to DuckDB `substr` on this ASCII
-  * corpus. Strings shorter than `n` emit nothing.
+  * Semantics contract (oracle-replayable): grams are formed over CODE
+  * POINTS of the lowercased trimmed string — exactly what Spark
+  * `substring(t, i, n)`/`length()` and DuckDB `substr()`/`length()`
+  * count, so a surrogate pair is ONE gram position (see the eval body;
+  * java String.substring semantics would split pairs and diverge).
+  * Strings shorter than `n` code points emit nothing.
   */
 case class CharNgramRows(child: Expression, n: Int)
   extends UnaryExpression with Generator with CodegenFallback {

@@ -92,15 +92,19 @@ final class SpaceSavingBuffer(val k: Int) {
       }
     }
     if (items.size > k) {
-      // keep top k by (count desc, item asc) — deterministic trim
-      val entries = new java.util.ArrayList(items.entrySet())
-      entries.sort { (a, b) =>
-        val c = java.lang.Long.compare(b.getValue()(0), a.getValue()(0))
-        if (c != 0) c else a.getKey.compareTo(b.getKey)
+      // keep top k by (count desc, item asc) — deterministic trim.
+      // Snapshot into plain tuples first: Map.Entry views are invalid
+      // once the backing map is mutated (clear()), per the Map contract.
+      val snapshot = new java.util.ArrayList[(String, Array[Long])](items.size)
+      val itAll = items.entrySet().iterator()
+      while (itAll.hasNext) { val e = itAll.next(); snapshot.add((e.getKey, e.getValue)) }
+      snapshot.sort { (a, b) =>
+        val c = java.lang.Long.compare(b._2(0), a._2(0))
+        if (c != 0) c else a._1.compareTo(b._1)
       }
       items.clear()
       var i = 0
-      while (i < k) { items.put(entries.get(i).getKey, entries.get(i).getValue); i += 1 }
+      while (i < k) { items.put(snapshot.get(i)._1, snapshot.get(i)._2); i += 1 }
     }
   }
 }

@@ -24,6 +24,12 @@ object Stats {
     * map-side-combined aggregate, no second pass). */
   def corrByKey(df: DataFrame, key: Column, x: Column, y: Column): DataFrame = {
     def d(c: Column): Column = round(c, 9).cast("decimal(28,9)")
+    // degenerate groups: n == 1 divides by zero in covar, zero variance
+    // divides by zero in corr — ANSI mode makes those job-fatal, so both
+    // emit NULL instead (mirrored in the oracle SQL)
+    val cov = col("sxy") - col("sx") * col("sy") / col("n")
+    val varProd = (col("sxx") - col("sx") * col("sx") / col("n")) *
+      (col("syy") - col("sy") * col("sy") / col("n"))
     df.groupBy(key.as("key"))
       .agg(count(lit(1)).as("n"),
         sum(d(x)).cast("double").as("sx"),
@@ -32,11 +38,8 @@ object Stats {
         sum(d(x * x)).cast("double").as("sxx"),
         sum(d(y * y)).cast("double").as("syy"))
       .select(col("key"), col("n"),
-        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
-          .as("covar"),
-        round((col("sxy") - col("sx") * col("sy") / col("n")) /
-          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
-            (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+        when(col("n") > 1, round(cov / (col("n") - 1), 6)).as("covar"),
+        when(col("n") > 1 && varProd > 0, round(cov / sqrt(varProd), 6))
           .as("corr"))
   }
 

@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** The Space-Saving guarantee as one shared expression (q70 + q88): a
+    * retained item's estimate bounds the true count from above and
+    * overcounts by at most n/k; an absent item's true count is ≤ n/k.
+    * Single source of truth for the sketch's correctness contract — any
+    * future tightening of the bound changes both gates at once. */
+  private def guaranteeOk(est: Column, nTerm: Column, nTotal: Column,
+      k: Int): Column =
+    when(est.isNotNull,
+      est >= nTerm &&
+        (est - nTerm).cast("double") <= nTotal.cast("double") / k)
+      .otherwise(nTerm.cast("double") <= nTotal.cast("double") / k)
+
   /** Space-Saving heavy hitters over the document token stream, gated the
     * sketch way (q32/q47 convention): output = exact top-10 terms (fully
     * SQL-replayable) plus `guarantee_ok`, the deterministic Space-Saving
