@@ -110,6 +110,9 @@ object SparkEntry {
     "q89_corr"            -> (Quality.q89Corr _),
     "q90_equi_depth"      -> (Quality.q90EquiDepth _),
     "q91_incremental_dedup" -> (TextQueries.q91IncrementalDedup _),
+    "q92_incremental_dedup_bucketed" -> (TextQueries.q92IncrementalDedupBucketed _),
+    "q93_neardup_banded"  -> (TextQueries.q93NearDupBanded _),
+    "q94_equi_depth_sampled" -> (Quality.q94EquiDepthSampled _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -309,25 +312,42 @@ object SparkEntry {
        |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
        |                % 18446744073709551616::HUGEINT)""".stripMargin
 
-  /** Shared by q24 (all-pairs audit baseline) and q53 (blocked exact
-    * flagship): both are exact cosine-threshold joins with identical
-    * output, so one oracle gates both plans. */
-  private val cosineNearDupSql =
-    """WITH n AS (
+  /** Shared by q24 (all-pairs audit baseline), q53 (blocked exact
+    * flagship) and q93 (banded LSH at 0.9): all are exact cosine-threshold
+    * joins with identical output, so one oracle shape gates every plan —
+    * for q93 a green hash against the EXACT pairs is a recall=1.0 gate for
+    * the banded candidate scheme at this SF. `prelude` prepends extra CTEs
+    * (q93's augmented table); `table` is the vector source. */
+  private def cosineNearDupSql(threshold: Double,
+      table: String = "embeddings", prelude: String = ""): String =
+    s"""WITH $prelude n AS (
       |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
-      |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+      |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM $table)
       |  GROUP BY vec_id),
       |d AS (
       |  SELECT a_id, b_id, SUM(ax*bx) AS dot FROM (
       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |      CAST(UNNEST(a.embedding) AS DOUBLE) AS ax,
       |      CAST(UNNEST(b.embedding) AS DOUBLE) AS bx
-      |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |    FROM $table a JOIN $table b ON a.vec_id < b.vec_id)
       |  GROUP BY a_id, b_id)
       |SELECT a_id, b_id, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
       |FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
-      |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.4
+      |WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= $threshold
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q93's augmented vector table: the deterministic near-duplicate
+    * planting replayed token for token (1-based list index i ↔ Spark's
+    * 0-based transform index). */
+  private val q93AugCte =
+    """aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(generate_series(1, len(embedding)),
+      |      i -> CAST(CAST(embedding[i] AS DOUBLE)
+      |                * (1 + 0.01 * ((i - 1) % 7 - 3)) AS FLOAT)) AS embedding
+      |  FROM embeddings WHERE vec_id % 10 = 0),""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -633,6 +653,7 @@ object SparkEntry {
     "q22_minhash_lsh"   -> ngramJaccardSql,
     "q69_winnowed_pairs" -> ngramJaccardSql,
     "q91_incremental_dedup" -> ngramJaccardSql,
+    "q92_incremental_dedup_bucketed" -> ngramJaccardSql,
     "q62_dedup_components" -> dedupComponentsSql,
     "q81_pagerank"      -> pageRankSql,
 
@@ -750,8 +771,9 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
 
-    "q53_neardup_blocked" -> cosineNearDupSql,
-    "q24_embedding_neardup" -> cosineNearDupSql,
+    "q53_neardup_blocked" -> cosineNearDupSql(0.4),
+    "q24_embedding_neardup" -> cosineNearDupSql(0.4),
+    "q93_neardup_banded" -> cosineNearDupSql(0.9, "aug", q93AugCte),
 
     "q30_knn_brute" -> knnBruteSql,
     "q31_knn_lsh"   -> knnLshSql,
@@ -1077,6 +1099,26 @@ object SparkEntry {
         |    NTILE(10) OVER (ORDER BY value, event_id) AS bucket
         |  FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —
+    // the sample membership and the bucket edges replay bit-exactly.
+    "q94_equi_depth_sampled" ->
+      s"""WITH sampled AS (
+         |  SELECT value, event_id FROM (
+         |    SELECT value, event_id,
+         |      CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |        THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
+         |    FROM (
+         |      SELECT value, event_id,
+         |        ${fnvSql("CAST(event_id AS VARCHAR)")} AS fnv
+         |      FROM events))
+         |  WHERE ((fp % 100) + 100) % 100 < 10)
+         |SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+         |FROM (
+         |  SELECT value AS v,
+         |    NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+         |  FROM sampled)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q71_histogram" ->
       """WITH b AS (

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.HeavyHitters
 import graft.operators.{Search, Stats, TextProfile}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-4 query registrations: frequency sketches, distribution
@@ -43,12 +43,7 @@ object Quality {
     top.crossJoin(broadcast(sketch))
       .withColumn("est", try_element_at(col("hh"), col("term")))
       .select(col("term"), col("n_term"),
-        when(col("est").isNotNull,
-          col("est") >= col("n_term") &&
-            (col("est") - col("n_term")).cast("double") <=
-              col("n_total").cast("double") / k)
-          .otherwise(col("n_term").cast("double") <=
-            col("n_total").cast("double") / k)
+        guaranteeOk(col("est"), col("n_term"), col("n_total"), k)
           .as("guarantee_ok"))
       .orderBy(col("n_term").desc, col("term"))
   }
@@ -73,12 +68,7 @@ object Quality {
     top.join(broadcast(sk), "lang")
       .withColumn("est", try_element_at(col("hh"), col("term")))
       .select(col("lang"), col("term"), col("n_term"),
-        when(col("est").isNotNull,
-          col("est") >= col("n_term") &&
-            (col("est") - col("n_term")).cast("double") <=
-              col("n_total").cast("double") / k)
-          .otherwise(col("n_term").cast("double") <=
-            col("n_total").cast("double") / k)
+        guaranteeOk(col("est"), col("n_term"), col("n_total"), k)
           .as("guarantee_ok"))
       .orderBy(col("lang"), col("n_term").desc, col("term"))
   }
@@ -108,6 +98,22 @@ object Quality {
     * mergeable approx-percentile edges. */
   def q90EquiDepth(s: SparkSession, dir: String): DataFrame =
     Stats.equiDepthHistogram(Tables.load(s, dir, "events"),
+        col("value"), col("event_id"), 10)
+      .orderBy(col("bucket"))
+
+  /** The 100 TB equi-depth path q90's scaladoc promises: the same exact
+    * ntile histogram computed over a DETERMINISTIC 10% hash-mod sample
+    * (q56's content-addressed scheme — FNV-1a of the row key mod 100), so
+    * the single-task window sees 1/10th (or any tunable fraction) of the
+    * rows while the bucket edges remain replayable by any engine. At scale
+    * the sample rate shrinks with N; the sampled edges converge to the true
+    * quantiles at O(1/√(N·rate)) — this is exactly what
+    * repartitionByRange's sampler estimates, made deterministic. */
+  def q94EquiDepthSampled(s: SparkSession, dir: String): DataFrame =
+    Stats.equiDepthHistogram(
+        Tables.load(s, dir, "events")
+          .filter(pmod(graft.functions.Fnv64.fnv64(col("event_id").cast("string")),
+            lit(100L)) < 10),
         col("value"), col("event_id"), 10)
       .orderBy(col("bucket"))
 

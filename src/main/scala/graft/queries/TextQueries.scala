@@ -266,6 +266,68 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q91's incremental pipeline through the BUCKETED signature store — the
+    * zero-exchange production shape (IncrementalDedup.appendBandsBucketed /
+    * newPairsBucketed): band rows are persisted bucketed on (band, bh), so
+    * each day's candidate join reads both sides bucket-aligned and plans
+    * with no Exchange on the store (pinned in IncrementalDedupSpec). Same
+    * three pseudo-dates, same exact-Jaccard verification, same oracle as
+    * q91/q21 — a green hash gates recall = 1.0 for the bucketed variant a
+    * 100 TB deployment would actually run. */
+  def q92IncrementalDedupBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_q92_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    // clean slate per (process, sf dir): the in-memory catalog dies with
+    // its process but the managed warehouse dir persists — clear both so a
+    // crashed earlier run cannot pollute this one's candidate set
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    val docs = Tables.load(s, dir, "documents")
+    val daily = (0 until 3).map { d =>
+      graft.operators.IncrementalDedup.appendBandsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), tbl, s"d$d")
+      graft.operators.IncrementalDedup
+        // loose estimation threshold, as in q91: exact verification filters
+        .newPairsBucketed(s, tbl, s"d$d", threshold = 0.2)
+        // eager materialization before the next append (q91's note: a lazy
+        // plan over the store would see later dates at action time)
+        .localCheckpoint()
+    }
+    s.sql(s"DROP TABLE IF EXISTS $tbl") // checkpoints hold the data now
+    Dedup.verifyPairs(docs,
+        daily.reduce(_ unionAll _).select(col("a_id"), col("b_id")).distinct(),
+        0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Banded hyperplane-LSH embedding near-dup at threshold 0.9 — the
+    * SUB-QUADRATIC scale path next to q53's blocked exact join (which is
+    * the right plan only for low thresholds where no banding is
+    * simultaneously high-recall and sub-quadratic). The raw embeddings
+    * have no high-cosine pairs (max ≈ 0.6 at every SF — a 0.9 gate over
+    * them would be vacuously green on zero rows), so the query first
+    * plants deterministic near-duplicates: every vec_id % 10 == 0 vector
+    * is re-scaled per-coordinate by 1 ± ≤3% (cosine ≈ 0.9996 to its
+    * source) and float-rounded so the oracle replays the bytes exactly.
+    * Candidates come from shared sign-bit band patterns over
+    * deterministic hyperplanes; exact cosine verifies, so output ⊆ the
+    * exact all-pairs join over the same augmented table and a green hash
+    * IS a recall = 1.0 gate on real near-dup pairs. */
+  def q93NearDupBanded(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dup = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") *
+            (lit(1.0) + lit(0.01) * (i % 7 - 3).cast("double")))
+            .cast("float")).as("embedding"))
+    Similarity.cosineNearDupBanded(base.unionAll(dup), 0.9)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Train→eval decontamination report: per val/test doc, the fraction of
     * its distinct word 3-grams appearing anywhere in the train split (the
     * overlap audit run before every LLM evaluation). */
