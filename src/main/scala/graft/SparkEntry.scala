@@ -312,6 +312,51 @@ object SparkEntry {
        |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
        |                % 18446744073709551616::HUGEINT)""".stripMargin
 
+  /** Same FNV-1a fold, but over bytes given as an UPPERCASE HEX STRING
+    * expression (q60/q61 reconstruct the GIF container as hex and
+    * fingerprint it without a blob type in the pipeline). */
+  private def fnvHexSql(hexExpr: String): String =
+    s"""list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        list_transform(generate_series(1, len($hexExpr) // 2),
+       |          i -> (strpos('0123456789ABCDEF', substr($hexExpr, 2*i-1, 1)) - 1) * 16
+       |             + strpos('0123456789ABCDEF', substr($hexExpr, 2*i, 1)) - 1)),
+       |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
+       |                % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** DuckDB reconstruction of [[graft.multimodal.Multimodal.GifCodec]]'s
+    * container as an uppercase hex string, byte for byte: GIF87a header,
+    * logical screen descriptor (width/height LE16), comment extension
+    * carrying the text in 255-byte sub-blocks, one image block per frame
+    * whose 8-byte data sub-block is the frame index little-endian (indices
+    * < 30, so LE64 = one byte + seven 0x00), trailer. Emits (media_id, n,
+    * gif_hex). */
+  private val gifHexCte =
+    """gif AS (
+      |  SELECT doc_id AS media_id, n,
+      |    '474946383761' ||
+      |    format('{:02X}{:02X}', (n % 640 + 1) % 256, (n % 640 + 1) // 256) ||
+      |    format('{:02X}{:02X}', (n % 480 + 1) % 256, (n % 480 + 1) // 256) ||
+      |    '000000' ||
+      |    '21FE' ||
+      |    COALESCE(array_to_string(list_transform(
+      |      generate_series(1, (n + 254) // 255),
+      |      j -> format('{:02X}', LEAST(255, n - (j-1)*255)) ||
+      |           substr(hx, (j-1)*510 + 1, 2*LEAST(255, n - (j-1)*255))), ''), '') ||
+      |    '00' ||
+      |    COALESCE(array_to_string(list_transform(
+      |      generate_series(0, n % 30),
+      |      i -> '2C00000000' ||
+      |           format('{:02X}{:02X}', (n % 640 + 1) % 256, (n % 640 + 1) // 256) ||
+      |           format('{:02X}{:02X}', (n % 480 + 1) % 256, (n % 480 + 1) // 256) ||
+      |           '000808' ||
+      |           format('{:02X}', i) || '00000000000000' ||
+      |           '00'), ''), '') ||
+      |    '3B' AS gif_hex
+      |  FROM (SELECT doc_id, octet_length(encode(text)) AS n,
+      |          hex(encode(text)) AS hx
+      |        FROM documents))""".stripMargin
+
   /** Shared by q24 (all-pairs audit baseline), q53 (blocked exact
     * flagship) and q93 (banded LSH at 0.9): all are exact cosine-threshold
     * joins with identical output, so one oracle shape gates every plan —
@@ -928,20 +973,30 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY 1, 2 ORDER BY pred_lang, lang""".stripMargin,
 
+    // q60: the container synthesis arithmetic replayed — n_bytes is the
+    // exact GIF size (17 fixed bytes + text + one length byte per 255-byte
+    // comment sub-block + 21 bytes per image block), width/height/n_frames
+    // are what the engine's parser reads back out of the header it wrote.
     "q60_multimodal_meta" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
-        |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """SELECT media_id,
+        |  CAST(17 + n + (n + 254) // 255 + 21 * (n % 30 + 1) AS BIGINT) AS n_bytes,
+        |  CAST(n % 640 + 1 AS BIGINT) AS width,
+        |  CAST(n % 480 + 1 AS BIGINT) AS height,
+        |  CAST(n % 30 + 1 AS BIGINT) AS n_frames
+        |FROM (SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        |      FROM documents)
+        |ORDER BY media_id""".stripMargin,
 
+    // q61: the container is reconstructed as hex byte-for-byte, fnv0 is its
+    // FNV-1a fingerprint, and each sampled frame folds its parsed 8-byte
+    // data sub-block (the frame index LE64) onto that state.
     "q61_frame_sample" ->
-      s"""WITH base AS (
-         |  SELECT doc_id AS media_id,
-         |    octet_length(encode(text)) % 30 + 1 AS n_frames,
-         |    ${fnvSql("text")} AS fnv0
-         |  FROM documents),
+      s"""WITH $gifHexCte,
+         |base AS (
+         |  SELECT media_id,
+         |    n % 30 + 1 AS n_frames,
+         |    ${fnvHexSql("gif_hex")} AS fnv0
+         |  FROM gif),
          |fr AS (
          |  SELECT media_id, CAST(i AS BIGINT) AS frame_idx, fnv0
          |  FROM base, UNNEST(generate_series(0, n_frames - 1, 5)) AS u(i)),

@@ -10,11 +10,18 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` pipeline: same schema contract, same batch shape, same
   * partitioning behavior).
   *
-  * DECODE IS A STUB: this container has no image/audio codecs, so
-  * [[StubDecoder.decode]] derives deterministic fake dimensions from the
-  * payload bytes. The Spark-side plumbing — binary schema, batched
-  * partition iteration, metadata struct output — is real and tested; swap
-  * `StubDecoder` for a codec-backed implementation to productionize.
+  * The payloads are REAL GIF87a containers (CompuServe GIF, public spec):
+  * [[withPayload]] synthesizes one per document — logical screen descriptor
+  * carrying genuine width/height, a comment extension carrying the document
+  * text, and one image block per frame — and [[GifCodec.parse]] is a
+  * genuine block-walking parser: dimensions come from the header bytes,
+  * frame count from counting image descriptors, frame fingerprints from the
+  * parsed per-frame data sub-blocks. No codec library is involved because
+  * none is needed: GIF's block structure is length-prefixed, so walking it
+  * requires no LZW decode. (The one concession: frame pixel data is a raw
+  * 8-byte fingerprint payload, not LZW-compressed pixels — a pixel DECODER
+  * would need the LZW stage; every structural field the pipeline extracts
+  * is parsed for real.)
   */
 object Multimodal {
 
@@ -23,69 +30,153 @@ object Multimodal {
       height: Long, n_frames: Long, content_fp: Long)
   final case class FrameSample(media_id: Long, frame_idx: Long, frame_fp: Long)
 
-  /** STUB decode: deterministic fake metadata from payload bytes.
-    * A real decoder would parse container headers here. */
-  object StubDecoder {
-    def decode(r: MediaRecord): MediaMeta = {
-      val n = r.payload.length.toLong
-      MediaMeta(
-        media_id = r.media_id,
-        n_bytes = n,
-        width = n % 640 + 1,
-        height = n % 480 + 1,
-        n_frames = n % 30 + 1,
-        content_fp = Fnv64.hash(r.payload))
+  /** GIF87a container read/write. Layout written by [[encode]]:
+    * header "GIF87a" (6 B) · logical screen descriptor (7 B: width LE16,
+    * height LE16, no global color table) · comment extension (0x21 0xFE,
+    * text in 255-byte length-prefixed sub-blocks, 0x00 terminator) · per
+    * frame an image block (0x2C, left/top/width/height LE16, no local
+    * color table, LZW-min-code byte, one 8-byte data sub-block = the
+    * frame index little-endian, 0x00 terminator) · trailer 0x3B. */
+  object GifCodec {
+
+    def encode(text: Array[Byte], width: Int, height: Int,
+        nFrames: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(text.length + 64)
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("GIF87a".getBytes("US-ASCII"))
+      le16(width); le16(height)
+      out.write(0x00); out.write(0x00); out.write(0x00) // no GCT, bg, aspect
+      out.write(0x21); out.write(0xfe) // comment extension introducer
+      var off = 0
+      while (off < text.length) {
+        val len = math.min(255, text.length - off)
+        out.write(len); out.write(text, off, len); off += len
+      }
+      out.write(0x00) // comment terminator
+      var i = 0
+      while (i < nFrames) {
+        out.write(0x2c) // image separator
+        le16(0); le16(0); le16(width); le16(height)
+        out.write(0x00) // no local color table
+        out.write(0x08) // LZW minimum code size
+        out.write(8) // one 8-byte data sub-block: the frame index LE64
+        var s = 0
+        while (s < 8) { out.write(((i.toLong >>> (s * 8)) & 0xffL).toInt); s += 1 }
+        out.write(0x00) // image data terminator
+        i += 1
+      }
+      out.write(0x3b) // trailer
+      out.toByteArray
     }
 
-    /** STUB frame fingerprint: the payload's FNV-1a state (`payloadHash`,
-      * computed ONCE per record) continued over the 8 little-endian bytes
-      * of the frame index (a real decoder would hash the decoded frame's
-      * pixels). Deterministic and byte-replayable by the DuckDB oracle. */
-    def frameFp(payloadHash: Long, idx: Long): Long = {
-      var h = payloadHash
-      var s = 0
-      while (s < 8) {
-        h = (h ^ ((idx >>> (s * 8)) & 0xffL)) * Fnv64.Prime
-        s += 1
+    /** Genuine container parse: magic check, dimensions from the logical
+      * screen descriptor, then a block walk — extensions skipped by their
+      * length-prefixed sub-blocks, image descriptors counted and their
+      * data sub-blocks collected (local/global color tables honored even
+      * though [[encode]] never writes one). */
+    def parse(p: Array[Byte]): (Int, Int, IndexedSeq[Array[Byte]]) = {
+      require(p.length >= 14 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F',
+        "not a GIF container")
+      def u16(at: Int): Int = (p(at) & 0xff) | ((p(at + 1) & 0xff) << 8)
+      val w = u16(6)
+      val h = u16(8)
+      var pos = 13
+      if ((p(10) & 0x80) != 0) pos += 3 * (1 << ((p(10) & 7) + 1))
+      val frames = IndexedSeq.newBuilder[Array[Byte]]
+      var done = false
+      while (!done) {
+        (p(pos) & 0xff) match {
+          case 0x3b => done = true
+          case 0x21 => // extension: label byte, then sub-blocks
+            pos += 2
+            while (p(pos) != 0) pos += (p(pos) & 0xff) + 1
+            pos += 1
+          case 0x2c => // image descriptor
+            val flags = p(pos + 9) & 0xff
+            pos += 10
+            if ((flags & 0x80) != 0) pos += 3 * (1 << ((flags & 7) + 1))
+            pos += 1 // LZW minimum code size
+            val data = new java.io.ByteArrayOutputStream()
+            while (p(pos) != 0) {
+              val len = p(pos) & 0xff
+              data.write(p, pos + 1, len)
+              pos += len + 1
+            }
+            pos += 1
+            frames += data.toByteArray
+          case b => throw new IllegalArgumentException(
+            f"unknown GIF block 0x$b%02x at offset $pos")
+        }
+      }
+      (w, h, frames.result())
+    }
+
+    /** Continue an FNV-1a state over more bytes: frame fingerprints fold
+      * the frame's PARSED data sub-block bytes onto the container hash. */
+    def fold(h0: Long, bytes: Array[Byte]): Long = {
+      var h = h0
+      var i = 0
+      while (i < bytes.length) {
+        h = (h ^ (bytes(i) & 0xffL)) * Fnv64.Prime
+        i += 1
       }
       h
     }
   }
 
-  /** Attach a binary payload column. For the testdata (no real media) the
-    * payload is the UTF-8 encoding of `text` — opaque bytes as far as the
-    * pipeline is concerned. */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"))
+  /** Attach a binary payload column: a synthesized GIF87a container per
+    * document — width/height/frame-count derived from the text's byte
+    * length (n%640+1, n%480+1, n%30+1: the deterministic arithmetic the
+    * oracle replays), text bytes riding in the comment extension so the
+    * content fingerprint covers the document content. */
+  def withPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, t) =>
+        MediaRecord(id, GifCodec.encode(t,
+          t.length % 640 + 1, t.length % 480 + 1, t.length % 30 + 1))
+      }
+      .toDF()
+  }
 
   /** Decode metadata partition-wise in bounded batches. Batching bounds peak
     * memory per task exactly like a Pandas-UDF batch size would; each batch
-    * is materialized, decoded, and released before the next. */
+    * is materialized, decoded, and released before the next. Width/height
+    * are read from the container header, the frame count by walking the
+    * image blocks — a real parse, not derived metadata. */
   def extractMeta(media: DataFrame, batchSize: Int = 64)
       (implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch => batch.map(StubDecoder.decode) }
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, frames) = GifCodec.parse(r.payload)
+          MediaMeta(r.media_id, r.payload.length.toLong, w.toLong, h.toLong,
+            frames.length.toLong, Fnv64.hash(r.payload))
+        }
+      }
     }
   }
 
   /** Sample every `everyNth` frame of each payload: one row per sampled
-    * frame with a deterministic frame fingerprint. The fan-out happens
-    * executor-side inside the same bounded-batch iteration as extractMeta —
-    * the video-frame-sampling shape (decode container → iterate frames →
-    * emit per-frame features) with the codec stubbed. */
+    * frame, fingerprint = the container's FNV state folded over that
+    * frame's PARSED data sub-block bytes. The fan-out happens executor-side
+    * inside the same bounded-batch iteration as extractMeta — the
+    * video-frame-sampling shape (parse container → iterate frames → emit
+    * per-frame features). */
   def sampleFrames(media: DataFrame, everyNth: Int = 5, batchSize: Int = 64)
       (implicit spark: SparkSession): Dataset[FrameSample] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { r =>
-          // hash the payload ONCE; each frame folds only its 8 index bytes
+          val (_, _, frames) = GifCodec.parse(r.payload)
+          // hash the container ONCE; each frame folds only its parsed bytes
           val h0 = Fnv64.hash(r.payload)
-          val nFrames = r.payload.length.toLong % 30 + 1
-          (0L until nFrames by everyNth.toLong).map(i =>
-            FrameSample(r.media_id, i, StubDecoder.frameFp(h0, i)))
+          Iterator.range(0, frames.length, everyNth).map(i =>
+            FrameSample(r.media_id, i.toLong, GifCodec.fold(h0, frames(i))))
         }
       }
     }
