@@ -1123,13 +1123,16 @@ object SparkEntry {
         |ORDER BY lang, n_term DESC, term""".stripMargin,
 
     // q89: moment sums decimal-accumulated exactly like the Spark plan;
-    // the formula arithmetic mirrors token for token.
+    // the formula arithmetic mirrors token for token. TRY_CAST in the
+    // filter mirrors Spark's predicate exactly: Spark drops rows whose
+    // '$.k' is present but non-numeric (cast yields null), so the oracle
+    // must too — a raw IS NOT NULL on the JSON string would keep them.
     "q89_corr" ->
       """WITH e AS (
         |  SELECT event_type, value AS x,
-        |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
+        |    TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS y
         |  FROM events
-        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |  WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL),
         |m AS (
         |  SELECT event_type, COUNT(*) AS n,
         |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,

@@ -35,7 +35,14 @@ object Components {
   /** Component label per node: (id, component) where component = min
     * reachable id. Only nodes that appear in `pairs` are labeled (isolated
     * docs are trivially their own singleton component — join the result
-    * back with a left join and coalesce(component, id) if needed). */
+    * back with a left join and coalesce(component, id) if needed).
+    *
+    * OWNERSHIP: the returned DataFrame is the final round's
+    * localCheckpoint — its materialized RDD stays in executor storage
+    * until the CALLER releases it with [[freeLocalCheckpoint]] (after the
+    * last action over the result) or the session ends. Intermediate
+    * rounds are freed eagerly inside the loop; only the returned one is
+    * the caller's. */
   def connected(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
       maxIter: Int = 30): DataFrame = {
     // undirected: keep each edge in both directions so one join per round
@@ -80,9 +87,14 @@ object Components {
   /** Unpersist the RDD behind a localCheckpoint'd DataFrame (Dataset
     * .unpersist only covers cache-manager entries; a local checkpoint's
     * materialized RDD is reachable through the plan's LogicalRDD leaves).
-    * Shared by the iterative graph operators (label propagation here,
-    * power iteration in [[Graph]]). */
-  private[operators] def freeLocalCheckpoint(df: DataFrame): Unit =
+    * Used by the iterative graph operators for superseded rounds, and
+    * PUBLIC because it is also the disposal API for their RESULTS: the
+    * DataFrames [[connected]], [[dedupClusters]] and [[Graph.pageRank]]
+    * return are final-round local checkpoints the caller owns — call this
+    * after the last action over them to release executor storage (a
+    * long-lived session that never does accumulates one snapshot per
+    * invocation). */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

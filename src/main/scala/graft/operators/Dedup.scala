@@ -174,16 +174,17 @@ object Dedup {
     * probabilistically instead and stays the default for paraphrase-style
     * similarity without long shared runs.
     *
-    * OUTPUT CONTRACT CAVEAT in the over-cap regime: a duplicate cluster
-    * larger than `maxDocFreq` is reported as its star pairs (each member
-    * paired with the cluster min id), NOT all C(df, 2) intra-cluster
-    * pairs — the all-pairs output is itself quadratic in the cluster
-    * size, so no sub-quadratic algorithm can emit it. The star edges are
-    * exactly what clustering consumers ([[Components.dedupClusters]],
-    * q62) need to recover the full component; a consumer that needs the
-    * literal all-pairs list for clusters that large must use
-    * [[ngramJaccard]] (uncapped, quadratic by design). Below the cap the
-    * output IS the complete verified pair list. */
+    * Over-cap regime (a fingerprint shared by more than `maxDocFreq`
+    * docs): candidates first take a linear STAR shape — each member
+    * paired with the group's min id — and after verification each
+    * surviving star group is EXPANDED to its full member-member pair set
+    * and verified again, so the output is the complete all-pairs list in
+    * every regime (matching the exact q21 oracle, no star-subset caveat).
+    * The expansion is quadratic only in the size of TRUE duplicate
+    * clusters — where the required output is itself quadratic, so the
+    * cost is output-bounded — while popular-but-unrelated fingerprints
+    * (a common phrase across millions of docs) still cost one linear
+    * verification per member and die before any expansion. */
   def winnowedJaccard(docs: DataFrame, threshold: Double = 0.5, w: Int = 4,
       idCol: String = "doc_id", maxDocFreq: Int = 50,
       minShared: Int = 2): DataFrame = {
@@ -207,11 +208,10 @@ object Dedup {
     // text duplicated across MORE than maxDocFreq docs puts every one of
     // its fingerprints over the cap, zeroing its candidates. Those groups
     // instead take a linear STAR path: each member is paired with the
-    // group's minimum id (df−1 pairs per group, never df²), exact
-    // verification keeps the true dups, and transitive closure (q62's
-    // connected components) recovers the full cluster through the star
-    // center. Popular-but-unrelated fingerprints (a common phrase) cost
-    // one cheap verification per member and verify away.
+    // group's minimum id (df−1 pairs per group, never df²), and exact
+    // verification keeps the true dups. Popular-but-unrelated
+    // fingerprints (a common phrase) cost one cheap verification per
+    // member and verify away.
     val allFp = winnowedHashes(docs, w, idCol)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
     val fp = allFp.filter(col("df") <= maxDocFreq).drop("df")
@@ -228,7 +228,21 @@ object Dedup {
       .agg(count(lit(1)).as("nshared"))
       .filter(col("nshared") >= minShared)
       .select(col("a_id"), col("b_id"))
-    verifyCandidates(docs, candidates.union(starPairs).distinct(), threshold, idCol)
+    val firstPass =
+      verifyCandidates(docs, candidates.union(starPairs).distinct(), threshold, idCol)
+    // Verified star groups expand to their full member-member pair sets
+    // (plus the center edges already verified), then a second exact pass
+    // verifies the expansion — Jaccard is not transitive, so member pairs
+    // of a NEAR-dup star are not automatically ≥ threshold. When no
+    // fingerprint is over the cap (the common regime) every frame below
+    // is empty and AQE collapses the extra joins to nothing; the shingle
+    // index subtree is shared with firstPass via ReuseExchange.
+    val starVerified = firstPass.join(starPairs, Seq("a_id", "b_id"), "left_semi")
+    val expansion = starVerified.as("x").join(starVerified.as("y"),
+        col("x.a_id") === col("y.a_id") && col("x.b_id") < col("y.b_id"))
+      .select(col("x.b_id").as("a_id"), col("y.b_id").as("b_id"))
+    val secondPass = verifyCandidates(docs, expansion, threshold, idCol)
+    firstPass.unionAll(secondPass).distinct()
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc via the typed

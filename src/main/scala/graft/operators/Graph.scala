@@ -26,7 +26,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  /** Rank per node id appearing in `pairs`: (id, pr). Ranks sum to ~1. */
+  /** Rank per node id appearing in `pairs`: (id, pr). Ranks sum to ~1.
+    *
+    * OWNERSHIP: the return value is the final iteration's localCheckpoint;
+    * the caller releases it with [[Components.freeLocalCheckpoint]] after
+    * the last action (intermediates are freed eagerly per round). */
   def pageRank(pairs: DataFrame, iterations: Int = 5, damping: Double = 0.85,
       aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     require(iterations >= 1, "pageRank needs at least one iteration")

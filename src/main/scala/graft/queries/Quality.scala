@@ -83,11 +83,15 @@ object Quality {
   /** Reproducible Pearson correlation/covariance of (value, props.k) per
     * event type — moment sums through DECIMAL (built-in corr/covar are
     * partition-order-dependent running doubles), formulas applied once on
-    * the aggregated values. */
+    * the aggregated values. try_cast, not cast: under ANSI (the Spark 4
+    * default these sessions run with) a present-but-non-numeric '$.k'
+    * must DROP the row — same as the oracle's TRY_CAST filter — not kill
+    * a 100 TB job. */
   def q89Corr(s: SparkSession, dir: String): DataFrame =
     Stats.corrByKey(
         Tables.load(s, dir, "events")
-          .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+          .withColumn("k",
+            expr("try_cast(get_json_object(props, '$.k') AS double)"))
           .filter(col("k").isNotNull),
         col("event_type"), col("value"), col("k"))
       .withColumnRenamed("key", "event_type")

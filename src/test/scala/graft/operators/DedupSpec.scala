@@ -93,11 +93,13 @@ class DedupSpec extends SparkSpec {
       "no token overlap should mean no shared fingerprints")
   }
 
-  test("over-cap duplicate clusters survive the df cap via the star path") {
+  test("over-cap duplicate clusters emit the COMPLETE all-pairs set (star + expansion)") {
     import spark.implicits._
     // one text duplicated across 12 docs with a cap of 5: every fingerprint
     // of the cluster has df=12 > 5, so the capped candidate path alone sees
-    // NOTHING — the star path must pair each member with the cluster min
+    // NOTHING — the star path pairs each member with the cluster min, and
+    // the post-verification expansion recovers every member-member pair,
+    // matching the exact all-pairs oracle contract
     val dup = "the exact same long document text repeated verbatim across " +
       "many different ingestion dates with identical token content"
     val d = ((1L to 12L).map(i => (i, dup)) ++
@@ -105,10 +107,30 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val pairs = Dedup.winnowedJaccard(d, 0.5, maxDocFreq = 5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    assert((2L to 12L).forall(i => pairs.contains((1L, i))),
-      s"star path must pair every cluster member with the min id; got $pairs")
-    assert(pairs.forall { case (a, b) => a <= 12 && b <= 12 },
-      "the singleton must not appear in any pair")
+    val want = (for (a <- 1L to 12L; b <- (a + 1) to 12L) yield (a, b)).toSet
+    assert(pairs == want,
+      s"expected all C(12,2)=${want.size} pairs, got ${pairs.size}: " +
+        s"missing=${(want -- pairs).take(5)} extra=${(pairs -- want).take(5)}")
+  }
+
+  test("cluster larger than the DEFAULT cap: all pairs out, components recover the cluster") {
+    import spark.implicits._
+    // 60 identical docs > maxDocFreq=50 (the default the oracle queries
+    // run with): the regime the gate SFs never reach, pinned here — the
+    // star+expansion output is the full C(60,2) pair list, and q62's
+    // label propagation recovers the single 60-member component from it
+    val dup = "sixty copies of one long identical training document shared " +
+      "verbatim across every ingestion batch in the synthetic corpus"
+    val d = ((1L to 60L).map(i => (i, dup)) ++ Seq(
+      (200L, "an unrelated document with entirely distinct vocabulary one"),
+      (201L, "another unrelated text carrying its own words and nothing shared")))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowedJaccard(d, 0.5).cache()
+    assert(out.count() == 60L * 59 / 2, "full all-pairs output above the default cap")
+    assert(out.filter(col("jaccard") =!= 1.0).count() == 0)
+    val comp = Components.dedupClusters(out.select("a_id", "b_id"))
+    val c = comp.filter(col("component") === 1L)
+    assert(c.count() == 60, "one transitive component containing every member")
   }
 
   test("winnowing density: fingerprints are a ~1/w subset of the doc's shingle hashes") {
