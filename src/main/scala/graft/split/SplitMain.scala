@@ -33,7 +33,7 @@ object SplitMain {
     require(config.inDir != null && config.outDir != null && config.markerDir != null,
       "IN_DIR, OUT_DIR and MARKER_DIR are required (flag or env var)")
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-split")
       .config("spark.sql.shuffle.partitions",
@@ -41,7 +41,13 @@ object SplitMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // object-store deployments opt in to the S3A client/committer surface
+    // (graft.sources.CloudConf — the reference's boto3 Config analog);
+    // never applied implicitly: the committer protocol classes live in the
+    // spark-hadoop-cloud module, absent from plain local classpaths
+    if (getArg(args, "CLOUD_WRITE", "false").toBoolean)
+      graft.sources.CloudConf.configure(builder)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     getArg(args, "MODE", "batch") match {

@@ -54,4 +54,30 @@ class SourcesSpec extends SparkSpec {
       options = Map("mode" -> "FAILFAST"))
     intercept[Exception] { back.collect() }
   }
+
+  test("CloudConf mirrors the reference client config and applies to a session") {
+    val s = CloudConf.settings()
+    // boto3 Config analog (reference parquet-splitter.py:38-43)
+    assert(s("spark.hadoop.fs.s3a.attempts.maximum") == "10")
+    assert(s("spark.hadoop.fs.s3a.connection.maximum") == "64")
+    assert(s("spark.hadoop.fs.s3a.connection.establish.timeout") == "10000")
+    assert(s("spark.hadoop.fs.s3a.connection.timeout") == "120000")
+    // zero-rename committer + idempotent partition overwrite
+    assert(s("spark.hadoop.fs.s3a.committer.name") == "magic")
+    assert(s("spark.sql.sources.partitionOverwriteMode") == "dynamic")
+
+    // applyTo on an isolated session: SQL conf lands in THAT session only,
+    // hadoop keys land in the shared hadoopConfiguration. The committer
+    // class bindings are excluded here — this local JVM has no
+    // spark-hadoop-cloud module, and binding them would break every write
+    // in the session (exactly why CloudConf is explicit opt-in).
+    val s2 = spark.newSession()
+    CloudConf.applyTo(s2, s - "spark.sql.sources.commitProtocolClass"
+      - "spark.sql.parquet.output.committer.class")
+    assert(s2.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic")
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic",
+      "the original session must be unaffected")
+    assert(s2.sparkContext.hadoopConfiguration
+      .get("fs.s3a.committer.name") == "magic")
+  }
 }
