@@ -113,6 +113,8 @@ object SparkEntry {
     "q92_incremental_dedup_bucketed" -> (TextQueries.q92IncrementalDedupBucketed _),
     "q93_neardup_banded"  -> (TextQueries.q93NearDupBanded _),
     "q94_equi_depth_sampled" -> (Quality.q94EquiDepthSampled _),
+    "q95_semantic_dedup"  -> (TextQueries.q95SemanticDedup _),
+    "q96_pq_adc"          -> (TextQueries.q96PqAdc _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -393,6 +395,42 @@ object SparkEntry {
       |      i -> CAST(CAST(embedding[i] AS DOUBLE)
       |                * (1 + 0.01 * ((i - 1) % 7 - 3)) AS FLOAT)) AS embedding
       |  FROM embeddings WHERE vec_id % 10 = 0),""".stripMargin
+
+  /** q95: q93's exact cosine pairs over the augmented table, then the
+    * transitive closure via a recursive CTE — the semantic-dedup analog of
+    * q62's gate, checking the banded-candidates → label-propagation
+    * composition end to end. */
+  private val semanticDedupSql =
+    s"""WITH RECURSIVE $q93AugCte
+      |n AS (
+      |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+      |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM aug)
+      |  GROUP BY vec_id),
+      |d AS (
+      |  SELECT a_id, b_id, SUM(ax*bx) AS dot FROM (
+      |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |      CAST(UNNEST(a.embedding) AS DOUBLE) AS ax,
+      |      CAST(UNNEST(b.embedding) AS DOUBLE) AS bx
+      |    FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+      |  GROUP BY a_id, b_id),
+      |pairsj AS (
+      |  SELECT a_id, b_id
+      |  FROM d JOIN n na ON a_id = na.vec_id JOIN n nb ON b_id = nb.vec_id
+      |  WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.9),
+      |edges AS (
+      |  SELECT a_id AS s, b_id AS dd FROM pairsj
+      |  UNION SELECT b_id, a_id FROM pairsj),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT s, s FROM edges
+      |  UNION
+      |  SELECT e.dd, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+      |lab AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      |siz AS (SELECT component, COUNT(*) AS csize FROM lab GROUP BY component)
+      |SELECT l.id AS vec_id, l.component,
+      |  CAST(s.csize AS BIGINT) AS component_size,
+      |  l.id = l.component AS is_canonical
+      |FROM lab l JOIN siz s USING (component)
+      |ORDER BY vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -819,6 +857,51 @@ object SparkEntry {
     "q53_neardup_blocked" -> cosineNearDupSql(0.4),
     "q24_embedding_neardup" -> cosineNearDupSql(0.4),
     "q93_neardup_banded" -> cosineNearDupSql(0.9, "aug", q93AugCte),
+    "q95_semantic_dedup" -> semanticDedupSql,
+
+    // q96: full PQ replay — FNV-seeded codebook (signed-BIGINT hash order,
+    // q56's reinterpretation), per-subspace exact decimal distances, argmin
+    // code assignment, ADC sum along codes, (distance, id) ranking.
+    "q96_pq_adc" ->
+      s"""WITH fnvmap AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS hk
+         |  FROM (SELECT vec_id, embedding,
+         |          ${fnvSql("CAST(vec_id AS VARCHAR)")} AS fnv
+         |        FROM embeddings)),
+         |seeds AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
+         |  FROM fnvmap ORDER BY hk, vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
+         |  FROM seeds, UNNEST(generate_series(1, 64)) AS u(i)),
+         |dims AS (
+         |  SELECT vec_id AS id, (i - 1) // 8 AS m, i - 1 AS dim,
+         |    CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+         |d2 AS (
+         |  SELECT id, m, cid,
+         |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
+         |  FROM dims JOIN cb USING (dim) GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT id, m, cid AS code FROM (
+         |    SELECT id, m, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |qd AS (SELECT id AS qid, m, cid, d2 FROM d2 WHERE id < 10),
+         |adist AS (
+         |  SELECT qid, codes.id AS cand, SUM(qd.d2) AS ad
+         |  FROM codes JOIN qd ON qd.m = codes.m AND qd.cid = codes.code
+         |    AND qd.qid <> codes.id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT qid, cand, ad,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank
+         |  FROM adist)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cand AS cid,
+         |  ROUND(CAST(ad AS DOUBLE), 6) AS adist
+         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q30_knn_brute" -> knnBruteSql,
     "q31_knn_lsh"   -> knnLshSql,

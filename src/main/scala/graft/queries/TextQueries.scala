@@ -315,7 +315,15 @@ object TextQueries {
     * deterministic hyperplanes; exact cosine verifies, so output ⊆ the
     * exact all-pairs join over the same augmented table and a green hash
     * IS a recall = 1.0 gate on real near-dup pairs. */
-  def q93NearDupBanded(s: SparkSession, dir: String): DataFrame = {
+  def q93NearDupBanded(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupBanded(augmentedEmbeddings(s, dir), 0.9)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** The embeddings table plus deterministic planted near-duplicates
+    * (q93/q95's gate substrate): every vec_id % 10 == 0 vector re-scaled
+    * per-coordinate by 1 ± ≤3% under id + 1000000, float-rounded so the
+    * oracle replays the bytes exactly. */
+  private def augmentedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val dup = base.filter(col("vec_id") % 10 === 0)
@@ -324,9 +332,39 @@ object TextQueries {
           (x.cast("double") *
             (lit(1.0) + lit(0.01) * (i % 7 - 3).cast("double")))
             .cast("float")).as("embedding"))
-    Similarity.cosineNearDupBanded(base.unionAll(dup), 0.9)
-      .orderBy(col("a_id"), col("b_id"))
+    base.unionAll(dup)
   }
+
+  /** SemDeDup-shaped SEMANTIC dedup report (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): embedding near-dup PAIRS (the banded sub-quadratic
+    * path, exact-cosine verified) → transitive closure via distributed
+    * label propagation → one row per clustered vector with its component,
+    * size, and the keep/drop flag (canonical = min id). The full pipeline
+    * a 100 TB corpus runs to drop semantically redundant documents: every
+    * stage is the oracle-gated scale shape (q93's candidates, q62's
+    * components). Oracle = exact all-pairs cosine over the same augmented
+    * table + a recursive-CTE closure, so a green hash gates the whole
+    * composition end to end. */
+  def q95SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Components.dedupClusters(
+        Similarity.cosineNearDupBanded(augmentedEmbeddings(s, dir), 0.9)
+          .select(col("a_id"), col("b_id")))
+      .select(col("id").as("vec_id"), col("component"),
+        col("component_size"), col("is_canonical"))
+      .orderBy(col("vec_id"))
+
+  /** Product-quantization ADC search (q96): 64-dim vectors → 8 codes
+    * against content-addressed 16-centroid subspace codebooks, queries
+    * (vec_id < 10, q44's convention) ranked by asymmetric distance — the
+    * memory-compressed ANN path next to brute (q30) / LSH (q31) / IVF
+    * (q44). Every stage is closed-form (hash-seeded codebook, exact
+    * decimal-summed distances), so the oracle replays codebook, code
+    * assignment, and ADC ranking bit-exactly. */
+  def q96PqAdc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PQ.adcTopK(Tables.load(s, dir, "embeddings"),
+        col("vec_id") < 10, topK = 3)
+      .orderBy(col("qid"), col("rank"))
 
   /** Train→eval decontamination report: per val/test doc, the fraction of
     * its distinct word 3-grams appearing anywhere in the train split (the

@@ -81,6 +81,13 @@ class SimilaritySpec extends SparkSpec {
     assert(banded == exact, s"banded missed ${(exact -- banded).size} of ${exact.size} pairs")
   }
 
+  test("cosineNearDupBanded plans equi-joins only (no nested-loop, no cartesian)") {
+    val plan = Similarity.cosineNearDupBanded(emb, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("cosineNearDup is symmetric-free (a<b) and matches dot/norm math on a known pair") {
     import spark.implicits._
     val d = Seq(
