@@ -62,17 +62,24 @@ object PQ {
   }
 
   /** PQ codes: (id, m, code) — per subspace, the centroid minimizing the
-    * exact subdistance (ties → smaller cid). */
+    * exact subdistance (ties → smaller cid). Argmin as a hash-aggregate
+    * `min(struct(d2, cid))` — lexicographic struct ordering — rather than
+    * a row_number window: no per-(id,m) sort, partial aggregation
+    * map-side, one narrow shuffle. */
   def encode(emb: DataFrame, cb: DataFrame, m: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    encodeWithDim(emb, cb, vecDim(emb, vecCol), m, idCol, vecCol)
+
+  private def vecDim(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).head().getInt(0)
+
+  private def encodeWithDim(emb: DataFrame, cb: DataFrame, dim: Int, m: Int,
+      idCol: String, vecCol: String): DataFrame = {
     require(dim % m == 0, s"dim $dim must be a multiple of m=$m")
-    val w = Window.partitionBy(col("id"), col("m"))
-      .orderBy(col("d2"), col("cid"))
     subDistances(emb, cb, dim / m, idCol, vecCol)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("m"), col("cid").as("code"))
+      .groupBy(col("id"), col("m"))
+      .agg(min(struct(col("d2"), col("cid"))).as("s"))
+      .select(col("id"), col("m"), col("s.cid").as("code"))
   }
 
   /** ADC top-k: for each query (vectors with `queryPred`), the exact
@@ -83,8 +90,8 @@ object PQ {
       k: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cb = codebook(emb, k, idCol, vecCol)
-    val codes = encode(emb, cb, m, idCol, vecCol)
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val dim = vecDim(emb, vecCol)
+    val codes = encodeWithDim(emb, cb, dim, m, idCol, vecCol)
     val qd = subDistances(emb.filter(queryPred), cb, dim / m, idCol, vecCol)
       .select(col("id").as("qid"), col("m"), col("cid"), col("d2"))
     val adist = codes.join(broadcast(qd),

@@ -101,4 +101,35 @@ class StreamingSpec extends SparkSpec {
     assert(stream.queryExecution.analyzed.toString.contains("EventTimeWatermark"),
       "watermark node missing from the streaming plan")
   }
+
+  test("streaming incremental dedup: two micro-batches equal the from-scratch batch result") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingDedup.run(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/sigs", s"$tmp/pairs", s"$tmp/ck")
+    // one addData per drained micro-batch: each plays one ingestion date
+    ms.addData(half1); q.processAllAvailable()
+    ms.addData(half2); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(s"$tmp/pairs")
+      .select("a_id", "b_id", "est_jaccard")
+    val sigs = graft.operators.Dedup.minhashSignatures(docs)
+    val want = graft.operators.IncrementalDedup.newPairs(sigs, sigs)
+    assert(got.count() > 0, "expected near-dup pairs in this corpus")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream union must equal the from-scratch batch pair set")
+    // each pair is reported by exactly one micro-batch
+    assert(got.groupBy("a_id", "b_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }
