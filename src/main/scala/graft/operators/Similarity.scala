@@ -236,6 +236,11 @@ object Similarity {
     val bands = embeddings.select(col(idCol).as("id"),
         posexplode(array((0 until nBands).map(b => bandHash(col(vecCol), b)): _*))
           .as(Seq("band", "bh")))
+      // shuffle_hash: same exchange-reuse rationale as minhashLsh — the two
+      // identical band subtrees (each 32 plane dot products over the full
+      // scan) collapse into ONE exchange instead of AQE broadcasting a side
+      // and recomputing the signature scan per side
+      .hint("shuffle_hash")
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") < col("y.id"))
