@@ -115,6 +115,7 @@ object SparkEntry {
     "q94_equi_depth_sampled" -> (Quality.q94EquiDepthSampled _),
     "q95_semantic_dedup"  -> (TextQueries.q95SemanticDedup _),
     "q96_pq_adc"          -> (TextQueries.q96PqAdc _),
+    "q97_chunking"        -> (TextQueries.q97Chunk _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1240,6 +1241,29 @@ object SparkEntry {
         |    NTILE(10) OVER (ORDER BY value, event_id) AS bucket
         |  FROM events)
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q97: tokenize, window every 48 tokens, slice 64, fingerprint the
+    // space-joined chunk — replayed with 1-based list_slice arithmetic.
+    "q97_chunking" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> len(x) > 0) AS t
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |    array_to_string(list_slice(t, i * 48 + 1,
+         |      LEAST(i * 48 + 64, len(t))), ' ') AS ctext,
+         |    LEAST(i * 48 + 64, len(t)) - (i * 48 + 1) + 1 AS n_tokens
+         |  FROM t, UNNEST(generate_series(0, (len(t) - 1) // 48)) AS u(i)
+         |  WHERE len(t) > 0)
+         |SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |    THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT)
+         |    AS chunk_fp
+         |FROM (SELECT doc_id, chunk_id, n_tokens, ${fnvSql("ctext")} AS fnv
+         |      FROM ch)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —
     // the sample membership and the bucket edges replay bit-exactly.

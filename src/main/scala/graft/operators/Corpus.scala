@@ -90,4 +90,36 @@ object Corpus {
         round(frac, 6).as("contamination"),
         (frac >= threshold).as("contaminated"))
   }
+
+  /** Overlapping token-window CHUNKING — the context-window preparation
+    * step for RAG indexing and long-document pretraining: each document
+    * splits into windows of `window` tokens starting every `stride`
+    * tokens (overlap = window − stride), the last window keeping its
+    * partial tail. One row per chunk: (doc_id, chunk_id, n_tokens,
+    * chunk_fp) with chunk_fp the FNV-1a of the space-joined chunk text —
+    * a deterministic handle for downstream chunk-level dedup/lookup
+    * (joined back by (doc_id, chunk_id·stride) slicing when the text
+    * itself is needed; emitting the handle, not the substring, keeps the
+    * output a fixed-width row at 100 TB).
+    *
+    * Scan-local plan: tokenize → per-row sequence of chunk starts →
+    * posexplode → slice + hash; no shuffle at all before the caller's
+    * aggregation. Docs with zero tokens produce no chunks. */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need window >= stride >= 1 (overlap = window - stride)")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val nChunks = floor((size(col("t")) - 1) / lit(stride)).cast("bigint") + 1
+    docs.select(col(idCol), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col(idCol), col("t"),
+        posexplode(sequence(lit(0L), nChunks - 1)).as(Seq("pos", "chunk_id")))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(window)).as("ct"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("ct")).cast("bigint").as("n_tokens"),
+        graft.functions.Fnv64.fnv64(array_join(col("ct"), " ")).as("chunk_fp"))
+  }
 }

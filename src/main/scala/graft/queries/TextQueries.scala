@@ -366,6 +366,15 @@ object TextQueries {
         col("vec_id") < 10, topK = 3)
       .orderBy(col("qid"), col("rank"))
 
+  /** Overlapping token-window chunking (q97): 64-token windows every 48
+    * tokens (16-token overlap), partial tail kept — the RAG / long-doc
+    * context-preparation step, scan-local (zero shuffles before the output
+    * sort). The oracle replays tokenization, window arithmetic, slicing,
+    * and the chunk-text FNV fingerprint token for token. */
+  def q97Chunk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.chunk(Tables.load(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Train→eval decontamination report: per val/test doc, the fraction of
     * its distinct word 3-grams appearing anywhere in the train split (the
     * overlap audit run before every LLM evaluation). */

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+
+  test("chunk: window/stride arithmetic on a synthetic doc, tail kept") {
+    import spark.implicits._
+    // 150 tokens, window 64, stride 48 → starts 0/48/96/144 →
+    // lengths 64, 64, 54, 6
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, text), (2L, "single"), (3L, " ")).toDF("doc_id", "text")
+    val ch = Corpus.chunk(d).orderBy("doc_id", "chunk_id").collect()
+    val one = ch.filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == Seq((0L, 64L), (1L, 64L), (2L, 54L), (3L, 6L)))
+    // a one-token doc is one one-token chunk; a blank doc emits nothing
+    assert(ch.filter(_.getLong(0) == 2L).map(r => (r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((0L, 1L)))
+    assert(!ch.exists(_.getLong(0) == 3L))
+  }
+
+  test("chunk: full corpus coverage — per-chunk length and count identities") {
+    // chunk i holds exactly min(window, n − i·stride) tokens, and there
+    // are floor((n−1)/stride)+1 chunks — together: every token position is
+    // covered and the tail is never dropped
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.select(col("doc_id"),
+      size(filter(split(trim(col("text")), "\\s+"),
+        t => length(t) > 0)).cast("bigint").as("n"))
+    val ch = Corpus.chunk(docs).join(n, "doc_id")
+    assert(ch.filter(col("n_tokens") =!=
+      least(lit(64L), col("n") - col("chunk_id") * 48)).count() == 0)
+    val counts = ch.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .join(n, "doc_id")
+      .filter(col("c") =!= floor((col("n") - 1) / 48) + 1)
+    assert(counts.count() == 0)
+  }
+
+  test("chunk: fingerprints are chunk-content hashes (equal chunks collide)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = Corpus.chunk(d).select("doc_id", "chunk_fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+}
