@@ -116,6 +116,7 @@ object SparkEntry {
     "q95_semantic_dedup"  -> (TextQueries.q95SemanticDedup _),
     "q96_pq_adc"          -> (TextQueries.q96PqAdc _),
     "q97_chunking"        -> (TextQueries.q97Chunk _),
+    "q98_kmeans"          -> (TextQueries.q98KMeans _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1264,6 +1265,52 @@ object SparkEntry {
          |FROM (SELECT doc_id, chunk_id, n_tokens, ${fnvSql("ctext")} AS fnv
          |      FROM ch)
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q98: both Lloyd rounds unrolled (the q81 recipe) — hash-seeded init,
+    // decimal-summed distances, (d2, cid) argmin, decimal-mean update.
+    "q98_kmeans" ->
+      s"""WITH fnvmap AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS hk
+         |  FROM (SELECT vec_id, embedding,
+         |          ${fnvSql("CAST(vec_id AS VARCHAR)")} AS fnv
+         |        FROM embeddings)),
+         |seeds AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
+         |  FROM fnvmap ORDER BY hk, vec_id LIMIT 8),
+         |cb0 AS (
+         |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
+         |  FROM seeds, UNNEST(generate_series(1, 64)) AS u(i)),
+         |dims AS (
+         |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+         |d0 AS (
+         |  SELECT id, cid,
+         |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
+         |  FROM dims JOIN cb0 USING (dim) GROUP BY 1, 2),
+         |a0 AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |cb1 AS (
+         |  SELECT cid, dim,
+         |    ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*), 12) AS c
+         |  FROM a0 JOIN dims USING (id) GROUP BY 1, 2),
+         |d1 AS (
+         |  SELECT id, cid,
+         |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
+         |  FROM dims JOIN cb1 USING (dim) GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT id, cid, d2 FROM (
+         |    SELECT id, cid, d2,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM d1) WHERE rn = 1)
+         |SELECT cid, COUNT(*) AS n_points,
+         |  ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS inertia
+         |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin,
 
     // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —
     // the sample membership and the bucket edges replay bit-exactly.

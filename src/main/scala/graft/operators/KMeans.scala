@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means over embedding columns (Lloyd's algorithm,
+  * "Least squares quantization in PCM", IEEE Trans. IT 1982) as pure
+  * DataFrame plans — the clustering primitive under semantic sharding,
+  * IVF index builds, and PQ codebook training.
+  *
+  * FIXED iteration count and CONTENT-ADDRESSED initialization (the k
+  * hash-least vectors seed the centroids — the q44/q56/q96 convention),
+  * so the fit is a closed-form function of the data: no RNG, no
+  * convergence test, and an unrolled SQL oracle replays every round
+  * bit-exactly (the q81 PageRank recipe applied to clustering).
+  *
+  * Determinism contract: squared distances are per-dimension-rounded to
+  * 12 decimals and summed through DECIMAL; argmin ties break on centroid
+  * id; centroid updates divide an exact decimal sum by the exact count
+  * and round to 12. Every arithmetic step is partition-order-independent.
+  *
+  * Scale shape per iteration: one broadcast of the k·D centroid table to
+  * the (id, dim, x) scan, one (id, cid)-keyed aggregate for distances,
+  * one (id)-keyed argmin aggregate, one (cid, dim)-keyed mean aggregate —
+  * all map-side-combining hash aggregates over scans; database vectors
+  * never pair with each other. Empty clusters (possible when k exceeds
+  * the natural cluster count) simply vanish from the next round's
+  * centroid table, mirroring the oracle's replay.
+  */
+object KMeans {
+
+  /** (cid, dim, c) initial centroids: the k hash-least vectors' components
+    * (FNV-1a of the id string — engine-replayable). */
+  def init(emb: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = emb.select(col(idCol).as("sid"), col(vecCol).as("v"),
+        graft.functions.Fnv64.fnv64(col(idCol).cast("string")).as("hk"))
+      .orderBy(col("hk"), col("sid")).limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("hk"), col("sid"))) - 1)
+    seeds.select(col("cid"), posexplode(col("v")).as(Seq("dim", "c")))
+      .select(col("cid"), col("dim"), col("c").cast("double").as("c"))
+  }
+
+  private def dimRows(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"), col("x").cast("double").as("x"))
+
+  /** Hard assignment against a centroid table: (id, cid, d2) with d2 the
+    * exact decimal-summed squared distance to the WINNING centroid. */
+  def assign(emb: DataFrame, centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignDims(dimRows(emb, idCol, vecCol), centroids)
+
+  private def assignDims(dims: DataFrame, centroids: DataFrame): DataFrame = {
+    val diff = col("x") - col("c")
+    dims.join(broadcast(centroids), Seq("dim"))
+      .groupBy(col("id"), col("cid"))
+      .agg(sum(round(diff * diff, 12).cast("decimal(28,12)")).as("d2"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("s"))
+      .select(col("id"), col("s.cid").as("cid"), col("s.d2").as("d2"))
+  }
+
+  /** `iterations` Lloyd rounds; returns the final hard assignment
+    * (id, cid, d2). Initialization defaults to the content-addressed
+    * seeds; pass `initCentroids` (cid, dim, c) to start from chosen ones
+    * — Lloyd's recovery guarantee holds only when the init spreads across
+    * the true clusters (hash seeds can collide into one dense cluster;
+    * that is inherent to any O(N) one-shot init, not a defect of the
+    * update — production picks k-means++/maxmin when it matters). */
+  def fit(emb: DataFrame, k: Int = 8, iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initCentroids: Option[DataFrame] = None): DataFrame = {
+    require(iterations >= 1, "k-means needs at least one assignment round")
+    val dims = dimRows(emb, idCol, vecCol)
+    var centroids = initCentroids.getOrElse(init(emb, k, idCol, vecCol))
+    var assigned = assignDims(dims, centroids)
+    var i = 1
+    while (i < iterations) {
+      centroids = assigned.select(col("id"), col("cid"))
+        .join(dims, Seq("id"))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(round(col("x"), 12).cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("mean"))
+        .select(col("cid"), col("dim"), round(col("mean"), 12).as("c"))
+      assigned = assignDims(dims, centroids)
+      i += 1
+    }
+    assigned
+  }
+
+  /** Per-cluster summary of a fit: (cid, n_points, inertia). */
+  def summary(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("d2")).cast("double"), 6).as("inertia"))
+}

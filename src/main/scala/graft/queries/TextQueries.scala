@@ -375,6 +375,18 @@ object TextQueries {
     graft.operators.Corpus.chunk(Tables.load(s, dir, "documents"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Distributed k-means (q98): 8 clusters, 2 Lloyd rounds from content-
+    * addressed seeds, per-cluster size + inertia — the clustering
+    * primitive under semantic sharding / IVF / PQ training, with the q81
+    * recipe (fixed rounds, deterministic arithmetic) making the whole fit
+    * replayable by an unrolled SQL oracle. */
+  def q98KMeans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.summary(
+        graft.operators.KMeans.fit(Tables.load(s, dir, "embeddings")))
+      .select(col("cid").cast("bigint").as("cid"), col("n_points"),
+        col("inertia"))
+      .orderBy(col("cid"))
+
   /** Train→eval decontamination report: per val/test doc, the fraction of
     * its distinct word 3-grams appearing anywhere in the train split (the
     * overlap audit run before every LLM evaluation). */

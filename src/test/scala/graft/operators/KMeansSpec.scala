@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("well-separated synthetic clusters are recovered exactly under spread init") {
+    import spark.implicits._
+    // 4 far-apart base directions, 12 tight copies each; one init seed
+    // per true cluster (the k-means++/maxmin situation) → Lloyd must put
+    // every copy with its base
+    def vec(base: Int, copy: Int): Array[Float] = {
+      val r = new scala.util.Random(base + 7)
+      val b = Array.fill(64)(r.nextGaussian() * 10)
+      val rn = new scala.util.Random(base * 131 + copy)
+      b.map(x => (x + 0.01 * rn.nextGaussian()).toFloat)
+    }
+    val rows = for (b <- 0 until 4; c <- 0 until 12)
+      yield (b * 12L + c, vec(b, c))
+    val df = rows.toDF("vec_id", "embedding")
+    val seedInit = df.filter(col("vec_id") % 12 === 0) // one per cluster
+      .select((col("vec_id") / 12).cast("int").as("cid"),
+        posexplode(col("embedding")).as(Seq("dim", "c")))
+      .select(col("cid"), col("dim"), col("c").cast("double").as("c"))
+    val assigned = KMeans.fit(df, k = 4, iterations = 3,
+      initCentroids = Some(seedInit)).cache()
+    // every true cluster maps to exactly one learned cid and vice versa
+    val m = assigned.withColumn("truth", floor(col("id") / 12))
+      .groupBy("truth").agg(countDistinct("cid").as("k"),
+        count(lit(1)).as("n"))
+    assert(m.filter(col("k") =!= 1 || col("n") =!= 12).count() == 0,
+      "each true cluster must land in exactly one learned cluster")
+    assert(assigned.select("cid").distinct().count() == 4)
+  }
+
+  test("fit is deterministic and total (every vector assigned once)") {
+    val a = KMeans.fit(emb).cache()
+    assert(a.count() == emb.count())
+    assert(a.groupBy("id").count().filter(col("count") > 1).count() == 0)
+    val b = KMeans.fit(emb)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("a second Lloyd round never increases inertia") {
+    def inertia(iters: Int): Double =
+      KMeans.summary(KMeans.fit(emb, iterations = iters))
+        .agg(sum("inertia")).head.getDouble(0)
+    assert(inertia(2) <= inertia(1) + 1e-6,
+      "Lloyd update must not increase total inertia")
+  }
+}
