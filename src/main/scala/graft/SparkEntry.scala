@@ -117,6 +117,7 @@ object SparkEntry {
     "q96_pq_adc"          -> (TextQueries.q96PqAdc _),
     "q97_chunking"        -> (TextQueries.q97Chunk _),
     "q98_kmeans"          -> (TextQueries.q98KMeans _),
+    "q99_kmeans_maxmin"   -> (TextQueries.q99KMeansMaxMin _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -433,6 +434,62 @@ object SparkEntry {
       |  l.id = l.component AS is_canonical
       |FROM lab l JOIN siz s USING (component)
       |ORDER BY vec_id""".stripMargin
+
+  /** q99's oracle: the maxmin pick sequence (k=4) and one assignment
+    * round, generated stage by stage — dp<t> = exact decimal distance of
+    * every point to pick t, m<t> = running minimum, p<t+1> = its argmax
+    * excluding prior picks. */
+  private lazy val q99Sql: String = {
+    val k = 4
+    def dp(t: Int): String =
+      s"""dp$t AS (
+         |  SELECT d.id,
+         |    SUM(CAST(ROUND((d.x - s.x) * (d.x - s.x), 12) AS DECIMAL(28,12))) AS d2
+         |  FROM dims d JOIN dims s ON d.dim = s.dim AND s.id = (SELECT id FROM p$t)
+         |  GROUP BY d.id)""".stripMargin
+    val stages = (0 until k - 1).flatMap { t =>
+      val m =
+        if (t == 0) s"m0 AS (SELECT id, d2 AS mind2 FROM dp0)"
+        else
+          s"""m$t AS (
+             |  SELECT m${t - 1}.id, LEAST(m${t - 1}.mind2, dp$t.d2) AS mind2
+             |  FROM m${t - 1} JOIN dp$t USING (id))""".stripMargin
+      val notIn = (0 to t).map(i => s"SELECT id FROM p$i").mkString(" UNION ALL ")
+      val p =
+        s"""p${t + 1} AS (
+           |  SELECT id FROM m$t WHERE id NOT IN ($notIn)
+           |  ORDER BY mind2 DESC, id LIMIT 1)""".stripMargin
+      Seq(dp(t), m, p)
+    }
+    val cb = (0 until k).map(t =>
+      s"SELECT $t AS cid, dim, x AS c FROM dims WHERE id = (SELECT id FROM p$t)")
+      .mkString("cb AS (\n", "\n  UNION ALL ", ")")
+    s"""WITH fnvmap AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+       |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS hk
+       |  FROM (SELECT vec_id, embedding,
+       |          ${fnvSql("CAST(vec_id AS VARCHAR)")} AS fnv
+       |        FROM embeddings)),
+       |dims AS (
+       |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+       |p0 AS (SELECT vec_id AS id FROM fnvmap ORDER BY hk, vec_id LIMIT 1),
+       |${stages.mkString(",\n")},
+       |$cb,
+       |da AS (
+       |  SELECT id, cid,
+       |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
+       |  FROM dims JOIN cb USING (dim) GROUP BY 1, 2),
+       |aa AS (
+       |  SELECT id, cid, d2 FROM (
+       |    SELECT id, cid, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |    FROM da) WHERE rn = 1)
+       |SELECT cid, COUNT(*) AS n_points,
+       |  ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS inertia
+       |FROM aa GROUP BY cid ORDER BY cid""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -1311,6 +1368,13 @@ object SparkEntry {
          |SELECT cid, COUNT(*) AS n_points,
          |  ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS inertia
          |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // q99: the farthest-point pick sequence unrolled — pick 0 is the
+    // hash-least vector; each dp<t> CTE is the exact distance of every
+    // point to pick t, m<t> the running minimum, p<t+1> the argmax of it
+    // (excluding prior picks, ties → smaller id); then one assignment
+    // round against the 4 picked centroids, exactly q98's arithmetic.
+    "q99_kmeans_maxmin" -> q99Sql,
 
     // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —
     // the sample membership and the bucket edges replay bit-exactly.

@@ -47,6 +47,51 @@ object KMeans {
     emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), col("x").cast("double").as("x"))
 
+  /** Deterministic FARTHEST-POINT (maxmin) init — the spread guarantee the
+    * one-shot hash seeding lacks: seed 0 is the hash-least vector, each
+    * subsequent seed the point maximizing its distance to the nearest
+    * already-chosen seed (ties → smaller id). On well-separated data this
+    * provably lands one seed per cluster (it is the 2-approximation
+    * k-center heuristic, Gonzalez 1985). O(k·N) with k bounded one-row
+    * driver collects (the pick ids — metadata, not data, same budget as
+    * Components' convergence flag); every pick is a closed-form function
+    * of the data, so an unrolled SQL oracle replays the whole selection. */
+  def initMaxMin(emb: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "need at least one centroid")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = dimRows(emb, idCol, vecCol)
+    // exact decimal-summed squared distance of every point to one pick
+    def d2To(pickId: Long): DataFrame = {
+      val pick = dims.filter(col("id") === pickId)
+        .select(col("dim"), col("x").as("px"))
+      val diff = col("x") - col("px")
+      dims.join(broadcast(pick), Seq("dim"))
+        .groupBy(col("id"))
+        .agg(sum(round(diff * diff, 12).cast("decimal(28,12)")).as("d2"))
+    }
+    val first = emb.select(col(idCol).as("sid"),
+        graft.functions.Fnv64.fnv64(col(idCol).cast("string")).as("hk"))
+      .orderBy(col("hk"), col("sid")).limit(1)
+      .head().getLong(0)
+    var chosen = Vector(first)
+    var minD = d2To(first).withColumnRenamed("d2", "mind2")
+    while (chosen.size < k) {
+      val next = minD.filter(!col("id").isInCollection(chosen))
+        .orderBy(col("mind2").desc, col("id")).limit(1)
+        .head().getLong(0)
+      chosen = chosen :+ next
+      if (chosen.size < k)
+        minD = minD.join(d2To(next), Seq("id"))
+          .select(col("id"), least(col("mind2"), col("d2")).as("mind2"))
+    }
+    val cids = chosen.zipWithIndex.map { case (id, i) => (id, i) }
+      .toDF("id", "cid")
+    dims.join(broadcast(cids), Seq("id"))
+      .select(col("cid"), col("dim"), col("x").as("c"))
+  }
+
   /** Hard assignment against a centroid table: (id, cid, d2) with d2 the
     * exact decimal-summed squared distance to the WINNING centroid. */
   def assign(emb: DataFrame, centroids: DataFrame, idCol: String = "vec_id",

@@ -387,6 +387,22 @@ object TextQueries {
         col("inertia"))
       .orderBy(col("cid"))
 
+  /** k-means with FARTHEST-POINT init (q99): the maxmin seed selection —
+    * the spread guarantee hash seeding lacks (Gonzalez's 2-approximation
+    * k-center heuristic) — followed by one assignment round, per-cluster
+    * size + inertia. Every pick is a closed-form function of the data, so
+    * the oracle unrolls the entire selection sequence AND the assignment
+    * in SQL. */
+  def q99KMeansMaxMin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.operators.KMeans.summary(
+        graft.operators.KMeans.fit(emb, k = 4, iterations = 1,
+          initCentroids = Some(graft.operators.KMeans.initMaxMin(emb, 4))))
+      .select(col("cid").cast("bigint").as("cid"), col("n_points"),
+        col("inertia"))
+      .orderBy(col("cid"))
+  }
+
   /** Train→eval decontamination report: per val/test doc, the fraction of
     * its distinct word 3-grams appearing anywhere in the train split (the
     * overlap audit run before every LLM evaluation). */

@@ -36,6 +36,26 @@ class KMeansSpec extends SparkSpec {
     assert(assigned.select("cid").distinct().count() == 4)
   }
 
+  test("maxmin init spreads one seed per well-separated cluster — recovery needs no manual seeding") {
+    import spark.implicits._
+    def vec(base: Int, copy: Int): Array[Float] = {
+      val r = new scala.util.Random(base + 7)
+      val b = Array.fill(64)(r.nextGaussian() * 10)
+      val rn = new scala.util.Random(base * 131 + copy)
+      b.map(x => (x + 0.01 * rn.nextGaussian()).toFloat)
+    }
+    val rows = for (b <- 0 until 4; c <- 0 until 12)
+      yield (b * 12L + c, vec(b, c))
+    val df = rows.toDF("vec_id", "embedding")
+    val assigned = KMeans.fit(df, k = 4, iterations = 2,
+      initCentroids = Some(KMeans.initMaxMin(df, 4))).cache()
+    val m = assigned.withColumn("truth", floor(col("id") / 12))
+      .groupBy("truth").agg(countDistinct("cid").as("k"), count(lit(1)).as("n"))
+    assert(m.filter(col("k") =!= 1 || col("n") =!= 12).count() == 0,
+      "farthest-point init must land one seed per separated cluster")
+    assert(assigned.select("cid").distinct().count() == 4)
+  }
+
   test("fit is deterministic and total (every vector assigned once)") {
     val a = KMeans.fit(emb).cache()
     assert(a.count() == emb.count())
