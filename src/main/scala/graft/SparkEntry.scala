@@ -118,6 +118,7 @@ object SparkEntry {
     "q97_chunking"        -> (TextQueries.q97Chunk _),
     "q98_kmeans"          -> (TextQueries.q98KMeans _),
     "q99_kmeans_maxmin"   -> (TextQueries.q99KMeansMaxMin _),
+    "q100_corpus_pipeline" -> (TextQueries.q100CorpusPipeline _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1375,6 +1376,53 @@ object SparkEntry {
     // (excluding prior picks, ties → smaller id); then one assignment
     // round against the 4 picked centroids, exactly q98's arithmetic.
     "q99_kmeans_maxmin" -> q99Sql,
+
+    // q100: the composed pipeline — q48's gate+dedup, q49's split CASE,
+    // q97's window arithmetic — replayed as one chained SQL.
+    "q100_corpus_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    CASE
+        |      WHEN e >= d AND e >= s AND e >= f AND e > 0 THEN 'en'
+        |      WHEN d >= s AND d >= f AND d > 0 THEN 'de'
+        |      WHEN s >= f AND s > 0 THEN 'es'
+        |      WHEN f > 0 THEN 'fr'
+        |      ELSE 'unknown' END AS pred_lang,
+        |    ROUND(LEAST(1.0, n / 100.0) * 0.5 + LEAST(1.0, (e / n) * 5.0) * 0.5, 6) AS quality
+        |  FROM (SELECT doc_id, text,
+        |      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n,
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['the','of','and','to','a','in','is','it','that','for'], t))) AS DOUBLE) AS e,
+        |      len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein'], t))) AS d,
+        |      len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['el','la','los','las','y','es','que','un','una','por'], t))) AS s,
+        |      len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['le','les','et','est','que','des','une','dans','pour','sur'], t))) AS f
+        |    FROM documents)),
+        |gated AS (
+        |  SELECT doc_id, text FROM scored
+        |  WHERE pred_lang IN ('en') AND quality >= 0.6),
+        |kept AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, text,
+        |          ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |        FROM gated) WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id, split,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM kept),
+        |ch AS (
+        |  SELECT doc_id, split,
+        |    LEAST(i * 48 + 64, len(t)) - (i * 48 + 1) + 1 AS n_tokens
+        |  FROM t, UNNEST(generate_series(0, (len(t) - 1) // 48)) AS u(i)
+        |  WHERE len(t) > 0)
+        |SELECT split, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM ch GROUP BY split ORDER BY split""".stripMargin,
 
     // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —
     // the sample membership and the bucket edges replay bit-exactly.

@@ -403,6 +403,26 @@ object TextQueries {
       .orderBy(col("cid"))
   }
 
+  /** The END-TO-END corpus-preparation pipeline as ONE declarative plan
+    * (q100): language + quality gate → exact dedup (q48's composition) →
+    * deterministic train/val/test split (q49's) → overlapping chunking
+    * (q97's) → per-split corpus stats. This is the composed shape a
+    * training-data system actually ships — each stage is already
+    * individually oracle-gated; this gate pins that the COMPOSITION holds
+    * end to end as one Catalyst-fused plan. */
+  def q100CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.operators.Corpus.datasetSplit(
+      graft.operators.Corpus.cleanFilter(
+        Tables.load(s, dir, "documents"), 0.6, Seq("en")))
+    graft.operators.Corpus.chunk(kept)
+      .join(kept.select(col("doc_id"), col("split")), "doc_id")
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("split"))
+  }
+
   /** Train→eval decontamination report: per val/test doc, the fraction of
     * its distinct word 3-grams appearing anywhere in the train split (the
     * overlap audit run before every LLM evaluation). */
