@@ -1,9 +1,34 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark harness. TIMEOUT-PROOF by construction: rounds 3–5 lost
+  * complete measurements because results were printed once at the very
+  * end, so a driver wall-clock cap (rc=124) discarded everything. Now:
+  *
+  *   - a full summary snapshot (same schema as the final line, plus
+  *     `"complete"`/`"elapsed_sec"`) is atomically rewritten to
+  *     `BENCH_PARTIAL.json` after EVERY completed measurement;
+  *   - one progress line per measurement goes to stderr;
+  *   - pass structure is breadth-first: a first timed rep for every
+  *     query FIRST (a complete per-query record exists as early as
+  *     possible), then min-of-N refinement reps only while the time
+  *     budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 900) allows;
+  *   - JIT warm-up is a HANDFUL of representative queries at sf0.001
+  *     (scan/agg/join/window/dedup codegen paths), not all of them —
+  *     the old all-queries pass was ~100 extra executions of pure
+  *     harness overhead. Rep 1 itself warms rep 2 at the real SF, and
+  *     min-of-N keeps the warm number.
+  *
+  * stdout still carries exactly ONE JSON line (the driver's contract),
+  * printed at the end.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "840").toDouble
+    val partialPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.json")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,46 +38,90 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val start = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - start) / 1e9
     // Timed action: a noop-format write. It executes the WHOLE physical
     // plan including a final ORDER BY — under a count()-only action,
     // Catalyst's EliminateSorts removes the output sort and every
     // orderBy-terminated query is under-measured.
     def run(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    // JIT/codegen warm-up: run every query once at the smallest SF so the
-    // timed pass measures the engine, not JVM warm-up.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try run(fn(spark, warmDir)) catch { case _: Throwable => () }
-      }
-    // A failed query is reported as a NEGATIVE time-to-failure and listed
-    // under "errors", and is excluded from the total — never disguised as
-    // a fast success.
-    //
-    // min-of-N timing (default 2): a single pass is hostage to transient
-    // host contention — round 3's recorded numbers showed unrelated
-    // trivial aggregates at 20×+ their reproducible time while an
-    // immediate re-run matched round 2. The minimum over passes is the
-    // standard estimator for "what the engine costs when the machine
-    // isn't busy".
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) dt else -dt
-      }
-      // ANY failed rep marks the query failed — a flaky query must never
-      // masquerade as a fast success just because one rep got through
-      name -> (if (times.forall(_ >= 0)) times.min else times.filter(_ < 0).head)
+    // Release everything a query materialized: Dataset caches (k-means'
+    // persisted dims) AND localCheckpoint RDDs (the label-propagation /
+    // PageRank results whose disposal Components.scala documents as
+    // caller-owned). Queries are self-contained, so a blanket sweep
+    // between measurements is safe — without it a 3-pass bench over
+    // q62/q81/q95/q98 accumulates one executor-storage snapshot per run.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")}}""")
+    val warmDir = "/root/testdata/sf0.001"
+    val warmOk = new java.io.File(warmDir).isDirectory
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // failure semantics: a failed rep records NEGATIVE time-to-failure and
+    // poisons the query (never disguised as a fast success); min over the
+    // successful reps otherwise — the standard "what the engine costs when
+    // the machine isn't busy" estimator (see round-3 notes).
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def combine(a: Double, b: Double): Double =
+      if (a < 0) a else if (b < 0) b else math.min(a, b)
+    def summaryJson(complete: Boolean): String = {
+      val errors = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = best.values.filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed}"""
+    }
+    def snapshot(): Unit = try {
+      val tmp = new java.io.File(partialPath + ".tmp")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try w.println(summaryJson(complete = false)) finally w.close()
+      tmp.renameTo(new java.io.File(partialPath))
+      ()
+    } catch { case _: Throwable => () } // never let bookkeeping kill the run
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { run(SparkEntry.queries(name)(spark, sfDir)); true }
+      catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      sweep()
+      if (ok) dt else -dt
+    }
+    if (warmOk)
+      Seq("q01_agg", "q03_join_topk", "q07_window_rank", "q20_exact_dedup",
+          "q30_knn_brute").foreach { name =>
+        try run(SparkEntry.queries(name)(spark, warmDir))
+        catch { case _: Throwable => () }
+        sweep()
+      }
+    var rep = 1
+    while (rep <= reps && (rep == 1 || elapsed < budgetSec)) {
+      // refinement passes go EXPENSIVE-FIRST: the cold/warm spread that
+      // min-of-N exists to cancel is concentrated in the slowest queries
+      // (round-5 judge data: q95 5.6 s vs 73.5 s across identical runs), so
+      // when the budget cuts a pass short, the refinements that happened
+      // are the ones that mattered; a cheap query's cold number is already
+      // within noise of warm.
+      val order =
+        if (rep == 1) names
+        else names.sortBy(n => -best.getOrElse(n, Double.MaxValue).abs)
+      order.foreach { name =>
+        // rep 1 always completes the full breadth-first pass (the record
+        // itself); refinement reps stop mid-pass when the budget is gone —
+        // already-measured queries simply keep their pass-1 minimum.
+        if (rep == 1 || elapsed < budgetSec) {
+          val t = timeOne(name)
+          best(name) = best.get(name).map(combine(_, t)).getOrElse(t)
+          System.err.println(
+            s"""BENCH {"q":"$name","rep":$rep,"sec":$t,"elapsed":$elapsed}""")
+          snapshot()
+        }
+      }
+      rep += 1
+    }
+    println(summaryJson(complete = true))
     spark.stop()
   }
 }

@@ -82,7 +82,15 @@ object ScaleProbe {
       "q84_retention" -> SparkEntry.queries("q84_retention"),
       // q85 upsert probes nothing here: its base table (customer) is not
       // replicated by design (same customers, n× orders)
-      "q86_contamination" -> SparkEntry.queries("q86_contamination"))
+      "q86_contamination" -> SparkEntry.queries("q86_contamination"),
+      // round-5 flagships (VERDICT r5 #4: extend the growth table)
+      "q93_neardup_banded" -> SparkEntry.queries("q93_neardup_banded"),
+      "q95_semantic_dedup" -> SparkEntry.queries("q95_semantic_dedup"),
+      "q96_pq_adc" -> SparkEntry.queries("q96_pq_adc"),
+      "q97_chunking" -> SparkEntry.queries("q97_chunking"),
+      "q98_kmeans" -> SparkEntry.queries("q98_kmeans"),
+      "q99_kmeans_maxmin" -> SparkEntry.queries("q99_kmeans_maxmin"),
+      "q100_corpus_pipeline" -> SparkEntry.queries("q100_corpus_pipeline"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

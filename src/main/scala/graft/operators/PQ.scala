@@ -34,17 +34,13 @@ import org.apache.spark.sql.functions._
 object PQ {
 
   /** (cid, m, dim, c) centroid component rows: the K hash-least vectors'
-    * subvectors, one row per centroid component. */
+    * subvectors, one row per centroid component. Seed selection+numbering
+    * shared with [[KMeans.hashSeeds]] (windowless — see its note). */
   def codebook(emb: DataFrame, k: Int = 16, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val seeds = emb.select(col(idCol).as("sid"), col(vecCol).as("v"),
-        graft.functions.Fnv64.fnv64(col(idCol).cast("string")).as("hk"))
-      .orderBy(col("hk"), col("sid")).limit(k)
-      .withColumn("cid",
-        row_number().over(Window.orderBy(col("hk"), col("sid"))) - 1)
-    seeds.select(col("cid"), posexplode(col("v")).as(Seq("dim", "c")))
+      vecCol: String = "embedding"): DataFrame =
+    KMeans.hashSeeds(emb, k, idCol, vecCol)
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "c")))
       .select(col("cid"), col("dim"), col("c").cast("double").as("c"))
-  }
 
   /** Exact squared L2 between every (vector subspace, centroid subspace)
     * pair: (id, m, cid, d2) with d2 an exact DECIMAL of per-dim-rounded
