@@ -334,12 +334,37 @@ object SparkEntry {
     * container as an uppercase hex string, byte for byte: GIF87a header,
     * logical screen descriptor (width/height LE16), comment extension
     * carrying the text in 255-byte sub-blocks, one image block per frame
-    * whose 8-byte data sub-block is the frame index little-endian (indices
-    * < 30, so LE64 = one byte + seven 0x00), trailer. Emits (media_id, n,
+    * (an 8×1 strip whose pixels `8·i+j` are strictly increasing, so the
+    * LZW stream is always the 10 literal codes clear·p0..p7·EOI at 9 bits
+    * LSB-first — i.e. the base-512 little-endian number
+    * Σ codeₖ·512^k spread over 12 bytes), trailer. Emits (media_id, n,
     * gif_hex). */
   private val gifHexCte =
-    """gif AS (
-      |  SELECT doc_id AS media_id, n,
+    """gifsrc AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+      |         hex(encode(text)) AS hx
+      |  FROM documents),
+      |giffr AS (
+      |  SELECT media_id, i,
+      |    '2C000000000800010000080C' ||
+      |    array_to_string(list_transform(
+      |      [1::HUGEINT, 256, 65536, 16777216, 4294967296, 1099511627776,
+      |       281474976710656, 72057594037927936, 18446744073709551616,
+      |       4722366482869645213696, 1208925819614629174706176,
+      |       309485009821345068724781056],
+      |      p -> format('{:02X}', ((list_reduce(
+      |          [257::HUGEINT, (8*i+7)::HUGEINT, (8*i+6)::HUGEINT,
+      |           (8*i+5)::HUGEINT, (8*i+4)::HUGEINT, (8*i+3)::HUGEINT,
+      |           (8*i+2)::HUGEINT, (8*i+1)::HUGEINT, (8*i)::HUGEINT,
+      |           256::HUGEINT],
+      |          (acc, c) -> acc * 512 + c) // p) % 256)::BIGINT)), '') ||
+      |    '00' AS fr_hex
+      |  FROM gifsrc, UNNEST(generate_series(0, n % 30)) AS u(i)),
+      |gifimg AS (
+      |  SELECT media_id, string_agg(fr_hex, '' ORDER BY i) AS imgs
+      |  FROM giffr GROUP BY media_id),
+      |gif AS (
+      |  SELECT s.media_id, s.n,
       |    '474946383761' ||
       |    format('{:02X}{:02X}', (n % 640 + 1) % 256, (n % 640 + 1) // 256) ||
       |    format('{:02X}{:02X}', (n % 480 + 1) % 256, (n % 480 + 1) // 256) ||
@@ -350,18 +375,9 @@ object SparkEntry {
       |      j -> format('{:02X}', LEAST(255, n - (j-1)*255)) ||
       |           substr(hx, (j-1)*510 + 1, 2*LEAST(255, n - (j-1)*255))), ''), '') ||
       |    '00' ||
-      |    COALESCE(array_to_string(list_transform(
-      |      generate_series(0, n % 30),
-      |      i -> '2C00000000' ||
-      |           format('{:02X}{:02X}', (n % 640 + 1) % 256, (n % 640 + 1) // 256) ||
-      |           format('{:02X}{:02X}', (n % 480 + 1) % 256, (n % 480 + 1) // 256) ||
-      |           '000808' ||
-      |           format('{:02X}', i) || '00000000000000' ||
-      |           '00'), ''), '') ||
+      |    imgs ||
       |    '3B' AS gif_hex
-      |  FROM (SELECT doc_id, octet_length(encode(text)) AS n,
-      |          hex(encode(text)) AS hx
-      |        FROM documents))""".stripMargin
+      |  FROM gifsrc s JOIN gifimg USING (media_id))""".stripMargin
 
   /** Shared by q24 (all-pairs audit baseline), q53 (blocked exact
     * flagship) and q93 (banded LSH at 0.9): all are exact cosine-threshold
@@ -1118,11 +1134,13 @@ object SparkEntry {
 
     // q60: the container synthesis arithmetic replayed — n_bytes is the
     // exact GIF size (17 fixed bytes + text + one length byte per 255-byte
-    // comment sub-block + 21 bytes per image block), width/height/n_frames
-    // are what the engine's parser reads back out of the header it wrote.
+    // comment sub-block + 25 bytes per image block: 13 descriptor/overhead
+    // + the constant 12-byte LZW stream of the 8-pixel strip),
+    // width/height/n_frames are what the engine's parser reads back out of
+    // the header it wrote.
     "q60_multimodal_meta" ->
       """SELECT media_id,
-        |  CAST(17 + n + (n + 254) // 255 + 21 * (n % 30 + 1) AS BIGINT) AS n_bytes,
+        |  CAST(17 + n + (n + 254) // 255 + 25 * (n % 30 + 1) AS BIGINT) AS n_bytes,
         |  CAST(n % 640 + 1 AS BIGINT) AS width,
         |  CAST(n % 480 + 1 AS BIGINT) AS height,
         |  CAST(n % 30 + 1 AS BIGINT) AS n_frames
@@ -1131,8 +1149,8 @@ object SparkEntry {
         |ORDER BY media_id""".stripMargin,
 
     // q61: the container is reconstructed as hex byte-for-byte, fnv0 is its
-    // FNV-1a fingerprint, and each sampled frame folds its parsed 8-byte
-    // data sub-block (the frame index LE64) onto that state.
+    // FNV-1a fingerprint, and each sampled frame folds its LZW-DECODED
+    // 8-pixel strip (bytes 8·frame_idx + j, j = 0..7) onto that state.
     "q61_frame_sample" ->
       s"""WITH $gifHexCte,
          |base AS (
@@ -1147,9 +1165,8 @@ object SparkEntry {
          |  SELECT media_id, frame_idx,
          |    list_reduce(
          |      list_prepend(fnv0,
-         |        list_transform([1::HUGEINT, 256, 65536, 16777216, 4294967296,
-         |                        1099511627776, 281474976710656, 72057594037927936],
-         |          p -> ((frame_idx::HUGEINT // p) % 256)::BIGINT)),
+         |        list_transform(generate_series(0, 7),
+         |          j -> (frame_idx * 8 + j)::BIGINT)),
          |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
          |                % 18446744073709551616::HUGEINT) AS fp
          |  FROM fr)

@@ -14,14 +14,13 @@ import org.apache.spark.sql.functions._
   * [[withPayload]] synthesizes one per document — logical screen descriptor
   * carrying genuine width/height, a comment extension carrying the document
   * text, and one image block per frame — and [[GifCodec.parse]] is a
-  * genuine block-walking parser: dimensions come from the header bytes,
-  * frame count from counting image descriptors, frame fingerprints from the
-  * parsed per-frame data sub-blocks. No codec library is involved because
-  * none is needed: GIF's block structure is length-prefixed, so walking it
-  * requires no LZW decode. (The one concession: frame pixel data is a raw
-  * 8-byte fingerprint payload, not LZW-compressed pixels — a pixel DECODER
-  * would need the LZW stage; every structural field the pipeline extracts
-  * is parsed for real.)
+  * genuine block-walking parser AND pixel decoder: dimensions come from the
+  * header bytes, frame count from counting image descriptors, and each
+  * frame's pixels from a real variable-width LZW decode of its data
+  * sub-blocks (the spec's appendix algorithm: 9→12-bit codes packed
+  * LSB-first, clear/EOI codes, KwKwK case). Frame fingerprints fold the
+  * DECODED pixel bytes. No codec library is involved; the container walk
+  * and the LZW stage are both implemented from the public spec.
   */
 object Multimodal {
 
@@ -34,10 +33,112 @@ object Multimodal {
     * header "GIF87a" (6 B) · logical screen descriptor (7 B: width LE16,
     * height LE16, no global color table) · comment extension (0x21 0xFE,
     * text in 255-byte length-prefixed sub-blocks, 0x00 terminator) · per
-    * frame an image block (0x2C, left/top/width/height LE16, no local
-    * color table, LZW-min-code byte, one 8-byte data sub-block = the
-    * frame index little-endian, 0x00 terminator) · trailer 0x3B. */
+    * frame an image block (0x2C, left/top 0, an 8×1-pixel strip, no local
+    * color table, LZW-min-code byte 8, the strip's 8 pixel bytes
+    * `8·frameIdx + j` LZW-COMPRESSED into length-prefixed data sub-blocks,
+    * 0x00 terminator) · trailer 0x3B. The pixel bytes are strictly
+    * increasing, so the LZW stream is always 10 literal codes (clear, 8
+    * pixels, EOI) = 90 bits = 12 bytes — a closed form the SQL oracle
+    * replays byte-for-byte. */
   object GifCodec {
+
+    /** GIF variable-width LZW encode (spec appendix): codes start at
+      * minCodeSize+1 bits and are packed LSB-first; clear = 2^min, EOI =
+      * clear+1, first dynamic code clear+2; code width grows when the next
+      * free code would not fit (after 2^width−2 additions), capped at 12
+      * bits, after which no further entries are added (deferred clear —
+      * [[lzwDecode]] mirrors it). */
+    def lzwEncode(pixels: Array[Byte], minCodeSize: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream(pixels.length + 16)
+      var cur = 0L
+      var nbits = 0
+      var codeSize = minCodeSize + 1
+      var nextCode = eoi + 1
+      def emit(code: Int): Unit = {
+        cur |= code.toLong << nbits
+        nbits += codeSize
+        while (nbits >= 8) { out.write((cur & 0xff).toInt); cur >>>= 8; nbits -= 8 }
+        // widen AFTER packing: the decoder adds its mirror entry one code
+        // later, so the first wider code on both sides is code 2^width
+        if (nextCode > (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+      }
+      val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      emit(clear)
+      var prev = -1
+      var i = 0
+      while (i < pixels.length) {
+        val k = pixels(i) & 0xff
+        if (prev < 0) prev = k
+        else dict.get((prev, k)) match {
+          case Some(c) => prev = c
+          case None =>
+            emit(prev)
+            if (nextCode < 4096) { dict((prev, k)) = nextCode; nextCode += 1 }
+            prev = k
+        }
+        i += 1
+      }
+      if (prev >= 0) emit(prev)
+      emit(eoi)
+      if (nbits > 0) out.write((cur & 0xff).toInt)
+      out.toByteArray
+    }
+
+    /** GIF variable-width LZW decode — the exact mirror of [[lzwEncode]],
+      * including the KwKwK case (a code one past the table references the
+      * just-emitted string plus its own first byte). */
+    def lzwDecode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+      val clear = 1 << minCodeSize
+      val eoi = clear + 1
+      val out = new java.io.ByteArrayOutputStream(data.length * 2 + 16)
+      def freshTable() = {
+        val t = scala.collection.mutable.ArrayBuffer.tabulate(eoi + 1)(i =>
+          if (i < clear) Array((i & 0xff).toByte) else Array.emptyByteArray)
+        t
+      }
+      var table = freshTable()
+      var codeSize = minCodeSize + 1
+      var cur = 0L
+      var nbits = 0
+      var pos = 0
+      def read(): Int = {
+        while (nbits < codeSize && pos < data.length) {
+          cur |= (data(pos) & 0xffL) << nbits; pos += 1; nbits += 8
+        }
+        if (nbits < codeSize) -1
+        else {
+          val c = (cur & ((1L << codeSize) - 1)).toInt
+          cur >>>= codeSize; nbits -= codeSize; c
+        }
+      }
+      var prev: Array[Byte] = null
+      var done = false
+      while (!done) {
+        val code = read()
+        require(code >= 0, "truncated LZW stream")
+        if (code == clear) {
+          table = freshTable(); codeSize = minCodeSize + 1; prev = null
+        } else if (code == eoi) done = true
+        else {
+          val entry =
+            if (code < table.length) table(code)
+            else {
+              require(code == table.length && prev != null,
+                s"LZW code $code out of range (table ${table.length})")
+              prev :+ prev(0) // KwKwK
+            }
+          out.write(entry, 0, entry.length)
+          if (prev != null && table.length < 4096) {
+            table += (prev :+ entry(0))
+            if (table.length == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = entry
+        }
+      }
+      out.toByteArray
+    }
 
     def encode(text: Array[Byte], width: Int, height: Int,
         nFrames: Int): Array[Byte] = {
@@ -56,12 +157,16 @@ object Multimodal {
       var i = 0
       while (i < nFrames) {
         out.write(0x2c) // image separator
-        le16(0); le16(0); le16(width); le16(height)
+        le16(0); le16(0); le16(8); le16(1) // an 8×1-pixel strip per frame
         out.write(0x00) // no local color table
         out.write(0x08) // LZW minimum code size
-        out.write(8) // one 8-byte data sub-block: the frame index LE64
-        var s = 0
-        while (s < 8) { out.write(((i.toLong >>> (s * 8)) & 0xffL).toInt); s += 1 }
+        val pixels = Array.tabulate(8)(j => (8 * i + j).toByte)
+        val lzw = lzwEncode(pixels, 8)
+        var off2 = 0
+        while (off2 < lzw.length) {
+          val len = math.min(255, lzw.length - off2)
+          out.write(len); out.write(lzw, off2, len); off2 += len
+        }
         out.write(0x00) // image data terminator
         i += 1
       }
@@ -69,11 +174,12 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Genuine container parse: magic check, dimensions from the logical
-      * screen descriptor, then a block walk — extensions skipped by their
-      * length-prefixed sub-blocks, image descriptors counted and their
-      * data sub-blocks collected (local/global color tables honored even
-      * though [[encode]] never writes one). */
+    /** Genuine container parse AND pixel decode: magic check, dimensions
+      * from the logical screen descriptor, then a block walk — extensions
+      * skipped by their length-prefixed sub-blocks, image descriptors
+      * counted, their data sub-blocks collected and LZW-DECODED to pixel
+      * bytes (local/global color tables honored even though [[encode]]
+      * never writes one). Returned frames are decoded pixels. */
     def parse(p: Array[Byte]): (Int, Int, IndexedSeq[Array[Byte]]) = {
       require(p.length >= 14 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F',
         "not a GIF container")
@@ -95,7 +201,8 @@ object Multimodal {
             val flags = p(pos + 9) & 0xff
             pos += 10
             if ((flags & 0x80) != 0) pos += 3 * (1 << ((flags & 7) + 1))
-            pos += 1 // LZW minimum code size
+            val minCodeSize = p(pos) & 0xff
+            pos += 1
             val data = new java.io.ByteArrayOutputStream()
             while (p(pos) != 0) {
               val len = p(pos) & 0xff
@@ -103,7 +210,7 @@ object Multimodal {
               pos += len + 1
             }
             pos += 1
-            frames += data.toByteArray
+            frames += lzwDecode(data.toByteArray, minCodeSize)
           case b => throw new IllegalArgumentException(
             f"unknown GIF block 0x$b%02x at offset $pos")
         }
@@ -112,7 +219,7 @@ object Multimodal {
     }
 
     /** Continue an FNV-1a state over more bytes: frame fingerprints fold
-      * the frame's PARSED data sub-block bytes onto the container hash. */
+      * the frame's DECODED pixel bytes onto the container hash. */
     def fold(h0: Long, bytes: Array[Byte]): Long = {
       var h = h0
       var i = 0
@@ -162,9 +269,9 @@ object Multimodal {
 
   /** Sample every `everyNth` frame of each payload: one row per sampled
     * frame, fingerprint = the container's FNV state folded over that
-    * frame's PARSED data sub-block bytes. The fan-out happens executor-side
+    * frame's LZW-DECODED pixel bytes. The fan-out happens executor-side
     * inside the same bounded-batch iteration as extractMeta — the
-    * video-frame-sampling shape (parse container → iterate frames → emit
+    * video-frame-sampling shape (parse container → decode frames → emit
     * per-frame features). */
   def sampleFrames(media: DataFrame, everyNth: Int = 5, batchSize: Int = 64)
       (implicit spark: SparkSession): Dataset[FrameSample] = {

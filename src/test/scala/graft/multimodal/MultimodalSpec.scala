@@ -25,17 +25,48 @@ class MultimodalSpec extends SparkSpec {
       text.take(chunk)))
   }
 
-  test("codec round-trip: parse(encode(...)) recovers dims, frame count, frame bytes") {
+  test("codec round-trip: parse(encode(...)) recovers dims, frame count, decoded pixels") {
     for (n <- Seq(0, 1, 254, 255, 256, 511, 600)) {
       val text = Array.tabulate(n)(i => (i % 251).toByte)
       val p = Multimodal.GifCodec.encode(text, 17, 23, 4)
       val (w, h, frames) = Multimodal.GifCodec.parse(p)
       assert(w == 17 && h == 23 && frames.length == 4, s"n=$n")
       frames.zipWithIndex.foreach { case (f, i) =>
-        val expect = Array.tabulate(8)(s => ((i.toLong >>> (s * 8)) & 0xffL).toByte)
+        val expect = Array.tabulate(8)(j => (8 * i + j).toByte)
         assert(java.util.Arrays.equals(f, expect), s"frame $i of n=$n")
       }
     }
+  }
+
+  test("LZW round-trip: literals, zero runs, KwKwK, code widening past 9 bits") {
+    import Multimodal.GifCodec.{lzwDecode, lzwEncode}
+    def rt(bytes: Array[Byte], min: Int = 8): Unit = {
+      val enc = lzwEncode(bytes, min)
+      assert(java.util.Arrays.equals(lzwDecode(enc, min), bytes),
+        s"round-trip failed for ${bytes.length} bytes at min=$min")
+    }
+    rt(Array.emptyByteArray)                       // clear + EOI only
+    rt(Array.tabulate(8)(j => (8 * 3 + j).toByte)) // the frame-strip shape
+    rt(new Array[Byte](64))                        // all-zero run → KwKwK codes
+    rt(Array.fill(1000)(7.toByte))                 // long single-byte run
+    // deterministic LCG stream long enough to push the table past 512
+    // entries (codes widen 9 → 10 bits) — and at min=2, past several widths
+    var s = 12345L
+    val noisy = Array.tabulate(4000) { _ =>
+      s = (s * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffffffffffL
+      (s >>> 16).toByte
+    }
+    rt(noisy)
+    rt(noisy.map(b => (b & 3).toByte), min = 2)    // 4-symbol alphabet
+    // the frame strip's compressed form is the closed-form 12 bytes the
+    // oracle replays: clear, 8 literal codes, EOI at 9 bits LSB-first
+    val i = 5
+    val strip = lzwEncode(Array.tabulate(8)(j => (8 * i + j).toByte), 8)
+    assert(strip.length == 12)
+    val codes = Seq(256) ++ (0 to 7).map(8 * i + _) ++ Seq(257)
+    val bits = codes.zipWithIndex.map { case (c, k) => BigInt(c) << (9 * k) }.sum
+    val expect = Array.tabulate(12)(b => ((bits >> (8 * b)) & 0xff).toByte)
+    assert(java.util.Arrays.equals(strip, expect))
   }
 
   test("extractMeta: one row per input, parsed fields, fingerprint of the container bytes") {
@@ -69,12 +100,12 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("sampled") =!= ceil(col("n_frames").cast("double") / 5.0) ||
         col("maxi") % 5 =!= 0 || col("maxi") >= col("n_frames"))
     assert(bad.count() == 0)
-    // frame 0's fingerprint folds its parsed data sub-block (idx 0 LE64 =
-    // eight zero bytes) onto the container hash — spot check
+    // frame 0's fingerprint folds its DECODED 8×1 pixel strip (bytes
+    // 0..7 for frame index 0) onto the container hash — spot check
     val f0 = frames.filter(col("frame_idx") === 0).orderBy("media_id").head()
     val p0 = m.orderBy("media_id").head().getAs[Array[Byte]]("payload")
     assert(f0.getAs[Long]("frame_fp") ==
-      Multimodal.GifCodec.fold(Fnv64.hash(p0), new Array[Byte](8)))
+      Multimodal.GifCodec.fold(Fnv64.hash(p0), Array.tabulate(8)(_.toByte)))
   }
 
   test("batching does not change results (batch size 1 vs 1000)") {
