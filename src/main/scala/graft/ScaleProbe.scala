@@ -29,12 +29,29 @@ object ScaleProbe {
     def replicate(table: String, keyCols: Seq[String], offset: Long): Unit = {
       val src = Tables.load(spark, base, table)
       val out = (0 until n).map { r =>
-        keyCols.foldLeft(src) { (df, k) =>
+        val keyed = keyCols.foldLeft(src) { (df, k) =>
           df.withColumn(k, col(k) + lit(r * offset))
         }
+        // embeddings: cyclically ROTATE each replica's components instead
+        // of copying verbatim. Identical replicas make every vector part
+        // of a 10-deep exact-duplicate clique, so any faithful near-dup
+        // operator (q93/q95) must emit ~C(replicas,2) pairs per vector —
+        // a 100×-pairs replication artifact organic growth doesn't have
+        // (the round-2 df-cap caveat, but quadratic). A rotated copy is
+        // ~orthogonal to its original (generic vectors), so the 10×
+        // corpus behaves like 10× fresh data while norms, within-replica
+        // planted near-dups, and cluster geometry are preserved.
+        val shift = r % 64
+        if (table == "embeddings" && shift != 0)
+          keyed.withColumn("embedding", concat(
+            slice(col("embedding"), shift + 1, 1 << 20),
+            slice(col("embedding"), 1, shift)))
+        else keyed
       }.reduce(_.unionAll(_))
       out.write.mode("overwrite").parquet(s"$big/$table.parquet")
     }
+    if (!new java.io.File(s"$big/embeddings.parquet").exists())
+      replicate("embeddings", Seq("vec_id"), 100000000L)
     if (!new java.io.File(s"$big/lineitem.parquet").exists()
         || !new java.io.File(s"$big/events.parquet").exists()) {
       println(s"[scale] building ${n}x tables under $big …")
@@ -42,7 +59,6 @@ object ScaleProbe {
       replicate("orders", Seq("o_orderkey"), 100000000L)
       replicate("customer", Seq.empty, 0L) // same customers, n× orders each
       replicate("documents", Seq("doc_id"), 100000000L)
-      replicate("embeddings", Seq("vec_id"), 100000000L)
       // events: offset user_id too, so the per-user event density (and
       // session structure) stays constant while the corpus grows 10x
       replicate("events", Seq("event_id", "user_id"), 100000000L)

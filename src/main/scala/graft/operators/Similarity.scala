@@ -212,15 +212,24 @@ object Similarity {
     * deterministic hyperplanes, banded `rowsPerBand` bits per band; pairs
     * sharing any band's full bit pattern become candidates, then exact
     * cosine verifies them — output ⊆ [[cosineNearDup]] with equality when
-    * every true pair collides in ≥1 band. The sub-quadratic SCALE path for
-    * realistic near-dup thresholds: P(two cos=s vectors agree on one plane)
-    * = 1 − acos(s)/π, so at s ≥ 0.9 a 4-bit band matches with p⁴ ≈ 0.75 and
-    * 8 bands make recall ≈ 1 − (1−p⁴)⁸ > 0.9999 while candidate volume per
-    * band is N²/2^rowsPerBand-ish only for colliding buckets. At LOW
-    * thresholds (≈0.4, angle ≈ 66°) no banding is simultaneously
-    * high-recall and sub-quadratic — use [[cosineNearDupBlocked]] there. */
+    * every true pair collides in ≥1 band.
+    *
+    * TUNING LAW (what makes this the scale path): with P(plane agrees) =
+    * p = 1 − acos(s)/π, recall = 1 − (1−p^r)^b for r bits × b bands, while
+    * the NON-dup candidate mass on unstructured vectors is pigeonhole-
+    * bounded below by b·N²/2^(r+1) — so r is a log₂N knob, not a constant.
+    * r=4 (16 buckets/band) was measured 113.8× at 10× data on the isotropic
+    * probe table (quadratic mass N²/4 dominating); r=8 cuts that 8× and
+    * b=16 holds recall: true near-dups sit at s ≥ 0.99 (p ≥ 0.991, band
+    * match p⁸ ≈ 0.93, miss (0.07)¹⁶ ≈ 3e-19) and even borderline s = 0.9
+    * pairs reach recall ≈ 0.996. At another 10× the knob moves again —
+    * r ≈ log₂N keeps buckets O(1) for the isotropic tail; structured
+    * corpora keep their true dups colliding regardless because p^r stays
+    * high at s→1. At LOW thresholds (≈0.4, angle ≈ 66°) no banding is
+    * simultaneously high-recall and sub-quadratic — use
+    * [[cosineNearDupBlocked]] there. */
   def cosineNearDupBanded(embeddings: DataFrame, threshold: Double = 0.9,
-      nPlanes: Int = 32, rowsPerBand: Int = 4,
+      nPlanes: Int = 128, rowsPerBand: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(nPlanes % rowsPerBand == 0, "nPlanes must be a multiple of rowsPerBand")
     val nBands = nPlanes / rowsPerBand
