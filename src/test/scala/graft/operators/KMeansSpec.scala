@@ -71,4 +71,18 @@ class KMeansSpec extends SparkSpec {
     assert(inertia(2) <= inertia(1) + 1e-6,
       "Lloyd update must not increase total inertia")
   }
+
+  test("fit plan: broadcast centroids, cached dims, no cartesian, no window") {
+    val plan = KMeans.fit(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the k·D centroid table must ride a broadcast, never a shuffle join
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    // the exploded (id, dim, x) scan is persisted: every Lloyd subtree
+    // reads the cache instead of re-scanning the source (round-6 change)
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    // seed numbering is windowless — the old partition-less row_number
+    // flooded logs with single-partition WindowExec warnings
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }

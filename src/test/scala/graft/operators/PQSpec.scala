@@ -46,4 +46,16 @@ class PQSpec extends SparkSpec {
     val again = PQ.adcTopK(emb, col("vec_id") < 10, 3)
     assert(top.exceptAll(again).isEmpty && again.exceptAll(top).isEmpty)
   }
+
+  test("ADC plan: codebook and query table broadcast, DB vectors never pair") {
+    val plan = PQ.adcTopK(emb, col("vec_id") < 10, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    // the only window is the per-query rank (partitioned by qid) — the
+    // seed-numbering window is gone (round 6)
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(qid"), plan.take(2000))
+  }
 }
