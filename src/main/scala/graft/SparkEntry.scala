@@ -119,6 +119,7 @@ object SparkEntry {
     "q98_kmeans"          -> (TextQueries.q98KMeans _),
     "q99_kmeans_maxmin"   -> (TextQueries.q99KMeansMaxMin _),
     "q100_corpus_pipeline" -> (TextQueries.q100CorpusPipeline _),
+    "q101_repeated_spans" -> (TextQueries.q101RepeatedSpans _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1440,6 +1441,33 @@ object SparkEntry {
         |SELECT split, COUNT(DISTINCT doc_id) AS n_docs,
         |  COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM ch GROUP BY split ORDER BY split""".stripMargin,
+
+    // q101: repeated 8-token spans. The oracle groups window STRINGS where
+    // the engine groups their 64-bit FNV hashes — identical counts modulo
+    // the documented ShingleHashes collision convention (~n²/2⁶⁵).
+    "q101_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |nw AS (
+        |  SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_windows, toks FROM t),
+        |g AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_transform(generate_series(1, len(toks) - 7),
+        |      i -> array_to_string(toks[i:i+7], ' '))) AS ng
+        |  FROM nw WHERE n_windows > 0),
+        |d AS (SELECT ng FROM g GROUP BY ng HAVING COUNT(*) >= 2),
+        |pd AS (
+        |  SELECT doc_id, COUNT(*) AS ndup
+        |  FROM g JOIN d USING (ng) GROUP BY doc_id)
+        |SELECT nw.doc_id,
+        |  CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(ndup, 0) AS BIGINT) AS n_dup_windows,
+        |  ROUND(COALESCE(ndup, 0) / GREATEST(n_windows, 1), 6) AS dup_ratio
+        |FROM nw LEFT JOIN pd USING (doc_id)
+        |ORDER BY nw.doc_id""".stripMargin,
 
     // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —
     // the sample membership and the bucket edges replay bit-exactly.

@@ -122,4 +122,57 @@ object Corpus {
         size(col("ct")).cast("bigint").as("n_tokens"),
         graft.functions.Fnv64.fnv64(array_join(col("ct"), " ")).as("chunk_fp"))
   }
+
+  /** Repeated-span detection: per document, how many of its n-token
+    * windows also occur elsewhere in the corpus (in ANY document,
+    * including the same one). The windowed-hash formulation of
+    * exact-substring training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * their suffix-array pass finds repeated ≥50-token spans; sliding
+    * n-token window hashes find exactly the same repeats at the window
+    * granularity and are join/aggregate-shaped). Doc-level dedup (q20–q23)
+    * cannot see these: boilerplate headers, license blocks, and templated
+    * paragraphs repeat across otherwise-distinct documents and inflate
+    * memorization.
+    *
+    * Output (doc_id, n_windows, n_dup_windows, dup_ratio), one row per
+    * document, totally ordered. Scale shape: the n-gram explode is
+    * scan-local (transform + posexplode over the token array — n·tokens
+    * rows, linear); ONE (hash)-keyed count finds duplicated window hashes
+    * (map-side partial combine); one shuffle join marks each document's
+    * duplicated windows; one (doc)-keyed aggregate rolls up. Nothing is
+    * quadratic, nothing collects, the dup-hash table stays distributed
+    * (it can be corpus-sized — never broadcast it). Window identity is
+    * the 64-bit FNV of the space-joined window (the ShingleHashes
+    * collision convention, ~n²/2⁶⁵). */
+  def repeatedSpans(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "a span needs at least 2 tokens")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val base = docs.select(col(idCol), toks.as("t"))
+      .select(col(idCol),
+        greatest(size(col("t")) - (n - 1), lit(0)).cast("bigint").as("n_windows"),
+        col("t"))
+    val grams = base.filter(col("n_windows") > 0)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), (col("n_windows") - 1).cast("int")),
+          i => graft.functions.Fnv64.fnv64(
+            array_join(slice(col("t"), i + 1, lit(n)), " "))))
+          .as(Seq("pos", "h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"))
+    val perDoc = grams.join(dup, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    base.drop("t")
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+          greatest(col("n_windows"), lit(1L)), 6).as("dup_ratio"))
+      .orderBy(col(idCol))
+  }
 }

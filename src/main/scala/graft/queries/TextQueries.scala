@@ -410,6 +410,13 @@ object TextQueries {
     * training-data system actually ships — each stage is already
     * individually oracle-gated; this gate pins that the COMPOSITION holds
     * end to end as one Catalyst-fused plan. */
+  /** Repeated-span audit (q101): per document, its 8-token windows that
+    * occur anywhere else in the corpus — the exact-substring dedup signal
+    * doc-level near-dup cannot see (Lee et al. arXiv:2107.06499; see
+    * [[graft.operators.Corpus.repeatedSpans]] for the scale shape). */
+  def q101RepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.repeatedSpans(Tables.load(s, dir, "documents"))
+
   def q100CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val kept = graft.operators.Corpus.datasetSplit(
       graft.operators.Corpus.cleanFilter(

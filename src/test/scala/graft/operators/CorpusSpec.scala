@@ -44,4 +44,31 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
+
+  test("repeatedSpans: cross-doc span, self-repetition, clean doc, blank doc") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"$span iota kappa"),          // 10 tokens: window 0 = the span
+      (2L, s"X $span Y"),                 // 10 tokens: window 1 = the span
+      (3L, "totally different words one two three four five six seven"),
+      (4L, s"$span $span"),               // 16 tokens: windows 0 and 8 equal
+      (5L, "")                            // no windows at all
+    ).toDF("doc_id", "text")
+    val out = Corpus.repeatedSpans(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 0.333333)))
+    assert(out(2L) == ((3L, 1L, 0.333333)))
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    // doc 4's windows 0 and 8 are both the span (duplicated in docs 1/2
+    // AND in itself); windows 1–7 are unique rotations
+    assert(out(4L) == ((9L, 2L, 0.222222)))
+    assert(out(5L) == ((0L, 0L, 0.0)))
+    // one row per document, including span-free and empty ones
+    assert(out.size == 5)
+    val plan = Corpus.repeatedSpans(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
