@@ -12,12 +12,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - pass structure is breadth-first: a first timed rep for every
   *     query FIRST (a complete per-query record exists as early as
   *     possible), then min-of-N refinement reps only while the time
-  *     budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 900) allows;
+  *     budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 840) allows;
   *   - JIT warm-up is a HANDFUL of representative queries at sf0.001
   *     (scan/agg/join/window/dedup codegen paths), not all of them —
   *     the old all-queries pass was ~100 extra executions of pure
   *     harness overhead. Rep 1 itself warms rep 2 at the real SF, and
   *     min-of-N keeps the warm number.
+  *
+  * SELF-DESCRIBING by construction (round 7): round 6's record was
+  * complete but uninterpretable — cold singles on a ~20× contended host
+  * (q55: 192.7 s official vs 1.8 s on a quiet machine, code untouched)
+  * look identical to a 20× regression. The artifact now carries the
+  * evidence a reader needs to classify every number without re-running:
+  *
+  *   - `"raw"`: EVERY per-rep wall time, per query (the published
+  *     `"queries"` value is still min over successful reps);
+  *   - `"reps"`: per-query measurement count — 1 means a cold single,
+  *     so treat the number as an upper bound, not a measurement;
+  *   - `"sentinel"`: a fixed ~0.3 s calibration query
+  *     (`q20_dedup_exact`) re-timed before the run and after every
+  *     ~10 measurements; its series is a host-load seismograph taken
+  *     with the same harness, same JVM, same data as the real numbers;
+  *   - `"noise_factor"`: max/min of the successful sentinel times —
+  *     ≈1 means a quiet host (trust the numbers), ≫1 means contention
+  *     (trust only the minima, and only where reps ≥ 2);
+  *   - `"run_id"`: stamps the snapshot AND the final line, so a stale
+  *     `BENCH_PARTIAL.json` from a previous run can never be mistaken
+  *     for this one (the file is also deleted at startup).
   *
   * stdout still carries exactly ONE JSON line (the driver's contract),
   * printed at the end.
@@ -29,6 +50,9 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "840").toDouble
     val partialPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.json")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val runId = java.lang.Long.toHexString(System.currentTimeMillis())
+    // a previous run's snapshot must never be readable as this run's
+    new java.io.File(partialPath).delete()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,14 +89,31 @@ object Bench {
     // successful reps otherwise — the standard "what the engine costs when
     // the machine isn't busy" estimator (see round-3 notes).
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val raw = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     def combine(a: Double, b: Double): Double =
       if (a < 0) a else if (b < 0) b else math.min(a, b)
+    // Calibration sentinel: q20 (exact dedup) — cheap, stable, untouched
+    // for rounds, and it exercises scan+shuffle+agg, the same machinery
+    // whose contention the sentinel exists to witness.
+    val sentinelName = "q20_dedup_exact"
+    val sentinel = scala.collection.mutable.ListBuffer[Double]()
+    var sinceSentinel = 0
+    def fmtSeq(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     def summaryJson(complete: Boolean): String = {
       val errors = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      val rawJson = raw.map { case (k, v) => "\"" + k + "\":" + fmtSeq(v) }
+        .mkString("{", ",", "}")
+      val repsJson = raw.map { case (k, v) => "\"" + k + "\":" + v.size }
+        .mkString("{", ",", "}")
+      val okSentinel = sentinel.filter(_ >= 0)
+      val noise =
+        if (okSentinel.size >= 2 && okSentinel.min > 0)
+          (okSentinel.max / okSentinel.min).toString
+        else "null"
       val total = best.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"reps":$repsJson,"raw":$rawJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"run_id":"$runId"}"""
     }
     def snapshot(): Unit = try {
       val tmp = new java.io.File(partialPath + ".tmp")
@@ -89,13 +130,27 @@ object Bench {
       sweep()
       if (ok) dt else -dt
     }
+    // Sentinel runs are calibration-only: never merged into the query's
+    // own record (its official number stays comparable across rounds —
+    // min over exactly `reps` measurement reps, like every other query).
+    def timeSentinel(): Unit = {
+      sentinel += timeOne(sentinelName)
+      System.err.println(
+        s"""BENCH {"sentinel":"$sentinelName","sec":${sentinel.last},"elapsed":$elapsed}""")
+    }
     if (warmOk)
-      Seq("q01_agg", "q03_join_topk", "q07_window_rank", "q20_exact_dedup",
+      Seq("q01_agg", "q03_join_topk", "q07_window_rank", "q20_dedup_exact",
           "q30_knn_brute").foreach { name =>
         try run(SparkEntry.queries(name)(spark, warmDir))
         catch { case _: Throwable => () }
         sweep()
       }
+    // one DISCARDED sentinel execution first: the sentinel series exists to
+    // witness HOST contention, and a cold first reading (JIT + scan warm-up
+    // at the real SF — measured ~2× steady-state) would inflate
+    // noise_factor on a perfectly quiet host
+    timeOne(sentinelName)
+    timeSentinel() // baseline host-load reading before any measurement
     var rep = 1
     while (rep <= reps && (rep == 1 || elapsed < budgetSec)) {
       // refinement passes go EXPENSIVE-FIRST: the cold/warm spread that
@@ -114,13 +169,18 @@ object Bench {
         if (rep == 1 || elapsed < budgetSec) {
           val t = timeOne(name)
           best(name) = best.get(name).map(combine(_, t)).getOrElse(t)
+          raw(name) = raw.getOrElse(name, Nil) :+ t
           System.err.println(
             s"""BENCH {"q":"$name","rep":$rep,"sec":$t,"elapsed":$elapsed}""")
+          sinceSentinel += 1
+          if (sinceSentinel >= 10) { sinceSentinel = 0; timeSentinel() }
           snapshot()
         }
       }
       rep += 1
     }
+    timeSentinel() // closing reading: did the host get busier mid-run?
+    snapshot()
     println(summaryJson(complete = true))
     spark.stop()
   }

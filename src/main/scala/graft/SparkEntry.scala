@@ -120,6 +120,7 @@ object SparkEntry {
     "q99_kmeans_maxmin"   -> (TextQueries.q99KMeansMaxMin _),
     "q100_corpus_pipeline" -> (TextQueries.q100CorpusPipeline _),
     "q101_repeated_spans" -> (TextQueries.q101RepeatedSpans _),
+    "q102_remove_repeated_spans" -> (TextQueries.q102RemoveRepeatedSpans _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1468,6 +1469,50 @@ object SparkEntry {
         |  ROUND(COALESCE(ndup, 0) / GREATEST(n_windows, 1), 6) AS dup_ratio
         |FROM nw LEFT JOIN pd USING (doc_id)
         |ORDER BY nw.doc_id""".stripMargin,
+
+    // q102: q101's duplicated-window grouping (strings where the engine
+    // groups FNV hashes), then Lee et al.'s removal pass replayed with
+    // interval-merge arithmetic: covered positions by exploding each dup
+    // window start over its n offsets, span begins via LAG, cleaned text
+    // by anti-joining token positions against the covered set.
+    "q102_remove_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |nt AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |g AS (
+        |  SELECT doc_id, i AS s, array_to_string(toks[i:i+7], ' ') AS ng
+        |  FROM nt, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT ng FROM g GROUP BY ng HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, s + j AS p
+        |  FROM g JOIN d USING (ng), UNNEST(generate_series(0, 7)) AS v(j)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_removed,
+        |    SUM(CASE WHEN prev IS NULL OR p - prev > 1 THEN 1 ELSE 0 END)
+        |      AS n_spans
+        |  FROM (SELECT doc_id, p,
+        |          LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM cov)
+        |  GROUP BY doc_id),
+        |ti AS (
+        |  SELECT nt.doc_id, u.i AS p, toks[u.i] AS tok
+        |  FROM nt, UNNEST(generate_series(1, len(toks))) AS u(i)),
+        |clean AS (
+        |  SELECT ti.doc_id,
+        |    array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+        |  FROM ti ANTI JOIN cov ON ti.doc_id = cov.doc_id AND ti.p = cov.p
+        |  GROUP BY ti.doc_id)
+        |SELECT nt.doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(agg.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+        |  COALESCE(clean.clean_text, '') AS clean_text
+        |FROM nt LEFT JOIN agg USING (doc_id) LEFT JOIN clean USING (doc_id)
+        |ORDER BY nt.doc_id""".stripMargin,
 
     // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —
     // the sample membership and the bucket edges replay bit-exactly.

@@ -175,4 +175,77 @@ object Corpus {
           greatest(col("n_windows"), lit(1L)), 6).as("dup_ratio"))
       .orderBy(col(idCol))
   }
+
+  /** Repeated-span REMOVAL — the second half of Lee et al.'s
+    * exact-substring dedup (arXiv:2107.06499): where [[repeatedSpans]]
+    * *measures* duplication, this *cuts it out* and re-emits cleaned
+    * text, the way their pipeline rewrites the training corpus after the
+    * suffix-array pass. A token is removed iff it is covered by ANY
+    * duplicated n-token window (a window occurring ≥2 times anywhere in
+    * the corpus, including the same document); overlapping windows merge
+    * into maximal spans.
+    *
+    * Output, one totally-ordered row per document:
+    * (doc_id, n_tokens, n_removed, n_spans, clean_text) —
+    * `n_spans` = number of maximal removed spans after interval-merge,
+    * `clean_text` = the surviving tokens space-joined ('' when the whole
+    * document is boilerplate).
+    *
+    * Scale shape = [[repeatedSpans]]'s plus one interval-merge window:
+    * the n-gram explode is scan-local; ONE hash-keyed count finds
+    * duplicated windows; one shuffle join marks each doc's duplicated
+    * window starts; covered positions come from a scan-local
+    * explode+distinct (≤ n·dup_windows rows, linear); merged-span
+    * arithmetic is a lag() window partitioned BY DOCUMENT (bounded
+    * partitions — a doc's positions, never the corpus); the cleaned text
+    * is a token-level anti-join against covered positions plus one
+    * per-doc ordered rollup. Nothing quadratic, nothing collected, the
+    * dup-hash table stays distributed. */
+  def removeRepeatedSpans(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "a span needs at least 2 tokens")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val base = docs.select(col(idCol), toks.as("t"))
+      .select(col(idCol), size(col("t")).cast("bigint").as("n_tokens"), col("t"))
+    val grams = base.filter(col("n_tokens") >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), (col("n_tokens") - n).cast("int")),
+          i => graft.functions.Fnv64.fnv64(
+            array_join(slice(col("t"), i + 1, lit(n)), " "))))
+          .as(Seq("pos", "h")))
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"))
+    // 1-based token positions covered by any duplicated window; DISTINCT
+    // collapses the (up to n-fold) overlap between adjacent dup windows.
+    val covered = grams.join(dup, "h")
+      .select(col(idCol), explode(sequence(col("pos") + 1, col("pos") + n)).as("p"))
+      .distinct()
+    // interval merge: a covered position starts a maximal span iff the
+    // previous covered position in this doc isn't its left neighbour
+    val prev = lag(col("p"), 1)
+      .over(Window.partitionBy(col(idCol)).orderBy(col("p")))
+    val removedAgg = covered
+      .withColumn("begin",
+        when(prev.isNull || col("p") - prev > 1, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_removed"), sum(col("begin")).as("n_spans"))
+    val toksE = base
+      .select(col(idCol), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
+    val cleanAgg = toksE.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    base.drop("t")
+      .join(removedAgg, Seq(idCol), "left")
+      .join(cleanAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col(idCol))
+  }
 }

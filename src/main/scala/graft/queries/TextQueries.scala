@@ -417,6 +417,13 @@ object TextQueries {
   def q101RepeatedSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.repeatedSpans(Tables.load(s, dir, "documents"))
 
+  /** Exact-substring dedup REMOVAL: mask every token covered by a
+    * duplicated 8-token window and re-emit cleaned text (Lee et al.
+    * arXiv:2107.06499's rewrite pass; see
+    * [[graft.operators.Corpus.removeRepeatedSpans]] for the scale shape). */
+  def q102RemoveRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.removeRepeatedSpans(Tables.load(s, dir, "documents"))
+
   def q100CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val kept = graft.operators.Corpus.datasetSplit(
       graft.operators.Corpus.cleanFilter(

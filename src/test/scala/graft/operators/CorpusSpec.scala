@@ -71,4 +71,51 @@ class CorpusSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("removeRepeatedSpans: masks covered tokens, merges overlaps, keeps clean docs") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, s"$span iota kappa"),          // windows 0 dup → tokens 1-8 removed
+      (2L, s"X $span Y"),                 // window 1 dup → tokens 2-9 removed
+      (3L, "totally different words one two three four five six seven"),
+      (4L, s"$span $span"),               // windows 0 and 8 dup → ALL 16 covered
+      (5L, "")                            // nothing to do
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeRepeatedSpans(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((10L, 8L, 1L, "iota kappa")))
+    assert(out(2L) == ((10L, 8L, 1L, "X Y")))
+    assert(out(3L) == ((10L, 0L, 0L,
+      "totally different words one two three four five six seven")))
+    // doc 4: windows 0 (tokens 1-8) and 8 (tokens 9-16) overlap-adjacent →
+    // ONE merged span covering everything, empty cleaned text
+    assert(out(4L) == ((16L, 16L, 1L, "")))
+    assert(out(5L) == ((0L, 0L, 0L, "")))
+    assert(out.size == 5)
+    val plan = Corpus.removeRepeatedSpans(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("removeRepeatedSpans: disjoint dup spans in one doc count separately") {
+    import spark.implicits._
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val d = Seq(
+      // spanA + 3 unique separators + spanB: two disjoint removed spans
+      (1L, s"$a mid1 mid2 mid3 $b"),
+      (2L, s"left $a right"),
+      (3L, s"up $b down")
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeRepeatedSpans(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((19L, 16L, 2L, "mid1 mid2 mid3")))
+    assert(out(2L) == ((10L, 8L, 1L, "left right")))
+    assert(out(3L) == ((10L, 8L, 1L, "up down")))
+  }
 }
