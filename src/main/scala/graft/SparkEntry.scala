@@ -121,6 +121,7 @@ object SparkEntry {
     "q100_corpus_pipeline" -> (TextQueries.q100CorpusPipeline _),
     "q101_repeated_spans" -> (TextQueries.q101RepeatedSpans _),
     "q102_remove_repeated_spans" -> (TextQueries.q102RemoveRepeatedSpans _),
+    "q103_frame_dedup" -> (TextQueries.q103FrameDedup _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1513,6 +1514,45 @@ object SparkEntry {
         |  COALESCE(clean.clean_text, '') AS clean_text
         |FROM nt LEFT JOIN agg USING (doc_id) LEFT JOIN clean USING (doc_id)
         |ORDER BY nt.doc_id""".stripMargin,
+
+    // q103: the engine LZW-decodes real GIF frames and hashes the pixels;
+    // the oracle replays the CLOSED-FORM pixel strip (frame i pixel j =
+    // text byte at (8i+j) mod n, 0 for empty docs), the rank-matrix hash
+    // (bit 8j+k iff px[j] > px[k] — diagonal never set, so the hash fits
+    // signed BIGINT), and the greedy-by-rank drop rule, which the engine's
+    // 4x16-bit banding reproduces exactly because Hamming <= 3 guarantees
+    // a shared band by pigeonhole.
+    "q103_frame_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+        |         hex(encode(text)) AS hx
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+        |    list_transform(generate_series(0, 7), j ->
+        |      CASE WHEN n = 0 THEN 0
+        |        ELSE (strpos('0123456789ABCDEF',
+        |                substr(hx, 2*((8*i+j) % n)+1, 1)) - 1) * 16
+        |           + strpos('0123456789ABCDEF',
+        |                substr(hx, 2*((8*i+j) % n)+2, 1)) - 1 END) AS px
+        |  FROM t, UNNEST(generate_series(0, n % 30)) AS u(i)),
+        |ph AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(COALESCE(SUM(CASE WHEN px[j+1] > px[k+1]
+        |      THEN (1::BIGINT << (8*j+k)) ELSE 0 END), 0) AS BIGINT) AS phash
+        |  FROM fr, UNNEST(generate_series(0, 7)) AS a(j),
+        |       UNNEST(generate_series(0, 7)) AS b(k)
+        |  GROUP BY media_id, frame_idx),
+        |rk AS (SELECT media_id, frame_idx, phash,
+        |         media_id*64 + frame_idx AS rnk FROM ph),
+        |grp AS (SELECT phash, MIN(rnk) AS grank FROM rk GROUP BY phash),
+        |drp AS (
+        |  SELECT DISTINCT x.phash FROM grp x JOIN grp y
+        |    ON y.grank < x.grank AND bit_count(xor(x.phash, y.phash)) <= 3)
+        |SELECT r.media_id, r.frame_idx, r.phash,
+        |  (r.rnk = g.grank AND d.phash IS NULL) AS keep
+        |FROM rk r JOIN grp g USING (phash) LEFT JOIN drp d USING (phash)
+        |ORDER BY r.media_id, r.frame_idx""".stripMargin,
 
     // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —
     // the sample membership and the bucket edges replay bit-exactly.

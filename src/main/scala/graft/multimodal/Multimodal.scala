@@ -28,6 +28,7 @@ object Multimodal {
   final case class MediaMeta(media_id: Long, n_bytes: Long, width: Long,
       height: Long, n_frames: Long, content_fp: Long)
   final case class FrameSample(media_id: Long, frame_idx: Long, frame_fp: Long)
+  final case class FrameHash(media_id: Long, frame_idx: Long, phash: Long)
 
   /** GIF87a container read/write. Layout written by [[encode]]:
     * header "GIF87a" (6 B) · logical screen descriptor (7 B: width LE16,
@@ -141,7 +142,17 @@ object Multimodal {
     }
 
     def encode(text: Array[Byte], width: Int, height: Int,
-        nFrames: Int): Array[Byte] = {
+        nFrames: Int): Array[Byte] =
+      encodeWith(text, width, height,
+        IndexedSeq.tabulate(nFrames)(i => Array.tabulate(8)(j => (8 * i + j).toByte)))
+
+    /** Same container layout as [[encode]], but with CALLER-SUPPLIED 8×1
+      * pixel strips — arbitrary byte content, really LZW-compressed (the
+      * dictionary/KwKwK paths get exercised the moment content repeats,
+      * unlike [[encode]]'s strictly-increasing strips whose stream is
+      * always 10 literal codes). */
+    def encodeWith(text: Array[Byte], width: Int, height: Int,
+        frames: IndexedSeq[Array[Byte]]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream(text.length + 64)
       def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
       out.write("GIF87a".getBytes("US-ASCII"))
@@ -154,13 +165,11 @@ object Multimodal {
         out.write(len); out.write(text, off, len); off += len
       }
       out.write(0x00) // comment terminator
-      var i = 0
-      while (i < nFrames) {
+      frames.foreach { pixels =>
         out.write(0x2c) // image separator
-        le16(0); le16(0); le16(8); le16(1) // an 8×1-pixel strip per frame
+        le16(0); le16(0); le16(pixels.length); le16(1) // one pixel row
         out.write(0x00) // no local color table
         out.write(0x08) // LZW minimum code size
-        val pixels = Array.tabulate(8)(j => (8 * i + j).toByte)
         val lzw = lzwEncode(pixels, 8)
         var off2 = 0
         while (off2 < lzw.length) {
@@ -168,7 +177,6 @@ object Multimodal {
           out.write(len); out.write(lzw, off2, len); off2 += len
         }
         out.write(0x00) // image data terminator
-        i += 1
       }
       out.write(0x3b) // trailer
       out.toByteArray
@@ -265,6 +273,119 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Like [[withPayload]], but the frame pixel strips are CONTENT-DERIVED:
+    * frame i's 8 pixels are the document's text bytes at positions
+    * (8·i+j) mod n (all zeros for an empty document) — so documents with
+    * equal or near-equal text produce equal or near-equal FRAMES, which is
+    * what gives the perceptual-hash dedup ([[frameDedup]]) something real
+    * to find. Unlike [[withPayload]]'s strictly-increasing strips, these
+    * streams exercise the encoder's dictionary and KwKwK paths whenever
+    * the text repeats; the parser LZW-decodes them back on read. */
+  def withContentPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("t"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, t) =>
+        val n = t.length
+        val frames = IndexedSeq.tabulate(n % 30 + 1)(i =>
+          Array.tabulate(8)(j => if (n == 0) 0.toByte else t((8 * i + j) % n)))
+        MediaRecord(id, GifCodec.encodeWith(t, n % 640 + 1, n % 480 + 1, frames))
+      }
+      .toDF()
+  }
+
+  /** 64-bit rank-matrix perceptual hash of an 8-pixel strip: bit 8·j+k is
+    * set iff pixel j is strictly brighter than pixel k. The 8×1 adaptation
+    * of aHash/dHash — dHash's neighbour comparisons are the k=j+1 diagonal
+    * and aHash's mean threshold is majority-approximated by a pixel's row
+    * popcount — and like both it is invariant under any monotone brightness
+    * remap, the property that makes rank-order hashes perceptual rather
+    * than cryptographic. Diagonal bits (j=k) are never set, so the hash is
+    * always non-negative as a signed long. */
+  def rankHash(px: Array[Byte]): Long = {
+    val m = math.min(px.length, 8)
+    var h = 0L
+    var j = 0
+    while (j < m) {
+      var k = 0
+      while (k < m) {
+        if ((px(j) & 0xff) > (px(k) & 0xff)) h |= 1L << (8 * j + k)
+        k += 1
+      }
+      j += 1
+    }
+    h
+  }
+
+  /** Decode every frame of every payload and emit its perceptual hash —
+    * same bounded-batch partition-wise shape as [[extractMeta]]. */
+  def framePerceptualHashes(media: DataFrame, batchSize: Int = 64)
+      (implicit spark: SparkSession): Dataset[FrameHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val (_, _, frames) = GifCodec.parse(r.payload)
+          frames.iterator.zipWithIndex.map { case (px, i) =>
+            FrameHash(r.media_id, i.toLong, rankHash(px))
+          }
+        }
+      }
+    }
+  }
+
+  /** Frame-level perceptual-hash image dedup — the operator a multimodal
+    * training pipeline runs over every decoded image/frame: keep one
+    * canonical frame per perceptual cluster, drop the rest. Two levels,
+    * both clique-proof at 100 TB:
+    *
+    *  1. EXACT collapse: frames group by their 64-bit [[rankHash]]; the
+    *     group's canonical frame is its minimum (media_id, frame_idx).
+    *     Identical-content cliques (the overwhelming bulk of real image
+    *     dup mass) collapse to ONE node each before any pairing happens —
+    *     the candidate stream below is quadratic only in DISTINCT hashes.
+    *  2. BANDED Hamming near-dup over the distinct hashes: 4 bands ×
+    *     16 bits (the [[graft.operators.Dedup.simhashPairs]] machinery);
+    *     by pigeonhole any two hashes within Hamming distance
+    *     `maxHamming` ≤ 3 share at least one full band, so recall is
+    *     exactly 1 and the oracle can replay the rule without knowing the
+    *     banding. A distinct hash is dropped iff some hash within
+    *     `maxHamming` ranks before it (greedy-by-rank — deterministic
+    *     without a transitive closure).
+    *
+    * Output one row per frame, totally ordered:
+    * (media_id, frame_idx, phash, keep). */
+  def frameDedup(media: DataFrame, maxHamming: Int = 3, batchSize: Int = 64)
+      (implicit spark: SparkSession): DataFrame = {
+    require(maxHamming <= 3, "4 bands x 16 bits only guarantees recall up to Hamming 3")
+    val fh = framePerceptualHashes(media, batchSize).toDF()
+    // frame rank as one long (frame_idx < 30 << 64): order by first owner
+    val ranked = fh.withColumn("rank",
+      col("media_id") * 64 + col("frame_idx"))
+    val groups = ranked.groupBy(col("phash"))
+      .agg(min(col("rank")).as("grank"))
+    val bands = groups.select(col("phash"), col("grank"), posexplode(
+        array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      .as(Seq("band", "bh")))
+      // one exchange feeds both sides of the self-join (the minhashLsh /
+      // simhashPairs reuse rationale)
+      .hint("shuffle_hash")
+    val dropped = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("y.grank") < col("x.grank") &&
+          bit_count(col("x.phash").bitwiseXOR(col("y.phash"))) <= maxHamming)
+      .select(col("x.phash")).distinct()
+      .withColumn("is_dropped", lit(true))
+    ranked
+      .join(groups, "phash")
+      .join(dropped, Seq("phash"), "left")
+      .select(col("media_id"), col("frame_idx"), col("phash"),
+        (col("rank") === col("grank") && col("is_dropped").isNull).as("keep"))
+      .orderBy(col("media_id"), col("frame_idx"))
   }
 
   /** Sample every `everyNth` frame of each payload: one row per sampled

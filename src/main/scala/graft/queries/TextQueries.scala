@@ -487,4 +487,15 @@ object TextQueries {
       .toDF()
       .orderBy(col("media_id"), col("frame_idx"))
   }
+
+  /** Frame-level perceptual-hash image dedup over content-derived GIF
+    * frames: decode pixels, rank-matrix perceptual hash per frame, exact
+    * collapse then 16-bit-banded Hamming near-dup on the distinct hashes
+    * (see [[graft.multimodal.Multimodal.frameDedup]] for the scale shape). */
+  def q103FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    graft.multimodal.Multimodal.frameDedup(
+      graft.multimodal.Multimodal.withContentPayload(
+        Tables.load(s, dir, "documents")))
+  }
 }

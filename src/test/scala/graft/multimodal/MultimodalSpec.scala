@@ -115,4 +115,76 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.extractMeta(m, batchSize = 1000).toDF()
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("content payload round-trips: decoded frame pixels are the text bytes cycled") {
+    implicit val s = spark
+    import s.implicits._
+    // "aaaa…" exercises the LZW dictionary + KwKwK decode path end-to-end
+    val docs = Seq((1L, "a" * 40), (2L, "the quick brown fox jumps"), (3L, ""))
+      .toDF("doc_id", "text")
+    Multimodal.withContentPayload(docs).as[Multimodal.MediaRecord].collect()
+      .foreach { r =>
+        val text = docs.filter(col("doc_id") === r.media_id)
+          .head().getString(1).getBytes("UTF-8")
+        val n = text.length
+        val (_, _, frames) = Multimodal.GifCodec.parse(r.payload)
+        assert(frames.length == n % 30 + 1)
+        frames.zipWithIndex.foreach { case (f, i) =>
+          val expect = Array.tabulate(8)(j =>
+            if (n == 0) 0.toByte else text((8 * i + j) % n))
+          assert(java.util.Arrays.equals(f, expect),
+            s"media ${r.media_id} frame $i")
+        }
+      }
+  }
+
+  test("rankHash: brightness-monotone invariance, diagonal never set, distance tracks content") {
+    val px = Array[Byte](10, 50, 30, 90, 20, 70, 40, 60)
+    val h = Multimodal.rankHash(px)
+    // any monotone brightness remap (here 2x+5, staying in unsigned range)
+    // leaves every pairwise rank — and so the hash — unchanged
+    val remapped = px.map(b => (2 * (b & 0xff) + 5).toByte)
+    assert(Multimodal.rankHash(remapped) == h)
+    (0 until 8).foreach(j => assert(((h >>> (8 * j + j)) & 1L) == 0L))
+    assert(h >= 0)
+    // swapping two ADJACENT-rank pixels (60 and 70 — no other value in
+    // between) flips exactly the 2 bits comparing them: small perceptual
+    // change -> small Hamming distance
+    val swapped = px.clone(); swapped(5) = 60; swapped(7) = 70
+    assert(java.lang.Long.bitCount(h ^ Multimodal.rankHash(swapped)) == 2)
+  }
+
+  test("frameDedup: exact clones collapse to the first owner, distant frames all kept") {
+    implicit val s = spark
+    import s.implicits._
+    // docs 1 and 2 share text -> every frame pair (same idx) is an exact
+    // phash clone; doc 3 is unrelated content
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "0123456789 ~~~ ZZZZ qqqq ### wxyz !!")
+    ).toDF("doc_id", "text")
+    val out = Multimodal.frameDedup(Multimodal.withContentPayload(docs))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val byFrame = out.groupBy(_._1._1)
+    // same text -> same byte length -> same frame count and equal hashes
+    val f1 = out.filter(_._1._1 == 1L)
+    val f2 = out.filter(_._1._2 == 2L)
+    f1.foreach { case ((_, idx), (ph, keep)) =>
+      val (ph2, keep2) = out((2L, idx))
+      assert(ph2 == ph)
+      // doc 1 owns the canonical copy unless an earlier doc-1 frame
+      // already claimed the same/near hash; doc 2's clone NEVER keeps
+      assert(!keep2, s"frame $idx of doc 2 should be dropped")
+    }
+    // at least one doc-1 frame survives as a canonical representative
+    assert(out.exists { case ((m, _), (_, keep)) => m == 1L && keep })
+    // plan shape: banded self-join only — no cartesian anywhere
+    val plan = Multimodal.frameDedup(Multimodal.withContentPayload(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
