@@ -41,7 +41,7 @@ object ScaleProbe {
         // ~orthogonal to its original (generic vectors), so the 10×
         // corpus behaves like 10× fresh data while norms, within-replica
         // planted near-dups, and cluster geometry are preserved.
-        val shift = r % 64
+        val shift = r
         if (table == "embeddings" && shift != 0)
           keyed.withColumn("embedding", concat(
             slice(col("embedding"), shift + 1, 1 << 20),
@@ -49,6 +49,27 @@ object ScaleProbe {
         else keyed
       }.reduce(_.unionAll(_))
       out.write.mode("overwrite").parquet(s"$big/$table.parquet")
+    }
+    // replica 64 of a 64-dim vector would rotate back to a verbatim copy,
+    // silently reintroducing the exact-duplicate cliques the rotation
+    // exists to avoid — refuse rather than wrap
+    require(n <= 64, s"replication capped at 64 (embedding dim): $n would wrap rotations")
+    // Methodology marker: scaled tables synthesized by an OLDER recipe
+    // (e.g. pre-rotation verbatim replicas) must not satisfy the existence
+    // checks below — the probe would measure the old pathology while
+    // reporting the new methodology. Bump the token when replicate()
+    // changes; mismatch/absence forces a rebuild.
+    val methodology = "v2-rotated-replicas"
+    val marker = new java.io.File(s"$big/.methodology")
+    val markerOk = marker.exists() &&
+      scala.io.Source.fromFile(marker).mkString.trim == methodology
+    if (!markerOk && new java.io.File(big).exists()) {
+      println(s"[scale] $big predates methodology '$methodology' — rebuilding")
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete(); ()
+      }
+      rmrf(new java.io.File(big))
     }
     if (!new java.io.File(s"$big/embeddings.parquet").exists())
       replicate("embeddings", Seq("vec_id"), 100000000L)
@@ -64,6 +85,12 @@ object ScaleProbe {
       replicate("events", Seq("event_id", "user_id"), 100000000L)
       for (t <- Seq("nation", "region", "part", "supplier"))
         Tables.load(spark, base, t).write.mode("overwrite").parquet(s"$big/$t.parquet")
+    }
+    // stamp AFTER the builds: a crash mid-build leaves no marker, so the
+    // next run rebuilds instead of trusting a half-written table set
+    locally {
+      val w = new java.io.PrintWriter(marker, "UTF-8")
+      try w.println(methodology) finally w.close()
     }
 
     val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

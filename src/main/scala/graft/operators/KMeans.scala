@@ -143,17 +143,25 @@ object KMeans {
     * update — production picks k-means++/maxmin when it matters). */
   def fit(emb: DataFrame, k: Int = 8, iterations: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      initCentroids: Option[DataFrame] = None): DataFrame = {
+      initCentroids: Option[DataFrame] = None): DataFrame =
+    fitManaged(emb, k, iterations, idCol, vecCol, initCentroids)._1
+
+  /** [[fit]] plus the DISPOSAL HANDLE for its dims cache. The returned
+    * plan references the exploded (id, dim, x) rows in 2·iterations
+    * subtrees (every assignment + every centroid update); persisted, one
+    * action materializes the explode once and every other subtree reads
+    * the cache — unpersisted, 2 Lloyd rounds cost ~4 redundant full
+    * source scans. The cache backs the RETURNED plan, so fit cannot
+    * release it itself: call `release()` after the LAST action over the
+    * result. Plain [[fit]] users in a bounded session can instead rely
+    * on a blanket `spark.catalog.clearCache()` sweep (the bench harness
+    * does, between measurements); a long-lived service should use this
+    * handle — each unreleased fit leaks one idle executor-storage entry
+    * until a global sweep. */
+  def fitManaged(emb: DataFrame, k: Int = 8, iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initCentroids: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     require(iterations >= 1, "k-means needs at least one assignment round")
-    // The returned plan references dims in 2·iterations subtrees (every
-    // assignment + every centroid update). Persisted, the caller's single
-    // action materializes the explode once and all other subtrees read the
-    // cache — unpersisted, 2 Lloyd rounds cost ~4 redundant full source
-    // scans. OWNERSHIP: the cache backs the RETURNED plan, so fit cannot
-    // unpersist it; release after the last action over the result with
-    // dims-free sweeps (`spark.catalog.clearCache()` — the bench harness
-    // does this between queries; a k·D-row result read once makes the
-    // residual cost one idle cache entry, not recomputation).
     val dims = dimRows(emb, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
     var centroids = initCentroids.getOrElse(init(emb, k, idCol, vecCol))
     var assigned = assignDims(dims, centroids)
@@ -168,7 +176,7 @@ object KMeans {
       assigned = assignDims(dims, centroids)
       i += 1
     }
-    assigned
+    (assigned, () => { dims.unpersist(blocking = false); () })
   }
 
   /** Per-cluster summary of a fit: (cid, n_points, inertia). */
