@@ -132,4 +132,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.groupBy("a_id", "b_id").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("streaming chunker: two micro-batches equal the from-scratch batch chunk table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("schunk").toString
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingChunker.run(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/chunks", s"$tmp/ck")
+    ms.addData(half1); q.processAllAvailable()
+    ms.addData(half2); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(s"$tmp/chunks")
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_fp")
+    val want = graft.operators.Corpus.chunk(docs)
+    assert(got.count() > 0, "expected chunks from this corpus")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "stream union must equal the from-scratch batch chunk table")
+    // every chunk belongs to exactly one micro-batch
+    assert(got.groupBy("doc_id", "chunk_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
 }
