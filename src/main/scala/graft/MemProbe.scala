@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev tool: BOUNDED-MEMORY flagship probe — the spill-evidence half of
+  * the 100 TB claim. [[ScaleProbe]] shows wall-clock growth in a 128 GiB
+  * sandbox that never spills; this runs the flagship operators on the
+  * same 10× tables under a deliberately small memory ceiling (small heap
+  * via SPARK_DRIVER_MEM + `spark.memory.fraction` cut via
+  * SPARK_GRAFT_MEM_FRACTION, default 0.2) and records, per query, the
+  * executor-reported spill counters. The pass criterion is NOT speed: it
+  * is that every aggregate/join/sort degrades to disk
+  * (memory/diskBytesSpilled > 0 where the plan has a blocking operator)
+  * and the query still completes with zero task failures — i.e. no
+  * operator holds unbounded per-task state.
+  *
+  * Usage: SPARK_DRIVER_MEM=4g SPARK_GRAFT_SCALE=10 runMain graft.MemProbe
+  */
+object MemProbe {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val frac = sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.2")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      // the squeeze: unified execution+storage pool cut from 0.6 of
+      // (heap - 300MB) to `frac` — with a 4g heap and 32 tasks this is
+      // ~20-25 MB of execution memory per task slot
+      .config("spark.memory.fraction", frac)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val big = ScaleProbe.ensureScaledTables(spark, n)
+
+    // per-query spill/peak counters from the executor task metrics — the
+    // same numbers the Spark UI's "Spill (memory/disk)" columns show
+    object metrics extends SparkListener {
+      @volatile var memSpilled = 0L
+      @volatile var diskSpilled = 0L
+      @volatile var peakExecMem = 0L
+      @volatile var failedTasks = 0
+      def reset(): Unit = { memSpilled = 0; diskSpilled = 0; peakExecMem = 0; failedTasks = 0 }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+        if (t.taskMetrics != null) {
+          memSpilled += t.taskMetrics.memoryBytesSpilled
+          diskSpilled += t.taskMetrics.diskBytesSpilled
+          peakExecMem = math.max(peakExecMem, t.taskMetrics.peakExecutionMemory)
+        }
+        if (!t.reason.toString.startsWith("Success")) failedTasks += 1
+      }
+    }
+    spark.sparkContext.addSparkListener(metrics)
+
+    val flagships = Seq("q93_neardup_banded", "q95_semantic_dedup",
+      "q96_pq_adc", "q98_kmeans", "q101_repeated_spans",
+      "q102_remove_repeated_spans")
+    val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
+
+    def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val heap = Runtime.getRuntime.maxMemory() / (1 << 20)
+    println(f"MemProbe: heap ${heap}MB, memory.fraction $frac, tables $big")
+    println(f"${"query"}%-28s ${"sec"}%8s ${"spill-mem MB"}%13s ${"spill-disk MB"}%14s ${"peak-task MB"}%13s ${"failed"}%7s ${"status"}%7s")
+    probes.foreach { name =>
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val ok = try { run(SparkEntry.queries(name)(spark, big)); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[memprobe] $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      sweep()
+      // listener events drain asynchronously (listenerBus is spark-private);
+      // a short settle keeps the tail task-end events from leaking into the
+      // next query's counters — counters are evidence, not measurements
+      Thread.sleep(500)
+      println(f"$name%-28s $dt%8.1f ${metrics.memSpilled / (1 << 20)}%13d ${metrics.diskSpilled / (1 << 20)}%14d ${metrics.peakExecMem / (1 << 20)}%13d ${metrics.failedTasks}%7d ${if (ok) "OK" else "FAIL"}%7s")
+    }
+    spark.stop()
+  }
+}

@@ -12,19 +12,13 @@ import org.apache.spark.sql.functions._
   * Usage: SPARK_GRAFT_SCALE=10 runMain graft.ScaleProbe
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+
+  /** Synthesize (or reuse) the N×-replicated sf0.1 tables under /tmp and
+    * return their directory. Shared by [[ScaleProbe]] (growth factors) and
+    * [[MemProbe]] (spill behavior under a memory ceiling). */
+  def ensureScaledTables(spark: SparkSession, n: Int): String = {
     val base = "/root/testdata/sf0.1"
     val big = s"/tmp/graft_scale_${n}x"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
     def replicate(table: String, keyCols: Seq[String], offset: Long): Unit = {
       val src = Tables.load(spark, base, table)
@@ -92,6 +86,22 @@ object ScaleProbe {
       val w = new java.io.PrintWriter(marker, "UTF-8")
       try w.println(methodology) finally w.close()
     }
+    big
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val base = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val big = ensureScaledTables(spark, n)
 
     val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q01_agg" -> SparkEntry.queries("q01_agg"),
