@@ -122,6 +122,8 @@ object SparkEntry {
     "q101_repeated_spans" -> (TextQueries.q101RepeatedSpans _),
     "q102_remove_repeated_spans" -> (TextQueries.q102RemoveRepeatedSpans _),
     "q103_frame_dedup" -> (TextQueries.q103FrameDedup _),
+    "q104_token_budget_mix" -> (TextQueries.q104TokenBudgetMix _),
+    "q105_source_overlap" -> (TextQueries.q105SourceOverlap _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1553,6 +1555,54 @@ object SparkEntry {
         |  (r.rnk = g.grank AND d.phash IS NULL) AS keep
         |FROM rk r JOIN grp g USING (phash) LEFT JOIN drp d USING (phash)
         |ORDER BY r.media_id, r.frame_idx""".stripMargin,
+
+    // q104: the q48 quality formula + q49 token estimate, one cumulative
+    // window per source in (quality DESC, doc_id) order, keep while the
+    // running total fits the 500-token budget.
+    "q104_token_budget_mix" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    ROUND(LEAST(1.0, n / 100.0) * 0.5
+        |        + LEAST(1.0, (e / n) * 5.0) * 0.5, 6) AS quality,
+        |    CAST(CEIL(len(text) / 4.0) AS BIGINT) AS est_tokens
+        |  FROM (SELECT doc_id, source, text,
+        |      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n,
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        t -> list_contains(['the','of','and','to','a','in','is','it','that','for'], t))) AS DOUBLE) AS e
+        |    FROM documents)),
+        |cum AS (
+        |  SELECT doc_id, source, quality, est_tokens,
+        |    SUM(est_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, source, quality, est_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM cum WHERE cum_tokens <= 500
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // q105: per-source distinct word-3-gram sets, pairwise intersection +
+    // Jaccard — q21's inverted-index shape at source granularity.
+    "q105_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+        |FROM pairs JOIN cnt ca ON src_a = ca.source
+        |  JOIN cnt cb ON src_b = cb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —
     // the sample membership and the bucket edges replay bit-exactly.

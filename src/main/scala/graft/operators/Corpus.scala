@@ -248,4 +248,69 @@ object Corpus {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(col(idCol))
   }
+
+  /** Data-MIXTURE selection under a per-source token budget — the
+    * curation step that turns "all of the crawl" into "the training mix":
+    * within each source, keep documents in (quality DESC, id) order while
+    * the running token total stays within `budget`. Deterministic (no
+    * RNG: quality is the 6-rounded [[TextFunctions.qualityScore]], the
+    * token estimate is q49's ceil(chars/4)), so an engine-independent SQL
+    * replay produces the identical keep set.
+    *
+    * Scale shape: quality/token estimate are scan-local; ONE window per
+    * source (the same per-group shuffle every quota/pack operator pays);
+    * no joins, no driver state. Source-count never matters — partitions
+    * are per-source and a 100 TB crawl has millions of them. */
+  def tokenBudgetMix(docs: DataFrame, budget: Long = 500,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("quality").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("est_tokens",
+        ceil(length(col(textCol)).cast("double") / 4.0).cast("bigint"))
+      .withColumn("cum_tokens", sum(col("est_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(srcCol), col("quality"), col("est_tokens"),
+        col("cum_tokens"))
+      .orderBy(col(srcCol), col(idCol))
+  }
+
+  /** Cross-SOURCE overlap audit: for every pair of sources sharing at
+    * least one distinct word 3-gram, the intersection size and Jaccard of
+    * their shingle sets — "how much does source A republish source B",
+    * the duplication matrix a crawl-curation pipeline consults before
+    * setting per-source mixture weights (and the source-granularity
+    * counterpart of q21's per-document matrix).
+    *
+    * Exact inverted-index plan: distinct (source, shingle) rows, one
+    * self-join on shingle (candidate mass Σ_sh df(sh)², df bounded by the
+    * number of sources sharing the shingle), one pair-keyed count. Right
+    * for source counts up to ~10⁴; at millions of sources the registered
+    * scale path is per-source MinHash signatures (constant-size per
+    * source, banded pairing — the q22 machinery grouped by source). */
+  def sourceOverlap(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val sh = docs
+      .select(col(srcCol).as("src"),
+        graft.functions.ShingleRows.shingleRows(col(textCol), 3).as(Seq("pos", "s3")))
+      .select(col("src"), col("s3"))
+      .distinct()
+    val cnt = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    // one exchange on s3 feeds both sides (the simhashPairs reuse rationale)
+    val shJ = sh.hint("shuffle_hash")
+    val inter = shJ.as("x").join(shJ.as("y"),
+        col("x.s3") === col("y.s3") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("src").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(cnt.select(col("src").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

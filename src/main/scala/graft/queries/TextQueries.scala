@@ -424,6 +424,17 @@ object TextQueries {
   def q102RemoveRepeatedSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.removeRepeatedSpans(Tables.load(s, dir, "documents"))
 
+  /** Data-mixture selection: per source keep quality-ranked docs while the
+    * running token estimate stays within the budget (see
+    * [[graft.operators.Corpus.tokenBudgetMix]]). */
+  def q104TokenBudgetMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.tokenBudgetMix(Tables.load(s, dir, "documents"))
+
+  /** Cross-source duplication matrix: pairwise shingle-set Jaccard between
+    * sources (see [[graft.operators.Corpus.sourceOverlap]]). */
+  def q105SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sourceOverlap(Tables.load(s, dir, "documents"))
+
   def q100CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val kept = graft.operators.Corpus.datasetSplit(
       graft.operators.Corpus.cleanFilter(

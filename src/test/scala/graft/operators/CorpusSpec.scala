@@ -118,4 +118,41 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) == ((10L, 8L, 1L, "left right")))
     assert(out(3L) == ((10L, 8L, 1L, "up down")))
   }
+
+  test("tokenBudgetMix: quality-ranked greedy fill per source, budget respected") {
+    import spark.implicits._
+    // quality = 0.5*min(1, n/100) + 0.5*min(1, 5*stopRatio); "the" is an
+    // English stopword, so docs with more "the" rank higher at equal length
+    val d = Seq(
+      (1L, "the the the the aaaa bbbb cccc dddd", "s1"), // high quality
+      (2L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh", "s1"), // low quality
+      (3L, "the the aaaa bbbb cccc dddd eeee ffff", "s1"), // middle
+      (4L, "the the the the the the the the", "s2")
+    ).toDF("doc_id", "text", "source")
+    // doc1: 35 chars -> 9 est tokens; doc3: 37 -> 10; doc2: 39 -> 10;
+    // budget 20 fits docs 1+3 (9+10=19), doc2 would overflow (29)
+    val out = Corpus.tokenBudgetMix(d, budget = 20).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 3L, 4L))
+    assert(out(1L) == (("s1", 9L, 9L)))
+    assert(out(3L) == (("s1", 10L, 19L))) // cumulative fills toward the budget
+    assert(out(4L)._1 == "s2") // budgets are per source, not global
+  }
+
+  test("sourceOverlap: jaccard identities on constructed source pairs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w1 w2 w3 w4", "sA"),            // shingles: {w1 w2 w3, w2 w3 w4}
+      (2L, "w1 w2 w3", "sB"),               // {w1 w2 w3} — contained in sA
+      (3L, "x1 x2 x3 x4", "sC")             // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // only the overlapping pair appears; containment: inter=1, union=2
+    assert(out.keySet == Set(("sA", "sB")))
+    assert(out(("sA", "sB")) == ((2L, 1L, 1L, 0.5)))
+  }
 }
