@@ -143,7 +143,17 @@ object ScaleProbe {
       "q97_chunking" -> SparkEntry.queries("q97_chunking"),
       "q98_kmeans" -> SparkEntry.queries("q98_kmeans"),
       "q99_kmeans_maxmin" -> SparkEntry.queries("q99_kmeans_maxmin"),
-      "q100_corpus_pipeline" -> SparkEntry.queries("q100_corpus_pipeline"))
+      "q100_corpus_pipeline" -> SparkEntry.queries("q100_corpus_pipeline"),
+      // round-7 additions: exact-substring detection/removal, perceptual
+      // frame dedup, mixture selection, source-overlap audit. Caveat for
+      // q101/q102 on the replicated corpus: every text repeats 10×, so
+      // every window IS duplicated — the probe measures the worst case
+      // (all positions covered), which is exactly what should stay linear.
+      "q101_repeated_spans" -> SparkEntry.queries("q101_repeated_spans"),
+      "q102_remove_spans" -> SparkEntry.queries("q102_remove_repeated_spans"),
+      "q103_frame_dedup" -> SparkEntry.queries("q103_frame_dedup"),
+      "q104_token_budget" -> SparkEntry.queries("q104_token_budget_mix"),
+      "q105_source_overlap" -> SparkEntry.queries("q105_source_overlap"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
