@@ -124,6 +124,7 @@ object SparkEntry {
     "q103_frame_dedup" -> (TextQueries.q103FrameDedup _),
     "q104_token_budget_mix" -> (TextQueries.q104TokenBudgetMix _),
     "q105_source_overlap" -> (TextQueries.q105SourceOverlap _),
+    "q106_frame_resize" -> (TextQueries.q106FrameResize _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1555,6 +1556,31 @@ object SparkEntry {
         |  (r.rnk = g.grank AND d.phash IS NULL) AS keep
         |FROM rk r JOIN grp g USING (phash) LEFT JOIN drp d USING (phash)
         |ORDER BY r.media_id, r.frame_idx""".stripMargin,
+
+    // q106: q103's closed-form pixel strips, box-filtered 2x with integer
+    // floor-mean arithmetic — the engine resizes genuinely LZW-decoded
+    // pixels, the oracle replays the arithmetic.
+    "q106_frame_resize" ->
+      """WITH t AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n,
+        |         hex(encode(text)) AS hx
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+        |    list_transform(generate_series(0, 7), j ->
+        |      CASE WHEN n = 0 THEN 0
+        |        ELSE (strpos('0123456789ABCDEF',
+        |                substr(hx, 2*((8*i+j) % n)+1, 1)) - 1) * 16
+        |           + strpos('0123456789ABCDEF',
+        |                substr(hx, 2*((8*i+j) % n)+2, 1)) - 1 END) AS px
+        |  FROM t, UNNEST(generate_series(0, n % 30)) AS u(i))
+        |SELECT media_id, frame_idx,
+        |  CAST((px[1] + px[2]) // 2 AS BIGINT) AS r0,
+        |  CAST((px[3] + px[4]) // 2 AS BIGINT) AS r1,
+        |  CAST((px[5] + px[6]) // 2 AS BIGINT) AS r2,
+        |  CAST((px[7] + px[8]) // 2 AS BIGINT) AS r3
+        |FROM fr
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // q104: the q48 quality formula + q49 token estimate, one cumulative
     // window per source in (quality DESC, doc_id) order, keep while the

@@ -29,6 +29,8 @@ object Multimodal {
       height: Long, n_frames: Long, content_fp: Long)
   final case class FrameSample(media_id: Long, frame_idx: Long, frame_fp: Long)
   final case class FrameHash(media_id: Long, frame_idx: Long, phash: Long)
+  final case class FrameResized(media_id: Long, frame_idx: Long,
+      r0: Long, r1: Long, r2: Long, r3: Long)
 
   /** GIF87a container read/write. Layout written by [[encode]]:
     * header "GIF87a" (6 B) · logical screen descriptor (7 B: width LE16,
@@ -331,6 +333,31 @@ object Multimodal {
           val (_, _, frames) = GifCodec.parse(r.payload)
           frames.iterator.zipWithIndex.map { case (px, i) =>
             FrameHash(r.media_id, i.toLong, rankHash(px))
+          }
+        }
+      }
+    }
+  }
+
+  /** Decode + RESIZE: box-filter each decoded 8×1 strip down 2× to four
+    * pixels (each output = floor of the mean of its two source pixels —
+    * integer arithmetic, so the oracle replays it exactly). The image
+    * feature-extraction shape every multimodal pipeline runs after
+    * decode (thumbnail/patch preparation); same bounded-batch
+    * partition-wise contract as [[extractMeta]]. Emitted as four scalar
+    * columns (fixed-width rows beat array columns for a 100 TB feature
+    * table, and the driver's hash compare is scalar-typed). */
+  def resizeFrames(media: DataFrame, batchSize: Int = 64)
+      (implicit spark: SparkSession): Dataset[FrameResized] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val (_, _, frames) = GifCodec.parse(r.payload)
+          frames.iterator.zipWithIndex.map { case (px, i) =>
+            def avg(j: Int): Long =
+              (((px(2 * j) & 0xff) + (px(2 * j + 1) & 0xff)) / 2).toLong
+            FrameResized(r.media_id, i.toLong, avg(0), avg(1), avg(2), avg(3))
           }
         }
       }

@@ -435,6 +435,17 @@ object TextQueries {
   def q105SourceOverlap(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.sourceOverlap(Tables.load(s, dir, "documents"))
 
+  /** Decode + 2× box-filter resize of every content-derived GIF frame
+    * (see [[graft.multimodal.Multimodal.resizeFrames]]). */
+  def q106FrameResize(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    graft.multimodal.Multimodal.resizeFrames(
+        graft.multimodal.Multimodal.withContentPayload(
+          Tables.load(s, dir, "documents")))
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   def q100CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val kept = graft.operators.Corpus.datasetSplit(
       graft.operators.Corpus.cleanFilter(

@@ -154,6 +154,20 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h ^ Multimodal.rankHash(swapped)) == 2)
   }
 
+  test("resizeFrames: 2x box filter of decoded pixels with floor semantics") {
+    implicit val s = spark
+    import s.implicits._
+    // n=2 -> 3 frames, every strip cycles 'a','b' (97,98): each output
+    // pixel = floor((97+98)/2) = 97 — pins the floor, not round-half-up
+    val out = Multimodal.resizeFrames(
+        Multimodal.withContentPayload(Seq((1L, "ab")).toDF("doc_id", "text")))
+      .collect().sortBy(_.frame_idx)
+    assert(out.length == 3)
+    out.foreach { f =>
+      assert((f.r0, f.r1, f.r2, f.r3) == ((97L, 97L, 97L, 97L)))
+    }
+  }
+
   test("frameDedup: exact clones collapse to the first owner, distant frames all kept") {
     implicit val s = spark
     import s.implicits._
