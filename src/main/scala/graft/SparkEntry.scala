@@ -125,6 +125,7 @@ object SparkEntry {
     "q104_token_budget_mix" -> (TextQueries.q104TokenBudgetMix _),
     "q105_source_overlap" -> (TextQueries.q105SourceOverlap _),
     "q106_frame_resize" -> (TextQueries.q106FrameResize _),
+    "q107_perplexity_buckets" -> (Quality.q107PerplexityBuckets _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1649,6 +1650,49 @@ object SparkEntry {
          |    NTILE(10) OVER (ORDER BY value, event_id) AS bucket
          |  FROM sampled)
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q107: q75's LM score per doc, tercile edges from the q94-style
+    // deterministic hash-mod sample (exact NTILE over the sample in
+    // (score, id) order), CCNet head/middle/tail assignment with
+    // ties-to-lower-bucket on both sides.
+    "q107_perplexity_buckets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lower(trim(text)) AS t FROM documents
+         |  WHERE length(trim(text)) >= 3),
+         |tri AS (
+         |  SELECT doc_id, substr(t, i, 3) AS tri
+         |  FROM t, UNNEST(generate_series(1, length(t) - 2)) AS u(i)),
+         |m3 AS (SELECT tri, COUNT(*) AS n3 FROM tri GROUP BY 1),
+         |m2 AS (SELECT substr(tri, 1, 2) AS pre, CAST(SUM(n3) AS BIGINT) AS n2
+         |  FROM m3 GROUP BY 1),
+         |lnp AS (
+         |  SELECT doc_id,
+         |    CAST(ROUND(ln(CAST(n3 AS DOUBLE) / n2), 6) AS DECIMAL(18,6)) AS lnp
+         |  FROM tri JOIN m3 USING (tri) JOIN m2 ON substr(tri.tri, 1, 2) = m2.pre),
+         |doc AS (
+         |  SELECT doc_id, ROUND(CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS avg_lnp
+         |  FROM lnp GROUP BY doc_id),
+         |samp AS (
+         |  SELECT doc_id, avg_lnp FROM (
+         |    SELECT doc_id, avg_lnp,
+         |      CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |        THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
+         |    FROM (SELECT doc_id, avg_lnp,
+         |        ${fnvSql("CAST(doc_id AS VARCHAR)")} AS fnv
+         |      FROM doc))
+         |  WHERE ((fp % 100) + 100) % 100 < 30),
+         |tiles AS (
+         |  SELECT avg_lnp,
+         |    NTILE(3) OVER (ORDER BY avg_lnp, doc_id) AS tile FROM samp),
+         |e AS (
+         |  SELECT MAX(CASE WHEN tile = 1 THEN avg_lnp END) AS e1,
+         |         MAX(CASE WHEN tile <= 2 THEN avg_lnp END) AS e2 FROM tiles)
+         |SELECT doc_id, avg_lnp,
+         |  CASE WHEN avg_lnp <= e1 THEN 'tail'
+         |       WHEN avg_lnp <= e2 THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM doc, e
+         |ORDER BY doc_id""".stripMargin,
 
     "q71_histogram" ->
       """WITH b AS (

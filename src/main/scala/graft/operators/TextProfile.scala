@@ -87,6 +87,47 @@ object TextProfile {
         round(col("sum_lnp") / col("n_trigrams"), 6).as("avg_lnp"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * score every document with the corpus-trained trigram LM
+    * ([[trigramLmScore]]), estimate tercile edges, and assign each
+    * document to head / middle / tail — the fluency stratification CCNet
+    * uses to keep the head and audit the tail of a web crawl.
+    *
+    * The edges come from a DETERMINISTIC hash-mod sample (q56's
+    * content-addressed scheme: FNV-1a of the id string mod `sampleMod`
+    * < `samplePct`), exact-ntiled in (score, id) order — the q94 recipe,
+    * so the single-task sort sees only the bounded sample while the edge
+    * values replay in any engine. Assignment is a broadcast of the 1-row
+    * edge table against the full scored corpus; ties at an edge go to the
+    * lower bucket on both sides of the oracle.
+    *
+    * Scale shape: LM scoring is [[trigramLmScore]]'s (scan-local trigram
+    * stream, broadcast model tables); edges are one bounded-sample sort;
+    * assignment is scan + broadcast — no data-sized shuffle beyond the
+    * per-doc rollup already inside the LM score. */
+  def perplexityBuckets(docs: DataFrame, sampleMod: Long = 100L,
+      samplePct: Long = 30L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = trigramLmScore(docs, idCol, textCol)
+      .select(col("doc_id"), col("avg_lnp"))
+    val sample = scored.filter(
+      pmod(graft.functions.Fnv64.fnv64(col("doc_id").cast("string")),
+        lit(sampleMod)) < samplePct)
+    val tiles = sample
+      .withColumn("tile", ntile(3).over(Window.orderBy(col("avg_lnp"), col("doc_id"))))
+    val edges = tiles.groupBy()
+      .agg(max(when(col("tile") === 1, col("avg_lnp"))).as("e1"),
+        max(when(col("tile") <= 2, col("avg_lnp"))).as("e2"))
+    scored.crossJoin(broadcast(edges))
+      .select(col("doc_id"), col("avg_lnp"),
+        when(col("avg_lnp") <= col("e1"), "tail")
+          .when(col("avg_lnp") <= col("e2"), "middle")
+          .otherwise("head").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   // Conservative, RE2-and-Java-compatible patterns (no lookarounds, no
   // backrefs) so the exact same regex runs in Spark and in the DuckDB
   // oracle. \b is supported by both.

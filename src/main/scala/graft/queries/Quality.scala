@@ -155,6 +155,12 @@ object Quality {
     TextProfile.trigramLmScore(Tables.load(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** CCNet head/middle/tail perplexity stratification: trigram-LM score →
+    * sampled tercile edges → bucket per doc (see
+    * [[graft.operators.TextProfile.perplexityBuckets]]). */
+  def q107PerplexityBuckets(s: SparkSession, dir: String): DataFrame =
+    TextProfile.perplexityBuckets(Tables.load(s, dir, "documents"))
+
   /** Per-label embedding centroids — the distributed vector aggregation
     * behind semantic clustering / class prototypes: posexplode to
     * (label, dim, x) rows, one hash-aggregate on (label, dim), means
