@@ -153,7 +153,9 @@ object ScaleProbe {
       "q102_remove_spans" -> SparkEntry.queries("q102_remove_repeated_spans"),
       "q103_frame_dedup" -> SparkEntry.queries("q103_frame_dedup"),
       "q104_token_budget" -> SparkEntry.queries("q104_token_budget_mix"),
-      "q105_source_overlap" -> SparkEntry.queries("q105_source_overlap"))
+      "q105_source_overlap" -> SparkEntry.queries("q105_source_overlap"),
+      "q106_frame_resize" -> SparkEntry.queries("q106_frame_resize"),
+      "q107_perplexity" -> SparkEntry.queries("q107_perplexity_buckets"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -149,6 +149,13 @@ object Corpus {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 2, "a span needs at least 2 tokens")
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    // The tokenized base feeds several subtrees, so each rescans the
+    // source. MEASURED decision to leave it uncached: persisting base
+    // (KMeans-dims style) improved 1× wall-clock ~25% but regressed the
+    // 10× growth probe 1.6×→2.4× — materializing exploded token arrays
+    // (deserialized, ~5× the compressed source) costs more than columnar
+    // parquet rescans. Opposite trade to k-means, whose dims feed
+    // 2·iterations subtrees, not 2.
     val base = docs.select(col(idCol), toks.as("t"))
       .select(col(idCol),
         greatest(size(col("t")) - (n - 1), lit(0)).cast("bigint").as("n_windows"),
@@ -205,6 +212,9 @@ object Corpus {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 2, "a span needs at least 2 tokens")
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    // uncached by MEASURED decision (see [[repeatedSpans]]): persisting
+    // the token arrays turned 6 cheap columnar rescans into one big
+    // deserialized materialization and regressed 10× growth 2.3×→4.3×
     val base = docs.select(col(idCol), toks.as("t"))
       .select(col(idCol), size(col("t")).cast("bigint").as("n_tokens"), col("t"))
     val grams = base.filter(col("n_tokens") >= n)
