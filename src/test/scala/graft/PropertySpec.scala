@@ -168,4 +168,73 @@ class PropertySpec extends SparkSpec {
         multisetOk && singleKeyOk
     }, n = 5)
   }
+
+  test("removeRepeatedSpans conservation laws on random corpora") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    // small vocabulary + short docs => repeated 3-token windows actually
+    // occur; n=3 spans keep the generated cases meaningful
+    val smallWord = Gen.oneOf("aa", "bb", "cc", "dd")
+    val smallDoc = Gen.listOfN(8, smallWord).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(6, smallDoc)) { (texts: List[String]) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Corpus.removeRepeatedSpans(df, n = 3).collect()
+      out.forall { r =>
+        val (nTok, nRem, nSp, clean) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+        val cleanToks = clean.split(" ").filter(_.nonEmpty)
+        // removed tokens + surviving tokens partition the document; spans
+        // are maximal so there are never more spans than removed tokens,
+        // and cleaned text is a subsequence of the original tokens
+        nRem <= nTok && cleanToks.length == nTok - nRem &&
+          nSp <= nRem && (nSp > 0) == (nRem > 0) &&
+          isSubsequence(cleanToks,
+            texts(r.getLong(0).toInt).split("\\s+").filter(_.nonEmpty))
+      }
+    }, n = 15)
+  }
+
+  private def isSubsequence(sub: Array[String], full: Array[String]): Boolean = {
+    var i = 0
+    full.foreach { w => if (i < sub.length && sub(i) == w) i += 1 }
+    i == sub.length
+  }
+
+  test("rankHash is scale/offset invariant and bounded on random strips") {
+    import graft.multimodal.Multimodal
+    val strip = Gen.listOfN(8, Gen.chooseNum(0, 100))
+    check(Prop.forAll(strip) { (px: List[Int]) =>
+      val bytes = px.map(_.toByte).toArray
+      val h = Multimodal.rankHash(bytes)
+      // any strictly-monotone remap staying in unsigned range preserves it
+      val remapped = px.map(v => (2 * v + 3).toByte).toArray
+      val diagonalClear = (0 until 8).forall(j => ((h >>> (8 * j + j)) & 1L) == 0L)
+      h >= 0 && diagonalClear && Multimodal.rankHash(remapped) == h
+    }, n = 30)
+  }
+
+  test("frame phash pipeline: decoded-pixel hashes equal closed-form hashes") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // the engine hashes LZW-DECODED pixels; this recomputes the hash from
+    // the closed-form pixel definition (text bytes cycled) — the exact
+    // parity the q103 oracle relies on, here over random text
+    check(Prop.forAll(Gen.listOfN(4, Gen.asciiPrintableStr)) { (texts: List[String]) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      implicit val s = spark
+      val got = Multimodal.framePerceptualHashes(Multimodal.withContentPayload(df))
+        .collect().map(f => (f.media_id, f.frame_idx) -> f.phash).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val b = t.getBytes("UTF-8")
+        val nf = b.length % 30 + 1
+        (0 until nf).forall { fi =>
+          val px = Array.tabulate(8)(j =>
+            if (b.isEmpty) 0.toByte else b((8 * fi + j) % b.length))
+          got((i.toLong, fi.toLong)) == Multimodal.rankHash(px)
+        }
+      }
+    }, n = 10)
+  }
 }
