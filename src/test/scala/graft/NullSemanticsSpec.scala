@@ -38,4 +38,32 @@ class NullSemanticsSpec extends SparkSpec {
     val desc = withNulls.orderBy(col("k").desc).select("k").collect()
     assert(desc.last.isNullAt(0))
   }
+
+  test("span operators: null text behaves like an empty document, never crashes") {
+    val d = Seq((1L, Option("alpha beta gamma delta epsilon zeta eta theta x")),
+        (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val spans = graft.operators.Corpus.repeatedSpans(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null text -> null token array -> size() is -1 under legacy=false?
+    // PINNED: greatest(size-7, 0) floors it to zero windows either way
+    assert(spans(2L) == 0L)
+    val rm = graft.operators.Corpus.removeRepeatedSpans(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(4)))).toMap
+    assert(rm(2L) == ((0L, "")))
+  }
+
+  test("tokenBudgetMix: null text and null source rows drop out deterministically") {
+    val d = Seq(
+      (1L, Option("the the the solid words here"), Option("s1")),
+      (2L, Option.empty[String], Option("s1")),   // null text: no quality
+      (3L, Option("the the good text ok fine"), Option.empty[String])
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Corpus.tokenBudgetMix(d, budget = 100).collect()
+    // null text -> null quality/est_tokens -> null cum <= budget is null -> dropped;
+    // null source forms its OWN window group (groupBy semantics) and survives
+    val ids = out.map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+    assert(out.find(_.getLong(0) == 3L).get.isNullAt(1)) // source stays null
+  }
 }
