@@ -126,6 +126,7 @@ object SparkEntry {
     "q105_source_overlap" -> (TextQueries.q105SourceOverlap _),
     "q106_frame_resize" -> (TextQueries.q106FrameResize _),
     "q107_perplexity_buckets" -> (Quality.q107PerplexityBuckets _),
+    "q108_pretoken_counts" -> (Quality.q108PreTokens _),
   )
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
@@ -1650,6 +1651,22 @@ object SparkEntry {
          |    NTILE(10) OVER (ORDER BY value, event_id) AS bucket
          |  FROM sampled)
          |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // q108: whitespace token count vs BPE-style pre-token runs. The regex
+    // classes are RE2-and-Java identical (no lookaheads — the class-based
+    // form of GPT-2's pre-tokenizer); runs are disjoint so alternation
+    // order cannot differ between engines.
+    "q108_pretoken_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+')) AS BIGINT) AS n_pretokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[^A-Za-z0-9 \t\n\f\r]+')) AS BIGINT) AS n_other
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // q107: q75's LM score per doc, tercile edges from the q94-style
     // deterministic hash-mod sample (exact NTILE over the sample in

@@ -64,6 +64,26 @@ object TextFunctions {
     round(least(lit(1.0), n / 100.0) * 0.5 + least(lit(1.0), stopRatio * 5.0) * 0.5, 6)
   }
 
+  /** BPE-style PRE-tokenization counts — the units a byte-pair tokenizer
+    * merges within (GPT-2's pre-tokenizer splits text into letter runs,
+    * digit runs, and other-symbol runs before any merge; its exact
+    * pattern uses lookaheads, so this is the class-based formulation that
+    * runs identically under Java regex and RE2/DuckDB). Pre-token count
+    * is the standard fast token-budget estimator: BPE can only merge
+    * WITHIN a pre-token, so `n_pretokens` lower-bounds and tracks the
+    * real token count far better than whitespace words on code/CJK/punct.
+    * Scan-local (regexp_count per row, no shuffle). */
+  val AlphaRunRe = "[A-Za-z]+"
+  val DigitRunRe = "[0-9]+"
+  val OtherRunRe = "[^A-Za-z0-9 \\t\\n\\f\\r]+"
+  val PreTokenRe = s"$AlphaRunRe|$DigitRunRe|$OtherRunRe"
+
+  def preTokenCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_pretokens" -> regexp_count(text, lit(PreTokenRe)),
+    "n_alpha" -> regexp_count(text, lit(AlphaRunRe)),
+    "n_digit" -> regexp_count(text, lit(DigitRunRe)),
+    "n_other" -> regexp_count(text, lit(OtherRunRe)))
+
   /** Word n-gram shingles (space-joined), deduplicated per document.
     * Documents shorter than `n` tokens produce an empty array (guarded:
     * Spark's sequence(1, x) with x<1 counts DOWN, it is not empty). */

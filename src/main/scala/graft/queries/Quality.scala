@@ -161,6 +161,18 @@ object Quality {
   def q107PerplexityBuckets(s: SparkSession, dir: String): DataFrame =
     TextProfile.perplexityBuckets(Tables.load(s, dir, "documents"))
 
+  /** Whitespace vs BPE-style pre-token counts per doc (the token-budget
+    * estimator; see [[graft.functions.TextFunctions.preTokenCounts]]). */
+  def q108PreTokens(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val counts = graft.functions.TextFunctions.preTokenCounts(t)
+      .map { case (name, c) => c.cast("bigint").as(name) }
+    Tables.load(s, dir, "documents")
+      .select(Seq(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(t).as("n_tokens")) ++ counts: _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-label embedding centroids — the distributed vector aggregation
     * behind semantic clustering / class prototypes: posexplode to
     * (label, dim, x) rows, one hash-aggregate on (label, dim), means
