@@ -127,7 +127,36 @@ object SparkEntry {
     "q106_frame_resize" -> (TextQueries.q106FrameResize _),
     "q107_perplexity_buckets" -> (Quality.q107PerplexityBuckets _),
     "q108_pretoken_counts" -> (Quality.q108PreTokens _),
+    "q109_incremental_spans" -> (TextQueries.q109IncrementalSpans _),
   )
+
+  /** Repeated 8-token spans, grouped by window STRING where the engine
+    * groups FNV hashes — shared by q101 (batch) and q109 (incremental
+    * count store, whose additive state must converge to the same report
+    * over the full corpus). */
+  private val repeatedSpansSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |nw AS (
+      |  SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_windows, toks FROM t),
+      |g AS (
+      |  SELECT doc_id,
+      |    UNNEST(list_transform(generate_series(1, len(toks) - 7),
+      |      i -> array_to_string(toks[i:i+7], ' '))) AS ng
+      |  FROM nw WHERE n_windows > 0),
+      |d AS (SELECT ng FROM g GROUP BY ng HAVING COUNT(*) >= 2),
+      |pd AS (
+      |  SELECT doc_id, COUNT(*) AS ndup
+      |  FROM g JOIN d USING (ng) GROUP BY doc_id)
+      |SELECT nw.doc_id,
+      |  CAST(n_windows AS BIGINT) AS n_windows,
+      |  CAST(COALESCE(ndup, 0) AS BIGINT) AS n_dup_windows,
+      |  ROUND(COALESCE(ndup, 0) / GREATEST(n_windows, 1), 6) AS dup_ratio
+      |FROM nw LEFT JOIN pd USING (doc_id)
+      |ORDER BY nw.doc_id""".stripMargin
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
     * shared by the q21/q22 pair oracles and q62's clustering oracle. */
@@ -1452,29 +1481,13 @@ object SparkEntry {
     // q101: repeated 8-token spans. The oracle groups window STRINGS where
     // the engine groups their 64-bit FNV hashes — identical counts modulo
     // the documented ShingleHashes collision convention (~n²/2⁶⁵).
-    "q101_repeated_spans" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |nw AS (
-        |  SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_windows, toks FROM t),
-        |g AS (
-        |  SELECT doc_id,
-        |    UNNEST(list_transform(generate_series(1, len(toks) - 7),
-        |      i -> array_to_string(toks[i:i+7], ' '))) AS ng
-        |  FROM nw WHERE n_windows > 0),
-        |d AS (SELECT ng FROM g GROUP BY ng HAVING COUNT(*) >= 2),
-        |pd AS (
-        |  SELECT doc_id, COUNT(*) AS ndup
-        |  FROM g JOIN d USING (ng) GROUP BY doc_id)
-        |SELECT nw.doc_id,
-        |  CAST(n_windows AS BIGINT) AS n_windows,
-        |  CAST(COALESCE(ndup, 0) AS BIGINT) AS n_dup_windows,
-        |  ROUND(COALESCE(ndup, 0) / GREATEST(n_windows, 1), 6) AS dup_ratio
-        |FROM nw LEFT JOIN pd USING (doc_id)
-        |ORDER BY nw.doc_id""".stripMargin,
+    "q101_repeated_spans" -> repeatedSpansSql,
+
+    // q109: the incremental window-hash COUNT store must converge to the
+    // from-scratch batch answer — after ingesting all pseudo-dates the
+    // full-corpus report replays q101's oracle verbatim (counts are
+    // additive state, so the split into dates cannot matter).
+    "q109_incremental_spans" -> repeatedSpansSql,
 
     // q102: q101's duplicated-window grouping (strings where the engine
     // groups FNV hashes), then Lee et al.'s removal pass replayed with

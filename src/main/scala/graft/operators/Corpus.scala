@@ -145,17 +145,20 @@ object Corpus {
     * (it can be corpus-sized — never broadcast it). Window identity is
     * the 64-bit FNV of the space-joined window (the ShingleHashes
     * collision convention, ~n²/2⁶⁵). */
-  def repeatedSpans(docs: DataFrame, n: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Shared core of the batch ([[repeatedSpans]]) and incremental
+    * ([[IncrementalSpans]]) span paths: base = (id, n_windows, t),
+    * grams = (id, pos, h) with h the FNV-1a of each space-joined n-token
+    * window. The tokenized base feeds several subtrees, so each rescans
+    * the source — MEASURED decision to leave it uncached: persisting base
+    * (KMeans-dims style) improved 1× wall-clock ~25% but regressed the
+    * 10× growth probe 1.6×→2.4× — materializing exploded token arrays
+    * (deserialized, ~5× the compressed source) costs more than columnar
+    * parquet rescans. Opposite trade to k-means, whose dims feed
+    * 2·iterations subtrees, not 2. */
+  private[operators] def spanGrams(docs: DataFrame, n: Int,
+      idCol: String, textCol: String): (DataFrame, DataFrame) = {
     require(n >= 2, "a span needs at least 2 tokens")
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
-    // The tokenized base feeds several subtrees, so each rescans the
-    // source. MEASURED decision to leave it uncached: persisting base
-    // (KMeans-dims style) improved 1× wall-clock ~25% but regressed the
-    // 10× growth probe 1.6×→2.4× — materializing exploded token arrays
-    // (deserialized, ~5× the compressed source) costs more than columnar
-    // parquet rescans. Opposite trade to k-means, whose dims feed
-    // 2·iterations subtrees, not 2.
     val base = docs.select(col(idCol), toks.as("t"))
       .select(col(idCol),
         greatest(size(col("t")) - (n - 1), lit(0)).cast("bigint").as("n_windows"),
@@ -166,10 +169,14 @@ object Corpus {
           i => graft.functions.Fnv64.fnv64(
             array_join(slice(col("t"), i + 1, lit(n)), " "))))
           .as(Seq("pos", "h")))
-    val dup = grams.groupBy(col("h"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-      .select(col("h"))
+    (base, grams)
+  }
+
+  /** Per-doc rollup against a given duplicated-hash set — shared by the
+    * batch path (dup = this corpus's repeats) and the incremental path
+    * (dup = repeats across the accumulated store). */
+  private[operators] def spanReport(base: DataFrame, grams: DataFrame,
+      dup: DataFrame, idCol: String): DataFrame = {
     val perDoc = grams.join(dup, "h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_windows"))
@@ -181,6 +188,16 @@ object Corpus {
         round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
           greatest(col("n_windows"), lit(1L)), 6).as("dup_ratio"))
       .orderBy(col(idCol))
+  }
+
+  def repeatedSpans(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (base, grams) = spanGrams(docs, n, idCol, textCol)
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"))
+    spanReport(base, grams, dup, idCol)
   }
 
   /** Repeated-span REMOVAL — the second half of Lee et al.'s

@@ -424,6 +424,26 @@ object TextQueries {
   def q102RemoveRepeatedSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.removeRepeatedSpans(Tables.load(s, dir, "documents"))
 
+  /** Incremental span detection through the persistent window-hash COUNT
+    * store: three ingestion pseudo-dates hash their own documents once
+    * and append counts; the full-corpus report against the accumulated
+    * store must equal from-scratch q101 (additive counts — the gate IS
+    * q101's oracle). See [[graft.operators.IncrementalSpans]]. */
+  def q109IncrementalSpans(s: SparkSession, dir: String): DataFrame = {
+    val store = s"/tmp/graft_q109_${ProcessHandle.current().pid()}_" +
+      s"${Integer.toHexString(dir.hashCode)}/spanstore"
+    // clean slate per (process, sf dir) — a stale store would double-count
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    val docs = Tables.load(s, dir, "documents")
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalSpans.appendCounts(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), store, s"d$d")
+    }
+    graft.operators.IncrementalSpans.report(docs, store)
+  }
+
   /** Data-mixture selection: per source keep quality-ranked docs while the
     * running token estimate stays within the budget (see
     * [[graft.operators.Corpus.tokenBudgetMix]]). */
