@@ -128,6 +128,7 @@ object SparkEntry {
     "q107_perplexity_buckets" -> (Quality.q107PerplexityBuckets _),
     "q108_pretoken_counts" -> (Quality.q108PreTokens _),
     "q109_incremental_spans" -> (TextQueries.q109IncrementalSpans _),
+    "q110_full_pipeline" -> (TextQueries.q110FullPipeline _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -1532,6 +1533,86 @@ object SparkEntry {
         |  COALESCE(clean.clean_text, '') AS clean_text
         |FROM nt LEFT JOIN agg USING (doc_id) LEFT JOIN clean USING (doc_id)
         |ORDER BY nt.doc_id""".stripMargin,
+
+    // q110: q102's span-removal CTEs → q48's gate on the CLEANED text →
+    // q104's budget window → q49's pack arithmetic → per-source rollup.
+    // End-to-end replay of the fused pipeline.
+    "q110_full_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |nt AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |g AS (
+        |  SELECT doc_id, i AS s, array_to_string(toks[i:i+7], ' ') AS ng
+        |  FROM nt, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT ng FROM g GROUP BY ng HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, s + j AS p
+        |  FROM g JOIN d USING (ng), UNNEST(generate_series(0, 7)) AS v(j)),
+        |ti AS (
+        |  SELECT nt.doc_id, u.i AS p, toks[u.i] AS tok
+        |  FROM nt, UNNEST(generate_series(1, len(toks))) AS u(i)),
+        |clean AS (
+        |  SELECT ti.doc_id,
+        |    array_to_string(list(tok ORDER BY p), ' ') AS ct
+        |  FROM ti ANTI JOIN cov ON ti.doc_id = cov.doc_id AND ti.p = cov.p
+        |  GROUP BY ti.doc_id),
+        |ne AS (
+        |  SELECT d0.doc_id, d0.source, clean.ct
+        |  FROM documents d0 JOIN clean ON d0.doc_id = clean.doc_id
+        |  WHERE length(trim(ct)) > 0),
+        |scored AS (
+        |  SELECT doc_id, source, ct,
+        |    CASE
+        |      WHEN e >= dd AND e >= ss AND e >= ff AND e > 0 THEN 'en'
+        |      WHEN dd >= ss AND dd >= ff AND dd > 0 THEN 'de'
+        |      WHEN ss >= ff AND ss > 0 THEN 'es'
+        |      WHEN ff > 0 THEN 'fr'
+        |      ELSE 'unknown' END AS pred_lang,
+        |    ROUND(LEAST(1.0, nn / 100.0) * 0.5
+        |        + LEAST(1.0, (e / nn) * 5.0) * 0.5, 6) AS quality
+        |  FROM (SELECT doc_id, source, ct,
+        |      CAST(len(string_split_regex(trim(ct), '\s+')) AS DOUBLE) AS nn,
+        |      CAST(len(list_filter(string_split_regex(trim(ct), '\s+'),
+        |        x -> list_contains(['the','of','and','to','a','in','is','it','that','for'], x))) AS DOUBLE) AS e,
+        |      len(list_filter(string_split_regex(trim(ct), '\s+'),
+        |        x -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein'], x))) AS dd,
+        |      len(list_filter(string_split_regex(trim(ct), '\s+'),
+        |        x -> list_contains(['el','la','los','las','y','es','que','un','una','por'], x))) AS ss,
+        |      len(list_filter(string_split_regex(trim(ct), '\s+'),
+        |        x -> list_contains(['le','les','et','est','que','des','une','dans','pour','sur'], x))) AS ff
+        |    FROM ne)),
+        |gated AS (
+        |  SELECT doc_id, source, ct, quality FROM scored
+        |  WHERE pred_lang = 'en' AND quality >= 0.5),
+        |dedup AS (
+        |  SELECT doc_id, source, ct, quality,
+        |    ROW_NUMBER() OVER (PARTITION BY ct ORDER BY doc_id) AS rn
+        |  FROM gated),
+        |kept AS (SELECT doc_id, source, ct, quality FROM dedup WHERE rn = 1),
+        |mix AS (
+        |  SELECT doc_id, source, ct, est_tokens FROM (
+        |    SELECT doc_id, source, ct, est_tokens,
+        |      SUM(est_tokens) OVER (PARTITION BY source
+        |        ORDER BY quality DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT doc_id, source, ct, quality,
+        |        CAST(CEIL(len(ct) / 4.0) AS BIGINT) AS est_tokens FROM kept))
+        |  WHERE cum <= 500),
+        |packed AS (
+        |  SELECT source, est_tokens,
+        |    CAST(FLOOR(CAST(SUM(est_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - est_tokens AS DOUBLE) / 256) AS BIGINT) AS pack_id
+        |  FROM mix)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT pack_id) AS n_packs,
+        |  CAST(SUM(est_tokens) AS BIGINT) AS total_tokens
+        |FROM packed GROUP BY source ORDER BY source""".stripMargin,
 
     // q103: the engine LZW-decodes real GIF frames and hashes the pixels;
     // the oracle replays the CLOSED-FORM pixel strip (frame i pixel j =

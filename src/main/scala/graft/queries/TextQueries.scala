@@ -466,6 +466,33 @@ object TextQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** The full modern training-data pipeline, fused: exact-substring span
+    * REMOVAL (Lee et al.) → language/quality gate + exact dedup on the
+    * CLEANED text → per-source token-budget mixture selection → sequence
+    * packing — one declarative plan, per-source rollup. Each stage is the
+    * already-gated operator (q102 → q48 → q104 → q49) and the oracle
+    * chains their replays, so the capstone gate is end-to-end parity of
+    * the composition, not just the parts. */
+  def q110FullPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cleaned = graft.operators.Corpus.removeRepeatedSpans(docs)
+      .select(col("doc_id"), col("clean_text"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(length(trim(col("clean_text"))) > 0)
+    val gated = graft.operators.Corpus.cleanFilter(cleaned, 0.5, Seq("en"),
+      textCol = "clean_text")
+    val mixed = graft.operators.Corpus.tokenBudgetMix(gated, budget = 500,
+      textCol = "clean_text")
+    val packed = graft.operators.Corpus.sequencePack(
+      mixed.select("doc_id").join(cleaned, "doc_id"),
+      tokenBudget = 256, groupCol = "source", textCol = "clean_text")
+    packed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("est_tokens")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
   def q100CorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val kept = graft.operators.Corpus.datasetSplit(
       graft.operators.Corpus.cleanFilter(
