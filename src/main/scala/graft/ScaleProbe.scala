@@ -155,7 +155,12 @@ object ScaleProbe {
       "q104_token_budget" -> SparkEntry.queries("q104_token_budget_mix"),
       "q105_source_overlap" -> SparkEntry.queries("q105_source_overlap"),
       "q106_frame_resize" -> SparkEntry.queries("q106_frame_resize"),
-      "q107_perplexity" -> SparkEntry.queries("q107_perplexity_buckets"))
+      "q107_perplexity" -> SparkEntry.queries("q107_perplexity_buckets"),
+      "q108_pretokens" -> SparkEntry.queries("q108_pretoken_counts"),
+      // q109 times the WHOLE incremental cycle: store wipe + 3 ingest
+      // writes + the accumulated-store report
+      "q109_incr_spans" -> SparkEntry.queries("q109_incremental_spans"),
+      "q110_full_pipeline" -> SparkEntry.queries("q110_full_pipeline"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
