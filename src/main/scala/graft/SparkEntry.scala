@@ -129,6 +129,10 @@ object SparkEntry {
     "q108_pretoken_counts" -> (Quality.q108PreTokens _),
     "q109_incremental_spans" -> (TextQueries.q109IncrementalSpans _),
     "q110_full_pipeline" -> (TextQueries.q110FullPipeline _),
+    "q111_gopher_rules" -> (Quality.q111GopherRules _),
+    "q112_bpe_pairs" -> (Quality.q112BpePairs _),
+    "q113_temperature_mix" -> (TextQueries.q113TemperatureMix _),
+    "q114_dsir_weights" -> (Quality.q114DsirWeights _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2074,5 +2078,107 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m ON d.event_type = m.event_type
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    // q111: Gopher rule-set gate — flags computed on RAW metrics, rounding
+    // only at output (matches TextProfile.gopherRules).
+    "q111_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS DOUBLE) / len(t) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(t) AS symbol_ratio,
+        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(t) AS alpha_frac,
+        |    CAST(len(list_filter(t, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(ls, l -> list_contains(['-','*','•'], substr(ltrim(l), 1, 1)))) AS DOUBLE) / len(ls) AS bullet_frac,
+        |    CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS DOUBLE) / len(ls) AS ellipsis_frac
+        |  FROM (SELECT doc_id, text,
+        |      string_split_regex(trim(text), '[ \t\n\f\r]+') AS t,
+        |      string_split(text, chr(10)) AS ls
+        |    FROM documents))
+        |SELECT doc_id, n_words,
+        |  ROUND(mean_word_len, 6) AS mean_word_len,
+        |  ROUND(symbol_ratio, 6) AS symbol_ratio,
+        |  ROUND(alpha_frac, 6) AS alpha_frac,
+        |  n_stop,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+        |  (symbol_ratio <= 0.1) AS ok_symbols,
+        |  (alpha_frac >= 0.8) AS ok_alpha,
+        |  (n_stop >= 2) AS ok_stop,
+        |  (bullet_frac <= 0.9) AS ok_bullets,
+        |  (ellipsis_frac <= 0.3) AS ok_ellipsis,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2
+        |    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q112: BPE first-merge pair counts over the pre-token vocabulary;
+    // deterministic (count DESC, pair) total order makes LIMIT replayable.
+    "q112_bpe_pairs" ->
+      """WITH pt AS (
+        |  SELECT unnest(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, count(*) AS freq FROM pt GROUP BY w),
+        |pairs AS (
+        |  SELECT unnest([substr(w, CAST(i AS INTEGER), 2) for i in range(1, len(w))]) AS pair,
+        |    freq
+        |  FROM v WHERE len(w) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_count DESC, pair
+        |LIMIT 20""".stripMargin,
+
+    // q113: temperature mixture — p^0.3 rounded to 6 BEFORE the decimal-
+    // summed normalizer (matches Corpus.temperatureMix's determinism
+    // contract).
+    "q113_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CAST(CEIL(len(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(est_tokens) AS BIGINT) AS total FROM per),
+        |sc AS (
+        |  SELECT source, n_docs, est_tokens,
+        |    CAST(est_tokens AS DOUBLE) / total AS p,
+        |    ROUND(POWER(CAST(est_tokens AS DOUBLE) / total, 0.3), 6) AS pa
+        |  FROM per, tot),
+        |z AS (SELECT CAST(sum(CAST(pa AS DECIMAL(18,6))) AS DOUBLE) AS z FROM sc)
+        |SELECT source, n_docs, est_tokens,
+        |  ROUND(p, 6) AS p,
+        |  ROUND(pa / z, 6) AS weight,
+        |  ROUND(pa / z / p, 6) AS boost
+        |FROM sc, z ORDER BY source""".stripMargin,
+
+    // q114: DSIR log importance weights — hashed unigram features (FNV-1a
+    // mod 8192; 8192 divides 2^64 so unsigned-% equals Spark's
+    // pmod-of-signed), add-1 smoothing over the bucket space, per-(doc,
+    // bucket) contributions rounded to 6 then decimal-summed.
+    "q114_dsir_weights" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, (lang = 'en') AS is_target,
+        |    unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'),
+        |      w -> len(w) > 0)) AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, is_target,
+        |    CAST(${fnvSql("w")} % 8192 AS BIGINT) AS f
+        |  FROM tok),
+        |raw AS (SELECT f, count(*) AS c_raw FROM f GROUP BY f),
+        |tgt AS (SELECT f, count(*) AS c_tgt FROM f WHERE is_target GROUP BY f),
+        |n AS (SELECT count(*) AS n_raw,
+        |    count(*) FILTER (is_target) AS n_tgt FROM f),
+        |ratio AS (
+        |  SELECT raw.f,
+        |    ln(CAST(COALESCE(c_tgt, 0) + 1 AS DOUBLE) / (n_tgt + 8192))
+        |      - ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + 8192)) AS lr
+        |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f, n),
+        |pd AS (SELECT doc_id, f, count(*) AS c FROM f GROUP BY doc_id, f)
+        |SELECT pd.doc_id, CAST(sum(pd.c) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(CAST(ROUND(pd.c * r.lr, 6) AS DECIMAL(18,6)))
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS log_ratio
+        |FROM pd JOIN ratio r ON pd.f = r.f
+        |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
   )
 }

@@ -340,4 +340,42 @@ object Corpus {
           (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** Temperature-scaled source sampling weights — the multilingual /
+    * multi-source mixture law (Conneau & Lample, "Cross-lingual Language
+    * Model Pretraining", NeurIPS'19 §3.1; also XLM-R, mT5): source s with
+    * token share p_s is sampled with probability p_s^α / Σ_t p_t^α. α < 1
+    * flattens the mixture — low-resource sources are up-sampled (boost =
+    * weight/p > 1), dominant ones down-sampled — and α=1 recovers
+    * proportional sampling.
+    *
+    * Determinism contract: p_s^α is rounded to 6 BEFORE the normalizer is
+    * summed (through DECIMAL, order-independent), so both the weights and
+    * the normalizer replay bit-identically in any engine (the q77/q75
+    * convention applied to a power instead of a log).
+    *
+    * Scale shape: one hash-aggregate per source over the scan (map-side
+    * combined), then all arithmetic happens on the AGGREGATE-sized
+    * per-source table — two tiny aggregates + two broadcast joins of
+    * 1-row frames. A crawl with millions of sources keeps the per-source
+    * table distributed; nothing here ever sees a data-sized row count. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val per = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ceil(length(col(textCol)).cast("double") / 4.0).cast("bigint"))
+          .as("est_tokens"))
+    val tot = per.agg(sum(col("est_tokens")).as("total"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("p", col("est_tokens").cast("double") / col("total"))
+      .withColumn("pa", round(pow(col("p"), lit(alpha)), 6))
+    val z = scored.agg(
+      sum(col("pa").cast("decimal(18,6)")).cast("double").as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("est_tokens"),
+        round(col("p"), 6).as("p"),
+        round(col("pa") / col("z"), 6).as("weight"),
+        round(col("pa") / col("z") / col("p"), 6).as("boost"))
+      .orderBy(col("source"))
+  }
 }

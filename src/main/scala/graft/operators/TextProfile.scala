@@ -143,4 +143,71 @@ object TextProfile {
 
   def piiCounts(text: Column): (Column, Column) =
     (regexp_count(text, lit(EmailRe)), regexp_count(text, lit(PhoneRe)))
+
+  /** Gopher's eight stopwords (Rae et al., arXiv:2112.11446, §A1.1) — the
+    * "contains at least 2 of" gate, distinct from the per-language scoring
+    * lists in [[graft.functions.TextFunctions.stopwords]]. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher / MassiveText RULE-SET quality gate (Rae et al.,
+    * arXiv:2112.11446, §A1.1) as per-rule booleans plus the conjunction —
+    * the complement of [[graft.functions.TextFunctions.qualityScore]]'s
+    * soft composite score: a curator reads WHICH rule killed a document,
+    * not just that its score was low. Rules (published thresholds as
+    * defaults):
+    *   - word count in [minWords, maxWords] ([50, 100k])
+    *   - mean word length in [3, 10] chars
+    *   - symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - ≥ 2 of the eight Gopher stopwords present
+    *   - ≤ 90% of lines start with a bullet ('-', '*', '•')
+    *   - ≤ 30% of lines end with an ellipsis ('...' or '…')
+    *
+    * Repetition rules (§A1.1's duplicate-n-gram fractions) live in
+    * [[repetitionMetrics]] and compose by join — they need a per-doc
+    * shuffle, while everything here is SCAN-LOCAL: regex/array transforms
+    * per row, zero shuffles, zero joins. At 100 TB this is the filter that
+    * runs over every byte, so it must (and does) stay inside one
+    * whole-stage-codegen'd scan. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = graft.functions.TextFunctions.tokens(col(textCol))
+    val nW = size(t).cast("bigint")
+    val meanLen = length(regexp_replace(col(textCol), "[ \\t\\n\\f\\r]", ""))
+      .cast("double") / nW
+    val nSym = regexp_count(col(textCol), lit("#")) +
+      regexp_count(col(textCol), lit("\\.\\.\\."))
+    val symRatio = nSym.cast("double") / nW
+    val alphaFrac = size(filter(t, w => regexp_count(w, lit("[A-Za-z]")) > 0))
+      .cast("double") / nW
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    val nStop = size(filter(t, w => array_contains(stopArr, w))).cast("bigint")
+    val lines = split(col(textCol), "\n")
+    val nL = size(lines).cast("double")
+    val bulletFrac = size(filter(lines,
+      l => substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double") / nL
+    val ellipsisFrac = size(filter(lines,
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("double") / nL
+    val okWords = nW >= minWords && nW <= maxWords
+    val okMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val okSymbols = symRatio <= 0.1
+    val okAlpha = alphaFrac >= 0.8
+    val okStop = nStop >= 2
+    val okBullets = bulletFrac <= 0.9
+    val okEllipsis = ellipsisFrac <= 0.3
+    docs.select(col(idCol).as("doc_id"),
+      nW.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symRatio, 6).as("symbol_ratio"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      nStop.as("n_stop"),
+      okWords.as("ok_words"), okMeanLen.as("ok_mean_len"),
+      okSymbols.as("ok_symbols"), okAlpha.as("ok_alpha"),
+      okStop.as("ok_stop"), okBullets.as("ok_bullets"),
+      okEllipsis.as("ok_ellipsis"),
+      (okWords && okMeanLen && okSymbols && okAlpha && okStop &&
+        okBullets && okEllipsis).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -265,4 +265,20 @@ object Quality {
         sum(col("h")).cast("double").as("entropy"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gopher rule-set quality gate: per-rule booleans + the conjunction
+    * (see [[graft.operators.TextProfile.gopherRules]]). */
+  def q111GopherRules(s: SparkSession, dir: String): DataFrame =
+    TextProfile.gopherRules(Tables.load(s, dir, "documents"))
+
+  /** BPE first-merge ranking: corpus-wide adjacent char-pair counts over
+    * the pre-token vocabulary (see [[graft.operators.Bpe.pairCounts]]). */
+  def q112BpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.pairCounts(Tables.load(s, dir, "documents"))
+
+  /** DSIR log importance weights against the English subset as target
+    * (see [[graft.operators.Importance.dsirWeights]]). */
+  def q114DsirWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.dsirWeights(Tables.load(s, dir, "documents"),
+      col("lang") === "en")
 }

@@ -455,6 +455,11 @@ object TextQueries {
   def q105SourceOverlap(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.sourceOverlap(Tables.load(s, dir, "documents"))
 
+  /** Temperature-scaled per-source sampling weights, α = 0.3
+    * (see [[graft.operators.Corpus.temperatureMix]]). */
+  def q113TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.temperatureMix(Tables.load(s, dir, "documents"))
+
   /** Decode + 2× box-filter resize of every content-derived GIF frame
     * (see [[graft.multimodal.Multimodal.resizeFrames]]). */
   def q106FrameResize(s: SparkSession, dir: String): DataFrame = {
