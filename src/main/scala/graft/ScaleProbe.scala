@@ -160,7 +160,14 @@ object ScaleProbe {
       // q109 times the WHOLE incremental cycle: store wipe + 3 ingest
       // writes + the accumulated-store report
       "q109_incr_spans" -> SparkEntry.queries("q109_incremental_spans"),
-      "q110_full_pipeline" -> SparkEntry.queries("q110_full_pipeline"))
+      "q110_full_pipeline" -> SparkEntry.queries("q110_full_pipeline"),
+      // round-7 curation additions: scan-local rule gate, vocabulary-sized
+      // BPE pair counting, aggregate-sized mixture weights, hashed-feature
+      // importance scoring
+      "q111_gopher_rules" -> SparkEntry.queries("q111_gopher_rules"),
+      "q112_bpe_pairs" -> SparkEntry.queries("q112_bpe_pairs"),
+      "q113_temp_mix" -> SparkEntry.queries("q113_temperature_mix"),
+      "q114_dsir" -> SparkEntry.queries("q114_dsir_weights"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
