@@ -133,6 +133,8 @@ object SparkEntry {
     "q112_bpe_pairs" -> (Quality.q112BpePairs _),
     "q113_temperature_mix" -> (TextQueries.q113TemperatureMix _),
     "q114_dsir_weights" -> (Quality.q114DsirWeights _),
+    "q115_survivor_selection" -> (TextQueries.q115SurvivorSelection _),
+    "q116_collocations" -> (Quality.q116Collocations _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2180,5 +2182,60 @@ object SparkEntry {
         |    AS DECIMAL(18,6)) AS DOUBLE) AS log_ratio
         |FROM pd JOIN ratio r ON pd.f = r.f
         |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
+
+    // q115: survivor selection — q62's recursive transitive closure, then
+    // every document (singletons coalesce to their own id) gets the
+    // cluster's (n_chars DESC, doc_id) first row as its survivor.
+    "q115_survivor_selection" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+        |pairsj AS (
+        |  SELECT a_id, b_id
+        |  FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS s, b_id AS d FROM pairsj
+        |  UNION SELECT b_id, a_id FROM pairsj),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+        |lab AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |alldocs AS (
+        |  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
+        |    d.n_chars
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
+        |SELECT doc_id, component,
+        |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+        |  FIRST_VALUE(doc_id) OVER w AS survivor_id,
+        |  doc_id = FIRST_VALUE(doc_id) OVER w AS keep
+        |FROM alldocs
+        |WINDOW w AS (PARTITION BY component ORDER BY n_chars DESC, doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q116: PMI collocations — the pmi is a DIFFERENCE of three lns (same
+    // expression shape as the engine), rounded to 6; (pmi DESC, w1, w2)
+    // is a total order so the LIMIT replays.
+    "q116_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+        |    w -> len(w) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        |cb AS (SELECT w1, w2, COUNT(*) AS n_pair FROM bg GROUP BY w1, w2),
+        |tot AS (SELECT (SELECT COUNT(*) FROM bg) AS nb,
+        |  (SELECT COUNT(*) FROM uni) AS nu)
+        |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+        |  ROUND(ln(CAST(n_pair AS DOUBLE) / nb)
+        |    - ln(CAST(a.c AS DOUBLE) / nu)
+        |    - ln(CAST(b.c AS DOUBLE) / nu), 6) AS pmi
+        |FROM cb JOIN cu a ON cb.w1 = a.w JOIN cu b ON cb.w2 = b.w
+        |CROSS JOIN tot
+        |WHERE n_pair >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -110,5 +111,45 @@ object Components {
     labeled.join(sizes, "component")
       .select(col("id"), col("component"), col("component_size"),
         (col("id") === col("component")).as("is_canonical"))
+  }
+
+  /** Quality-prioritized SURVIVOR SELECTION — the retention step between
+    * clustering and deletion: within each near-dup cluster keep the BEST
+    * member, not an arbitrary one. [[dedupClusters]]' `is_canonical`
+    * (min id) is the cheap default; real pipelines keep the highest-value
+    * variant — C4 keeps the longer page of a duplicate pair, FineWeb/Dolma
+    * keep one representative per MinHash cluster — because near-dup
+    * variants differ (truncation, boilerplate, encoding damage) and the
+    * survivor is the copy that trains the model.
+    *
+    * Priority = (`priorityCol` DESC, doc id ASC) — longest-text-wins by
+    * default, id as the total-order tie-break so the pick is deterministic
+    * on any engine. Docs in no pair are singleton components and survive
+    * trivially (left join + coalesce, per [[connected]]'s contract).
+    *
+    * Scale shape: label propagation is per-edge (never all-pairs); the
+    * selection itself is ONE shuffle on the component key and two window
+    * functions over it. Near-dup clusters are star-shaped and small, so
+    * component partitions are balanced; a pathological giant cluster
+    * degrades to one wide partition computing a count and a first_value —
+    * no quadratic term anywhere. Returned plan contains [[connected]]'s
+    * final-round localCheckpoint: release with [[freeLocalCheckpoint]]
+    * after the last action. */
+  def survivorSelection(docs: DataFrame, pairs: DataFrame,
+      priorityCol: String = "n_chars", idCol: String = "doc_id",
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val labeled = connected(pairs, aCol, bCol).withColumnRenamed("id", "doc_id")
+    val full = docs.select(col(idCol).as("doc_id"), col(priorityCol))
+      .join(labeled, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val part = Window.partitionBy(col("component"))
+    val ord = part.orderBy(col(priorityCol).desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    full
+      .withColumn("n_members", count(lit(1)).over(part))
+      .withColumn("survivor_id", first(col("doc_id")).over(ord))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        col("survivor_id"), (col("doc_id") === col("survivor_id")).as("keep"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -58,4 +58,53 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** PMI collocation extraction — top-k adjacent word pairs by pointwise
+    * mutual information (Church & Hanks, "Word Association Norms, Mutual
+    * Information, and Lexicography", CL'90): PMI(a,b) =
+    * ln P(a,b) − ln P(a) − ln P(b) with P(a,b) = c_ab/N_pairs and P(w) =
+    * c_w/N_tokens. The classic corpus-analysis stage for multiword
+    * expressions ("New York"), also the association measure behind
+    * word2vec-era co-occurrence matrices; `minCount` is the standard
+    * low-frequency guard (rare pairs otherwise dominate PMI).
+    *
+    * Determinism contract: PMI is computed as the DIFFERENCE of three lns
+    * (same expression shape in the oracle — one big ratio would round
+    * differently), rounded to 6; the output order
+    * (pmi DESC, w1, w2) is total, so the LIMIT is replayable.
+    *
+    * Scale shape: bigrams come from a scan-local array transform (zip of
+    * the token array with its own tail — no window, no per-doc shuffle);
+    * then TWO map-side-combined hash aggregates (pair counts, unigram
+    * counts). Both count tables are VOCABULARY-sized, not corpus-sized —
+    * the joins run key-partitioned on aggregate output, and the two 1-row
+    * totals broadcast. Nothing downstream of the scan is data-sized. */
+  def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val t = filter(graft.functions.TextFunctions.tokens(col(textCol)),
+      w => length(w) > 0)
+    // adjacent pairs; sequence() is DESCENDING when start > stop, so docs
+    // with < 2 tokens must short-circuit to null (explode drops them)
+    val bg = docs.select(explode(when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"),
+            element_at(t, i + 1).as("w2"))))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = docs.select(explode(t).as("w"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val cu = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = cb.agg(sum(col("n_pair")).as("nb"))
+      .crossJoin(cu.agg(sum(col("c")).as("nu")))
+    val pmi = round(
+      log(col("n_pair").cast("double") / col("nb"))
+        - log(col("c1").cast("double") / col("nu"))
+        - log(col("c2").cast("double") / col("nu")), 6)
+    cb.filter(col("n_pair") >= minCount)
+      .join(cu.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(cu.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_pair"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

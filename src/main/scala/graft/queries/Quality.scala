@@ -281,4 +281,9 @@ object Quality {
   def q114DsirWeights(s: SparkSession, dir: String): DataFrame =
     graft.operators.Importance.dsirWeights(Tables.load(s, dir, "documents"),
       col("lang") === "en")
+
+  /** Top-50 PMI collocations with min pair count 5
+    * (see [[graft.operators.Search.collocations]]). */
+  def q116Collocations(s: SparkSession, dir: String): DataFrame =
+    Search.collocations(Tables.load(s, dir, "documents"))
 }

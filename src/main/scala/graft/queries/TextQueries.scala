@@ -77,6 +77,17 @@ object TextQueries {
         col("component_size"), col("is_canonical"))
       .orderBy(col("doc_id"))
 
+  /** Quality-prioritized survivor selection over the q62 clusters: keep
+    * the LONGEST member of each near-dup cluster (n_chars DESC, doc_id
+    * tie-break — the C4 keep-the-longer-page convention), singletons
+    * survive trivially (see
+    * [[graft.operators.Components.survivorSelection]]). */
+  def q115SurvivorSelection(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    graft.operators.Components.survivorSelection(
+      docs, Dedup.minhashLsh(docs, 0.5))
+  }
+
   /** PageRank centrality over the near-dup graph (same oracle-gated
     * MinHash+LSH pairs as q62), 5 power iterations — within a dup cluster
     * the top-rank doc is the most-connected variant (a canonical-pick

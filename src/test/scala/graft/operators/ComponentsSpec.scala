@@ -40,4 +40,29 @@ class ComponentsSpec extends SparkSpec {
     val got = Components.connected(pairs).as[(Long, Long)].collect().toMap
     assert(got.size == n && got.values.forall(_ == 1L))
   }
+
+  test("survivorSelection keeps the longest member per cluster, singletons survive") {
+    // chain 1~2~3 (one cluster through transitivity) where 2 is longest,
+    // plus singleton 9: survivor of {1,2,3} must be 2 even though the
+    // min-id canonical would be 1; the singleton keeps itself
+    val docs = Seq((1L, 10L), (2L, 99L), (3L, 50L), (9L, 5L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val got = Components.survivorSelection(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("survivor_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(got(1L) == ((1L, 3L, 2L, false)))
+    assert(got(2L) == ((1L, 3L, 2L, true)))
+    assert(got(3L) == ((1L, 3L, 2L, false)))
+    assert(got(9L) == ((9L, 1L, 9L, true)))
+  }
+
+  test("survivorSelection ties on priority break to the smaller id") {
+    val docs = Seq((7L, 40L), (4L, 40L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((4L, 7L)).toDF("a_id", "b_id")
+    val got = Components.survivorSelection(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("survivor_id")).toMap
+    assert(got == Map(4L -> 4L, 7L -> 4L))
+  }
 }
