@@ -135,6 +135,8 @@ object SparkEntry {
     "q114_dsir_weights" -> (Quality.q114DsirWeights _),
     "q115_survivor_selection" -> (TextQueries.q115SurvivorSelection _),
     "q116_collocations" -> (Quality.q116Collocations _),
+    "q117_cdc_chunks" -> (TextQueries.q117CdcChunks _),
+    "q118_postings" -> (Quality.q118Postings _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2237,5 +2239,57 @@ object SparkEntry {
         |CROSS JOIN tot
         |WHERE n_pair >= 5
         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // q117: content-defined chunking — boundaries where FNV of the 8-char
+    // window ≡ 0 (mod 32) plus the doc end; the oracle groups chunk
+    // STRINGS for is_first where the engine groups chunk FNV hashes (the
+    // q101 convention). fnvSql is unsigned HUGEINT, the engine's pmod is
+    // on signed BIGINT — low 5 bits agree because 2^64 ≡ 0 (mod 32).
+    "q117_cdc_chunks" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text, len(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND len(text) >= 1),
+        |cut AS (
+        |  SELECT doc_id, text,
+        |    list_sort(list_distinct(list_append(
+        |      list_filter(generate_series(8, n),
+        |        p -> (${fnvSql("substr(text, CAST(p - 7 AS INTEGER), 8)")}) % 32 = 0),
+        |      n))) AS ends
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, text, j,
+        |    CASE WHEN j = 1 THEN 0 ELSE ends[CAST(j - 1 AS INTEGER)] END AS s,
+        |    ends[CAST(j AS INTEGER)] AS e
+        |  FROM cut, UNNEST(generate_series(1, len(ends))) AS u(j)),
+        |rws AS (
+        |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+        |    CAST(s + 1 AS BIGINT) AS start, CAST(e - s AS BIGINT) AS chunk_len,
+        |    substr(text, CAST(s + 1 AS INTEGER), CAST(e - s AS INTEGER)) AS ct
+        |  FROM ch)
+        |SELECT doc_id, chunk_idx, start, chunk_len,
+        |  ROW_NUMBER() OVER (PARTITION BY ct ORDER BY doc_id, chunk_idx) = 1
+        |    AS is_first
+        |FROM rws ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q118: inverted-index postings — top-3 impact-ordered (tf DESC,
+    // doc_id) postings per term plus df/cf ("rank" is reserved in DuckDB,
+    // hence rnk).
+    "q118_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+        |      w -> len(w) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        |  GROUP BY term, doc_id),
+        |st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+        |  FROM tf GROUP BY term),
+        |rk AS (SELECT term, doc_id, tf,
+        |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+        |  FROM tf)
+        |SELECT rk.term, df, cf, CAST(rnk AS BIGINT) AS rnk, doc_id, tf
+        |FROM rk JOIN st ON rk.term = st.term
+        |WHERE rnk <= 3
+        |ORDER BY rk.term, rnk""".stripMargin,
   )
 }

@@ -378,4 +378,67 @@ object Corpus {
         round(col("pa") / col("z") / col("p"), 6).as("boost"))
       .orderBy(col("source"))
   }
+
+  /** Content-defined chunking (CDC) — chunk boundaries chosen by CONTENT,
+    * not position: a boundary falls after char i whenever the FNV-1a hash
+    * of the `window`-char substring ending at i is ≡ 0 (mod `modulus`),
+    * plus one forced boundary at the doc end. The LBFS/rsync trick
+    * (Muthitacharoen et al., "A Low-bandwidth Network File System",
+    * SOSP'01): because boundaries depend only on a local window, an
+    * insertion shifts at most the chunks it touches — boundaries RE-SYNC
+    * downstream, so shifted-but-identical content hashes to identical
+    * chunks. Fixed-stride chunking ([[chunk]]) loses all alignment after
+    * one inserted byte; CDC is the shift-robust dedup-storage primitive.
+    * Expected chunk length ≈ `modulus` chars.
+    *
+    * Output: one fixed-width row per chunk (doc_id, chunk_idx, start,
+    * chunk_len, is_first) where is_first marks the first corpus-wide
+    * occurrence of the chunk's content in (doc_id, chunk_idx) order —
+    * `sum(chunk_len) WHERE is_first` over `sum(chunk_len)` is the stored-
+    * bytes ratio a dedup store would achieve. Chunk text is re-derivable
+    * by (doc_id, start, chunk_len) slicing; emitting the handle keeps rows
+    * fixed-width at 100 TB.
+    *
+    * Scale shape: boundary detection is a per-row array transform over the
+    * scan (no shuffle); the only shuffle is the first-occurrence window on
+    * the chunk-content hash. Engine groups FNV hashes where the oracle
+    * groups chunk STRINGS (the q101 convention — collision-free parity is
+    * what the gate checks). Per-position hashing costs O(window) byte ops
+    * (window=8 ⇒ ~8 ops/char inside codegen); a true O(1)/char Rabin
+    * rolling hash would need a native stateful Expression — the right
+    * upgrade if profiles ever show this scan hot. */
+  def contentDefinedChunks(docs: DataFrame, window: Int = 8,
+      modulus: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1 && modulus >= 1, "need window >= 1 and modulus >= 1")
+    val txt = col(textCol)
+    val n = length(txt)
+    // boundary END positions i ∈ [window, n]; sequence() is DESCENDING
+    // when start > stop, so short docs short-circuit to an empty cut list
+    val cuts = when(n >= window,
+      filter(sequence(lit(window), n), i =>
+        pmod(graft.functions.Fnv64.fnv64(
+          txt.substr(i - (window - 1), lit(window))), lit(modulus)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val ends = array_distinct(concat(cuts, array(n)))
+    val starts = concat(array(lit(0)), slice(ends, lit(1), size(ends) - 1))
+    val chunks = zip_with(starts, ends,
+      (s, e) => struct((s + 1).as("start"), (e - s).as("chunk_len")))
+    val perChunk = docs
+      .filter(txt.isNotNull && n >= 1)
+      .select(col(idCol).as("doc_id"), txt.as("__text"),
+        posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("c.start").cast("bigint").as("start"),
+        col("c.chunk_len").cast("bigint").as("chunk_len"),
+        graft.functions.Fnv64.fnv64(
+          col("__text").substr(col("c.start"), col("c.chunk_len"))).as("__h"))
+    val firstW = Window.partitionBy(col("__h"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    perChunk
+      .withColumn("is_first", row_number().over(firstW) === 1)
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        col("chunk_len"), col("is_first"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

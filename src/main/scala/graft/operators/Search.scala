@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranked keyword retrieval over a document corpus — BM25 (Robertson &
@@ -79,6 +80,38 @@ object Search {
     * counts). Both count tables are VOCABULARY-sized, not corpus-sized —
     * the joins run key-partitioned on aggregate output, and the two 1-row
     * totals broadcast. Nothing downstream of the scan is data-sized. */
+  /** Inverted-index POSTINGS build — the batch indexing job behind every
+    * lexical search deployment (Lucene segment build, impact-ordered
+    * indexes): per term, document frequency (df), collection frequency
+    * (cf), and the top-`k` postings ranked by (tf DESC, doc_id) — the
+    * impact-ordered prefix that early-termination query evaluation (WAND)
+    * reads first. One row per (term, rank) keeps the output fixed-width;
+    * a serving store would group these rows into per-term lists on write.
+    *
+    * Scale shape: two map-side-combined hash aggregates — (term, doc)
+    * then term — and ONE window on the term key for the top-k cut; all
+    * shuffles are key-partitioned on term, reused by the final join. The
+    * per-term partitions the window sees are postings lists, bounded by
+    * df; stopword-sized terms make wide partitions but the window only
+    * streams a row_number, so there is no quadratic term. */
+  def postings(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(filter(graft.functions.TextFunctions.tokens(col(textCol)),
+          w => length(w) > 0)).as("term"))
+    val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    tf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .join(stats, "term")
+      .select(col("term"), col("df"), col("cf"),
+        col("rnk").cast("bigint").as("rnk"), col("doc_id"), col("tf"))
+      .orderBy(col("term"), col("rnk"))
+  }
+
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
       textCol: String = "text"): DataFrame = {
     val t = filter(graft.functions.TextFunctions.tokens(col(textCol)),

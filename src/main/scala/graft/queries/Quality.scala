@@ -286,4 +286,9 @@ object Quality {
     * (see [[graft.operators.Search.collocations]]). */
   def q116Collocations(s: SparkSession, dir: String): DataFrame =
     Search.collocations(Tables.load(s, dir, "documents"))
+
+  /** Inverted-index postings: per-term df/cf + top-3 impact-ordered
+    * postings (see [[graft.operators.Search.postings]]). */
+  def q118Postings(s: SparkSession, dir: String): DataFrame =
+    Search.postings(Tables.load(s, dir, "documents"))
 }

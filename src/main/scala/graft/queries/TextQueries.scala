@@ -466,6 +466,12 @@ object TextQueries {
   def q105SourceOverlap(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.sourceOverlap(Tables.load(s, dir, "documents"))
 
+  /** Content-defined chunking with first-occurrence dedup marks
+    * (see [[graft.operators.Corpus.contentDefinedChunks]]). */
+  def q117CdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.contentDefinedChunks(
+      Tables.load(s, dir, "documents"))
+
   /** Temperature-scaled per-source sampling weights, α = 0.3
     * (see [[graft.operators.Corpus.temperatureMix]]). */
   def q113TemperatureMix(s: SparkSession, dir: String): DataFrame =

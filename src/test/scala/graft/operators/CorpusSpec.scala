@@ -155,4 +155,49 @@ class CorpusSpec extends SparkSpec {
     assert(out.keySet == Set(("sA", "sB")))
     assert(out(("sA", "sB")) == ((2L, 1L, 1L, 0.5)))
   }
+
+  private val cdcBase = (1 to 60).map(i => s"word$i token$i item$i").mkString(" ")
+
+  test("contentDefinedChunks: chunks partition each document exactly") {
+    import spark.implicits._
+    val d = Seq((1L, cdcBase), (2L, "tiny"), (3L, "")).toDF("doc_id", "text")
+    val rows = Corpus.contentDefinedChunks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // empty doc filtered; short doc = one whole-text chunk
+    assert(rows.filter(_._1 == 3L).isEmpty)
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 4L)))
+    val c1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(c1.length > 1, "base text should produce multiple chunks")
+    assert(c1.head._3 == 1L)
+    // contiguous: each start = previous start + previous len; total = len
+    c1.sliding(2).foreach { case Array(a, b) => assert(b._3 == a._3 + a._4) }
+    assert(c1.map(_._4).sum == cdcBase.length)
+  }
+
+  test("contentDefinedChunks: identical content marks one first occurrence") {
+    import spark.implicits._
+    val d = Seq((1L, cdcBase), (2L, cdcBase)).toDF("doc_id", "text")
+    val rows = Corpus.contentDefinedChunks(d).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4)))
+    // every doc-2 chunk has an identical doc-1 twin, so none is a first
+    // occurrence (doc 1 may ALSO carry internal dups — tiny chunks like
+    // "ite" can repeat inside one doc; real CDC stores add a min-chunk
+    // size for that, which this simple variant deliberately omits)
+    assert(rows.filter(_._1 == 2L).forall(!_._2), "doc 2 chunks are all dups")
+    assert(rows.filter(_._1 == 1L).exists(_._2), "doc 1 has first occurrences")
+  }
+
+  test("contentDefinedChunks: boundaries re-sync after a prefix insertion") {
+    import spark.implicits._
+    // the CDC property fixed-stride chunking lacks: a prefix shifts every
+    // char position, yet once past the first content boundary the chunks
+    // realign, so most of the shifted copy still dedups against the
+    // original
+    val d = Seq((1L, cdcBase), (2L, "INSERTED PREFIX " + cdcBase))
+      .toDF("doc_id", "text")
+    val doc2 = Corpus.contentDefinedChunks(d).collect()
+      .filter(_.getLong(0) == 2L).map(_.getBoolean(4))
+    assert(doc2.count(_ == false) >= doc2.length / 2,
+      s"expected most shifted chunks to dedup, got ${doc2.toSeq}")
+  }
 }

@@ -27,6 +27,22 @@ class SearchSpec extends SparkSpec {
     assert(pairs == Set(("a", "b"), ("b", "a"), ("c", "c")))
   }
 
+  test("postings: impact ordering, df/cf, and the top-k cut") {
+    // term "a": doc1 tf=3, doc2 tf=1, doc3 tf=2 -> postings ranked 1,3,2;
+    // with k=2 only docs 1 and 3 survive; df=3, cf=6
+    val docs = Seq((1L, "a a a b"), (2L, "a b"), (3L, "a a"))
+      .toDF("doc_id", "text")
+    val got = Search.postings(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.filter(_._1 == "a").toSeq == Seq(
+      ("a", 3L, 6L, 1L, 1L, 3L),
+      ("a", 3L, 6L, 2L, 3L, 2L)))
+    assert(got.filter(_._1 == "b").toSeq == Seq(
+      ("b", 2L, 2L, 1L, 1L, 1L),
+      ("b", 2L, 2L, 2L, 2L, 1L)))
+  }
+
   test("collocations: one-token and null docs yield no bigrams, never crash") {
     val docs = Seq((1L, Option("solo")), (2L, Option.empty[String]),
         (3L, Option("   ")))
