@@ -167,7 +167,15 @@ object ScaleProbe {
       "q111_gopher_rules" -> SparkEntry.queries("q111_gopher_rules"),
       "q112_bpe_pairs" -> SparkEntry.queries("q112_bpe_pairs"),
       "q113_temp_mix" -> SparkEntry.queries("q113_temperature_mix"),
-      "q114_dsir" -> SparkEntry.queries("q114_dsir_weights"))
+      "q114_dsir" -> SparkEntry.queries("q114_dsir_weights"),
+      // survivor selection over replicated docs: clusters densify (every
+      // replica joins its original's clique), so growth reflects the
+      // replication artifact ceiling, not organic 10x corpora
+      "q115_survivors" -> SparkEntry.queries("q115_survivor_selection"),
+      "q116_collocations" -> SparkEntry.queries("q116_collocations"),
+      "q117_cdc_chunks" -> SparkEntry.queries("q117_cdc_chunks"),
+      "q118_postings" -> SparkEntry.queries("q118_postings"),
+      "q119_outliers" -> SparkEntry.queries("q119_distance_outliers"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -137,6 +137,7 @@ object SparkEntry {
     "q116_collocations" -> (Quality.q116Collocations _),
     "q117_cdc_chunks" -> (TextQueries.q117CdcChunks _),
     "q118_postings" -> (Quality.q118Postings _),
+    "q119_distance_outliers" -> (TextQueries.q119DistanceOutliers _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -348,6 +349,50 @@ object SparkEntry {
       |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)
       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
       |FROM s WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** q98's full Lloyd replay through the final per-point assignment
+    * a1(id, cid, d2) — shared by the q98 summary and q119's
+    * prototype-distance outlier oracle. */
+  private val kmeansA1Ctes: String =
+    s"""fnvmap AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS hk
+         |  FROM (SELECT vec_id, embedding,
+         |          ${fnvSql("CAST(vec_id AS VARCHAR)")} AS fnv
+         |        FROM embeddings)),
+         |seeds AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
+         |  FROM fnvmap ORDER BY hk, vec_id LIMIT 8),
+         |cb0 AS (
+         |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
+         |  FROM seeds, UNNEST(generate_series(1, 64)) AS u(i)),
+         |dims AS (
+         |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+         |d0 AS (
+         |  SELECT id, cid,
+         |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
+         |  FROM dims JOIN cb0 USING (dim) GROUP BY 1, 2),
+         |a0 AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM d0) WHERE rn = 1),
+         |cb1 AS (
+         |  SELECT cid, dim,
+         |    ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*), 12) AS c
+         |  FROM a0 JOIN dims USING (id) GROUP BY 1, 2),
+         |d1 AS (
+         |  SELECT id, cid,
+         |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
+         |  FROM dims JOIN cb1 USING (dim) GROUP BY 1, 2),
+         |a1 AS (
+         |  SELECT id, cid, d2 FROM (
+         |    SELECT id, cid, d2,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM d1) WHERE rn = 1)""".stripMargin
 
   /** DuckDB replay of the engine's 64-bit FNV-1a over a string's UTF-8
     * bytes (public-domain Fowler–Noll–Vo): hex-decode the bytes, fold with
@@ -1389,49 +1434,28 @@ object SparkEntry {
 
     // q98: both Lloyd rounds unrolled (the q81 recipe) — hash-seeded init,
     // decimal-summed distances, (d2, cid) argmin, decimal-mean update.
+    // The CTE chain through a1 (final per-point assignment + d2) is shared
+    // with q119's outlier replay via kmeansA1Ctes below.
     "q98_kmeans" ->
-      s"""WITH fnvmap AS (
-         |  SELECT vec_id, embedding,
-         |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
-         |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS hk
-         |  FROM (SELECT vec_id, embedding,
-         |          ${fnvSql("CAST(vec_id AS VARCHAR)")} AS fnv
-         |        FROM embeddings)),
-         |seeds AS (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
-         |  FROM fnvmap ORDER BY hk, vec_id LIMIT 8),
-         |cb0 AS (
-         |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
-         |  FROM seeds, UNNEST(generate_series(1, 64)) AS u(i)),
-         |dims AS (
-         |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-         |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
-         |d0 AS (
-         |  SELECT id, cid,
-         |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
-         |  FROM dims JOIN cb0 USING (dim) GROUP BY 1, 2),
-         |a0 AS (
-         |  SELECT id, cid FROM (
-         |    SELECT id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-         |    FROM d0) WHERE rn = 1),
-         |cb1 AS (
-         |  SELECT cid, dim,
-         |    ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
-         |      / COUNT(*), 12) AS c
-         |  FROM a0 JOIN dims USING (id) GROUP BY 1, 2),
-         |d1 AS (
-         |  SELECT id, cid,
-         |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
-         |  FROM dims JOIN cb1 USING (dim) GROUP BY 1, 2),
-         |a1 AS (
-         |  SELECT id, cid, d2 FROM (
-         |    SELECT id, cid, d2,
-         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-         |    FROM d1) WHERE rn = 1)
+      s"""WITH $kmeansA1Ctes
          |SELECT cid, COUNT(*) AS n_points,
          |  ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS inertia
          |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // q119: prototype-distance outliers — per-cluster count/sum over the
+    // same a1 assignment; ratio = d2·n/Σd2 from identical decimal inputs.
+    "q119_distance_outliers" ->
+      s"""WITH $kmeansA1Ctes,
+         |cl AS (SELECT cid, COUNT(*) AS nc, CAST(SUM(d2) AS DOUBLE) AS sd
+         |  FROM a1 GROUP BY cid)
+         |SELECT a1.id AS vec_id, CAST(a1.cid AS BIGINT) AS cid,
+         |  ROUND(CAST(d2 AS DOUBLE), 6) AS d2,
+         |  CASE WHEN sd = 0 THEN 0.0
+         |    ELSE ROUND(CAST(d2 AS DOUBLE) * nc / sd, 6) END AS ratio,
+         |  CASE WHEN sd = 0 THEN FALSE
+         |    ELSE ROUND(CAST(d2 AS DOUBLE) * nc / sd, 6) > 2.0 END AS is_outlier
+         |FROM a1 JOIN cl ON a1.cid = cl.cid
+         |ORDER BY vec_id""".stripMargin,
 
     // q99: the farthest-point pick sequence unrolled — pick 0 is the
     // hash-least vector; each dp<t> CTE is the exact distance of every

@@ -184,4 +184,38 @@ object KMeans {
     assigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("n_points"),
         round(sum(col("d2")).cast("double"), 6).as("inertia"))
+
+  /** Prototype-distance OUTLIER flags — the cluster-geometry pruning
+    * signal of Sorscher et al., "Beyond neural scaling laws: beating
+    * power law scaling via data pruning" (NeurIPS'22): score every
+    * example by its distance to the nearest k-means prototype; far
+    * examples are outliers/hard examples, near ones prototypical. A
+    * curation pipeline drops (or up/down-samples) by this flag the same
+    * way SemDeDup (q95) drops by pairwise similarity.
+    *
+    * ratio = d2 · n_cluster / Σ_cluster d2 (how many times the cluster's
+    * MEAN squared distance this point sits at), rounded to 6;
+    * is_outlier = ratio > factor. Both sides compute the ratio from the
+    * identical decimal-summed d2 inputs with the same double ops, so the
+    * comparison replays exactly; a degenerate all-at-centroid cluster
+    * (Σ d2 = 0) pins ratio 0, not NaN.
+    *
+    * Scale shape: [[fit]]'s broadcast-centroid aggregates plus ONE window
+    * shuffle on the cluster id — cluster partitions only stream a count
+    * and a sum. */
+  def distanceOutliers(emb: DataFrame, k: Int = 8, iterations: Int = 2,
+      factor: Double = 2.0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    val ratio = when(col("sum_d2") === 0.0, 0.0)
+      .otherwise(round(
+        col("d2").cast("double") * col("n_in_cluster") / col("sum_d2"), 6))
+    fit(emb, k, iterations, idCol, vecCol)
+      .withColumn("n_in_cluster", count(lit(1)).over(w))
+      .withColumn("sum_d2", sum(col("d2")).over(w).cast("double"))
+      .select(col("id").as("vec_id"), col("cid").cast("bigint").as("cid"),
+        round(col("d2").cast("double"), 6).as("d2"),
+        ratio.as("ratio"), (ratio > factor).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -398,6 +398,13 @@ object TextQueries {
         col("inertia"))
       .orderBy(col("cid"))
 
+  /** Prototype-distance outlier flags over the q98 fit — the
+    * cluster-geometry pruning signal (see
+    * [[graft.operators.KMeans.distanceOutliers]]). */
+  def q119DistanceOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KMeans.distanceOutliers(
+      Tables.load(s, dir, "embeddings"))
+
   /** k-means with FARTHEST-POINT init (q99): the maxmin seed selection —
     * the spread guarantee hash seeding lacks (Gonzalez's 2-approximation
     * k-center heuristic) — followed by one assignment round, per-cluster

@@ -85,4 +85,28 @@ class KMeansSpec extends SparkSpec {
     // flooded logs with single-partition WindowExec warnings
     assert(!plan.contains("Window"), plan.take(2000))
   }
+
+  test("distanceOutliers flags the planted far point, keeps the tight cluster") {
+    import spark.implicits._
+    // one tight cluster of 9 near-identical vectors plus one point 100x
+    // further out: with k=1 every point shares a centroid, the far point
+    // carries almost all the cluster's d2 mass and must be the only
+    // outlier at factor=2
+    def v(eps: Double): Array[Float] =
+      Array.tabulate(64)(d => (if (d == 0) 1.0 + eps else 0.0).toFloat)
+    val rows = (0 until 9).map(i => (i.toLong, v(i * 0.001))) :+ (9L, v(100.0))
+    val out = KMeans.distanceOutliers(rows.toDF("vec_id", "embedding"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(9L), "far point must be flagged")
+    assert((0 until 9).forall(i => !out(i.toLong)), "tight points must pass")
+  }
+
+  test("distanceOutliers: degenerate all-identical cluster pins ratio 0, not NaN") {
+    import spark.implicits._
+    val v = Array.fill(64)(1.0f)
+    val rows = (0 until 4).map(i => (i.toLong, v))
+    val got = KMeans.distanceOutliers(rows.toDF("vec_id", "embedding"), k = 1)
+      .collect()
+    assert(got.forall(r => r.getDouble(3) == 0.0 && !r.getBoolean(4)))
+  }
 }
