@@ -138,6 +138,7 @@ object SparkEntry {
     "q117_cdc_chunks" -> (TextQueries.q117CdcChunks _),
     "q118_postings" -> (Quality.q118Postings _),
     "q119_distance_outliers" -> (TextQueries.q119DistanceOutliers _),
+    "q120_incremental_postings" -> (Quality.q120IncrementalPostings _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -349,6 +350,27 @@ object SparkEntry {
       |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)
       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
       |FROM s WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Inverted-index postings replay — shared by q118 (batch build) and
+    * q120 (incremental store report; additive tf state ⇒ identical
+    * output). */
+  private val postingsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+      |      w -> len(w) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
+      |  GROUP BY term, doc_id),
+      |st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+      |  FROM tf GROUP BY term),
+      |rk AS (SELECT term, doc_id, tf,
+      |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+      |  FROM tf)
+      |SELECT rk.term, df, cf, CAST(rnk AS BIGINT) AS rnk, doc_id, tf
+      |FROM rk JOIN st ON rk.term = st.term
+      |WHERE rnk <= 3
+      |ORDER BY rk.term, rnk""".stripMargin
 
   /** q98's full Lloyd replay through the final per-point assignment
     * a1(id, cid, d2) — shared by the q98 summary and q119's
@@ -2297,23 +2319,9 @@ object SparkEntry {
 
     // q118: inverted-index postings — top-3 impact-ordered (tf DESC,
     // doc_id) postings per term plus df/cf ("rank" is reserved in DuckDB,
-    // hence rnk).
-    "q118_postings" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
-        |      w -> len(w) > 0)) AS term
-        |  FROM documents),
-        |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks
-        |  GROUP BY term, doc_id),
-        |st AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
-        |  FROM tf GROUP BY term),
-        |rk AS (SELECT term, doc_id, tf,
-        |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
-        |  FROM tf)
-        |SELECT rk.term, df, cf, CAST(rnk AS BIGINT) AS rnk, doc_id, tf
-        |FROM rk JOIN st ON rk.term = st.term
-        |WHERE rnk <= 3
-        |ORDER BY rk.term, rnk""".stripMargin,
+    // hence rnk). q120 shares the SQL: the incremental store is additive,
+    // so its report equals the from-scratch build over the union corpus.
+    "q118_postings" -> postingsSql,
+    "q120_incremental_postings" -> postingsSql,
   )
 }

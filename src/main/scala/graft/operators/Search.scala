@@ -95,11 +95,23 @@ object Search {
     * df; stopword-sized terms make wide partitions but the window only
     * streams a row_number, so there is no quadratic term. */
   def postings(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+      textCol: String = "text"): DataFrame =
+    postingsFromTf(termFrequencies(docs, idCol, textCol), k)
+
+  /** The (term, doc_id, tf) table — the additive state every index build
+    * reduces to (also the unit [[IncrementalPostings]] persists per
+    * ingestion date). */
+  def termFrequencies(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(filter(graft.functions.TextFunctions.tokens(col(textCol)),
           w => length(w) > 0)).as("term"))
-    val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** df/cf + top-k impact-ordered postings from a (term, doc_id, tf)
+    * table — the report stage shared by the batch build and the
+    * incremental store. */
+  def postingsFromTf(tf: DataFrame, k: Int = 3): DataFrame = {
     val stats = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val w = Window.partitionBy(col("term"))

@@ -291,4 +291,23 @@ object Quality {
     * postings (see [[graft.operators.Search.postings]]). */
   def q118Postings(s: SparkSession, dir: String): DataFrame =
     Search.postings(Tables.load(s, dir, "documents"))
+
+  /** Incremental index maintenance: three date slices appended to a
+    * persistent (term, doc, tf) store, then the same report as q118 —
+    * additive state makes incremental == from-scratch (see
+    * [[graft.operators.IncrementalPostings]]). */
+  def q120IncrementalPostings(s: SparkSession, dir: String): DataFrame = {
+    val store = s"/tmp/graft_q120_${ProcessHandle.current().pid()}_" +
+      s"${Integer.toHexString(dir.hashCode)}/tfstore"
+    // clean slate per (process, sf dir) — a stale store would double-count
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    val docs = Tables.load(s, dir, "documents")
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalPostings.appendCounts(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), store, s"d$d")
+    }
+    graft.operators.IncrementalPostings.report(s, store)
+  }
 }
