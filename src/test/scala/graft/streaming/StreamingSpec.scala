@@ -161,4 +161,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.groupBy("doc_id", "chunk_id").count()
       .filter(col("count") > 1).count() == 0)
   }
+
+  test("streaming postings: two micro-batches' store reports equal the batch build") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("spost").toString
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingPostings.run(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/tfstore", s"$tmp/ck")
+    ms.addData(half1); q.processAllAvailable()
+    ms.addData(half2); q.processAllAvailable()
+    q.stop()
+
+    val got = graft.operators.IncrementalPostings.report(spark, s"$tmp/tfstore")
+    val want = graft.operators.Search.postings(docs)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed store report must equal the from-scratch postings build")
+  }
 }
