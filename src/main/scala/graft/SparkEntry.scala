@@ -139,6 +139,7 @@ object SparkEntry {
     "q118_postings" -> (Quality.q118Postings _),
     "q119_distance_outliers" -> (TextQueries.q119DistanceOutliers _),
     "q120_incremental_postings" -> (Quality.q120IncrementalPostings _),
+    "q121_triangle_stats" -> (TextQueries.q121TriangleStats _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2323,5 +2324,38 @@ object SparkEntry {
     // so its report equals the from-scratch build over the union corpus.
     "q118_postings" -> postingsSql,
     "q120_incremental_postings" -> postingsSql,
+
+    // q121: triangle counts + clustering coefficient over the q62/q81
+    // near-dup edges — normalized u<v edges, the two-join + closing-edge
+    // enumeration (each triangle once), per-corner rollup.
+    "q121_triangle_stats" ->
+      s"""WITH $ngramPairCtes,
+        |pairsj AS (
+        |  SELECT a_id, b_id
+        |  FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
+        |und AS (
+        |  SELECT DISTINCT LEAST(a_id, b_id) AS u, GREATEST(a_id, b_id) AS v
+        |  FROM pairsj WHERE a_id <> b_id),
+        |deg AS (
+        |  SELECT id, COUNT(*) AS degree FROM (
+        |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+        |  GROUP BY id),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+        |    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (
+        |  SELECT id, COUNT(*) AS t FROM (
+        |    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY id)
+        |SELECT d.id AS doc_id, CAST(degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN degree >= 2
+        |    THEN ROUND(2.0 * COALESCE(t, 0) / (degree * (degree - 1.0)), 6)
+        |    ELSE 0.0 END AS clustering_coeff
+        |FROM deg d LEFT JOIN tn ON d.id = tn.id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

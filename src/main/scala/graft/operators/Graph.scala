@@ -63,4 +63,56 @@ object Graph {
     edges.unpersist()
     pr
   }
+
+  /** Triangle counts + LOCAL CLUSTERING COEFFICIENT per node — the graph
+    * audit next to [[Components]] (connectivity) and [[pageRank]]
+    * (centrality): a near-dup component that is also triangle-dense is a
+    * true duplicate CLIQUE (every variant pairs with every other), while
+    * a chain/star with no triangles is transitive drift — different
+    * curation calls. coeff = 2·T(v) / (deg(v)·(deg(v)−1)), the fraction
+    * of a node's neighbor pairs that are themselves linked (Watts &
+    * Strogatz, Nature 1998).
+    *
+    * Shape: edges normalize to (u < v) once, so each triangle a<b<c is
+    * enumerated exactly once by the two-join pattern
+    * e1(a,b) ⋈ e2(b,c) ⋈ closing e3(a,c) — join-shaped, never all-pairs
+    * (Suri & Vassilvitskii, WWW'11; their degree-based orientation is
+    * the upgrade when a skewed graph makes high-id hubs — near-dup
+    * graphs are small cliques, where id order is as balanced). Per-node
+    * rollup explodes each triangle into its 3 corners — one
+    * key-partitioned aggregate. The oracle replays the identical
+    * enumeration, join for join.
+    *
+    * OWNERSHIP: the normalized edge list is persisted (5 subtrees read
+    * it; `pairs` is typically an expensive LSH plan) and backs the
+    * returned DataFrame — like [[KMeans.fit]], release via the session's
+    * cache sweep (`spark.catalog.clearCache()`), or keep a handle-based
+    * variant if a long-lived service ever needs per-call release. */
+  def triangleStats(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    val coeff = when(col("degree") >= 2,
+      round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+        (col("degree") * (col("degree") - lit(1.0))), 6))
+      .otherwise(0.0)
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        coeff.as("clustering_coeff"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -99,6 +99,14 @@ object TextQueries {
       .select(col("id").as("doc_id"), round(col("pr"), 9).as("pagerank"))
       .orderBy(col("doc_id"))
 
+  /** Triangle counts + clustering coefficient over the same near-dup
+    * graph as q62/q81 — triangle-dense components are true dup cliques,
+    * triangle-free ones transitive drift (see
+    * [[graft.operators.Graph.triangleStats]]). */
+  def q121TriangleStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleStats(
+      Dedup.minhashLsh(Tables.load(s, dir, "documents"), 0.5))
+
   // ---- similarity search -------------------------------------------------
 
   /** Brute-force cosine top-3 for query vectors vec_id < 10 (oracle-checked). */
