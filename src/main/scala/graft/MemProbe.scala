@@ -59,7 +59,9 @@ object MemProbe {
     val flagships = Seq("q93_neardup_banded", "q95_semantic_dedup",
       "q96_pq_adc", "q98_kmeans", "q101_repeated_spans",
       "q102_remove_repeated_spans", "q103_frame_dedup",
-      "q109_incremental_spans", "q110_full_pipeline")
+      "q109_incremental_spans", "q110_full_pipeline",
+      "q115_survivor_selection", "q116_collocations", "q117_cdc_chunks",
+      "q120_incremental_postings", "q121_triangle_stats")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

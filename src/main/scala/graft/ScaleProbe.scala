@@ -175,7 +175,11 @@ object ScaleProbe {
       "q116_collocations" -> SparkEntry.queries("q116_collocations"),
       "q117_cdc_chunks" -> SparkEntry.queries("q117_cdc_chunks"),
       "q118_postings" -> SparkEntry.queries("q118_postings"),
-      "q119_outliers" -> SparkEntry.queries("q119_distance_outliers"))
+      "q119_outliers" -> SparkEntry.queries("q119_distance_outliers"),
+      // q120 times the whole incremental cycle (store wipe + 3 ingests +
+      // report), like q109
+      "q120_incr_postings" -> SparkEntry.queries("q120_incremental_postings"),
+      "q121_triangles" -> SparkEntry.queries("q121_triangle_stats"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
