@@ -140,6 +140,7 @@ object SparkEntry {
     "q119_distance_outliers" -> (TextQueries.q119DistanceOutliers _),
     "q120_incremental_postings" -> (Quality.q120IncrementalPostings _),
     "q121_triangle_stats" -> (TextQueries.q121TriangleStats _),
+    "q122_longest_dup_span" -> (TextQueries.q122LongestDupSpan _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2357,5 +2358,38 @@ object SparkEntry {
         |    ELSE 0.0 END AS clustering_coeff
         |FROM deg d LEFT JOIN tn ON d.id = tn.id
         |ORDER BY doc_id""".stripMargin,
+
+    // q122: longest duplicated span — q101's window-string grouping plus
+    // gaps-and-islands (pos − row_number constant within a consecutive
+    // run of duplicated positions); run r ⇒ span of r+7 tokens.
+    "q122_longest_dup_span" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |nw AS (
+        |  SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_windows, toks FROM t),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS ng
+        |  FROM nw, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE n_windows > 0),
+        |d AS (SELECT ng FROM g GROUP BY ng HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g JOIN d USING (ng)),
+        |runs AS (
+        |  SELECT doc_id,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dp),
+        |mr AS (
+        |  SELECT doc_id, MAX(c) AS mr FROM (
+        |    SELECT doc_id, grp, COUNT(*) AS c FROM runs GROUP BY doc_id, grp)
+        |  GROUP BY doc_id)
+        |SELECT nw.doc_id,
+        |  CAST(n_windows AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(mr, 0) AS BIGINT) AS max_dup_run,
+        |  CAST(CASE WHEN mr IS NULL THEN 0 ELSE mr + 7 END AS BIGINT)
+        |    AS longest_span_tokens
+        |FROM nw LEFT JOIN mr USING (doc_id)
+        |ORDER BY nw.doc_id""".stripMargin,
   )
 }

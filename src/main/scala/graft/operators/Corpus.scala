@@ -200,6 +200,48 @@ object Corpus {
     spanReport(base, grams, dup, idCol)
   }
 
+  /** LONGEST duplicated span per document — Lee et al.'s span-LENGTH
+    * lens on the same window-hash machinery (their suffix-array pass
+    * reports repeated spans of ≥50 tokens; the length distribution tells
+    * boilerplate headers from wholesale page copies): a run of `r`
+    * CONSECUTIVE duplicated n-token windows is one duplicated span of
+    * r + n − 1 tokens, so the per-doc maximum run length converts
+    * directly to the longest duplicated span.
+    *
+    * Runs come from the classic gaps-and-islands form: per doc, among
+    * duplicated window positions, pos − row_number() is constant exactly
+    * within a consecutive run. Output (doc_id, n_windows, max_dup_run,
+    * longest_span_tokens), totally ordered; span length is 0 for docs
+    * with no duplicated window.
+    *
+    * Scale shape = [[repeatedSpans]] plus one window partitioned BY
+    * DOCUMENT over its duplicated positions (bounded partitions) and one
+    * per-doc max — nothing quadratic, dup hashes stay distributed. */
+  def longestDupSpan(docs: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (base, grams) = spanGrams(docs, n, idCol, textCol)
+    val dup = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val runs = grams.join(dup, "h")
+      .select(col(idCol), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col(idCol))
+      .agg(max(col("run")).as("mr"))
+    base.drop("t")
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("mr"), lit(0L)).as("max_dup_run"),
+        when(col("mr").isNull, lit(0L))
+          .otherwise(col("mr") + lit(n - 1)).cast("bigint")
+          .as("longest_span_tokens"))
+      .orderBy(col(idCol))
+  }
+
   /** Repeated-span REMOVAL — the second half of Lee et al.'s
     * exact-substring dedup (arXiv:2107.06499): where [[repeatedSpans]]
     * *measures* duplication, this *cuts it out* and re-emits cleaned

@@ -99,6 +99,12 @@ object TextQueries {
       .select(col("id").as("doc_id"), round(col("pr"), 9).as("pagerank"))
       .orderBy(col("doc_id"))
 
+  /** Longest duplicated span per document — the span-length lens on
+    * q101's window hashes (see
+    * [[graft.operators.Corpus.longestDupSpan]]). */
+  def q122LongestDupSpan(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.longestDupSpan(Tables.load(s, dir, "documents"))
+
   /** Triangle counts + clustering coefficient over the same near-dup
     * graph as q62/q81 — triangle-dense components are true dup cliques,
     * triangle-free ones transitive drift (see

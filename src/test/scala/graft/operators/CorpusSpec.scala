@@ -72,6 +72,40 @@ class CorpusSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("longestDupSpan: consecutive dup windows convert to span length") {
+    import spark.implicits._
+    // docs 1/2 share an exact 10-token span: 3 consecutive duplicated
+    // 8-token windows -> run 3 -> longest span 3 + 7 = 10 tokens
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val d = Seq(
+      (1L, s"a1 a2 a3 $shared b1 b2"),   // 15 tokens, dup runs at pos 3..5
+      (2L, s"c1 c2 c3 c4 c5 $shared"),   // 15 tokens, dup runs at pos 5..7
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")  // clean
+    ).toDF("doc_id", "text")
+    val out = Corpus.longestDupSpan(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((8L, 3L, 10L)))
+    assert(out(2L) == ((8L, 3L, 10L)))
+    assert(out(3L) == ((5L, 0L, 0L)))
+  }
+
+  test("longestDupSpan: two separated runs report the longer one") {
+    import spark.implicits._
+    // doc 1 repeats an 8-token block (run 1, span 8) and a 9-token block
+    // (run 2, span 9) with unique separators; max must be 9
+    val b8 = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val b9 = "q1 q2 q3 q4 q5 q6 q7 q8 q9"
+    val d = Seq(
+      (1L, s"$b8 x1 x2 $b9"),
+      (2L, s"y1 $b8 y2 y3 $b9 y4")
+    ).toDF("doc_id", "text")
+    val out = Corpus.longestDupSpan(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 9L)))
+    assert(out(2L) == ((2L, 9L)))
+  }
+
   test("removeRepeatedSpans: masks covered tokens, merges overlaps, keeps clean docs") {
     import spark.implicits._
     val span = "alpha beta gamma delta epsilon zeta eta theta"
