@@ -141,6 +141,7 @@ object SparkEntry {
     "q120_incremental_postings" -> (Quality.q120IncrementalPostings _),
     "q121_triangle_stats" -> (TextQueries.q121TriangleStats _),
     "q122_longest_dup_span" -> (TextQueries.q122LongestDupSpan _),
+    "q123_canonical_dedup" -> (Quality.q123CanonicalDedup _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2391,5 +2392,24 @@ object SparkEntry {
         |    AS longest_span_tokens
         |FROM nw LEFT JOIN mr USING (doc_id)
         |ORDER BY nw.doc_id""".stripMargin,
+
+    // q123: canonical-text dedup — identical normalization chain (the
+    // fold table is a fixed 1:1 mapping, deliberately not ICU); oracle
+    // groups canonical STRINGS where the engine groups FNV hashes.
+    "q123_canonical_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(
+        |      translate(lower(COALESCE(text, '')),
+        |        'àáâãäåçèéêëìíîïñòóôõöùúûüÿ', 'aaaaaaceeeeiiiinooooouuuuy'),
+        |      '[^a-z0-9 \t\n\f\r]', '', 'g'),
+        |      '[ \t\n\f\r]+', ' ', 'g')) AS canon
+        |  FROM documents),
+        |g AS (SELECT canon, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+        |  FROM c GROUP BY canon)
+        |SELECT doc_id, CAST(len(canon) AS BIGINT) AS canon_len,
+        |  CAST(n_copies AS BIGINT) AS n_copies, keep_id,
+        |  doc_id = keep_id AS is_keeper
+        |FROM c JOIN g USING (canon) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -144,6 +144,26 @@ object TextProfile {
   def piiCounts(text: Column): (Column, Column) =
     (regexp_count(text, lit(EmailRe)), regexp_count(text, lit(PhoneRe)))
 
+  /** Accent fold table for [[canonicalize]] — a FIXED 1:1 mapping (the
+    * deterministic subset of Unicode NFKD+strip that replays identically
+    * in any engine's translate(); full ICU folding is locale- and
+    * version-dependent, which a cross-engine dedup key cannot afford). */
+  val FoldFrom = "àáâãäåçèéêëìíîïñòóôõöùúûüÿ"
+  val FoldTo = "aaaaaaceeeeiiiinooooouuuuy"
+
+  /** Canonical normalization — the dedup KEY every exact/near-dup pass
+    * actually hashes (C4, CCNet and friends normalize before comparing;
+    * raw-text equality misses trivial variants): lowercase → fold
+    * accents ([[FoldFrom]]) → drop every char outside [a-z0-9 ws] →
+    * collapse whitespace → trim. Null folds to the empty document.
+    * Pure scan-local string ops, codegen-friendly. */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(lower(coalesce(text, lit(""))), FoldFrom, FoldTo),
+        "[^a-z0-9 \\t\\n\\f\\r]", ""),
+      "[ \\t\\n\\f\\r]+", " "))
+
   /** Gopher's eight stopwords (Rae et al., arXiv:2112.11446, §A1.1) — the
     * "contains at least 2 of" gate, distinct from the per-language scoring
     * lists in [[graft.functions.TextFunctions.stopwords]]. */

@@ -292,6 +292,27 @@ object Quality {
   def q118Postings(s: SparkSession, dir: String): DataFrame =
     Search.postings(Tables.load(s, dir, "documents"))
 
+  /** Canonical-text dedup map: group documents by their normalized form
+    * (lowercase, accent-fold, punctuation-strip, whitespace-collapse —
+    * [[graft.operators.TextProfile.canonicalize]]), keep the smallest id
+    * per group. The engine groups FNV hashes of the canonical text where
+    * the oracle groups the strings (q101 convention); one hash-keyed
+    * window, scan-local normalization. */
+  def q123CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val canon = TextProfile.canonicalize(col("text"))
+    val byCanon = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), canon.as("__c"))
+      .withColumn("__h", graft.functions.Fnv64.fnv64(col("__c")))
+      .withColumn("n_copies", count(lit(1)).over(byCanon))
+      .withColumn("keep_id", min(col("doc_id")).over(byCanon))
+      .select(col("doc_id"), length(col("__c")).cast("bigint").as("canon_len"),
+        col("n_copies"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental index maintenance: three date slices appended to a
     * persistent (term, doc, tf) store, then the same report as q118 —
     * additive state makes incremental == from-scratch (see

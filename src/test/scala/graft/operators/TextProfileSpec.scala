@@ -42,4 +42,22 @@ class TextProfileSpec extends SparkSpec {
     assert(out(99L) == "tail")
     assert(out.size == 13)
   }
+
+  test("canonicalize folds case, accents, punctuation and whitespace") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Option("Héllo,  Wörld!")),
+      (2L, Option("hello world")),
+      (3L, Option("  HELLO\tWORLD.\n")),
+      (4L, Option.empty[String]),
+      (5L, Option("!!!")))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextProfile.canonicalize(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "hello world")
+    assert(got(2L) == "hello world")
+    assert(got(3L) == "hello world")
+    assert(got(4L) == "")   // null folds to the empty document
+    assert(got(5L) == "")
+  }
 }
