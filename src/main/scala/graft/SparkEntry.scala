@@ -142,6 +142,7 @@ object SparkEntry {
     "q121_triangle_stats" -> (TextQueries.q121TriangleStats _),
     "q122_longest_dup_span" -> (TextQueries.q122LongestDupSpan _),
     "q123_canonical_dedup" -> (Quality.q123CanonicalDedup _),
+    "q124_standardize_audit" -> (TextQueries.q124StandardizeAudit _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2411,5 +2412,29 @@ object SparkEntry {
         |  CAST(n_copies AS BIGINT) AS n_copies, keep_id,
         |  doc_id = keep_id AS is_keeper
         |FROM c JOIN g USING (canon) ORDER BY doc_id""".stripMargin,
+
+    // q124: per-dim standardization — Σx/Σx² decimal-summed per dim,
+    // mean/σ derived with the same double ops, z² decimal-summed per
+    // vector; zero-variance dims pin z = 0.
+    "q124_standardize_audit" ->
+      """WITH dims AS (
+        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+        |st AS (
+        |  SELECT dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sx2
+        |  FROM dims GROUP BY dim),
+        |ms AS (SELECT dim, sx / n AS mean,
+        |  sqrt(sx2 / n - (sx / n) * (sx / n)) AS sd FROM st)
+        |SELECT id AS vec_id,
+        |  ROUND(sqrt(CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)), 6) AS norm_raw,
+        |  ROUND(sqrt(CAST(SUM(CAST(ROUND(
+        |    (CASE WHEN sd = 0 THEN 0.0 ELSE (x - mean) / sd END) *
+        |    (CASE WHEN sd = 0 THEN 0.0 ELSE (x - mean) / sd END), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE)), 6) AS norm_std
+        |FROM dims JOIN ms USING (dim)
+        |GROUP BY id ORDER BY vec_id""".stripMargin,
   )
 }

@@ -52,7 +52,7 @@ object KMeans {
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "c")))
       .select(col("cid"), col("dim"), col("c").cast("double").as("c"))
 
-  private def dimRows(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def dimRows(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), col("x").cast("double").as("x"))
 

@@ -263,4 +263,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
+
+  /** Per-DIMENSION standardization audit (z-scoring / whitening-lite) —
+    * the feature-normalization step run before k-means/PQ when embedding
+    * dimensions have wildly different scales (anisotropy makes Euclidean
+    * distance meaningless; see e.g. Jégou et al.'s PQ preprocessing):
+    * each dimension is centered on its corpus mean and divided by its
+    * corpus stddev (population; a zero-variance dimension pins z = 0).
+    * Output per vector: (vec_id, norm_raw, norm_std) — the L2 norms
+    * before/after, the summary a pipeline inspects to confirm the
+    * transform tamed scale outliers without materializing a second
+    * vector column.
+    *
+    * Determinism contract: per-dim Σx and Σx² are rounded to 12 and
+    * decimal-summed (order-independent), mean/var/σ derived from those
+    * two numbers with the same double ops on both engines; per-element
+    * z² contributions again decimal-summed. Scale shape: one dim-keyed
+    * aggregate (64–4096 rows — broadcastable at any corpus size), one
+    * broadcast join back onto the exploded scan, one id-keyed rollup. */
+  def standardizeAudit(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dims = KMeans.dimRows(emb, idCol, vecCol)
+    val stats = dims.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 12).cast("decimal(28,12)")).cast("double").as("sx"),
+        sum(round(col("x") * col("x"), 12).cast("decimal(28,12)")).cast("double").as("sx2"))
+      .select(col("dim"), (col("sx") / col("n")).as("mean"),
+        sqrt(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+          .as("sd"))
+    val z = when(col("sd") === 0.0, 0.0)
+      .otherwise((col("x") - col("mean")) / col("sd"))
+    dims.join(broadcast(stats), "dim")
+      .groupBy(col("id").as("vec_id"))
+      .agg(
+        sqrt(sum(round(col("x") * col("x"), 12).cast("decimal(28,12)"))
+          .cast("double")).as("nr"),
+        sqrt(sum(round(z * z, 12).cast("decimal(28,12)"))
+          .cast("double")).as("ns"))
+      .select(col("vec_id"), round(col("nr"), 6).as("norm_raw"),
+        round(col("ns"), 6).as("norm_std"))
+      .orderBy(col("vec_id"))
+  }
 }

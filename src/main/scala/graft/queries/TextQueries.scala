@@ -419,6 +419,13 @@ object TextQueries {
     graft.operators.KMeans.distanceOutliers(
       Tables.load(s, dir, "embeddings"))
 
+  /** Per-dimension standardization audit: L2 norms before/after
+    * z-scoring every embedding dimension (see
+    * [[graft.operators.Similarity.standardizeAudit]]). */
+  def q124StandardizeAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.standardizeAudit(
+      Tables.load(s, dir, "embeddings"))
+
   /** k-means with FARTHEST-POINT init (q99): the maxmin seed selection —
     * the spread guarantee hash seeding lacks (Gonzalez's 2-approximation
     * k-center heuristic) — followed by one assignment round, per-cluster

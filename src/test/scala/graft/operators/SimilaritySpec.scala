@@ -98,4 +98,19 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head.getLong(0) == 1L && res.head.getLong(1) == 2L)
     assert(math.abs(res.head.getDouble(2) - 1.0) < 1e-9)
   }
+
+  test("standardizeAudit: z-scoring equalizes per-dim scale, hand-checked") {
+    import spark.implicits._
+    // dim 0 sd=1, dim 1 sd=10 (population): both vectors standardize to
+    // z = (±1, ±1) so norm_std = sqrt(2) regardless of the raw scale;
+    // a third zero-variance dim contributes z = 0, not NaN
+    val d = Seq(
+      (1L, Array(1.0f, 10.0f, 5.0f)),
+      (2L, Array(3.0f, 30.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.standardizeAudit(d).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((11.224972, 1.414214)))  // sqrt(1+100+25), sqrt(2)
+    assert(got(2L) == ((30.561414, 1.414214)))  // sqrt(9+900+25), sqrt(2)
+  }
 }
