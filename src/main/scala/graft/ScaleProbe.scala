@@ -179,7 +179,10 @@ object ScaleProbe {
       // q120 times the whole incremental cycle (store wipe + 3 ingests +
       // report), like q109
       "q120_incr_postings" -> SparkEntry.queries("q120_incremental_postings"),
-      "q121_triangles" -> SparkEntry.queries("q121_triangle_stats"))
+      "q121_triangles" -> SparkEntry.queries("q121_triangle_stats"),
+      "q122_longest_span" -> SparkEntry.queries("q122_longest_dup_span"),
+      "q123_canonical" -> SparkEntry.queries("q123_canonical_dedup"),
+      "q124_standardize" -> SparkEntry.queries("q124_standardize_audit"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

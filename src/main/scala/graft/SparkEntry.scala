@@ -143,6 +143,7 @@ object SparkEntry {
     "q122_longest_dup_span" -> (TextQueries.q122LongestDupSpan _),
     "q123_canonical_dedup" -> (Quality.q123CanonicalDedup _),
     "q124_standardize_audit" -> (TextQueries.q124StandardizeAudit _),
+    "q125_heaps_audit" -> (Quality.q125HeapsAudit _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2436,5 +2437,34 @@ object SparkEntry {
         |    AS DECIMAL(28,12))) AS DOUBLE)), 6) AS norm_std
         |FROM dims JOIN ms USING (dim)
         |GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    // q125: Heaps'-law audit — id-range deciles (scan-local, no global
+    // ntile), per-term first doc, cumulative windows over 10 rows.
+    "q125_heaps_audit" ->
+      """WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'),
+        |      w -> len(w) > 0)) AS w
+        |  FROM documents),
+        |db AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(10 * CAST(doc_id AS DOUBLE) / m) AS BIGINT) AS bucket
+        |  FROM documents, mx),
+        |dt AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id),
+        |bt AS (
+        |  SELECT bucket, COUNT(*) AS n_docs,
+        |    SUM(COALESCE(nt, 0)) AS toks
+        |  FROM db LEFT JOIN dt USING (doc_id) GROUP BY bucket),
+        |ft AS (SELECT w, MIN(doc_id) AS doc_id FROM tok GROUP BY w),
+        |fb AS (SELECT bucket, COUNT(*) AS nv
+        |  FROM ft JOIN db USING (doc_id) GROUP BY bucket)
+        |SELECT bucket, n_docs,
+        |  CAST(SUM(toks) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        |FROM bt LEFT JOIN fb USING (bucket)
+        |ORDER BY bucket""".stripMargin,
   )
 }

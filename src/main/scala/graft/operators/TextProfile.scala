@@ -144,6 +144,46 @@ object TextProfile {
   def piiCounts(text: Column): (Column, Column) =
     (regexp_count(text, lit(EmailRe)), regexp_count(text, lit(PhoneRe)))
 
+  /** Heaps'-law vocabulary-growth audit — distinct-vocabulary size as a
+    * function of corpus size (Heaps, "Information Retrieval", 1978:
+    * V ≈ K·nᵝ): the corpus in id order splits into `buckets` id-RANGE
+    * slices, and each reports cumulative tokens and cumulative NEW
+    * vocabulary (terms whose first occurrence falls in or before the
+    * slice). Flattening growth ⇒ the crawl is saturating its domain;
+    * a sudden vocab spike flags an encoding break or a new language
+    * entering the mix — a standard corpus-health dashboard.
+    *
+    * Buckets come from the ID RANGE (floor(buckets·id/(max+1))), NOT a
+    * global ntile — a corpus-wide ntile is a single-task window (the q90
+    * trap); the range rule is scan-local after one broadcast max. First
+    * occurrences are one min-aggregate over the token stream; the
+    * cumulative window runs over `buckets` rows. */
+  def heapsAudit(docs: DataFrame, buckets: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(filter(graft.functions.TextFunctions.tokens(col(textCol)),
+        w => length(w) > 0)).as("w"))
+    val mx = docs.agg((max(col(idCol)) + 1).as("m"))
+    val bucketOf = floor(lit(buckets) * col("doc_id").cast("double") / col("m"))
+      .cast("bigint")
+    val db = docs.select(col(idCol).as("doc_id")).crossJoin(broadcast(mx))
+      .select(col("doc_id"), bucketOf.as("bucket"))
+    val perDocTokens = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val bucketTokens = db.join(perDocTokens, Seq("doc_id"), "left")
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("nt"), lit(0L))).as("toks"))
+    val firstDoc = toks.groupBy("w").agg(min(col("doc_id")).as("doc_id"))
+    val bucketVocab = firstDoc.join(db, "doc_id")
+      .groupBy("bucket").agg(count(lit(1)).as("nv"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketTokens.join(bucketVocab, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        sum(col("toks")).over(w).as("cum_tokens"),
+        sum(coalesce(col("nv"), lit(0L))).over(w).as("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
   /** Accent fold table for [[canonicalize]] — a FIXED 1:1 mapping (the
     * deterministic subset of Unicode NFKD+strip that replays identically
     * in any engine's translate(); full ICU folding is locale- and

@@ -292,6 +292,11 @@ object Quality {
   def q118Postings(s: SparkSession, dir: String): DataFrame =
     Search.postings(Tables.load(s, dir, "documents"))
 
+  /** Heaps'-law vocabulary growth over id-range deciles
+    * (see [[graft.operators.TextProfile.heapsAudit]]). */
+  def q125HeapsAudit(s: SparkSession, dir: String): DataFrame =
+    TextProfile.heapsAudit(Tables.load(s, dir, "documents"))
+
   /** Canonical-text dedup map: group documents by their normalized form
     * (lowercase, accent-fold, punctuation-strip, whitespace-collapse —
     * [[graft.operators.TextProfile.canonicalize]]), keep the smallest id
