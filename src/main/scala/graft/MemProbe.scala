@@ -82,10 +82,13 @@ object MemProbe {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       sweep()
-      // listener events drain asynchronously (listenerBus is spark-private);
-      // a short settle keeps the tail task-end events from leaking into the
-      // next query's counters — counters are evidence, not measurements
-      Thread.sleep(500)
+      // deterministic drain of the async listener queues (via the
+      // graftbridge package — listenerBus is private[spark]) so tail
+      // task-end events can't leak into the next query's counters; a
+      // timeout is reported, not fatal — counters are evidence
+      val drained = org.apache.spark.graftbridge.ListenerBridge
+        .drainListenerBus(spark.sparkContext)
+      if (!drained) System.err.println(s"[memprobe] $name: listener bus drain timed out — next query's counters may include stragglers")
       println(f"$name%-28s $dt%8.1f ${metrics.memSpilled / (1 << 20)}%13d ${metrics.diskSpilled / (1 << 20)}%14d ${metrics.peakExecMem / (1 << 20)}%13d ${metrics.failedTasks}%7d ${if (ok) "OK" else "FAIL"}%7s")
     }
     spark.stop()

@@ -55,8 +55,11 @@ object ScaleProbe {
     // changes; mismatch/absence forces a rebuild.
     val methodology = "v2-rotated-replicas"
     val marker = new java.io.File(s"$big/.methodology")
+    // closed via Using (no handle leak per probe run); an unreadable
+    // marker means "unknown provenance" — rebuild, don't propagate
     val markerOk = marker.exists() &&
-      scala.io.Source.fromFile(marker).mkString.trim == methodology
+      scala.util.Using(scala.io.Source.fromFile(marker))(_.mkString.trim)
+        .toOption.contains(methodology)
     if (!markerOk && new java.io.File(big).exists()) {
       println(s"[scale] $big predates methodology '$methodology' — rebuilding")
       def rmrf(f: java.io.File): Unit = {

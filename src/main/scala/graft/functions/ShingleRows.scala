@@ -18,10 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * element_at chain, so the plan is one GenerateExec over the scan with no
   * intermediate token array column.
   *
-  * Tokenization contract: identical to `split(trim(text), "\s+")` (both
-  * route through java.util.regex), so SQL oracles replaying
-  * `string_split_regex(trim(text), '\s+')` agree token-for-token. Docs
-  * with fewer than `n` tokens emit nothing.
+  * Tokenization contract: the explicit RE2-compatible whitespace class
+  * [[TextFunctions.WsRun]] (Java's \s also matches \x0B; RE2 — the
+  * DuckDB oracle's engine — does not), so SQL oracles replaying
+  * `string_split_regex(trim(text), '\s+')` agree token-for-token on
+  * every byte. Docs with fewer than `n` tokens emit nothing.
   */
 case class ShingleRows(child: Expression, n: Int)
   extends UnaryExpression with Generator with CodegenFallback {
@@ -41,7 +42,7 @@ case class ShingleRows(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) return Nil
     val s = v.asInstanceOf[UTF8String].toString.trim
-    val toks = s.split("\\s+")
+    val toks = s.split(TextFunctions.WsRun)
     if (toks.length < n) return Nil
     (0 to toks.length - n).map { i =>
       InternalRow(i, UTF8String.fromString(toks.slice(i, i + n).mkString(" ")))

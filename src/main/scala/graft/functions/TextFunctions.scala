@@ -15,8 +15,13 @@ object TextFunctions {
     * on every byte (see also ShingleHashes.isSpace). */
   private val ws = "[ \\t\\n\\f\\r]"
 
+  /** One-or-more run of [[ws]] — the split pattern every whitespace
+    * tokenizer in the engine must use (NOT Java's "\\s+", which also
+    * matches \x0B and silently diverges from the RE2 oracle). */
+  val WsRun: String = ws + "+"
+
   /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(trim(text), ws + "+")
+  def tokens(text: Column): Column = split(trim(text), WsRun)
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 

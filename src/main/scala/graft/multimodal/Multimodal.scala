@@ -389,9 +389,12 @@ object Multimodal {
       (implicit spark: SparkSession): DataFrame = {
     require(maxHamming <= 3, "4 bands x 16 bits only guarantees recall up to Hamming 3")
     val fh = framePerceptualHashes(media, batchSize).toDF()
-    // frame rank as one long (frame_idx < 30 << 64): order by first owner
+    // first-owner rank as a lexicographic struct — NOT a packed
+    // media_id*64+frame_idx long, which silently collides across media
+    // once a container carries >= 64 frames (struct min/compare is
+    // correct for arbitrary frame counts and costs the same)
     val ranked = fh.withColumn("rank",
-      col("media_id") * 64 + col("frame_idx"))
+      struct(col("media_id"), col("frame_idx")))
     val groups = ranked.groupBy(col("phash"))
       .agg(min(col("rank")).as("grank"))
     val bands = groups.select(col("phash"), col("grank"), posexplode(

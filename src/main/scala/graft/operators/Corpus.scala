@@ -109,7 +109,7 @@ object Corpus {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window >= 1 && stride >= 1 && stride <= window,
       "need window >= stride >= 1 (overlap = window - stride)")
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(trim(col(textCol)), graft.functions.TextFunctions.WsRun), t => length(t) > 0)
     val nChunks = floor((size(col("t")) - 1) / lit(stride)).cast("bigint") + 1
     docs.select(col(idCol), toks.as("t"))
       .filter(size(col("t")) > 0)
@@ -158,7 +158,7 @@ object Corpus {
   private[operators] def spanGrams(docs: DataFrame, n: Int,
       idCol: String, textCol: String): (DataFrame, DataFrame) = {
     require(n >= 2, "a span needs at least 2 tokens")
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(trim(col(textCol)), graft.functions.TextFunctions.WsRun), t => length(t) > 0)
     val base = docs.select(col(idCol), toks.as("t"))
       .select(col(idCol),
         greatest(size(col("t")) - (n - 1), lit(0)).cast("bigint").as("n_windows"),
@@ -270,7 +270,7 @@ object Corpus {
   def removeRepeatedSpans(docs: DataFrame, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 2, "a span needs at least 2 tokens")
-    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(trim(col(textCol)), graft.functions.TextFunctions.WsRun), t => length(t) > 0)
     // uncached by MEASURED decision (see [[repeatedSpans]]): persisting
     // the token arrays turned 6 cheap columnar rescans into one big
     // deserialized materialization and regressed 10× growth 2.3×→4.3×

@@ -86,10 +86,19 @@ object Graph {
     * OWNERSHIP: the normalized edge list is persisted (5 subtrees read
     * it; `pairs` is typically an expensive LSH plan) and backs the
     * returned DataFrame — like [[KMeans.fit]], release via the session's
-    * cache sweep (`spark.catalog.clearCache()`), or keep a handle-based
-    * variant if a long-lived service ever needs per-call release. */
+    * cache sweep (`spark.catalog.clearCache()`); a long-lived service
+    * should call [[triangleStatsManaged]] and release per call. */
   def triangleStats(pairs: DataFrame, aCol: String = "a_id",
-      bCol: String = "b_id"): DataFrame = {
+      bCol: String = "b_id"): DataFrame =
+    triangleStatsManaged(pairs, aCol, bCol)._1
+
+  /** [[triangleStats]] with an explicit release handle, mirroring
+    * [[KMeans.fitManaged]]: the cache backs the RETURNED plan, so the
+    * operator cannot unpersist it itself — call `release()` after the
+    * LAST action over the result. Without it every call leaks one idle
+    * executor-storage entry until a global sweep. */
+  def triangleStatsManaged(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id"): (DataFrame, () => Unit) = {
     val und = pairs.select(
         least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
@@ -109,10 +118,11 @@ object Graph {
       round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
         (col("degree") * (col("degree") - lit(1.0))), 6))
       .otherwise(0.0)
-    deg.join(perNode, Seq("id"), "left")
+    val out = deg.join(perNode, Seq("id"), "left")
       .select(col("id").as("doc_id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         coeff.as("clustering_coeff"))
       .orderBy(col("doc_id"))
+    (out, () => { und.unpersist(blocking = false); () })
   }
 }

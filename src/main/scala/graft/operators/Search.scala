@@ -33,7 +33,7 @@ object Search {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val toks = docs.select(col(idCol).as("doc_id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+        explode(split(trim(col(textCol)), graft.functions.TextFunctions.WsRun)).as("term"))
       .filter(length(col("term")) > 0)
     // per-doc length and corpus stats (1 row, broadcast)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))

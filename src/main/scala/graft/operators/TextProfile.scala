@@ -27,7 +27,7 @@ object TextProfile {
   def repetitionMetrics(docs: DataFrame, threshold: Double = 0.2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+        posexplode(split(trim(col(textCol)), graft.functions.TextFunctions.WsRun)).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val big = toks

@@ -33,7 +33,7 @@ object Quality {
   def q70HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val k = 64
     val toks = Tables.load(s, dir, "documents")
-      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(explode(split(trim(col("text")), graft.functions.TextFunctions.WsRun)).as("term"))
       .filter(length(col("term")) > 0)
     val sketch = toks.agg(
       HeavyHitters.heavyHitters(col("term"), k).as("hh"),
@@ -55,7 +55,7 @@ object Quality {
   def q88HeavyHittersByLang(s: SparkSession, dir: String): DataFrame = {
     val k = 32
     val toks = Tables.load(s, dir, "documents")
-      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(col("lang"), explode(split(trim(col("text")), graft.functions.TextFunctions.WsRun)).as("term"))
       .filter(length(col("term")) > 0)
     val sk = toks.groupBy("lang")
       .agg(HeavyHitters.heavyHitters(col("term"), k).as("hh"),
@@ -251,7 +251,7 @@ object Quality {
   def q77TokenEntropy(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("w"))
+        explode(split(trim(col("text")), graft.functions.TextFunctions.WsRun)).as("w"))
       .filter(length(col("w")) > 0)
     val tc = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
     val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))

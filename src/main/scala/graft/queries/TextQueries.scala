@@ -197,7 +197,7 @@ object TextQueries {
   def q64TfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val toks = docs.select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("term"))
+        explode(split(trim(col("text")), graft.functions.TextFunctions.WsRun)).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
