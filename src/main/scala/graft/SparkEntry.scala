@@ -144,6 +144,7 @@ object SparkEntry {
     "q123_canonical_dedup" -> (Quality.q123CanonicalDedup _),
     "q124_standardize_audit" -> (TextQueries.q124StandardizeAudit _),
     "q125_heaps_audit" -> (Quality.q125HeapsAudit _),
+    "q126_bpe_train" -> (Quality.q126BpeTrain _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -447,6 +448,42 @@ object SparkEntry {
        |             + strpos('0123456789ABCDEF', substr($hexExpr, 2*i, 1)) - 1)),
        |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
        |                % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Unrolled-SQL replay of [[graft.operators.Bpe.trainMerges]] — the
+    * q81/q99 iteration recipe applied to BPE training: `n` chained CTE
+    * blocks, each counting adjacent symbol pairs over the vocabulary-sized
+    * symbol table, picking the (count DESC, lhs, rhs) winner, and merging
+    * it everywhere via the SEP-wrapped plain-`replace` encoding (see
+    * [[graft.operators.Bpe.Sep]] — `chr(31)` here). replace() scans
+    * left-to-right over non-overlapping occurrences in both engines, so
+    * the greedy merge semantics agree byte for byte. */
+  private def bpeMergesSql(n: Int): String = {
+    val head =
+      """WITH v0 AS (
+        |  SELECT regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS s, freq
+        |  FROM (SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+')) AS w FROM documents)
+        |    WHERE NOT contains(w, chr(31)) GROUP BY w))""".stripMargin
+    val steps = (1 to n).map { k =>
+      s"""sy$k AS (
+         |  SELECT str_split(trim(s, chr(31)), chr(31)||chr(31)) AS syms, freq FROM v${k - 1}),
+         |c$k AS (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+         |  FROM sy$k, UNNEST(generate_series(1, len(syms)-1)) AS u(i)
+         |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+         |b$k AS (SELECT lhs, rhs, pair_count FROM c$k
+         |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |v$k AS (
+         |  SELECT replace(s, chr(31)||b.lhs||chr(31)||chr(31)||b.rhs||chr(31),
+         |                    chr(31)||b.lhs||b.rhs||chr(31)) AS s, freq
+         |  FROM v${k - 1}, b$k b)""".stripMargin
+    }
+    val sel = (1 to n)
+      .map(k => s"SELECT $k AS step, lhs, rhs, pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    (head +: steps).mkString(",\n") + "\n" + sel + "\nORDER BY step"
+  }
 
   /** DuckDB reconstruction of [[graft.multimodal.Multimodal.GifCodec]]'s
     * container as an uppercase hex string, byte for byte: GIF87a header,
@@ -2184,6 +2221,10 @@ object SparkEntry {
         |FROM pairs GROUP BY pair
         |ORDER BY pair_count DESC, pair
         |LIMIT 20""".stripMargin,
+
+    // q126: full BPE merge loop — 8 unrolled merges over the pre-token
+    // vocabulary (the q81/q99 iteration recipe; see bpeMergesSql).
+    "q126_bpe_train" -> bpeMergesSql(8),
 
     // q113: temperature mixture — p^0.3 rounded to 6 BEFORE the decimal-
     // summed normalizer (matches Corpus.temperatureMix's determinism

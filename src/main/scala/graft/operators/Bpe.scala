@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Byte-pair-encoding TRAINING primitives (Sennrich, Haddow & Birch,
   * "Neural Machine Translation of Rare Words with Subword Units",
@@ -44,5 +45,88 @@ object Bpe {
       .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(topK)
+  }
+
+  /** Separator for the wrapped symbol-sequence encoding used by
+    * [[trainMerges]]. Every symbol is stored as `SEP sym SEP`, so a
+    * symbol sequence [a, bc, d] is the single string `␟a␟␟bc␟␟d␟`.
+    * The payoff: BPE's greedy left-to-right non-overlapping merge of an
+    * adjacent pair (l, r) is EXACTLY a plain string
+    * `replace(s, ␟l␟␟r␟ → ␟lr␟)` — both Spark's `replace` and DuckDB's
+    * scan left-to-right over non-overlapping occurrences — and the
+    * wrapping makes a cross-symbol-boundary match impossible without
+    * regex lookarounds (which RE2, the oracle's engine, lacks).
+    * Pre-tokens containing the separator byte are dropped up front
+    * (engine and oracle alike); U+001F is a C0 control char that never
+    * appears in text corpora. */
+  val Sep = "\u001f"
+
+  /** Full BPE merge-loop TRAINING (Sennrich, Haddow & Birch, ACL'16
+    * §3.2, algorithm 1): starting from character symbols, repeat
+    * `nMerges` times — count adjacent symbol pairs across the corpus
+    * (weighted by pre-token frequency), merge the most frequent pair
+    * everywhere, recount. Completes the tokenizer-training pipeline
+    * stage that [[pairCounts]] (the first merge's ranking) begins.
+    *
+    * Scale shape: the ONE data-sized pass is the pre-token vocabulary
+    * aggregation (same as [[pairCounts]]); it is persisted, and every
+    * merge iteration runs over that vocabulary-sized table — iteration
+    * k applies k chained `replace`s to the cached strings, so the whole
+    * loop is O(nMerges² · vocab) character work with no further shuffle
+    * of corpus-sized data. The winning pair per step is a 1-row driver
+    * action (bounded model state, the k-means-centroid precedent).
+    *
+    * Determinism: ties break (count DESC, lhs, rhs) — a total order, so
+    * any engine replays the exact merge table; the DuckDB oracle unrolls
+    * the same loop in SQL (the q81/q99 iteration recipe).
+    *
+    * Output: one row per merge, `(step, lhs, rhs, pair_count)` in step
+    * order — the merge table a BPE tokenizer ships as its model. */
+  def trainMerges(docs: DataFrame, nMerges: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges >= 1, "need at least one merge")
+    val spark = docs.sparkSession
+    val vocab0 = docs
+      .select(explode(
+        regexp_extract_all(col(textCol), lit(TextFunctions.PreTokenRe), lit(0)))
+        .as("w"))
+      .filter(!col("w").contains(Sep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("s"),
+        col("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var vocab = vocab0
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (step <- 1 to nMerges) {
+        // symbol split: strip the outer SEPs, split on the doubled SEP
+        // between symbols; sequence() guarded to >= 2 symbols (Spark's
+        // sequence(1, 0) counts DOWN — it is not empty)
+        val syms = split(trim(col("s"), Sep), Sep + Sep)
+        val best = vocab
+          .select(syms.as("syms"), col("freq"))
+          .filter(size(col("syms")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("lhs"),
+              element_at(col("syms"), i + 1).as("rhs")))).as("p"),
+            col("freq"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("freq")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+          .limit(1)
+          .collect()
+        require(best.nonEmpty,
+          s"vocabulary fully merged after ${step - 1} merges — lower nMerges")
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((step, l, r, c))
+        vocab = vocab.withColumn("s",
+          org.apache.spark.sql.functions.replace(col("s"),
+            lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep)))
+      }
+      import spark.implicits._
+      merges.result().toDF("step", "lhs", "rhs", "pair_count")
+        .orderBy(col("step"))
+    } finally vocab0.unpersist(blocking = false)
   }
 }

@@ -276,6 +276,11 @@ object Quality {
   def q112BpePairs(s: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.pairCounts(Tables.load(s, dir, "documents"))
 
+  /** Full BPE merge-loop trainer: 8 deterministic merges over the
+    * pre-token vocabulary (see [[graft.operators.Bpe.trainMerges]]). */
+  def q126BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(Tables.load(s, dir, "documents"))
+
   /** DSIR log importance weights against the English subset as target
     * (see [[graft.operators.Importance.dsirWeights]]). */
   def q114DsirWeights(s: SparkSession, dir: String): DataFrame =

@@ -52,6 +52,36 @@ class CurationSpec extends SparkSpec {
     assert(got == Map("aa" -> 4L, "ab" -> 2L, "cd" -> 1L))
   }
 
+  test("trainMerges: merged symbols feed later merges; ties break (lhs, rhs)") {
+    import spark.implicits._
+    // "abc" x4: (a,b) and (b,c) tie at 4 -> lhs order picks (a,b); the
+    // second merge then pairs the NEW symbol "ab" with "c" — the loop is
+    // real, not four independent first merges
+    val docs = Seq(doc(1L, "abc abc"), doc(2L, "abc abc")).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "b", 4L), (2, "ab", "c", 4L)))
+  }
+
+  test("trainMerges: greedy left-to-right, non-overlapping (aaa -> [aa, a])") {
+    import spark.implicits._
+    // "aaa": (a,a) at two positions but only ONE merge applies (greedy,
+    // non-overlapping); "aaaa" -> [aa, aa]. Post-merge pair counts:
+    // (aa,a)=1 vs (aa,aa)=1 — rhs tie-break picks (aa, a)
+    val docs = Seq(doc(1L, "aaa aaaa")).toDF("doc_id", "text")
+    val got = Bpe.trainMerges(docs, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 5L), (2, "aa", "a", 1L)))
+  }
+
+  test("trainMerges: first merge agrees with pairCounts' top-1 ranking") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val first = Bpe.trainMerges(docs, nMerges = 1).collect()(0)
+    val top = Bpe.pairCounts(docs, topK = 1).collect()(0)
+    assert(first.getString(1) + first.getString(2) == top.getString(0))
+    assert(first.getLong(3) == top.getLong(1))
+  }
+
   test("temperatureMix: alpha<1 up-weights small sources; weights sum to 1") {
     import spark.implicits._
     val docs = (Seq.fill(9)(("big", "a" * 400)) ++ Seq(("small", "a" * 400)))
