@@ -145,6 +145,7 @@ object SparkEntry {
     "q124_standardize_audit" -> (TextQueries.q124StandardizeAudit _),
     "q125_heaps_audit" -> (Quality.q125HeapsAudit _),
     "q126_bpe_train" -> (Quality.q126BpeTrain _),
+    "q127_recall_audit" -> (TextQueries.q127RecallAudit _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -290,7 +291,19 @@ object SparkEntry {
     * literals), the multi-probe set (self + every Hamming-1 bucket), and the
     * rank-within-probed-candidates top-3 — gating the ACTUAL algorithm
     * bit-exactly: bucketing, probing, scoring, and ranking. */
-  private def knnLshSql: String = {
+  /** Embedding L2 norms — the shared first CTE of every ANN oracle. */
+  private val embNormCte =
+    """n AS (
+      |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+      |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
+      |  GROUP BY vec_id)""".stripMargin
+
+  /** LSH ANN pipeline CTEs through the ranked result `ls` (deterministic
+    * hyperplane buckets, Hamming-1 multi-probe, rank-within-probed);
+    * composes with [[embNormCte]]. CTE names are prefixed `l*` so the
+    * block coexists with the brute/ADC pipelines in one statement
+    * (q127). */
+  private def knnLshCtes: String = {
     val nPlanes = 8
     val dim = 64 // embeddings.embedding is array<float>[64] (TESTDATA.md)
     val planeRows = (0 until nPlanes).map { p =>
@@ -299,12 +312,8 @@ object SparkEntry {
         .mkString(", ")
       s"($p, [$ws]::DOUBLE[])"
     }.mkString(",\n  ")
-    s"""WITH planes(pid, w) AS (VALUES
+    s"""planes(pid, w) AS (VALUES
        |  $planeRows),
-       |n AS (
-       |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
-       |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
-       |  GROUP BY vec_id),
        |bkt AS (
        |  SELECT e.vec_id,
        |    CAST(SUM(CASE WHEN list_dot_product(
@@ -316,32 +325,118 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT b.vec_id, xor(b.bucket, CAST(1 << p.pid AS BIGINT))
        |  FROM bkt b, planes p WHERE b.vec_id < 10),
-       |cand AS (
+       |lcand AS (
        |  SELECT pr.qid, c.vec_id AS cid
        |  FROM probes pr JOIN bkt c ON c.bucket = pr.probe AND c.vec_id <> pr.qid),
-       |d AS (
+       |ld AS (
        |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
-       |    SELECT cand.qid, cand.cid,
+       |    SELECT lcand.qid, lcand.cid,
        |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
        |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
-       |    FROM cand JOIN embeddings q ON q.vec_id = cand.qid
-       |              JOIN embeddings c ON c.vec_id = cand.cid)
+       |    FROM lcand JOIN embeddings q ON q.vec_id = lcand.qid
+       |               JOIN embeddings c ON c.vec_id = lcand.cid)
        |  GROUP BY qid, cid),
-       |s AS (
+       |ls AS (
        |  SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
        |    ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
-       |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)
-       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
-       |FROM s WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+       |  FROM ld JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)""".stripMargin
   }
 
-  private val knnBruteSql =
-    """WITH n AS (
-      |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
-      |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
-      |  GROUP BY vec_id),
-      |d AS (
+  /** Full DuckDB replay of the q31 LSH ANN semantics — NOT the brute-force
+    * result. The synthetic embeddings are near-random at NN granularity
+    * (measured multi-probe recall ≈ 0.03–0.17 vs brute, now REPORTED by
+    * q127), so equating LSH output with exact top-k would fail; instead
+    * the oracle recomputes the deterministic hyperplane buckets (same
+    * splitmix64 weights, embedded as literals), the multi-probe set (self
+    * + every Hamming-1 bucket), and the rank-within-probed-candidates
+    * top-3 — gating the ACTUAL algorithm bit-exactly: bucketing, probing,
+    * scoring, and ranking. */
+  private def knnLshSql: String =
+    s"""WITH $embNormCte,
+       |$knnLshCtes
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+       |FROM ls WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Full PQ-ADC pipeline CTEs through the ranked result `pqr` —
+    * FNV-seeded codebook (signed-BIGINT hash order, q56's
+    * reinterpretation), per-subspace exact decimal distances, argmin code
+    * assignment, ADC sum along codes, (distance, id) ranking. Shared by
+    * q96 (the ranked rows) and q127 (the recall audit). */
+  private def pqAdcCtes: String =
+    s"""fnvmap AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+       |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS hk
+       |  FROM (SELECT vec_id, embedding,
+       |          ${fnvSql("CAST(vec_id AS VARCHAR)")} AS fnv
+       |        FROM embeddings)),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
+       |  FROM fnvmap ORDER BY hk, vec_id LIMIT 16),
+       |cb AS (
+       |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
+       |  FROM seeds, UNNEST(generate_series(1, 64)) AS u(i)),
+       |pqdims AS (
+       |  SELECT vec_id AS id, (i - 1) // 8 AS m, i - 1 AS dim,
+       |    CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+       |pqd2 AS (
+       |  SELECT id, m, cid,
+       |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
+       |  FROM pqdims JOIN cb USING (dim) GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT id, m, cid AS code FROM (
+       |    SELECT id, m, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
+       |    FROM pqd2) WHERE rn = 1),
+       |qd AS (SELECT id AS qid, m, cid, d2 FROM pqd2 WHERE id < 10),
+       |adist AS (
+       |  SELECT qid, codes.id AS cand, SUM(qd.d2) AS ad
+       |  FROM codes JOIN qd ON qd.m = codes.m AND qd.cid = codes.code
+       |    AND qd.qid <> codes.id
+       |  GROUP BY 1, 2),
+       |pqr AS (
+       |  SELECT qid, cand, ad,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank
+       |  FROM adist)""".stripMargin
+
+  /** q127 — ANN recall@k audit: one statement composing the brute-force
+    * ground truth, the LSH pipeline, and the PQ-ADC pipeline, then
+    * measuring each index's overlap with the exact top-3. The IVF row's
+    * n_hits/recall are NULL on both sides (MLlib quantizer — not
+    * SQL-replayable; the q44 precedent) and its recall_ok is the engine's
+    * threshold check vs the oracle's `true`. */
+  private def recallAuditSql: String =
+    s"""WITH $embNormCte,
+       |$knnBruteCtes,
+       |$knnLshCtes,
+       |$pqAdcCtes,
+       |bt AS (SELECT qid, cid FROM bs WHERE rank <= 3),
+       |tr AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+       |              CAST(COUNT(*) AS BIGINT) AS n_exact FROM bt),
+       |lh AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM
+       |  (SELECT qid, cid FROM ls WHERE rank <= 3) x JOIN bt USING (qid, cid)),
+       |ah AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM
+       |  (SELECT qid, cand AS cid FROM pqr WHERE rank <= 3) x JOIN bt USING (qid, cid))
+       |SELECT 'adc' AS method, n_queries, n_exact, h AS n_hits,
+       |  ROUND(CAST(h AS DOUBLE) / n_exact, 6) AS recall,
+       |  ROUND(CAST(h AS DOUBLE) / n_exact, 6) >= 0.0 AS recall_ok
+       |FROM tr, ah
+       |UNION ALL
+       |SELECT 'ivf', n_queries, n_exact, CAST(NULL AS BIGINT),
+       |  CAST(NULL AS DOUBLE), true FROM tr
+       |UNION ALL
+       |SELECT 'lsh', n_queries, n_exact, h,
+       |  ROUND(CAST(h AS DOUBLE) / n_exact, 6),
+       |  ROUND(CAST(h AS DOUBLE) / n_exact, 6) >= 0.0
+       |FROM tr, lh
+       |ORDER BY method""".stripMargin
+
+  /** Brute-force cosine top-k CTEs through the ranked result `bs`;
+    * composes with [[embNormCte]]. */
+  private val knnBruteCtes =
+    """bd AS (
       |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
       |    SELECT q.vec_id AS qid, c.vec_id AS cid,
       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
@@ -349,13 +444,17 @@ object SparkEntry {
       |    FROM embeddings q JOIN embeddings c
       |      ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
       |  GROUP BY qid, cid),
-      |s AS (
+      |bs AS (
       |  SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
       |    ROW_NUMBER() OVER (PARTITION BY qid
       |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
-      |  FROM d JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)
-      |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
-      |FROM s WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+      |  FROM bd JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)""".stripMargin
+
+  private val knnBruteSql =
+    s"""WITH $embNormCte,
+       |$knnBruteCtes
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+       |FROM bs WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   /** Inverted-index postings replay — shared by q118 (batch build) and
     * q120 (incremental store report; additive tf state ⇒ identical
@@ -1094,48 +1193,14 @@ object SparkEntry {
     // q56's reinterpretation), per-subspace exact decimal distances, argmin
     // code assignment, ADC sum along codes, (distance, id) ranking.
     "q96_pq_adc" ->
-      s"""WITH fnvmap AS (
-         |  SELECT vec_id, embedding,
-         |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
-         |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS hk
-         |  FROM (SELECT vec_id, embedding,
-         |          ${fnvSql("CAST(vec_id AS VARCHAR)")} AS fnv
-         |        FROM embeddings)),
-         |seeds AS (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
-         |  FROM fnvmap ORDER BY hk, vec_id LIMIT 16),
-         |cb AS (
-         |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
-         |  FROM seeds, UNNEST(generate_series(1, 64)) AS u(i)),
-         |dims AS (
-         |  SELECT vec_id AS id, (i - 1) // 8 AS m, i - 1 AS dim,
-         |    CAST(embedding[i] AS DOUBLE) AS x
-         |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
-         |d2 AS (
-         |  SELECT id, m, cid,
-         |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
-         |  FROM dims JOIN cb USING (dim) GROUP BY 1, 2, 3),
-         |codes AS (
-         |  SELECT id, m, cid AS code FROM (
-         |    SELECT id, m, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d2, cid) AS rn
-         |    FROM d2) WHERE rn = 1),
-         |qd AS (SELECT id AS qid, m, cid, d2 FROM d2 WHERE id < 10),
-         |adist AS (
-         |  SELECT qid, codes.id AS cand, SUM(qd.d2) AS ad
-         |  FROM codes JOIN qd ON qd.m = codes.m AND qd.cid = codes.code
-         |    AND qd.qid <> codes.id
-         |  GROUP BY 1, 2),
-         |r AS (
-         |  SELECT qid, cand, ad,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank
-         |  FROM adist)
+      s"""WITH $pqAdcCtes
          |SELECT qid, CAST(rank AS BIGINT) AS rank, cand AS cid,
          |  ROUND(CAST(ad AS DOUBLE), 6) AS adist
-         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+         |FROM pqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q30_knn_brute" -> knnBruteSql,
     "q31_knn_lsh"   -> knnLshSql,
+    "q127_recall_audit" -> recallAuditSql,
 
     "q32_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,

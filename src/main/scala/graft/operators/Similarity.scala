@@ -304,4 +304,61 @@ object Similarity {
         round(col("ns"), 6).as("norm_std"))
       .orderBy(col("vec_id"))
   }
+
+  /** ANN index-quality audit: recall@k of each approximate index against
+    * [[knnBrute]]'s exact ground truth — the evaluation every ANN
+    * deployment runs before trusting an index (the honest counterpart of
+    * the planted-pair gates: it reports how much of the TRUE top-k each
+    * index recovers on this corpus, not whether it finds planted dups).
+    *
+    * One row per method in method order:
+    * `(method, n_queries, n_exact, n_hits, recall, recall_ok)`.
+    *
+    *  - `lsh` ([[knnLsh]]) and `adc` ([[PQ.adcTopK]]) are fully
+    *    deterministic pipelines, so their recall values are EXACT and
+    *    oracle-replayed bit-for-bit; `recall_ok` is `recall >= 0` — the
+    *    hashed recall value itself is the gate. (On near-random
+    *    embeddings LSH recall is genuinely low; the audit's job is to
+    *    REPORT that, which is exactly why deployments run it.)
+    *  - `ivf` ([[knnIvf]]) trains its quantizer with MLlib k-means
+    *    (k-means|| init, float accumulation) — environment-deterministic
+    *    but not SQL-replayable, so its `n_hits`/`recall` are masked NULL
+    *    in the gated output (the q44 precedent) and `recall_ok` carries
+    *    the threshold check (`recall >= ivfFloor`). The unmasked IVF
+    *    numbers are spec-pinned in SimilaritySpec.
+    *
+    * Scale shape: every branch reuses the index plans unchanged (their
+    * own scale stories apply); the audit itself is three broadcast-sized
+    * semi-joins over (qid, cid) sets of `n_queries * k` rows plus 1-row
+    * aggregates — free at any corpus size. */
+  def recallAudit(candidates: DataFrame, queryPred: Column,
+      kNeighbors: Int = 3, ivfProbe: Int = 6, ivfFloor: Double = 0.4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = candidates.filter(queryPred)
+    val truth = knnBrute(queries, candidates, kNeighbors, idCol, vecCol)
+      .select(col("qid"), col("cid"))
+    def audit(method: String, got: DataFrame, mask: Boolean,
+        floor: Double): DataFrame = {
+      val hits = got.select(col("qid"), col("cid"))
+        .join(truth, Seq("qid", "cid"), "left_semi")
+      val recall = round(col("n_hits_raw").cast("double") /
+        col("n_exact").cast("double"), 6)
+      truth.agg(countDistinct(col("qid")).as("n_queries"),
+          count(lit(1)).as("n_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits_raw")))
+        .select(lit(method).as("method"), col("n_queries"), col("n_exact"),
+          when(lit(!mask), col("n_hits_raw")).as("n_hits"),
+          when(lit(!mask), recall).as("recall"),
+          (recall >= floor).as("recall_ok"))
+    }
+    audit("adc", PQ.adcTopK(candidates, queryPred, topK = kNeighbors),
+        mask = false, floor = 0.0)
+      .unionAll(audit("ivf",
+        knnIvf(queries, candidates, kNeighbors, nProbe = ivfProbe,
+          idCol = idCol, vecCol = vecCol), mask = true, floor = ivfFloor))
+      .unionAll(audit("lsh",
+        knnLsh(queries, candidates, kNeighbors, idCol = idCol, vecCol = vecCol),
+        mask = false, floor = 0.0))
+      .orderBy(col("method"))
+  }
 }

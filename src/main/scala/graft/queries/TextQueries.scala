@@ -157,6 +157,13 @@ object TextQueries {
           col("n_exact").cast("double") * 0.4).as("recall_ok"))
   }
 
+  /** ANN recall@3 audit: LSH / IVF / ADC overlap with q30's exact
+    * brute-force top-3 (see [[graft.operators.Similarity.recallAudit]]).
+    * IVF config matches q44 (nProbe=6, floor 0.4). */
+  def q127RecallAudit(s: SparkSession, dir: String): DataFrame =
+    Similarity.recallAudit(Tables.load(s, dir, "embeddings"),
+      col("vec_id") < 10)
+
   // ---- text analysis -----------------------------------------------------
 
   def q40TextStats(s: SparkSession, dir: String): DataFrame =

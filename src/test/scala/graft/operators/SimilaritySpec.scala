@@ -47,6 +47,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.filter(col("qid") === col("cid")).count() == 0)
   }
 
+  test("recallAudit: hit counts are consistent with direct set intersections") {
+    val audit = Similarity.recallAudit(emb, col("vec_id") < 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(audit.keySet == Set("adc", "ivf", "lsh"))
+    val truth = Similarity.knnBrute(emb.filter(col("vec_id") < 10), emb, 3)
+      .select(col("qid"), col("cid"))
+    def hits(m: org.apache.spark.sql.DataFrame): Long =
+      m.select(col("qid"), col("cid")).join(truth, Seq("qid", "cid"), "left_semi").count()
+    // exact methods carry their true hit counts in the gated output
+    val lshHits = hits(Similarity.knnLsh(emb.filter(col("vec_id") < 10), emb, 3))
+    assert(audit("lsh").getLong(3) == lshHits)
+    assert(math.abs(audit("lsh").getDouble(4) - lshHits / 30.0) < 1e-5)
+    // the IVF row masks its numbers (not oracle-replayable) but its
+    // recall_ok is the REAL threshold check — pin it against a direct
+    // computation at the q44 config
+    assert(audit("ivf").isNullAt(3) && audit("ivf").isNullAt(4))
+    val ivfHits = hits(Similarity.knnIvf(emb.filter(col("vec_id") < 10), emb, 3, nProbe = 6))
+    assert(audit("ivf").getBoolean(5) == (ivfHits / 30.0 >= 0.4))
+    // on this corpus the q44 gate actually holds, so the audit must say so
+    assert(audit("ivf").getBoolean(5), "IVF recall fell below the q44 floor")
+  }
+
   test("cosineNearDupBlocked output equals the all-pairs baseline (every block count)") {
     val brute = Similarity.cosineNearDup(emb, 0.4).collect().toSet
     for (nBlocks <- Seq(1, 3, 8)) {
