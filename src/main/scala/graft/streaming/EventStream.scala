@@ -12,20 +12,18 @@ import org.apache.spark.sql.types._
   * substitute; `Trigger.AvailableNow` over a file source is the idiomatic
   * Spark replacement (SURVEY.md §1.1).
   *
-  * The `events.parquet` nanos timestamp needs the same legacy-long read as
-  * the batch path: the stream reads `ts` as raw nanos with an explicit
-  * schema, then converts to TIMESTAMP (LTZ) microseconds — NOT the batch
-  * path's TIMESTAMP_NTZ, because watermarks require LTZ; readEvents
-  * enforces a UTC session so the two renderings coincide.
+  * The `ts` column is schema-on-read (SURVEY.md §1.3): testdata has shipped
+  * it both as physical INT64 TIMESTAMP(NANOS) — which Spark's parquet reader
+  * rejects without the legacy raw-nanos conf — and as plain timestamp[us].
+  * A streaming file source needs an explicit schema, so readEvents peeks the
+  * actual footer schema via a one-off batch read and branches exactly like
+  * the batch path (Tables.load): LongType → raw nanos, floor-divide to µs;
+  * timestamp → direct read, no division. Event time is converted to
+  * TIMESTAMP (LTZ) — NOT the batch path's TIMESTAMP_NTZ, because watermarks
+  * require LTZ; readEvents enforces a UTC session so the two renderings
+  * coincide.
   */
 object EventStream {
-
-  /** Raw-nanos schema for the streaming file source (must be explicit —
-    * streaming reads don't infer). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Open a streaming view of an events parquet path. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
@@ -41,9 +39,22 @@ object EventStream {
       s"EventStream requires a UTC session timezone (got '$tz'): streaming " +
         "event-time is TIMESTAMP_LTZ (watermark requirement) and its " +
         "rendering must match the batch path's TIMESTAMP_NTZ")
-    spark.readStream.schema(rawSchema)
+    // Footer peek: a metadata-only batch read (no rows materialized) tells
+    // us which physical rendering this copy of the table carries; the
+    // streaming source's explicit schema must match it or Spark silently
+    // mis-renders the column (raw µs read as ns ⇒ every event lands in 1970).
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fileSchema("ts").dataType match {
+      case LongType => // physical INT64 TIMESTAMP(NANOS) read as raw nanos
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => // plain timestamp[us]: NTZ wall time == LTZ under UTC
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => stream
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet rendering $other")
+    }
   }
 
   /** Hourly tumbling-window counts with a 1-hour watermark — the streaming

@@ -102,6 +102,38 @@ class StreamingSpec extends SparkSpec {
       "watermark node missing from the streaming plan")
   }
 
+  test("readEvents renders raw-nanos and timestamp[us] physical copies identically") {
+    // The testdata has shipped events.ts both as INT64 TIMESTAMP(NANOS) and
+    // as plain timestamp[us]; readEvents must branch on the footer schema
+    // (like the batch path, Tables.scala) so both render the same instants.
+    val dir = s"/tmp/graft_test_ts_render_${ProcessHandle.current().pid()}"
+    def stage(df: org.apache.spark.sql.DataFrame, sub: String): String = {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$sub/_staging")
+      val part = new java.io.File(s"$dir/$sub/_staging").listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      assert(part.renameTo(new java.io.File(s"$dir/$sub/events.parquet")))
+      s"$dir/$sub"
+    }
+    val base = graft.Tables.load(spark, sf, "events").limit(2000)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val nanosDir = stage(base.withColumn("ts",
+      unix_micros(col("ts").cast("timestamp")) * 1000L), "nanos")
+    val microsDir = stage(base.withColumn("ts",
+      col("ts").cast("timestamp_ntz")), "micros")
+    val gotNanos = EventStream.drainToTable(spark,
+      EventStream.hourlyAgg(EventStream.readEvents(spark, nanosDir)),
+      "render_nanos_out", "complete")
+    val gotMicros = EventStream.drainToTable(spark,
+      EventStream.hourlyAgg(EventStream.readEvents(spark, microsDir)),
+      "render_micros_out", "complete")
+    assert(gotNanos.count() > 0)
+    assert(gotNanos.exceptAll(gotMicros).isEmpty && gotMicros.exceptAll(gotNanos).isEmpty,
+      "the two physical renderings of ts must stream to identical hourly aggs")
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   test("streaming incremental dedup: two micro-batches equal the from-scratch batch result") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
