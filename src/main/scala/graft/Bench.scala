@@ -13,6 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     query FIRST (a complete per-query record exists as early as
   *     possible), then min-of-N refinement reps only while the time
   *     budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 840) allows;
+  *   - the first TWO reps are budget-exempt (round 9): round 8's rep 1
+  *     alone consumed the whole budget on a ~4× contended host, leaving
+  *     reps=1 cold singles everywhere — numbers the artifact itself says
+  *     to treat as upper bounds, i.e. an uninterpretable official record.
+  *     Guaranteeing rep 2 makes the worst contended outcome min-of-2
+  *     (a usable estimator) at the cost of a bounded budget overshoot;
+  *     only refinement reps (3+) are budget-gated;
   *   - JIT warm-up is a HANDFUL of representative queries at sf0.001
   *     (scan/agg/join/window/dedup codegen paths), not all of them —
   *     the old all-queries pass was ~100 extra executions of pure
@@ -151,8 +158,11 @@ object Bench {
     // noise_factor on a perfectly quiet host
     timeOne(sentinelName)
     timeSentinel() // baseline host-load reading before any measurement
+    // reps 1..guaranteed ignore the budget (worst case = min-of-2 instead
+    // of cold singles); only refinement reps beyond that are budget-gated
+    val guaranteed = math.min(reps, 2)
     var rep = 1
-    while (rep <= reps && (rep == 1 || elapsed < budgetSec)) {
+    while (rep <= reps && (rep <= guaranteed || elapsed < budgetSec)) {
       // refinement passes go EXPENSIVE-FIRST: the cold/warm spread that
       // min-of-N exists to cancel is concentrated in the slowest queries
       // (round-5 judge data: q95 5.6 s vs 73.5 s across identical runs), so
@@ -163,10 +173,10 @@ object Bench {
         if (rep == 1) names
         else names.sortBy(n => -best.getOrElse(n, Double.MaxValue).abs)
       order.foreach { name =>
-        // rep 1 always completes the full breadth-first pass (the record
+        // reps 1..guaranteed always complete their full pass (the record
         // itself); refinement reps stop mid-pass when the budget is gone —
-        // already-measured queries simply keep their pass-1 minimum.
-        if (rep == 1 || elapsed < budgetSec) {
+        // already-measured queries simply keep their earlier minimum.
+        if (rep <= guaranteed || elapsed < budgetSec) {
           val t = timeOne(name)
           best(name) = best.get(name).map(combine(_, t)).getOrElse(t)
           raw(name) = raw.getOrElse(name, Nil) :+ t
