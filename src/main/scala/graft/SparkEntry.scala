@@ -146,6 +146,7 @@ object SparkEntry {
     "q125_heaps_audit" -> (Quality.q125HeapsAudit _),
     "q126_bpe_train" -> (Quality.q126BpeTrain _),
     "q127_recall_audit" -> (TextQueries.q127RecallAudit _),
+    "q128_postings_bucketed" -> (Quality.q128PostingsBucketed _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2434,6 +2435,9 @@ object SparkEntry {
     // so its report equals the from-scratch build over the union corpus.
     "q118_postings" -> postingsSql,
     "q120_incremental_postings" -> postingsSql,
+    // q128 shares it too: the bucketed store changes the physical layout
+    // (term buckets, zero-exchange report), never the logical result
+    "q128_postings_bucketed" -> postingsSql,
 
     // q121: triangle counts + clustering coefficient over the q62/q81
     // near-dup edges — normalized u<v edges, the two-join + closing-edge

@@ -42,4 +42,38 @@ object IncrementalPostings {
       spark.read.parquet(store)
         .groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")),
       k)
+
+  /** BUCKETED tf store — the serving layout [[Search]]'s scaladoc promises:
+    * tf rows persisted as a table bucketed on `term` and partitioned by
+    * ingestion date. Every report stage is keyed on term (the tf merge, the
+    * df/cf aggregate, the top-k window, the stats join), so a term-bucketed
+    * scan satisfies ALL their distributions at once: the report plans with
+    * ZERO hash exchanges (pinned in IncrementalPostingsSpec) — at 100 TB
+    * the accumulated store never crosses the wire again; its one shuffle is
+    * amortized into each date's write, once per row ever (the
+    * [[IncrementalDedup.appendBandsBucketed]] precedent).
+    *
+    * Append-only by design (a date is written once, like the split engine's
+    * markers); a re-run of a failed date should drop the table's date
+    * partition first. `nBuckets` must stay constant for the table's life —
+    * size it as |store at horizon| · rowBytes / targetPartitionBytes. */
+  def appendCountsBucketed(docs: DataFrame, table: String, date: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 8): Unit =
+    Search.termFrequencies(docs, idCol, textCol)
+      .withColumn("ds", lit(date))
+      .write.mode("append")
+      .partitionBy("ds")
+      .bucketBy(nBuckets, "term").sortBy("term")
+      .saveAsTable(table)
+
+  /** Report over the bucketed store — same output contract as [[report]],
+    * but every keyed stage reuses the bucket layout: the only exchange in
+    * the plan is the output ORDER BY's range partitioning (the total-order
+    * contract), never a hashpartitioning of the store. */
+  def reportBucketed(spark: SparkSession, table: String, k: Int = 3): DataFrame =
+    Search.postingsFromTf(
+      spark.table(table)
+        .groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")),
+      k)
 }

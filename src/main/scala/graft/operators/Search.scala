@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * term-stats table (|query terms| rows) and a broadcast 1-row corpus
   * aggregate — so the only data-sized shuffles are the two aggregations,
   * both with map-side combine. No corpus-wide inverted index is
-  * materialized for ad-hoc queries; a serving deployment would persist
-  * `tf` bucketed by term and reuse it across queries.
+  * materialized for ad-hoc queries; a serving deployment persists `tf`
+  * bucketed by term and reuses it across queries —
+  * [[IncrementalPostings.appendCountsBucketed]] is that layout, and its
+  * report plans with zero hash exchanges.
   */
 object Search {
 

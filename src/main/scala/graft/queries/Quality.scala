@@ -341,4 +341,36 @@ object Quality {
     }
     graft.operators.IncrementalPostings.report(s, store)
   }
+
+  /** q120's incremental index through the BUCKETED tf store — the serving
+    * layout Search's scaladoc promises (IncrementalPostings
+    * .appendCountsBucketed / reportBucketed): tf rows persisted bucketed on
+    * term, so every keyed report stage (tf merge, df/cf aggregate, top-k
+    * window, stats join) reads the bucket layout and the report plans with
+    * ZERO hash exchanges (pinned in IncrementalPostingsSpec). Same three
+    * pseudo-dates and the same oracle as q118/q120 — a green hash gates
+    * that the exchange-free variant a 100 TB deployment would serve from
+    * is bit-equal to the from-scratch build. */
+  def q128PostingsBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_q128_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    // clean slate per (process, sf dir): the in-memory catalog dies with
+    // its process but the managed warehouse dir persists — clear both so a
+    // crashed earlier run cannot double-count into this one's store
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    val docs = Tables.load(s, dir, "documents")
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), tbl, s"d$d")
+    }
+    // eager materialization so the table can be dropped before the caller's
+    // action (q92's note: a lazy plan over the store needs the table alive)
+    val out = graft.operators.IncrementalPostings.reportBucketed(s, tbl)
+      .localCheckpoint()
+    s.sql(s"DROP TABLE IF EXISTS $tbl") // the checkpoint holds the data now
+    out.orderBy(col("term"), col("rnk"))
+  }
 }

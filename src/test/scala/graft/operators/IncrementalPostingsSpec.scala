@@ -20,6 +20,46 @@ class IncrementalPostingsSpec extends SparkSpec {
     assert(inc.count() > 0)
   }
 
+  test("bucketed tf store matches the from-scratch build and reports with zero hash exchanges") {
+    val docs = Tables.load(spark, sf, "documents")
+    spark.sql("DROP TABLE IF EXISTS tf_store_bkt")
+    try {
+      (0 until 3).foreach { d =>
+        IncrementalPostings.appendCountsBucketed(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === d), "tf_store_bkt", s"d$d")
+      }
+      val bucketed = IncrementalPostings.reportBucketed(spark, "tf_store_bkt")
+      val batch = Search.postings(docs)
+      assert(bucketed.exceptAll(batch).isEmpty && batch.exceptAll(bucketed).isEmpty,
+        "bucketed-store report must equal the from-scratch postings build")
+      // scale shape: every keyed stage (tf merge, df/cf agg, top-k window,
+      // stats join) runs on the bucket layout — the only exchange left is
+      // the output ORDER BY's rangepartitioning (the total-order contract);
+      // broadcast off so the stats join can't hide a shuffle behind a
+      // broadcast either
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def nHashExchanges(df: org.apache.spark.sql.DataFrame): Int =
+          "Exchange hashpartitioning".r
+            .findAllIn(df.queryExecution.executedPlan.toString).size
+        val bkt = IncrementalPostings.reportBucketed(spark, "tf_store_bkt")
+        assert(nHashExchanges(bkt) == 0,
+          s"bucketed report must not reshuffle the store:\n${bkt.queryExecution.executedPlan}")
+        // the plain parquet store pays those shuffles on every report
+        val tmp = java.nio.file.Files.createTempDirectory("ipost-bkt").toString
+        val store = s"$tmp/tfstore"
+        (0 until 3).foreach { d =>
+          IncrementalPostings.appendCounts(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === d), store, s"d$d")
+        }
+        val parquet = IncrementalPostings.report(spark, store)
+        assert(nHashExchanges(parquet) >= 2,
+          "parquet-store report should shuffle the tf merge + term stats")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS tf_store_bkt")
+  }
+
   test("re-appending a date is idempotent (dynamic partition overwrite)") {
     val tmp = java.nio.file.Files.createTempDirectory("ipost2").toString
     val store = s"$tmp/tfstore"
