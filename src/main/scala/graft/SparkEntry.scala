@@ -147,6 +147,7 @@ object SparkEntry {
     "q126_bpe_train" -> (Quality.q126BpeTrain _),
     "q127_recall_audit" -> (TextQueries.q127RecallAudit _),
     "q128_postings_bucketed" -> (Quality.q128PostingsBucketed _),
+    "q129_remove_long_spans" -> (TextQueries.q129RemoveLongSpans _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -1687,6 +1688,59 @@ object SparkEntry {
         |  SELECT ti.doc_id,
         |    array_to_string(list(tok ORDER BY p), ' ') AS clean_text
         |  FROM ti ANTI JOIN cov ON ti.doc_id = cov.doc_id AND ti.p = cov.p
+        |  GROUP BY ti.doc_id)
+        |SELECT nt.doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(agg.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(agg.n_spans, 0) AS BIGINT) AS n_spans,
+        |  COALESCE(clean.clean_text, '') AS clean_text
+        |FROM nt LEFT JOIN agg USING (doc_id) LEFT JOIN clean USING (doc_id)
+        |ORDER BY nt.doc_id""".stripMargin,
+
+    // q129: q102's removal CTEs plus the span-LENGTH threshold — covered
+    // positions get a per-doc span id (running sum of interval-merge
+    // begins), spans shorter than 16 tokens are dropped before the removal
+    // aggregate and the clean-text anti-join.
+    "q129_remove_long_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |nt AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |g AS (
+        |  SELECT doc_id, i AS s, array_to_string(toks[i:i+7], ' ') AS ng
+        |  FROM nt, UNNEST(generate_series(1, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |d AS (SELECT ng FROM g GROUP BY ng HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, s + j AS p
+        |  FROM g JOIN d USING (ng), UNNEST(generate_series(0, 7)) AS v(j)),
+        |spans AS (
+        |  SELECT doc_id, p, b,
+        |    SUM(b) OVER (PARTITION BY doc_id ORDER BY p) AS span_id
+        |  FROM (SELECT doc_id, p,
+        |          CASE WHEN prev IS NULL OR p - prev > 1 THEN 1 ELSE 0 END AS b
+        |        FROM (SELECT doc_id, p,
+        |                LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |              FROM cov))),
+        |keepspan AS (
+        |  SELECT doc_id, span_id FROM spans
+        |  GROUP BY doc_id, span_id HAVING COUNT(*) >= 16),
+        |mask AS (
+        |  SELECT spans.doc_id, p, b FROM spans JOIN keepspan
+        |  USING (doc_id, span_id)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_removed,
+        |    SUM(b) AS n_spans
+        |  FROM mask GROUP BY doc_id),
+        |ti AS (
+        |  SELECT nt.doc_id, u.i AS p, toks[u.i] AS tok
+        |  FROM nt, UNNEST(generate_series(1, len(toks))) AS u(i)),
+        |clean AS (
+        |  SELECT ti.doc_id,
+        |    array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+        |  FROM ti ANTI JOIN mask ON ti.doc_id = mask.doc_id AND ti.p = mask.p
         |  GROUP BY ti.doc_id)
         |SELECT nt.doc_id,
         |  CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -266,9 +266,20 @@ object Corpus {
     * partitions — a doc's positions, never the corpus); the cleaned text
     * is a token-level anti-join against covered positions plus one
     * per-doc ordered rollup. Nothing quadratic, nothing collected, the
-    * dup-hash table stays distributed. */
+    * dup-hash table stays distributed.
+    *
+    * `minSpanTokens` is Lee et al.'s span-LENGTH threshold (their pass
+    * removes repeated substrings of ≥ 50 tokens, not every duplicated
+    * 8-gram): when > n, only MAXIMAL duplicated runs of at least that
+    * many tokens are masked — a short boilerplate phrase survives, a
+    * wholesale page copy is cut. Implemented with [[longestDupSpan]]'s
+    * islands arithmetic: covered positions get a per-doc span id (running
+    * sum of span begins), spans shorter than the threshold are dropped
+    * before the removal join. The default (0) masks every duplicated
+    * window — the original q102 contract, byte-identical. */
   def removeRepeatedSpans(docs: DataFrame, n: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      minSpanTokens: Int = 0): DataFrame = {
     require(n >= 2, "a span needs at least 2 tokens")
     val toks = filter(split(trim(col(textCol)), graft.functions.TextFunctions.WsRun), t => length(t) > 0)
     // uncached by MEASURED decision (see [[repeatedSpans]]): persisting
@@ -293,17 +304,35 @@ object Corpus {
       .distinct()
     // interval merge: a covered position starts a maximal span iff the
     // previous covered position in this doc isn't its left neighbour
-    val prev = lag(col("p"), 1)
-      .over(Window.partitionBy(col(idCol)).orderBy(col("p")))
-    val removedAgg = covered
-      .withColumn("begin",
-        when(prev.isNull || col("p") - prev > 1, 1L).otherwise(0L))
+    val orderW = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    val prev = lag(col("p"), 1).over(orderW)
+    val begun = covered.withColumn("b",
+      when(prev.isNull || col("p") - prev > 1, 1L).otherwise(0L))
+    // positions actually removed: all covered positions, or — above the
+    // length threshold — only those in maximal runs of ≥ minSpanTokens.
+    // The islands arithmetic is per-doc (span id = running sum of begins,
+    // one doc-partitioned window reusing the lag's shuffle) and the length
+    // filter is a doc×span aggregate + join — bounded partitions, nothing
+    // corpus-wide.
+    val masked =
+      if (minSpanTokens <= n) begun
+      else {
+        val spanned = begun.withColumn("span_id", sum(col("b")).over(
+          orderW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val longEnough = spanned.groupBy(col(idCol), col("span_id"))
+          .agg(count(lit(1)).as("span_len"))
+          .filter(col("span_len") >= minSpanTokens)
+          .select(col(idCol), col("span_id"))
+        spanned.join(longEnough, Seq(idCol, "span_id"))
+          .select(col(idCol), col("p"), col("b"))
+      }
+    val removedAgg = masked
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_removed"), sum(col("begin")).as("n_spans"))
+      .agg(count(lit(1)).as("n_removed"), sum(col("b")).as("n_spans"))
     val toksE = base
       .select(col(idCol), posexplode(col("t")).as(Seq("p0", "tok")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
-    val cleanAgg = toksE.join(covered, Seq(idCol, "p"), "left_anti")
+    val cleanAgg = toksE.join(masked.select(col(idCol), col("p")), Seq(idCol, "p"), "left_anti")
       .groupBy(col(idCol))
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("p"), col("tok")))),

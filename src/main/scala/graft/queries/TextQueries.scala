@@ -470,6 +470,16 @@ object TextQueries {
   def q102RemoveRepeatedSpans(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.removeRepeatedSpans(Tables.load(s, dir, "documents"))
 
+  /** q102's removal pass with Lee et al.'s span-LENGTH threshold: only
+    * MAXIMAL duplicated runs of ≥ 16 tokens are masked (their paper cuts
+    * repeated substrings ≥ 50 tokens — 16 scaled to this corpus's short
+    * documents), so short boilerplate phrases survive and wholesale copies
+    * are removed. Same islands arithmetic as [[q122LongestDupSpan]];
+    * see [[graft.operators.Corpus.removeRepeatedSpans]]. */
+  def q129RemoveLongSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.removeRepeatedSpans(
+      Tables.load(s, dir, "documents"), minSpanTokens = 16)
+
   /** Incremental span detection through the persistent window-hash COUNT
     * store: three ingestion pseudo-dates hash their own documents once
     * and append counts; the full-corpus report against the accumulated

@@ -153,6 +153,33 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == ((10L, 8L, 1L, "up down")))
   }
 
+  test("removeRepeatedSpans: minSpanTokens masks only maximal runs at least that long") {
+    import spark.implicits._
+    val short = "s1 s2 s3 s4 s5 s6 s7 s8"                        // 8-token dup span
+    val long16 = "l1 l2 l3 l4 l5 l6 l7 l8 l9 l10 l11 l12 l13 l14 l15 l16"
+    val d = Seq(
+      // doc 1 carries BOTH: the 8-token run survives the L=16 threshold,
+      // the 16-token run is cut
+      (1L, s"$short m1 m2 m3 $long16"),
+      (2L, s"pre $short post"),
+      (3L, s"head $long16 tail")
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeRepeatedSpans(d, minSpanTokens = 16).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((27L, 16L, 1L, s"$short m1 m2 m3")))
+    assert(out(2L) == ((10L, 0L, 0L, s"pre $short post")))
+    assert(out(3L) == ((18L, 16L, 1L, "head tail")))
+    // threshold at/below the window size masks everything, like default
+    val dflt = Corpus.removeRepeatedSpans(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val atN = Corpus.removeRepeatedSpans(d, minSpanTokens = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dflt == atN)
+    assert(dflt(1L) == 24L && dflt(2L) == 8L)
+  }
+
   test("tokenBudgetMix: quality-ranked greedy fill per source, budget respected") {
     import spark.implicits._
     // quality = 0.5*min(1, n/100) + 0.5*min(1, 5*stopRatio); "the" is an
