@@ -148,6 +148,7 @@ object SparkEntry {
     "q127_recall_audit" -> (TextQueries.q127RecallAudit _),
     "q128_postings_bucketed" -> (Quality.q128PostingsBucketed _),
     "q129_remove_long_spans" -> (TextQueries.q129RemoveLongSpans _),
+    "q130_source_overlap_minhash" -> (TextQueries.q130SourceOverlapMinhash _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -1940,6 +1941,33 @@ object SparkEntry {
         |  ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
         |FROM pairs JOIN cnt ca ON src_a = ca.source
         |  JOIN cnt cb ON src_b = cb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // q130: q105's exact matrix restricted to jaccard ≥ 0.05 — the engine
+    // side reaches the same rows through MinHash-banded candidates + exact
+    // verification, so a green hash certifies banded recall 1.0 (emitted
+    // values are exact-verified, never estimates).
+    "q130_source_overlap_minhash" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |cnt AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT src_a, src_b,
+        |    CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+        |    CAST(inter AS BIGINT) AS inter,
+        |    ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+        |  FROM pairs JOIN cnt ca ON src_a = ca.source
+        |    JOIN cnt cb ON src_b = cb.source)
+        |WHERE jaccard >= 0.05
         |ORDER BY src_a, src_b""".stripMargin,
 
     // q94: q90's exact ntile over q56's deterministic FNV-mod 10% sample —

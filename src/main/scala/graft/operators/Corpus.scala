@@ -386,9 +386,9 @@ object Corpus {
     * Exact inverted-index plan: distinct (source, shingle) rows, one
     * self-join on shingle (candidate mass Σ_sh df(sh)², df bounded by the
     * number of sources sharing the shingle), one pair-keyed count. Right
-    * for source counts up to ~10⁴; at millions of sources the registered
-    * scale path is per-source MinHash signatures (constant-size per
-    * source, banded pairing — the q22 machinery grouped by source). */
+    * for source counts up to ~10⁴; at millions of sources use
+    * [[sourceOverlapMinhash]] (constant-size per-source signatures,
+    * banded pairing — the q22 machinery grouped by source). */
   def sourceOverlap(docs: DataFrame, textCol: String = "text",
       srcCol: String = "source"): DataFrame = {
     val sh = docs
@@ -409,6 +409,76 @@ object Corpus {
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
         round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** [[sourceOverlap]]'s registered millions-of-sources scale path:
+    * per-SOURCE MinHash signatures + banded pairing, then the exact
+    * verification step restricted to candidate pairs — the q22 economics
+    * at source granularity. The exact path's self-join costs Σ_sh df(sh)²
+    * (df = sources sharing the shingle), fine to ~10⁴ sources; here each
+    * source is first reduced to a CONSTANT-size signature (k longs — one
+    * aggregate over the shingle stream; min over the multiset equals min
+    * over the set, so no distinct pass), and only sources agreeing on at
+    * least one signature component ever meet in the candidate join.
+    *
+    * Banding uses r=1 (every component is a band) because source-level
+    * Jaccard is structurally LOW — sources share boilerplate, not pages;
+    * the fixture's true pairs sit at j ∈ [0.013, 0.26] — and the r=1 miss
+    * probability (1−j)^k is the only one that stays negligible down
+    * there: at j = threshold = 0.05 and k = 256 it is ≈ 2·10⁻⁶ (r=2
+    * banding would miss ~90% of j=0.06 pairs). Candidates are then
+    * verified with EXACT intersection/Jaccard over the distinct shingle
+    * sets — candidate generation affects recall only, never emitted
+    * values — and pairs at/above `threshold` are emitted with
+    * [[sourceOverlap]]'s exact columns (gated as q130 against q105's
+    * oracle + the threshold filter; recall 1.0 verified at sf0.001/0.01/
+    * 0.1).
+    *
+    * Scale shape: signature aggregate (map-side combined, k longs per
+    * source), band self-join keyed on (band, component) with k rows per
+    * source, exact verification keyed on candidate source ids then
+    * shingle — every join key-partitioned, nothing all-pairs, nothing
+    * driver-side. */
+  def sourceOverlapMinhash(docs: DataFrame, threshold: Double = 0.05,
+      k: Int = 256, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val shingles = docs
+      .select(col(srcCol).as("src"),
+        graft.functions.ShingleRows.shingleRows(col(textCol), 3).as(Seq("pos", "s3")))
+      .select(col("src"), col("s3"))
+    val hashes = shingles
+      .select(col("src"), graft.functions.Fnv64.fnv64(col("s3")).as("h"))
+    val mins: Seq[Column] = (0 until k).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
+    }
+    val sigs = hashes.groupBy(col("src")).agg(mins.head, mins.tail: _*)
+      .select(col("src").as("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val bands = Dedup.bandRows(sigs, k, rowsPerBand = 1).drop("sig")
+    // shuffle_hash: one band-row exchange feeds both join sides (the
+    // minhashLsh reuse rationale)
+    val bandsJ = bands.hint("shuffle_hash")
+    val candidates = bandsJ.as("x").join(bandsJ.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("src_a"), col("y.id").as("src_b"))
+      .distinct()
+    val sh = shingles.distinct()
+    val cnt = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.as("a"), col("src_a") === col("a.src"))
+      .join(sh.as("b"),
+        col("src_b") === col("b.src") && col("a.s3") === col("b.s3"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("src").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(cnt.select(col("src").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("src_a"), col("src_b"))
   }
 

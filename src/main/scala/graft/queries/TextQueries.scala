@@ -511,6 +511,15 @@ object TextQueries {
   def q105SourceOverlap(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.sourceOverlap(Tables.load(s, dir, "documents"))
 
+  /** q105's millions-of-sources scale path: constant-size per-source
+    * MinHash signatures, r=1 banded candidate pairing, exact verification
+    * of candidates at/above jaccard 0.05 (see
+    * [[graft.operators.Corpus.sourceOverlapMinhash]]). Gated against
+    * q105's exact oracle + the threshold filter — a green hash certifies
+    * banded recall 1.0 on this corpus. */
+  def q130SourceOverlapMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.sourceOverlapMinhash(Tables.load(s, dir, "documents"))
+
   /** Content-defined chunking with first-occurrence dedup marks
     * (see [[graft.operators.Corpus.contentDefinedChunks]]). */
   def q117CdcChunks(s: SparkSession, dir: String): DataFrame =

@@ -217,6 +217,31 @@ class CorpusSpec extends SparkSpec {
     assert(out(("sA", "sB")) == ((2L, 1L, 1L, 0.5)))
   }
 
+  test("sourceOverlapMinhash: equals the exact matrix filtered at the threshold") {
+    // real-corpus fixture: 20 sources, true pair jaccard 0.013-0.06 at this
+    // SF — exactly the low-similarity regime the r=1 banding is sized for
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val exact = Corpus.sourceOverlap(docs)
+      .filter(col("jaccard") >= 0.05)
+    val banded = Corpus.sourceOverlapMinhash(docs)
+    assert(banded.count() > 0, "fixture should have pairs at jaccard >= 0.05")
+    assert(banded.exceptAll(exact).isEmpty && exact.exceptAll(banded).isEmpty,
+      "banded+verified pairs must equal the exact matrix at the threshold (recall 1.0)")
+    // constructed containment pair from the exact test survives the scale path
+    import spark.implicits._
+    val d = Seq(
+      (1L, "w1 w2 w3 w4", "sA"),
+      (2L, "w1 w2 w3", "sB"),
+      (3L, "x1 x2 x3 x4", "sC")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.sourceOverlapMinhash(d, threshold = 0.5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet == Set(("sA", "sB")))
+    assert(out(("sA", "sB")) == ((2L, 1L, 1L, 0.5)))
+  }
+
   private val cdcBase = (1 to 60).map(i => s"word$i token$i item$i").mkString(" ")
 
   test("contentDefinedChunks: chunks partition each document exactly") {
