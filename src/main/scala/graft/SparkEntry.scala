@@ -404,31 +404,99 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad, cand) AS rank
        |  FROM adist)""".stripMargin
 
+  /** Deterministic-IVF pipeline CTEs through the ranked result `vs` —
+    * the q98 k-means replay (hash-least 16 seeds, 2 Lloyd rounds,
+    * decimal-exact distances) retrained as the coarse quantizer, then
+    * 6-probe cell ranking BY THE QUANTIZER'S OWN METRIC (squared L2 to
+    * each centroid, ties by cell) and cosine scoring within probed cells.
+    * CTE names are prefixed `v*`; requires [[pqAdcCtes]]'s `fnvmap` (the
+    * identical FNV(vec_id) map) and [[embNormCte]] in the same statement. */
+  private def ivfDetCtes: String =
+    s"""vseeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
+       |  FROM fnvmap ORDER BY hk, vec_id LIMIT 16),
+       |vcb0 AS (
+       |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
+       |  FROM vseeds, UNNEST(generate_series(1, 64)) AS u(i)),
+       |vdims AS (
+       |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+       |vd0 AS (
+       |  SELECT id, cid,
+       |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
+       |  FROM vdims JOIN vcb0 USING (dim) GROUP BY 1, 2),
+       |va0 AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |    FROM vd0) WHERE rn = 1),
+       |vcb1 AS (
+       |  SELECT cid, dim,
+       |    ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / COUNT(*), 12) AS c
+       |  FROM va0 JOIN vdims USING (id) GROUP BY 1, 2),
+       |vd1 AS (
+       |  SELECT id, cid,
+       |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
+       |  FROM vdims JOIN vcb1 USING (dim) GROUP BY 1, 2),
+       |va1 AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |    FROM vd1) WHERE rn = 1),
+       |vprobes AS (
+       |  SELECT id AS qid, cid FROM (
+       |    SELECT id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |    FROM vd1 WHERE id < 10) WHERE rn <= 6),
+       |vcand AS (
+       |  SELECT p.qid, a.id AS cid
+       |  FROM vprobes p JOIN va1 a ON a.cid = p.cid AND a.id <> p.qid),
+       |vd AS (
+       |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
+       |    SELECT vcand.qid, vcand.cid,
+       |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+       |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+       |    FROM vcand JOIN embeddings q ON q.vec_id = vcand.qid
+       |               JOIN embeddings c ON c.vec_id = vcand.cid)
+       |  GROUP BY qid, cid),
+       |vs AS (
+       |  SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
+       |  FROM vd JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)""".stripMargin
+
   /** q127 — ANN recall@k audit: one statement composing the brute-force
-    * ground truth, the LSH pipeline, and the PQ-ADC pipeline, then
-    * measuring each index's overlap with the exact top-3. The IVF row's
-    * n_hits/recall are NULL on both sides (MLlib quantizer — not
-    * SQL-replayable; the q44 precedent) and its recall_ok is the engine's
-    * threshold check vs the oracle's `true`. */
+    * ground truth, the LSH pipeline, the PQ-ADC pipeline, AND the
+    * deterministic-IVF pipeline, then measuring each index's overlap with
+    * the exact top-3. All three index rows gate bit-for-bit (round 9: the
+    * IVF quantizer is now the repo's SQL-replayable k-means, so its
+    * former q44-style NULL mask is gone); the ivf row's recall_ok
+    * additionally carries the 0.4 deployment floor. */
   private def recallAuditSql: String =
     s"""WITH $embNormCte,
        |$knnBruteCtes,
        |$knnLshCtes,
        |$pqAdcCtes,
+       |$ivfDetCtes,
        |bt AS (SELECT qid, cid FROM bs WHERE rank <= 3),
        |tr AS (SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
        |              CAST(COUNT(*) AS BIGINT) AS n_exact FROM bt),
        |lh AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM
        |  (SELECT qid, cid FROM ls WHERE rank <= 3) x JOIN bt USING (qid, cid)),
        |ah AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM
-       |  (SELECT qid, cand AS cid FROM pqr WHERE rank <= 3) x JOIN bt USING (qid, cid))
+       |  (SELECT qid, cand AS cid FROM pqr WHERE rank <= 3) x JOIN bt USING (qid, cid)),
+       |vh AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM
+       |  (SELECT qid, cid FROM vs WHERE rank <= 3) x JOIN bt USING (qid, cid))
        |SELECT 'adc' AS method, n_queries, n_exact, h AS n_hits,
        |  ROUND(CAST(h AS DOUBLE) / n_exact, 6) AS recall,
        |  ROUND(CAST(h AS DOUBLE) / n_exact, 6) >= 0.0 AS recall_ok
        |FROM tr, ah
        |UNION ALL
-       |SELECT 'ivf', n_queries, n_exact, CAST(NULL AS BIGINT),
-       |  CAST(NULL AS DOUBLE), true FROM tr
+       |SELECT 'ivf', n_queries, n_exact, h,
+       |  ROUND(CAST(h AS DOUBLE) / n_exact, 6),
+       |  ROUND(CAST(h AS DOUBLE) / n_exact, 6) >= 0.4
+       |FROM tr, vh
        |UNION ALL
        |SELECT 'lsh', n_queries, n_exact, h,
        |  ROUND(CAST(h AS DOUBLE) / n_exact, 6),

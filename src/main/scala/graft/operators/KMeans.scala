@@ -124,15 +124,21 @@ object KMeans {
       vecCol: String = "embedding"): DataFrame =
     assignDims(dimRows(emb, idCol, vecCol), centroids)
 
-  private def assignDims(dims: DataFrame, centroids: DataFrame): DataFrame = {
+  /** (id, cid, d2) for EVERY (point, centroid) pair — the pre-argmin table
+    * [[assign]] reduces; exposed for consumers that rank cells instead of
+    * picking one (the IVF multi-probe). */
+  private[operators] def cellDistances(dims: DataFrame, centroids: DataFrame): DataFrame = {
     val diff = col("x") - col("c")
     dims.join(broadcast(centroids), Seq("dim"))
       .groupBy(col("id"), col("cid"))
       .agg(sum(round(diff * diff, 12).cast("decimal(28,12)")).as("d2"))
+  }
+
+  private def assignDims(dims: DataFrame, centroids: DataFrame): DataFrame =
+    cellDistances(dims, centroids)
       .groupBy(col("id"))
       .agg(min(struct(col("d2"), col("cid"))).as("s"))
       .select(col("id"), col("s.cid").as("cid"), col("s.d2").as("d2"))
-  }
 
   /** `iterations` Lloyd rounds; returns the final hard assignment
     * (id, cid, d2). Initialization defaults to the content-addressed
@@ -161,6 +167,19 @@ object KMeans {
   def fitManaged(emb: DataFrame, k: Int = 8, iterations: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       initCentroids: Option[DataFrame] = None): (DataFrame, () => Unit) = {
+    val (assigned, _, release) =
+      fitCentroidsManaged(emb, k, iterations, idCol, vecCol, initCentroids)
+    (assigned, release)
+  }
+
+  /** [[fitManaged]] that ALSO returns the final centroid table (cid, dim,
+    * c) — the one the returned assignment was computed against. Consumers
+    * that index by cell (the deterministic IVF quantizer) need both: the
+    * assignment partitions the corpus, the centroid table ranks cells for
+    * query probing with the same arithmetic. */
+  def fitCentroidsManaged(emb: DataFrame, k: Int = 8, iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initCentroids: Option[DataFrame] = None): (DataFrame, DataFrame, () => Unit) = {
     require(iterations >= 1, "k-means needs at least one assignment round")
     val dims = dimRows(emb, idCol, vecCol).persist(StorageLevel.MEMORY_AND_DISK)
     var centroids = initCentroids.getOrElse(init(emb, k, idCol, vecCol))
@@ -176,7 +195,7 @@ object KMeans {
       assigned = assignDims(dims, centroids)
       i += 1
     }
-    (assigned, () => { dims.unpersist(blocking = false); () })
+    (assigned, centroids, () => { dims.unpersist(blocking = false); () })
   }
 
   /** Per-cluster summary of a fit: (cid, n_points, inertia). */

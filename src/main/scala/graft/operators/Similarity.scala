@@ -158,6 +158,52 @@ object Similarity {
       .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"), col("cosine"))
   }
 
+  /** IVF ANN with the repo's DETERMINISTIC k-means as coarse quantizer —
+    * [[knnIvf]]'s index shape with [[KMeans.fitCentroidsManaged]] (hash-
+    * least init + fixed Lloyd rounds, decimal-exact distances) replacing
+    * MLlib: every step is a closed-form function of the data, so the whole
+    * pipeline — quantizer training included — replays in an engine-
+    * independent SQL oracle (which is what lets q127's ivf row gate
+    * bit-for-bit instead of NULL-masking its recall like q44).
+    *
+    * Probe ranking uses the quantizer's OWN metric (exact decimal-summed
+    * squared L2 to each centroid, ties by cell) rather than knnIvf's
+    * cosine-to-centroid — queries rank cells with the same arithmetic that
+    * assigned candidates to them. Scale shape is knnIvf's: one broadcast
+    * centroid table (k·D rows), dim-keyed aggregates for distances, the
+    * probe join fans each query to nProbe cells only. The dims cache
+    * backing the fit follows [[KMeans.fit]]'s blanket-sweep convention. */
+  def knnIvfDeterministic(queries: DataFrame, candidates: DataFrame,
+      kNeighbors: Int = 3, nCells: Int = 16, nProbe: Int = 6,
+      iterations: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (assigned, centroids, _) =
+      KMeans.fitCentroidsManaged(candidates, nCells, iterations, idCol, vecCol)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
+      norm(col(vecCol)).as("qn"))
+    val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+    val probes = KMeans.cellDistances(
+        queries.select(col(idCol).as("id"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
+          .select(col("id"), col("dim"), col("x").cast("double").as("x")),
+        centroids)
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("id").as("qid"), col("cid").as("cell"))
+    val cells = assigned.select(col("id").as("cid"), col("cid").as("cell"))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("ce"),
+        norm(col(vecCol)).as("cn"))
+      .join(cells, "cid")
+    val scored = broadcast(probes.join(q, "qid")).join(c,
+        col("qid") =!= col("cid") && probes("cell") === cells("cell"))
+      .withColumn("cosine", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"), col("cid"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, a < b. AUDIT
     * BASELINE ONLY — the `a_id < b_id` theta-join is an unmitigated
     * cartesian (Spark plans it as a BroadcastNestedLoopJoin); use
@@ -320,12 +366,13 @@ object Similarity {
     *    hashed recall value itself is the gate. (On near-random
     *    embeddings LSH recall is genuinely low; the audit's job is to
     *    REPORT that, which is exactly why deployments run it.)
-    *  - `ivf` ([[knnIvf]]) trains its quantizer with MLlib k-means
-    *    (k-means|| init, float accumulation) — environment-deterministic
-    *    but not SQL-replayable, so its `n_hits`/`recall` are masked NULL
-    *    in the gated output (the q44 precedent) and `recall_ok` carries
-    *    the threshold check (`recall >= ivfFloor`). The unmasked IVF
-    *    numbers are spec-pinned in SimilaritySpec.
+    *  - `ivf` ([[knnIvfDeterministic]]) trains its coarse quantizer with
+    *    the repo's own deterministic k-means (hash-least init, fixed
+    *    Lloyd rounds, decimal-exact distances — the q98 machinery), so
+    *    its `n_hits`/`recall` also gate bit-for-bit; `recall_ok`
+    *    additionally carries the deployment threshold (`recall >=
+    *    ivfFloor`). The MLlib-quantized variant remains q44's subject,
+    *    NULL-masked there because k-means|| is not SQL-replayable.
     *
     * Scale shape: every branch reuses the index plans unchanged (their
     * own scale stories apply); the audit itself is three broadcast-sized
@@ -354,8 +401,8 @@ object Similarity {
     audit("adc", PQ.adcTopK(candidates, queryPred, topK = kNeighbors),
         mask = false, floor = 0.0)
       .unionAll(audit("ivf",
-        knnIvf(queries, candidates, kNeighbors, nProbe = ivfProbe,
-          idCol = idCol, vecCol = vecCol), mask = true, floor = ivfFloor))
+        knnIvfDeterministic(queries, candidates, kNeighbors, nProbe = ivfProbe,
+          idCol = idCol, vecCol = vecCol), mask = false, floor = ivfFloor))
       .unionAll(audit("lsh",
         knnLsh(queries, candidates, kNeighbors, idCol = idCol, vecCol = vecCol),
         mask = false, floor = 0.0))

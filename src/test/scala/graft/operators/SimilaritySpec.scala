@@ -59,14 +59,16 @@ class SimilaritySpec extends SparkSpec {
     val lshHits = hits(Similarity.knnLsh(emb.filter(col("vec_id") < 10), emb, 3))
     assert(audit("lsh").getLong(3) == lshHits)
     assert(math.abs(audit("lsh").getDouble(4) - lshHits / 30.0) < 1e-5)
-    // the IVF row masks its numbers (not oracle-replayable) but its
-    // recall_ok is the REAL threshold check — pin it against a direct
-    // computation at the q44 config
-    assert(audit("ivf").isNullAt(3) && audit("ivf").isNullAt(4))
-    val ivfHits = hits(Similarity.knnIvf(emb.filter(col("vec_id") < 10), emb, 3, nProbe = 6))
+    // the IVF row is UNMASKED since round 9: its quantizer is the repo's
+    // deterministic k-means, so n_hits/recall carry the true numbers and
+    // recall_ok still carries the deployment floor
+    val ivfHits = hits(Similarity.knnIvfDeterministic(
+      emb.filter(col("vec_id") < 10), emb, 3, nProbe = 6))
+    assert(audit("ivf").getLong(3) == ivfHits)
+    assert(math.abs(audit("ivf").getDouble(4) - ivfHits / 30.0) < 1e-5)
     assert(audit("ivf").getBoolean(5) == (ivfHits / 30.0 >= 0.4))
-    // on this corpus the q44 gate actually holds, so the audit must say so
-    assert(audit("ivf").getBoolean(5), "IVF recall fell below the q44 floor")
+    // on this corpus the floor actually holds, so the audit must say so
+    assert(audit("ivf").getBoolean(5), "IVF recall fell below the 0.4 floor")
   }
 
   test("cosineNearDupBlocked output equals the all-pairs baseline (every block count)") {
