@@ -70,11 +70,22 @@ object Bpe {
     *
     * Scale shape: the ONE data-sized pass is the pre-token vocabulary
     * aggregation (same as [[pairCounts]]); it is persisted, and every
-    * merge iteration runs over that vocabulary-sized table — iteration
-    * k applies k chained `replace`s to the cached strings, so the whole
-    * loop is O(nMerges² · vocab) character work with no further shuffle
-    * of corpus-sized data. The winning pair per step is a 1-row driver
-    * action (bounded model state, the k-means-centroid precedent).
+    * merge iteration runs over that vocabulary-sized table. The winning
+    * pair per step is a 1-row driver action (bounded model state, the
+    * k-means-centroid precedent).
+    *
+    * LINEAGE BOUND (`checkpointEvery`, default 8): each merge appends one
+    * `replace` to the vocabulary plan, so without truncation iteration k
+    * would re-apply a k-deep replace chain — O(nMerges² · vocab)
+    * character work AND an unboundedly growing Catalyst plan, a planner
+    * blow-up at real tokenizer sizes (nMerges ≈ 30k). Every
+    * `checkpointEvery` merges the vocabulary is localCheckpoint'd (the
+    * superseded checkpoint freed eagerly — the [[KMeans.initMaxMin]] /
+    * Components loop discipline), capping the chain depth at K: per-
+    * iteration work is O(K · vocab) characters and the total is
+    * O(nMerges · K · vocab) — LINEAR in nMerges for fixed K. 0 disables
+    * truncation (audit-only; semantics are identical either way,
+    * spec-pinned at nMerges=16).
     *
     * Determinism: ties break (count DESC, lhs, rhs) — a total order, so
     * any engine replays the exact merge table; the DuckDB oracle unrolls
@@ -83,7 +94,7 @@ object Bpe {
     * Output: one row per merge, `(step, lhs, rhs, pair_count)` in step
     * order — the merge table a BPE tokenizer ships as its model. */
   def trainMerges(docs: DataFrame, nMerges: Int = 8,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", checkpointEvery: Int = 8): DataFrame = {
     require(nMerges >= 1, "need at least one merge")
     val spark = docs.sparkSession
     val vocab0 = docs
@@ -95,6 +106,7 @@ object Bpe {
       .select(regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("s"),
         col("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var lastCheckpoint: Option[DataFrame] = None
     try {
       var vocab = vocab0
       val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -123,10 +135,23 @@ object Bpe {
         vocab = vocab.withColumn("s",
           org.apache.spark.sql.functions.replace(col("s"),
             lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep)))
+        // truncate the replace-chain lineage; skip after the LAST merge —
+        // no further iteration would read the checkpoint
+        if (checkpointEvery > 0 && step % checkpointEvery == 0 && step < nMerges) {
+          val cp = vocab.localCheckpoint()
+          lastCheckpoint.foreach(Components.freeLocalCheckpoint)
+          lastCheckpoint = Some(cp)
+          vocab = cp
+        }
       }
       import spark.implicits._
       merges.result().toDF("step", "lhs", "rhs", "pair_count")
         .orderBy(col("step"))
-    } finally vocab0.unpersist(blocking = false)
+    } finally {
+      // the merge table is driver state by now — both the cache and the
+      // last checkpoint can be released before returning
+      vocab0.unpersist(blocking = false)
+      lastCheckpoint.foreach(Components.freeLocalCheckpoint)
+    }
   }
 }

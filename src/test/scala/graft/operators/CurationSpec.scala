@@ -74,6 +74,25 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a", "a", 5L), (2, "aa", "a", 1L)))
   }
 
+  test("trainMerges: 16 merges with and without lineage checkpoints agree") {
+    import spark.implicits._
+    // enough pair diversity for 16 distinct merges; checkpointEvery=4
+    // truncates the replace chain 3 times mid-loop — the merge table must
+    // be identical to the untruncated run (checkpointing is physical only)
+    val docs = Seq(
+      doc(1L, "abcdefgh abcdefgh abcdefgh intersect"),
+      doc(2L, "abcd efgh ijklmnop ijklmnop qrstuv"),
+      doc(3L, "mnopqrst mnopqrst uvwxyz uvwxyz wx")
+    ).toDF("doc_id", "text")
+    val bounded = Bpe.trainMerges(docs, nMerges = 16, checkpointEvery = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val unbounded = Bpe.trainMerges(docs, nMerges = 16, checkpointEvery = 0).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(bounded.length == 16)
+    assert(bounded.toSeq == unbounded.toSeq,
+      "lineage checkpoints must not change the trained merge table")
+  }
+
   test("trainMerges: first merge agrees with pairCounts' top-1 ranking") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val first = Bpe.trainMerges(docs, nMerges = 1).collect()(0)
