@@ -149,6 +149,7 @@ object SparkEntry {
     "q128_postings_bucketed" -> (Quality.q128PostingsBucketed _),
     "q129_remove_long_spans" -> (TextQueries.q129RemoveLongSpans _),
     "q130_source_overlap_minhash" -> (TextQueries.q130SourceOverlapMinhash _),
+    "q131_bpe_encode" -> (Quality.q131BpeEncode _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -627,10 +628,15 @@ object SparkEntry {
     * [[graft.operators.Bpe.Sep]] — `chr(31)` here). replace() scans
     * left-to-right over non-overlapping occurrences in both engines, so
     * the greedy merge semantics agree byte for byte. */
-  private def bpeMergesSql(n: Int): String = {
+  /** The BPE training loop's vocab CTEs v0..vn (each carrying the ORIGINAL
+    * pre-token `w` alongside its wrapped-symbol string `s` — the merges
+    * read only (s, freq), so carrying w is free and lets the encode oracle
+    * map each pre-token to its final symbol count). Shared by q126 (the
+    * merge table) and q131 (corpus encoding under the trained merges). */
+  private def bpeVocabCtes(n: Int): String = {
     val head =
       """WITH v0 AS (
-        |  SELECT regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS s, freq
+        |  SELECT w, regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS s, freq
         |  FROM (SELECT w, count(*) AS freq FROM (
         |    SELECT unnest(regexp_extract_all(text,
         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+')) AS w FROM documents)
@@ -645,15 +651,50 @@ object SparkEntry {
          |b$k AS (SELECT lhs, rhs, pair_count FROM c$k
          |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
          |v$k AS (
-         |  SELECT replace(s, chr(31)||b.lhs||chr(31)||chr(31)||b.rhs||chr(31),
-         |                    chr(31)||b.lhs||b.rhs||chr(31)) AS s, freq
+         |  SELECT w, replace(s, chr(31)||b.lhs||chr(31)||chr(31)||b.rhs||chr(31),
+         |                       chr(31)||b.lhs||b.rhs||chr(31)) AS s, freq
          |  FROM v${k - 1}, b$k b)""".stripMargin
     }
+    (head +: steps).mkString(",\n")
+  }
+
+  private def bpeMergesSql(n: Int): String = {
     val sel = (1 to n)
       .map(k => s"SELECT $k AS step, lhs, rhs, pair_count FROM b$k")
       .mkString("\nUNION ALL\n")
-    (head +: steps).mkString(",\n") + "\n" + sel + "\nORDER BY step"
+    bpeVocabCtes(n) + "\n" + sel + "\nORDER BY step"
   }
+
+  /** q131 — corpus encoding under the trained merge table: replay the n
+    * training steps (the q126 CTEs), then count each distinct pre-token's
+    * final symbols ONCE and roll per-document totals through a join of
+    * the pre-token stream against that vocabulary-sized table. */
+  private def bpeEncodeSql(n: Int): String =
+    bpeVocabCtes(n) +
+      s""",
+         |tokv AS (
+         |  SELECT w, CAST(len(str_split(trim(s, chr(31)), chr(31)||chr(31)))
+         |    AS BIGINT) AS n_toks
+         |  FROM v$n),
+         |pre AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]+')) AS w FROM documents)
+         |  WHERE NOT contains(w, chr(31))),
+         |agg AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(len(w)) AS BIGINT) AS n_chars
+         |  FROM pre JOIN tokv USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(agg.n_pretokens, 0) AS n_pretokens,
+         |  COALESCE(agg.n_tokens, 0) AS n_tokens,
+         |  COALESCE(agg.n_chars, 0) AS n_chars,
+         |  CASE WHEN COALESCE(agg.n_tokens, 0) = 0 THEN 0.0
+         |    ELSE ROUND(CAST(agg.n_chars AS DOUBLE) / agg.n_tokens, 6)
+         |  END AS chars_per_token
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB reconstruction of [[graft.multimodal.Multimodal.GifCodec]]'s
     * container as an uppercase hex string, byte for byte: GIF87a header,
@@ -2441,6 +2482,10 @@ object SparkEntry {
     // q126: full BPE merge loop — 8 unrolled merges over the pre-token
     // vocabulary (the q81/q99 iteration recipe; see bpeMergesSql).
     "q126_bpe_train" -> bpeMergesSql(8),
+
+    // q131: the trained tokenizer APPLIED — training replayed (q126's
+    // CTEs), then per-doc token counts via the vocabulary-sized encode.
+    "q131_bpe_encode" -> bpeEncodeSql(8),
 
     // q113: temperature mixture — p^0.3 rounded to 6 BEFORE the decimal-
     // summed normalizer (matches Corpus.temperatureMix's determinism

@@ -154,4 +154,58 @@ object Bpe {
       lastCheckpoint.foreach(Components.freeLocalCheckpoint)
     }
   }
+
+  /** ENCODE the corpus with a trained merge table — the apply side of the
+    * tokenizer [[trainMerges]] trains: per document, the pre-token count,
+    * the token count after applying the merges, the character mass
+    * tokenized, and chars-per-token (the compression ratio a tokenizer
+    * build is judged by — GPT-2's ≈ 4 on English).
+    *
+    * `merges` is the trained model in merge order — bounded driver state
+    * (a tokenizer ships ~30k rows), the k-means-centroid precedent.
+    *
+    * Scale trick, same as the trainer's: the merges are applied to the
+    * DISTINCT pre-token vocabulary once (each distinct pre-token's symbol
+    * string takes the full merge chain, then one `size(split(...))`
+    * counts its tokens), never to the raw token stream — a 100 TB corpus
+    * re-encodes ~10⁷ vocabulary entries, not trillions of occurrences.
+    * Per-doc totals are then ONE join of the scan-local pre-token stream
+    * against the vocabulary-sized token-count table plus a doc-keyed
+    * rollup. Documents with no pre-tokens (empty/whitespace-only) emit
+    * zero counts with chars_per_token 0, not null.
+    *
+    * Output: (doc_id, n_pretokens, n_tokens, n_chars, chars_per_token),
+    * totally ordered — gated as q131 by replaying the training CTEs plus
+    * this aggregation in DuckDB. */
+  def encodeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pre = docs
+      .select(col(idCol), explode(
+        regexp_extract_all(col(textCol), lit(TextFunctions.PreTokenRe), lit(0)))
+        .as("w"))
+      .filter(!col("w").contains(Sep))
+    val wrapped = regexp_replace(col("w"), "(.)", Sep + "$1" + Sep)
+    val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+      org.apache.spark.sql.functions.replace(s,
+        lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+    }
+    val tokv = pre.select("w").distinct()
+      .select(col("w"),
+        size(split(trim(merged, Sep), Sep + Sep)).cast("bigint").as("n_toks"))
+    val perDoc = pre.join(tokv, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(length(col("w"))).cast("bigint").as("n_chars"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_pretokens"), lit(0L)).as("n_pretokens"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("n_chars").cast("double") / col("n_tokens"), 6))
+          .as("chars_per_token"))
+      .orderBy(col(idCol))
+  }
 }

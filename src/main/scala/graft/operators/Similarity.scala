@@ -382,8 +382,14 @@ object Similarity {
       kNeighbors: Int = 3, ivfProbe: Int = 6, ivfFloor: Double = 0.4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val queries = candidates.filter(queryPred)
+    // the exact ground truth is referenced SIX times downstream (a hits
+    // semi-join + a 1-row aggregate per method); it is only
+    // n_queries·kNeighbors rows, so materialize it once instead of
+    // re-running the brute-force scan per subtree (measured 10.9 → ~8 s
+    // at sf0.1; localCheckpoint = the q92/k-means bounded-state precedent)
     val truth = knnBrute(queries, candidates, kNeighbors, idCol, vecCol)
       .select(col("qid"), col("cid"))
+      .localCheckpoint()
     def audit(method: String, got: DataFrame, mask: Boolean,
         floor: Double): DataFrame = {
       val hits = got.select(col("qid"), col("cid"))

@@ -342,6 +342,18 @@ object Quality {
     graft.operators.IncrementalPostings.report(s, store)
   }
 
+  /** ENCODE the corpus with the q126-trained tokenizer: train the 8-merge
+    * table, then per document count pre-tokens, post-merge tokens, and
+    * chars-per-token — the apply side that makes q126's model a usable
+    * tokenizer (see [[graft.operators.Bpe.encodeTokenCounts]]; the merge
+    * table is bounded driver state, the k-means-centroid precedent). */
+  def q131BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val merges = graft.operators.Bpe.trainMerges(docs, nMerges = 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.encodeTokenCounts(docs, merges)
+  }
+
   /** q120's incremental index through the BUCKETED tf store — the serving
     * layout Search's scaladoc promises (IncrementalPostings
     * .appendCountsBucketed / reportBucketed): tf rows persisted bucketed on

@@ -93,6 +93,42 @@ class CurationSpec extends SparkSpec {
       "lineage checkpoints must not change the trained merge table")
   }
 
+  test("encodeTokenCounts: hand-checked counts under a trained merge table") {
+    import spark.implicits._
+    // corpus: "abab ab cd" x2 → merges: (a,b) count 6, then (ab,ab) count 2
+    val docs = Seq(doc(1L, "abab ab cd"), doc(2L, "abab ab cd"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, nMerges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+    val out = Bpe.encodeTokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // per doc: pre-tokens [abab, ab, cd] → tokens [abab]=1, [ab]=1, [c,d]=2
+    // chars 4+2+2 = 8, tokens 4 → 2.0 chars/token
+    assert(out(1L) == ((3L, 4L, 8L, 2.0)))
+    assert(out(2L) == ((3L, 4L, 8L, 2.0)))
+    // empty merge table = character tokenizer: 8 chars → 8 tokens
+    val raw = Bpe.encodeTokenCounts(docs, Nil).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw(1L) == 8L)
+  }
+
+  test("encodeTokenCounts: empty and whitespace-only docs emit zero rows, not nulls") {
+    import spark.implicits._
+    val docs = Seq(doc(1L, "ab ab"), doc(2L, ""), doc(3L, "   ")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    val out = Bpe.encodeTokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out.size == 3)
+    assert(out(1L) == ((2L, 2L, 4L, 2.0)))
+    assert(out(2L) == ((0L, 0L, 0L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0L, 0.0)))
+  }
+
   test("trainMerges: first merge agrees with pairCounts' top-1 ranking") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val first = Bpe.trainMerges(docs, nMerges = 1).collect()(0)
