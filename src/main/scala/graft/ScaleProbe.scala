@@ -185,7 +185,19 @@ object ScaleProbe {
       "q121_triangles" -> SparkEntry.queries("q121_triangle_stats"),
       "q122_longest_span" -> SparkEntry.queries("q122_longest_dup_span"),
       "q123_canonical" -> SparkEntry.queries("q123_canonical_dedup"),
-      "q124_standardize" -> SparkEntry.queries("q124_standardize_audit"))
+      "q124_standardize" -> SparkEntry.queries("q124_standardize_audit"),
+      // round-8/9 additions: BPE trainer + encoder (vocabulary-sized merge
+      // loops over a corpus-sized aggregate), recall audit (composes four
+      // index pipelines incl. the deterministic-IVF k-means fit), bucketed
+      // postings store (full incremental cycle: 3 bucketed ingests +
+      // exchange-free report), span-LENGTH removal, source-overlap MinHash
+      // scale path (256-component signature aggregate + banded pairing)
+      "q126_bpe_train" -> SparkEntry.queries("q126_bpe_train"),
+      "q127_recall_audit" -> SparkEntry.queries("q127_recall_audit"),
+      "q128_postings_bkt" -> SparkEntry.queries("q128_postings_bucketed"),
+      "q129_long_spans" -> SparkEntry.queries("q129_remove_long_spans"),
+      "q130_overlap_mh" -> SparkEntry.queries("q130_source_overlap_minhash"),
+      "q131_bpe_encode" -> SparkEntry.queries("q131_bpe_encode"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
