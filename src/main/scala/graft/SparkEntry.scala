@@ -407,25 +407,34 @@ object SparkEntry {
 
   /** Deterministic-IVF pipeline CTEs through the ranked result `vs` —
     * the q98 k-means replay (hash-least 16 seeds, 2 Lloyd rounds,
-    * decimal-exact distances) retrained as the coarse quantizer, then
-    * 6-probe cell ranking BY THE QUANTIZER'S OWN METRIC (squared L2 to
-    * each centroid, ties by cell) and cosine scoring within probed cells.
-    * CTE names are prefixed `v*`; requires [[pqAdcCtes]]'s `fnvmap` (the
-    * identical FNV(vec_id) map) and [[embNormCte]] in the same statement. */
+    * decimal-exact distances) retrained as the coarse quantizer ON THE
+    * 10% FNV-mod SAMPLE (q56/q94's deterministic membership — the
+    * bounded-fit-sample IVF build economics), then one full assignment
+    * pass, 6-probe cell ranking BY THE QUANTIZER'S OWN METRIC (squared
+    * L2 to each centroid, ties by cell), and cosine scoring within
+    * probed cells. CTE names are prefixed `v*`; requires [[pqAdcCtes]]'s
+    * `fnvmap` (the identical FNV(vec_id) map) and [[embNormCte]] in the
+    * same statement. */
   private def ivfDetCtes: String =
-    s"""vseeds AS (
+    s"""vfit AS (
+       |  SELECT vec_id, embedding, hk FROM fnvmap
+       |  WHERE ((hk % 100) + 100) % 100 < 10),
+       |vseeds AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
-       |  FROM fnvmap ORDER BY hk, vec_id LIMIT 16),
+       |  FROM vfit ORDER BY hk, vec_id LIMIT 16),
        |vcb0 AS (
        |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
        |  FROM vseeds, UNNEST(generate_series(1, 64)) AS u(i)),
+       |vsdims AS (
+       |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM vfit, UNNEST(generate_series(1, 64)) AS u(i)),
        |vdims AS (
        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
        |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
        |vd0 AS (
        |  SELECT id, cid,
        |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
-       |  FROM vdims JOIN vcb0 USING (dim) GROUP BY 1, 2),
+       |  FROM vsdims JOIN vcb0 USING (dim) GROUP BY 1, 2),
        |va0 AS (
        |  SELECT id, cid FROM (
        |    SELECT id, cid,
@@ -435,7 +444,7 @@ object SparkEntry {
        |  SELECT cid, dim,
        |    ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
        |      / COUNT(*), 12) AS c
-       |  FROM va0 JOIN vdims USING (id) GROUP BY 1, 2),
+       |  FROM va0 JOIN vsdims USING (id) GROUP BY 1, 2),
        |vd1 AS (
        |  SELECT id, cid,
        |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2

@@ -166,6 +166,15 @@ object Similarity {
     * independent SQL oracle (which is what lets q127's ivf row gate
     * bit-for-bit instead of NULL-masking its recall like q44).
     *
+    * Like [[knnIvf]], the quantizer trains on a bounded deterministic
+    * CONTENT-ADDRESSED sample, never the full candidate table — but the
+    * sample filter here is the FNV-mod selection of q56/q94 (replayable
+    * in SQL) rather than knnIvf's xxhash64: Lloyd rounds cost
+    * sample-sized work, then ONE full pass assigns every candidate to
+    * its cell — the real IVF build economics at 100 TB. Degenerate
+    * samples (< nCells rows) fall back to fitting on everything, the
+    * knnIvf guard.
+    *
     * Probe ranking uses the quantizer's OWN metric (exact decimal-summed
     * squared L2 to each centroid, ties by cell) rather than knnIvf's
     * cosine-to-centroid — queries rank cells with the same arithmetic that
@@ -175,10 +184,21 @@ object Similarity {
     * backing the fit follows [[KMeans.fit]]'s blanket-sweep convention. */
   def knnIvfDeterministic(queries: DataFrame, candidates: DataFrame,
       kNeighbors: Int = 3, nCells: Int = 16, nProbe: Int = 6,
-      iterations: Int = 2, idCol: String = "vec_id",
+      iterations: Int = 2, fitPercent: Int = 10, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val (assigned, centroids, _) =
-      KMeans.fitCentroidsManaged(candidates, nCells, iterations, idCol, vecCol)
+    require(fitPercent >= 1 && fitPercent <= 100, "fitPercent in [1, 100]")
+    // q56's deterministic sample: signed FNV of the id string, mod 100
+    // (non-negative) below the cut — identical membership on any engine
+    val fp = graft.functions.Fnv64.fnv64(col(idCol).cast("string"))
+    val sampled =
+      if (fitPercent == 100) candidates
+      else candidates.filter(pmod(fp % 100 + 100, lit(100)) < fitPercent)
+    val fitRows =
+      if (fitPercent < 100 && sampled.limit(nCells).count() < nCells) candidates
+      else sampled
+    val (_, centroids, _) =
+      KMeans.fitCentroidsManaged(fitRows, nCells, iterations, idCol, vecCol)
+    val assigned = KMeans.assign(candidates, centroids, idCol, vecCol)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       norm(col(vecCol)).as("qn"))
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
