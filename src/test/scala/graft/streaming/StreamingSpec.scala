@@ -194,6 +194,31 @@ class StreamingSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("streaming spans: two micro-batches' store report equals the batch build") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("sspan").toString
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingSpans.run(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/spanstore", s"$tmp/ck")
+    ms.addData(half1); q.processAllAvailable()
+    ms.addData(half2); q.processAllAvailable()
+    q.stop()
+
+    val got = graft.operators.IncrementalSpans.report(docs, s"$tmp/spanstore")
+    val want = graft.operators.Corpus.repeatedSpans(docs)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "streamed store report must equal the from-scratch repeated-spans build")
+  }
+
   test("streaming postings: two micro-batches' store reports equal the batch build") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
