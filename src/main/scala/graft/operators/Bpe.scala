@@ -174,24 +174,53 @@ object Bpe {
     * rollup. Documents with no pre-tokens (empty/whitespace-only) emit
     * zero counts with chars_per_token 0, not null.
     *
+    * The merge chain is applied in CHUNKS of `checkpointEvery` replaces
+    * with a localCheckpoint between chunks — the [[trainMerges]] lineage
+    * discipline: a single folded expression of ~30k nested `replace`s
+    * would blow the Catalyst tree (StackOverflow / codegen method-size)
+    * before any work ran. 0 disables truncation (audit-only; identical
+    * semantics, spec-pinned).
+    *
     * Output: (doc_id, n_pretokens, n_tokens, n_chars, chars_per_token),
     * totally ordered — gated as q131 by replaying the training CTEs plus
     * this aggregation in DuckDB. */
   def encodeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      checkpointEvery: Int = 8): DataFrame = {
     val pre = docs
       .select(col(idCol), explode(
         regexp_extract_all(col(textCol), lit(TextFunctions.PreTokenRe), lit(0)))
         .as("w"))
       .filter(!col("w").contains(Sep))
-    val wrapped = regexp_replace(col("w"), "(.)", Sep + "$1" + Sep)
-    val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
-      org.apache.spark.sql.functions.replace(s,
-        lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+    def applyChunk(df: DataFrame, chunk: Seq[(String, String)]): DataFrame =
+      df.withColumn("s", chunk.foldLeft(col("s")) { case (s, (l, r)) =>
+        org.apache.spark.sql.functions.replace(s,
+          lit(Sep + l + Sep + Sep + r + Sep), lit(Sep + l + r + Sep))
+      })
+    val vocab0 = pre.select("w").distinct()
+      .select(col("w"), regexp_replace(col("w"), "(.)", Sep + "$1" + Sep).as("s"))
+    val chunks =
+      if (checkpointEvery > 0) merges.grouped(checkpointEvery).toSeq
+      else Seq(merges)
+    // checkpoint BETWEEN chunks only — the last chunk stays lazy, so a
+    // short merge table (the common gated case) adds no materialization.
+    // Superseded checkpoints are freed eagerly (the trainMerges
+    // discipline); the final one backs the returned plan and is reclaimed
+    // by the harness's blanket sweep (the KMeans.fit convention).
+    var mergedVocab = vocab0
+    var lastCp: Option[DataFrame] = None
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      mergedVocab = applyChunk(mergedVocab, chunk)
+      if (i < chunks.size - 1) {
+        val cp = mergedVocab.localCheckpoint()
+        lastCp.foreach(Components.freeLocalCheckpoint)
+        lastCp = Some(cp)
+        mergedVocab = cp
+      }
     }
-    val tokv = pre.select("w").distinct()
+    val tokv = mergedVocab
       .select(col("w"),
-        size(split(trim(merged, Sep), Sep + Sep)).cast("bigint").as("n_toks"))
+        size(split(trim(col("s"), Sep), Sep + Sep)).cast("bigint").as("n_toks"))
     val perDoc = pre.join(tokv, "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_pretokens"),

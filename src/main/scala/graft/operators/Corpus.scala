@@ -447,23 +447,15 @@ object Corpus {
       .select(col(srcCol).as("src"),
         graft.functions.ShingleRows.shingleRows(col(textCol), 3).as(Seq("pos", "s3")))
       .select(col("src"), col("s3"))
-    val hashes = shingles
-      .select(col("src"), graft.functions.Fnv64.fnv64(col("s3")).as("h"))
-    val mins: Seq[Column] = (0 until k).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i")
-    }
-    val sigs = hashes.groupBy(col("src")).agg(mins.head, mins.tail: _*)
-      .select(col("src").as("id"),
-        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-    val bands = Dedup.bandRows(sigs, k, rowsPerBand = 1).drop("sig")
-    // shuffle_hash: one band-row exchange feeds both join sides (the
-    // minhashLsh reuse rationale)
-    val bandsJ = bands.hint("shuffle_hash")
-    val candidates = bandsJ.as("x").join(bandsJ.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("src_a"), col("y.id").as("src_b"))
-      .distinct()
+    // Dedup's shared signature aggregate + band pairing, grouped by SOURCE
+    // instead of document — the permutation scheme and candidate join are
+    // literally the doc-level path's code, so they can never diverge
+    val sigs = Dedup.signaturesFromHashes(
+      shingles.select(col("src").as("id"),
+        graft.functions.Fnv64.fnv64(col("s3")).as("h")), k)
+    val candidates = Dedup.bandCandidatePairs(
+        Dedup.bandRows(sigs, k, rowsPerBand = 1).drop("sig"))
+      .select(col("a_id").as("src_a"), col("b_id").as("src_b"))
     val sh = shingles.distinct()
     val cnt = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val inter = candidates

@@ -100,13 +100,36 @@ object Dedup {
     * (xxhash64 of (seed, h) — wrap-free under ANSI mode, unlike the classic
     * affine a·h+b construction, which overflows Long). */
   def minhashSignatures(docs: DataFrame, k: Int = 32,
-      idCol: String = "doc_id"): DataFrame = {
-    val sh = shingleIndex(docs, idCol) // "sh" is already a 64-bit hash
+      idCol: String = "doc_id"): DataFrame =
+    signaturesFromHashes(
+      shingleIndex(docs, idCol).select(col("id"), col("sh").as("h")), k)
+
+  /** THE signature aggregate — k component-wise minima over (id, h) hash
+    * rows, packed as `sig`. Shared by the doc-level path above and every
+    * other grouping granularity ([[Corpus.sourceOverlapMinhash]] groups by
+    * SOURCE), so the permutation scheme can never diverge between them.
+    * Min over a multiset equals min over its set: callers need not
+    * distinct their hash stream first. */
+  private[operators] def signaturesFromHashes(hashes: DataFrame,
+      k: Int): DataFrame = {
     val mins: Seq[Column] = (0 until k).map { i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"m$i")
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")
     }
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    hashes.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Distinct unordered candidate id pairs from (id, band, bh) rows:
+    * same-band same-hash different-id, a < b. One hinted exchange feeds
+    * both join sides (the reuse rationale documented at [[minhashLsh]]).
+    * Shared by the doc-level LSH path and the source-granularity path so
+    * candidate generation can never diverge between them. */
+  private[operators] def bandCandidatePairs(bands: DataFrame): DataFrame = {
+    val bandsJ = bands.hint("shuffle_hash")
+    bandsJ.as("x").join(bandsJ.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
   }
 
   /** (id, band, bh) rows for LSH banding: one xxhash64 per `rowsPerBand`
@@ -128,14 +151,10 @@ object Dedup {
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5, k: Int = 32,
       rowsPerBand: Int = 2, idCol: String = "doc_id"): DataFrame = {
     val sig = minhashSignatures(docs, k, idCol)
-    val bands = bandRows(sig, k, rowsPerBand).drop("sig")
-    // shuffle_hash: keeps the two identical band subtrees reusable as one
-    // exchange (AQE's broadcast choice would recompute signatures per side)
-    val bandsJ = bands.hint("shuffle_hash")
-    val candidates = bandsJ.as("x").join(bandsJ.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    // shuffle_hash (inside bandCandidatePairs): keeps the two identical
+    // band subtrees reusable as one exchange (AQE's broadcast choice would
+    // recompute signatures per side)
+    val candidates = bandCandidatePairs(bandRows(sig, k, rowsPerBand).drop("sig"))
     verifyCandidates(docs, candidates, threshold, idCol)
   }
 

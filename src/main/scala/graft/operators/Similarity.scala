@@ -171,9 +171,11 @@ object Similarity {
     * sample filter here is the FNV-mod selection of q56/q94 (replayable
     * in SQL) rather than knnIvf's xxhash64: Lloyd rounds cost
     * sample-sized work, then ONE full pass assigns every candidate to
-    * its cell — the real IVF build economics at 100 TB. Degenerate
-    * samples (< nCells rows) fall back to fitting on everything, the
-    * knnIvf guard.
+    * its cell — the real IVF build economics at 100 TB. A degenerate
+    * sample (< nCells rows) FAILS FAST with instructions to raise
+    * `fitPercent` — deliberately NOT knnIvf's silent fit-on-everything
+    * fallback, because the SQL oracle always fits on the sample and a
+    * silent engine-side fallback would diverge from it undetectably.
     *
     * Probe ranking uses the quantizer's OWN metric (exact decimal-summed
     * squared L2 to each centroid, ties by cell) rather than knnIvf's
@@ -193,19 +195,18 @@ object Similarity {
     val sampled =
       if (fitPercent == 100) candidates
       else candidates.filter(pmod(fp % 100 + 100, lit(100)) < fitPercent)
-    val fitRows =
-      if (fitPercent < 100 && sampled.limit(nCells).count() < nCells) candidates
-      else sampled
+    require(fitPercent == 100 || sampled.limit(nCells).count() >= nCells,
+      s"the $fitPercent% fit sample has fewer than nCells=$nCells rows — " +
+        "raise fitPercent (the oracle replays the sampled fit, so a silent " +
+        "fit-on-everything fallback would diverge from it)")
     val (_, centroids, _) =
-      KMeans.fitCentroidsManaged(fitRows, nCells, iterations, idCol, vecCol)
+      KMeans.fitCentroidsManaged(sampled, nCells, iterations, idCol, vecCol)
     val assigned = KMeans.assign(candidates, centroids, idCol, vecCol)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       norm(col(vecCol)).as("qn"))
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     val probes = KMeans.cellDistances(
-        queries.select(col(idCol).as("id"),
-          posexplode(col(vecCol)).as(Seq("dim", "x")))
-          .select(col("id"), col("dim"), col("x").cast("double").as("x")),
+        KMeans.dimRows(queries, idCol, vecCol),
         centroids)
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)

@@ -366,13 +366,18 @@ object Quality {
   def q128PostingsBucketed(s: SparkSession, dir: String): DataFrame = {
     val tbl = s"graft_q128_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
-    // clean slate per (process, sf dir): the in-memory catalog dies with
-    // its process but the managed warehouse dir persists — clear both so a
-    // crashed earlier run cannot double-count into this one's store
+    // clean slate: the in-memory catalog dies with its process but the
+    // managed warehouse dir persists — drop the current name AND sweep
+    // every graft_q128_p* orphan (a crashed run's table is named with a
+    // DEAD pid, so per-name cleanup would never reach it and each crash
+    // would leak a full bucketed store on disk)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
-    val wh = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    val whRoot = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs2 = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs2.exists(whRoot))
+      fs2.listStatus(whRoot)
+        .filter(_.getPath.getName.startsWith("graft_q128_p"))
+        .foreach(st => fs2.delete(st.getPath, true))
     val docs = Tables.load(s, dir, "documents")
     (0 until 3).foreach { d =>
       graft.operators.IncrementalPostings.appendCountsBucketed(

@@ -309,13 +309,17 @@ object TextQueries {
   def q92IncrementalDedupBucketed(s: SparkSession, dir: String): DataFrame = {
     val tbl = s"graft_q92_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
-    // clean slate per (process, sf dir): the in-memory catalog dies with
-    // its process but the managed warehouse dir persists — clear both so a
-    // crashed earlier run cannot pollute this one's candidate set
+    // clean slate: the in-memory catalog dies with its process but the
+    // managed warehouse dir persists — drop the current name AND sweep
+    // every graft_q92_p* orphan (a crashed run's table carries a dead pid,
+    // so per-name cleanup would never reach it; q128's convention)
     s.sql(s"DROP TABLE IF EXISTS $tbl")
-    val wh = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    val whRoot = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(whRoot))
+      fs.listStatus(whRoot)
+        .filter(_.getPath.getName.startsWith("graft_q92_p"))
+        .foreach(st => fs.delete(st.getPath, true))
     val docs = Tables.load(s, dir, "documents")
     val daily = (0 until 3).map { d =>
       graft.operators.IncrementalDedup.appendBandsBucketed(

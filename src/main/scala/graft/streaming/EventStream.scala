@@ -25,8 +25,24 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Open a streaming view of an events parquet path. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** The canonical events schema with a caller-chosen `ts` rendering —
+    * for deployments that must define the stream BEFORE the first file
+    * lands (no footer to peek). */
+  private def eventsSchema(ts: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", ts),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Open a streaming view of an events parquet path.
+    *
+    * `tsRendering`: None (default) peeks the existing file's footer and
+    * branches on the actual physical type — the robust choice when data
+    * is already present. A deployment that starts the stream BEFORE the
+    * first file lands must pass the expected rendering explicitly
+    * (LongType for raw nanos, TimestampNTZType for timestamp[us]),
+    * because there is no footer to peek yet. */
+  def readEvents(spark: SparkSession, dir: String,
+      tsRendering: Option[DataType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file-stream sources require a directory; glob-filter to the one table
     // Event time must stay TIMESTAMP_LTZ: Spark rejects watermarks on
@@ -43,10 +59,13 @@ object EventStream {
     // us which physical rendering this copy of the table carries; the
     // streaming source's explicit schema must match it or Spark silently
     // mis-renders the column (raw µs read as ns ⇒ every event lands in 1970).
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(fileSchema)
+    val schema = tsRendering match {
+      case Some(t) => eventsSchema(t)
+      case None => spark.read.parquet(s"$dir/events.parquet").schema
+    }
+    val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    fileSchema("ts").dataType match {
+    schema("ts").dataType match {
       case LongType => // physical INT64 TIMESTAMP(NANOS) read as raw nanos
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType => // plain timestamp[us]: NTZ wall time == LTZ under UTC

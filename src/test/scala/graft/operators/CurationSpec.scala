@@ -113,6 +113,12 @@ class CurationSpec extends SparkSpec {
     val raw = Bpe.encodeTokenCounts(docs, Nil).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(raw(1L) == 8L)
+    // chunked merge application (lineage bound) is semantics-neutral
+    val chunked = Bpe.encodeTokenCounts(docs, merges, checkpointEvery = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val unchunked = Bpe.encodeTokenCounts(docs, merges, checkpointEvery = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chunked == unchunked)
   }
 
   test("encodeTokenCounts: empty and whitespace-only docs emit zero rows, not nulls") {

@@ -71,6 +71,23 @@ class SimilaritySpec extends SparkSpec {
     assert(audit("ivf").getBoolean(5), "IVF recall fell below the 0.4 floor")
   }
 
+  test("knnIvfDeterministic fails fast when the fit sample is smaller than nCells") {
+    import spark.implicits._
+    // 40 vectors → the 10% FNV sample cannot reach 16 rows; the engine
+    // must refuse (the oracle always fits on the sample — a silent
+    // fit-on-everything fallback would diverge from it undetectably)
+    val tiny = (0 until 40).map(i => (i.toLong, Array.fill(8)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.knnIvfDeterministic(tiny.filter(col("vec_id") < 3), tiny)
+    }
+    assert(err.getMessage.contains("fitPercent"))
+    // raising fitPercent to 100 makes the same table work
+    val ok = Similarity.knnIvfDeterministic(
+      tiny.filter(col("vec_id") < 3), tiny, fitPercent = 100)
+    assert(ok.count() > 0)
+  }
+
   test("cosineNearDupBlocked output equals the all-pairs baseline (every block count)") {
     val brute = Similarity.cosineNearDup(emb, 0.4).collect().toSet
     for (nBlocks <- Seq(1, 3, 8)) {
