@@ -61,7 +61,13 @@ object MemProbe {
       "q102_remove_repeated_spans", "q103_frame_dedup",
       "q109_incremental_spans", "q110_full_pipeline",
       "q115_survivor_selection", "q116_collocations", "q117_cdc_chunks",
-      "q120_incremental_postings", "q121_triangle_stats")
+      "q120_incremental_postings", "q121_triangle_stats",
+      // round-9 flagships: recall audit (4 index pipelines + sampled
+      // k-means fit), bucketed postings cycle, span-length removal,
+      // source-overlap MinHash, trained-tokenizer encode
+      "q127_recall_audit", "q128_postings_bucketed",
+      "q129_remove_long_spans", "q130_source_overlap_minhash",
+      "q131_bpe_encode")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
