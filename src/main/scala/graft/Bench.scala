@@ -56,7 +56,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "840").toDouble
     val partialPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.json")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // target 3 passes: two budget-exempt (the min-of-2 floor), a third
+    // expensive-first refinement only while the budget allows — a quiet
+    // host tightens its minima with otherwise-idle budget, a contended
+    // host still stops at the guaranteed two
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val runId = java.lang.Long.toHexString(System.currentTimeMillis())
     // a previous run's snapshot must never be readable as this run's
     new java.io.File(partialPath).delete()
