@@ -150,6 +150,7 @@ object SparkEntry {
     "q129_remove_long_spans" -> (TextQueries.q129RemoveLongSpans _),
     "q130_source_overlap_minhash" -> (TextQueries.q130SourceOverlapMinhash _),
     "q131_bpe_encode" -> (Quality.q131BpeEncode _),
+    "q132_hybrid_rrf" -> (Quality.q132HybridRrf _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2495,6 +2496,45 @@ object SparkEntry {
     // q131: the trained tokenizer APPLIED — training replayed (q126's
     // CTEs), then per-doc token counts via the vocabulary-sized encode.
     "q131_bpe_encode" -> bpeEncodeSql(8),
+
+    // q132: reciprocal-rank fusion of q74's BM25 top-10 and the exact
+    // cosine top-10 for query vector 0 — each 1/(60+rank) term rounded to
+    // 6 and decimal-summed, ties on id (Cormack et al., SIGIR'09).
+    "q132_hybrid_rrf" ->
+      s"""WITH $embNormCte,
+         |$knnBruteCtes,
+         |toks AS (
+         |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+         |part AS (
+         |  SELECT btf.doc_id,
+         |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * (1.2 + 1.0))
+         |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+         |      AS DECIMAL(18,6)) AS s
+         |  FROM btf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+         |        FROM part GROUP BY doc_id
+         |        ORDER BY score DESC, doc_id LIMIT 10)),
+         |vec AS (SELECT cid AS id, rank FROM bs WHERE qid = 0 AND rank <= 10),
+         |fused AS (
+         |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
+         |  FROM lex
+         |  UNION ALL
+         |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
+         |  FROM vec)
+         |SELECT id, CAST(SUM(s) AS DOUBLE) AS rrf_score, COUNT(*) AS n_lists
+         |FROM fused GROUP BY id
+         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
 
     // q113: temperature mixture — p^0.3 rounded to 6 BEFORE the decimal-
     // summed normalizer (matches Corpus.temperatureMix's determinism

@@ -126,6 +126,40 @@ object Search {
       .orderBy(col("term"), col("rnk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal
+    * Rank Fusion outperforms Condorcet and individual Rank Learning
+    * Methods", SIGIR'09): fuse any number of (id, rank) top-k lists into
+    * one ranking by Σ 1/(kRrf + rank). THE standard hybrid-retrieval
+    * combiner (BM25 list + vector list): rank-only fusion needs no score
+    * calibration between heterogeneous retrievers, which is why hybrid
+    * search stacks default to it (kRrf = 60 is the paper's constant).
+    *
+    * Output: (id, rrf_score, n_lists) in (score DESC, id) total order,
+    * top `topK`.
+    *
+    * Determinism: each 1/(kRrf+rank) term is rounded to 6 and summed
+    * through DECIMAL (order-independent — the repo's standard replay
+    * contract); ties break on id.
+    *
+    * Scale shape: the inputs are already top-k lists (bounded rows), so
+    * the fusion itself — a union plus one tiny aggregate — is free at any
+    * corpus size; all the data-sized work lives in the upstream
+    * retrievers, each with its own scale story. */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    rankings
+      .map(_.select(col("id"),
+        round(lit(1.0) / (lit(kRrf) + col("rank")), 6)
+          .cast("decimal(18,6)").as("s")))
+      .reduce(_ unionAll _)
+      .groupBy(col("id"))
+      .agg(sum(col("s")).cast("double").as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(topK)
+  }
+
   def collocations(docs: DataFrame, minCount: Long = 5, k: Int = 50,
       textCol: String = "text"): DataFrame = {
     val t = filter(graft.functions.TextFunctions.tokens(col(textCol)),

@@ -150,6 +150,28 @@ object Quality {
     Search.bm25(Tables.load(s, dir, "documents"), Seq("data", "query"), 10)
       .orderBy(col("score").desc, col("doc_id"))
 
+  /** Hybrid retrieval capstone: q74's BM25 lexical top-10 fused with the
+    * exact cosine top-10 for query vector 0 (q30's brute baseline) by
+    * reciprocal-rank fusion (see [[graft.operators.Search.rrfFuse]]) —
+    * the lexical+vector combination every RAG retrieval stack serves.
+    * The synthetic corpus keys documents and embeddings by the same row
+    * id space, which is what makes the fusion join meaningful here; a
+    * real deployment retrieves both lists over the same document key. */
+  def q132HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = Search.bm25(Tables.load(s, dir, "documents"), Seq("data", "query"), 10)
+      // partition-less window is safe here: it ranks the 10-row top-k
+      // result, never corpus-sized data
+      .withColumn("rank", row_number().over(rankW))
+      .select(col("doc_id").as("id"), col("rank"))
+    val emb = Tables.load(s, dir, "embeddings")
+    val vec = graft.operators.Similarity
+      .knnBrute(emb.filter(col("vec_id") === 0), emb, 10)
+      .select(col("cid").as("id"), col("rank"))
+    Search.rrfFuse(Seq(lex, vec))
+  }
+
   /** Corpus-trained character-trigram LM score per document. */
   def q75TrigramLm(s: SparkSession, dir: String): DataFrame =
     TextProfile.trigramLmScore(Tables.load(s, dir, "documents"))

@@ -49,4 +49,23 @@ class SearchSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Search.collocations(docs, minCount = 1).collect().isEmpty)
   }
+
+  test("rrfFuse: hand-checked fusion of two overlapping rankings") {
+    import spark.implicits._
+    // list A ranks (10, 20, 30); list B ranks (20, 10, 40): doc 10 and 20
+    // appear in both lists, 30/40 in one each
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), kRrf = 60, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def t(rank: Long): Double =
+      BigDecimal(1.0 / (60 + rank)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 10: ranks 1+2; doc 20: ranks 2+1 (tie on score, id breaks it);
+    // then the singletons by their single terms
+    assert(got.map(_._1).toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(math.abs(got(0)._2 - (t(1) + t(2))) < 1e-9)
+    assert(math.abs(got(1)._2 - (t(1) + t(2))) < 1e-9)
+    assert(got(0)._3 == 2L && got(2)._3 == 1L)
+    assert(math.abs(got(2)._2 - t(3)) < 1e-9)
+  }
 }
