@@ -123,8 +123,16 @@ object Bench {
         if (okSentinel.size >= 2 && okSentinel.min > 0)
           (okSentinel.max / okSentinel.min).toString
         else "null"
+      // self-disqualifying record (round 10): a sentinel spread above 3×
+      // means host contention, not engine cost — stamp it so a dirty run
+      // can never silently read as the design's official number (rounds
+      // 8–9 were both taken at noise ≈ 4 and needed judge-side forensics)
+      val contended =
+        if (okSentinel.size >= 2 && okSentinel.min > 0)
+          (okSentinel.max / okSentinel.min > 3.0).toString
+        else "null"
       val total = best.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"reps":$repsJson,"raw":$rawJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"run_id":"$runId"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"reps":$repsJson,"raw":$rawJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"contended":$contended,"run_id":"$runId"}"""
     }
     def snapshot(): Unit = try {
       val tmp = new java.io.File(partialPath + ".tmp")

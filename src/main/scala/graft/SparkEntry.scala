@@ -363,22 +363,31 @@ object SparkEntry {
        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
        |FROM ls WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
-  /** Full PQ-ADC pipeline CTEs through the ranked result `pqr` —
-    * FNV-seeded codebook (signed-BIGINT hash order, q56's
-    * reinterpretation), per-subspace exact decimal distances, argmin code
-    * assignment, ADC sum along codes, (distance, id) ranking. Shared by
-    * q96 (the ranked rows) and q127 (the recall audit). */
-  private def pqAdcCtes: String =
+  /** FNV(vec_id) signed-BIGINT hash map over embeddings (q56's HUGEINT
+    * reinterpretation) — the shared seed/sample machinery under the PQ
+    * codebook (hash-least seeds), the deterministic-IVF fit sample, and
+    * q133's frozen-at-init models. Compose once per statement. */
+  private def fnvMapCte: String =
     s"""fnvmap AS (
        |  SELECT vec_id, embedding,
        |    CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
        |      THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS hk
        |  FROM (SELECT vec_id, embedding,
        |          ${fnvSql("CAST(vec_id AS VARCHAR)")} AS fnv
-       |        FROM embeddings)),
-       |seeds AS (
+       |        FROM embeddings))""".stripMargin
+
+  /** Full PQ-ADC pipeline CTEs through the ranked result `pqr` —
+    * FNV-seeded codebook (signed-BIGINT hash order), per-subspace exact
+    * decimal distances, argmin code assignment, ADC sum along codes,
+    * (distance, id) ranking. Shared by q96 (the ranked rows), q127 (the
+    * recall audit), and q133 (codebook frozen at the initial date via
+    * `fitWhere`). Requires [[fnvMapCte]] in the same statement. */
+  private def pqAdcCtes: String = pqAdcCtesFit("TRUE")
+
+  private def pqAdcCtesFit(fitWhere: String): String =
+    s"""seeds AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
-       |  FROM fnvmap ORDER BY hk, vec_id LIMIT 16),
+       |  FROM fnvmap WHERE $fitWhere ORDER BY hk, vec_id LIMIT 16),
        |cb AS (
        |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
        |  FROM seeds, UNNEST(generate_series(1, 64)) AS u(i)),
@@ -413,13 +422,17 @@ object SparkEntry {
     * bounded-fit-sample IVF build economics), then one full assignment
     * pass, 6-probe cell ranking BY THE QUANTIZER'S OWN METRIC (squared
     * L2 to each centroid, ties by cell), and cosine scoring within
-    * probed cells. CTE names are prefixed `v*`; requires [[pqAdcCtes]]'s
-    * `fnvmap` (the identical FNV(vec_id) map) and [[embNormCte]] in the
-    * same statement. */
-  private def ivfDetCtes: String =
+    * probed cells. CTE names are prefixed `v*`; requires [[fnvMapCte]]
+    * and [[embNormCte]] in the same statement. The fit sample defaults
+    * to the 10% FNV-mod rows (knnIvfDeterministic's default); q133
+    * passes its initial-date slice instead (quantizer frozen at store
+    * init). */
+  private def ivfDetCtes: String = ivfDetCtesFit("((hk % 100) + 100) % 100 < 10")
+
+  private def ivfDetCtesFit(fitWhere: String): String =
     s"""vfit AS (
        |  SELECT vec_id, embedding, hk FROM fnvmap
-       |  WHERE ((hk % 100) + 100) % 100 < 10),
+       |  WHERE $fitWhere),
        |vseeds AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
        |  FROM vfit ORDER BY hk, vec_id LIMIT 16),
@@ -488,6 +501,7 @@ object SparkEntry {
     s"""WITH $embNormCte,
        |$knnBruteCtes,
        |$knnLshCtes,
+       |$fnvMapCte,
        |$pqAdcCtes,
        |$ivfDetCtes,
        |bt AS (SELECT qid, cid FROM bs WHERE rank <= 3),
@@ -1315,7 +1329,8 @@ object SparkEntry {
     // q56's reinterpretation), per-subspace exact decimal distances, argmin
     // code assignment, ADC sum along codes, (distance, id) ranking.
     "q96_pq_adc" ->
-      s"""WITH $pqAdcCtes
+      s"""WITH $fnvMapCte,
+         |$pqAdcCtes
          |SELECT qid, CAST(rank AS BIGINT) AS rank, cand AS cid,
          |  ROUND(CAST(ad AS DOUBLE), 6) AS adist
          |FROM pqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
@@ -1376,11 +1391,16 @@ object SparkEntry {
          |WHERE ((fp % 100) + 100) % 100 < 10
          |ORDER BY doc_id""".stripMargin,
 
+    // q44: full deterministic-IVF replay (round 10) — quantizer training
+    // on the 10% FNV sample, one full assignment pass, 6-probe cell
+    // ranking, cosine scoring: the ranked rows gate bit-for-bit, so the
+    // registry carries zero NULL-masked columns.
     "q44_knn_ivf" ->
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-        |  CAST(SUM(LEAST(3, (SELECT COUNT(*) FROM embeddings) - 1)) AS BIGINT) AS n_exact,
-        |  true AS recall_ok
-        |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 10)""".stripMargin,
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |$ivfDetCtes
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+         |FROM vs WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q43_fingerprint" ->
       s"""SELECT doc_id,

@@ -45,7 +45,7 @@ object PQ {
   /** Exact squared L2 between every (vector subspace, centroid subspace)
     * pair: (id, m, cid, d2) with d2 an exact DECIMAL of per-dim-rounded
     * terms. `subDim` = D / M. */
-  private def subDistances(vecs: DataFrame, cb: DataFrame, subDim: Int,
+  private[operators] def subDistances(vecs: DataFrame, cb: DataFrame, subDim: Int,
       idCol: String, vecCol: String): DataFrame = {
     val dims = vecs.select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
@@ -66,7 +66,7 @@ object PQ {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     encodeWithDim(emb, cb, vecDim(emb, vecCol), m, idCol, vecCol)
 
-  private def vecDim(emb: DataFrame, vecCol: String): Int =
+  private[operators] def vecDim(emb: DataFrame, vecCol: String): Int =
     emb.select(size(col(vecCol))).head().getInt(0)
 
   private def encodeWithDim(emb: DataFrame, cb: DataFrame, dim: Int, m: Int,

@@ -182,8 +182,18 @@ object Similarity {
     * cosine-to-centroid — queries rank cells with the same arithmetic that
     * assigned candidates to them. Scale shape is knnIvf's: one broadcast
     * centroid table (k·D rows), dim-keyed aggregates for distances, the
-    * probe join fans each query to nProbe cells only. The dims cache
-    * backing the fit follows [[KMeans.fit]]'s blanket-sweep convention. */
+    * probe join fans each query to nProbe cells only.
+    *
+    * CALLER CONTRACT (two deliberate non-lazinesses): (1) the degenerate-
+    * sample guard below runs an EAGER bounded Spark job (a limit-pruned
+    * `limit(nCells).count()`) inside plan construction whenever
+    * fitPercent < 100 — constructing this plan is not free; (2) the dims
+    * cache backing the fit persists until a blanket
+    * `spark.catalog.clearCache()` sweep ([[KMeans.fit]]'s convention —
+    * the bench harness sweeps between measurements). A long-lived
+    * service composing many fits should use
+    * [[KMeans.fitCentroidsManaged]] directly and invoke its release
+    * handle after the last action over the returned plan. */
   def knnIvfDeterministic(queries: DataFrame, candidates: DataFrame,
       kNeighbors: Int = 3, nCells: Int = 16, nProbe: Int = 6,
       iterations: Int = 2, fitPercent: Int = 10, idCol: String = "vec_id",
@@ -392,8 +402,9 @@ object Similarity {
     *    Lloyd rounds, decimal-exact distances — the q98 machinery), so
     *    its `n_hits`/`recall` also gate bit-for-bit; `recall_ok`
     *    additionally carries the deployment threshold (`recall >=
-    *    ivfFloor`). The MLlib-quantized variant remains q44's subject,
-    *    NULL-masked there because k-means|| is not SQL-replayable.
+    *    ivfFloor`). q44 gates the same pipeline's RANKED ROWS bit-for-bit
+    *    (round 10); the MLlib-quantized [[knnIvf]] variant is spec-only
+    *    (SimilaritySpec), because k-means|| is not SQL-replayable.
     *
     * Scale shape: every branch reuses the index plans unchanged (their
     * own scale stories apply); the audit itself is three broadcast-sized

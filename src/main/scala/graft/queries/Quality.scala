@@ -390,16 +390,11 @@ object Quality {
       Integer.toHexString(dir.hashCode)
     // clean slate: the in-memory catalog dies with its process but the
     // managed warehouse dir persists — drop the current name AND sweep
-    // every graft_q128_p* orphan (a crashed run's table is named with a
-    // DEAD pid, so per-name cleanup would never reach it and each crash
-    // would leak a full bucketed store on disk)
+    // graft_q128_p* ORPHANS (dead-pid names only: a crashed run's table
+    // would otherwise leak forever, while a concurrent LIVE run's store
+    // must never be deleted mid-query — see [[Warehouse.sweepOrphans]])
     s.sql(s"DROP TABLE IF EXISTS $tbl")
-    val whRoot = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-    val fs2 = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs2.exists(whRoot))
-      fs2.listStatus(whRoot)
-        .filter(_.getPath.getName.startsWith("graft_q128_p"))
-        .foreach(st => fs2.delete(st.getPath, true))
+    Warehouse.sweepOrphans(s, "graft_q128_p")
     val docs = Tables.load(s, dir, "documents")
     (0 until 3).foreach { d =>
       graft.operators.IncrementalPostings.appendCountsBucketed(

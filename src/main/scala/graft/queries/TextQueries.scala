@@ -133,28 +133,23 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** IVF ANN (k-means quantizer, top-2 probe), hash-gated via a
-    * deterministic recall check: the IVF result set is engine-specific
-    * (which cells get probed depends on the quantizer), so the oracle row is
-    * (n_queries, n_exact, recall_ok) where recall_ok asserts IVF recovered
-    * ≥ 50% of the exact brute-force top-3 set. The raw ANN rows remain
-    * spec-tested in SimilaritySpec. */
+  /** IVF ANN ranked rows, gated BIT-FOR-BIT (round 10): the query now
+    * serves [[graft.operators.Similarity.knnIvfDeterministic]] — the
+    * repo's SQL-replayable k-means as coarse quantizer (10% FNV-mod fit
+    * sample, one full assignment pass, 6-probe cell ranking by the
+    * quantizer's own metric), so the oracle replays quantizer training,
+    * assignment, probing, and cosine ranking exactly and the registry
+    * carries ZERO NULL-masked columns. The MLlib-quantized [[
+    * graft.operators.Similarity.knnIvf]] variant (k-means||, not
+    * SQL-replayable) stays as the engine-nondeterminism comparison in
+    * SimilaritySpec. nProbe 6/16: the synthetic embeddings are
+    * near-random at NN granularity, so a tighter probe would miss weakly
+    * correlated true neighbors (q127 reports the measured recall). */
   def q44KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < 10)
-    // nProbe 6/16: the synthetic embeddings are near-random at NN
-    // granularity (best cosine ≈ 0.5), so a tighter probe misses weakly
-    // correlated true neighbors; measured recall at nProbe=6 is
-    // 0.53/0.73/0.77 across sf0.001/0.01/0.1 — gate at 0.4 with margin.
-    val ivf = Similarity.knnIvf(q, e, 3, nProbe = 6).select(col("qid"), col("cid"))
-    val brute = Similarity.knnBrute(q, e, 3).select(col("qid"), col("cid"))
-    val hits = ivf.join(brute, Seq("qid", "cid"), "left_semi")
-    brute.agg(countDistinct(col("qid")).as("n_queries"),
-        count(lit(1)).as("n_exact"))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-      .select(col("n_queries"), col("n_exact"),
-        (col("n_hits").cast("double") >=
-          col("n_exact").cast("double") * 0.4).as("recall_ok"))
+    Similarity.knnIvfDeterministic(e.filter(col("vec_id") < 10), e, 3,
+        nProbe = 6)
+      .orderBy(col("qid"), col("rank"))
   }
 
   /** ANN recall@3 audit: LSH / IVF / ADC overlap with q30's exact
@@ -311,15 +306,11 @@ object TextQueries {
       Integer.toHexString(dir.hashCode)
     // clean slate: the in-memory catalog dies with its process but the
     // managed warehouse dir persists — drop the current name AND sweep
-    // every graft_q92_p* orphan (a crashed run's table carries a dead pid,
-    // so per-name cleanup would never reach it; q128's convention)
+    // graft_q92_p* ORPHANS (dead-pid names only, so a concurrent live
+    // run's store is never deleted mid-query; see
+    // [[Warehouse.sweepOrphans]])
     s.sql(s"DROP TABLE IF EXISTS $tbl")
-    val whRoot = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-    val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(whRoot))
-      fs.listStatus(whRoot)
-        .filter(_.getPath.getName.startsWith("graft_q92_p"))
-        .foreach(st => fs.delete(st.getPath, true))
+    Warehouse.sweepOrphans(s, "graft_q92_p")
     val docs = Tables.load(s, dir, "documents")
     val daily = (0 until 3).map { d =>
       graft.operators.IncrementalDedup.appendBandsBucketed(
