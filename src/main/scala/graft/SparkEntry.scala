@@ -151,6 +151,7 @@ object SparkEntry {
     "q130_source_overlap_minhash" -> (TextQueries.q130SourceOverlapMinhash _),
     "q131_bpe_encode" -> (Quality.q131BpeEncode _),
     "q132_hybrid_rrf" -> (Quality.q132HybridRrf _),
+    "q133_vector_store" -> (TextQueries.q133VectorStore _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -1338,6 +1339,26 @@ object SparkEntry {
     "q30_knn_brute" -> knnBruteSql,
     "q31_knn_lsh"   -> knnLshSql,
     "q127_recall_audit" -> recallAuditSql,
+
+    // q133: the persisted vector store serves the SAME closed-form
+    // pipelines as q96/q44, but with both models frozen at the initial
+    // ingestion date (vec_id % 3 = 0) — the oracle replays d0-seeded
+    // codebook + d0-fitted quantizer, union-corpus encode, and both
+    // rankings, so a green hash proves store-served == from-scratch
+    // with the frozen models.
+    "q133_vector_store" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${pqAdcCtesFit("vec_id % 3 = 0")},
+         |${ivfDetCtesFit("vec_id % 3 = 0")}
+         |SELECT method, qid, rank, cid, score FROM (
+         |  SELECT 'adc' AS method, qid, CAST(rank AS BIGINT) AS rank,
+         |    cand AS cid, ROUND(CAST(ad AS DOUBLE), 6) AS score
+         |  FROM pqr WHERE rank <= 3
+         |  UNION ALL
+         |  SELECT 'ivf', qid, CAST(rank AS BIGINT), cid, cosine
+         |  FROM vs WHERE rank <= 3)
+         |ORDER BY method, qid, rank""".stripMargin,
 
     "q32_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,

@@ -393,6 +393,50 @@ object TextQueries {
         col("vec_id") < 10, topK = 3)
       .orderBy(col("qid"), col("rank"))
 
+  /** Persisted incremental vector-index store (q133) — the q92/q128
+    * bucketed-store contract applied to ANN, closing the last index
+    * family still rebuilt from scratch per query: models (PQ codebook +
+    * IVF quantizer centroids) are trained once on the INITIAL ingestion
+    * date and frozen in the store; each of three date slices then
+    * encodes its own vectors once (codes bucketed by id, cell postings
+    * bucketed by cell); both searches serve from the accumulated store
+    * with no re-encoding (see [[graft.operators.IncrementalVectors]]).
+    * Output = ADC top-3 ∪ deterministic-IVF top-3 for queries
+    * vec_id < 10, tagged by method. The oracle replays init (d0-seeded
+    * codebook, d0-fitted k-means), the union-corpus encode, and both
+    * rankings bit-exactly — a green hash gates that the served-from-
+    * store results equal the from-scratch pipelines with the same
+    * frozen models. */
+  def q133VectorStore(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q133_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_cb", s"${base}_ctr", s"${base}_codes",
+      s"${base}_cells")
+    // clean slate + dead-pid orphan sweep (q128's lifecycle, pid-safe)
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q133_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    graft.operators.IncrementalVectors.initModel(slice(0), base)
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+    val adc = graft.operators.IncrementalVectors
+      .adcSearch(s, base, queries)
+      .select(lit("adc").as("method"), col("qid"), col("rank"), col("cid"),
+        col("adist").as("score"))
+    val ivf = graft.operators.IncrementalVectors
+      .ivfSearch(s, base, queries)
+      .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
+        col("cosine").as("score"))
+    // eager materialization so the tables can be dropped before the
+    // caller's action (q128's note: a lazy plan needs the tables alive)
+    val out = adc.unionAll(ivf).localCheckpoint()
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("method"), col("qid"), col("rank"))
+  }
+
   /** Overlapping token-window chunking (q97): 64-token windows every 48
     * tokens (16-token overlap), partial tail kept — the RAG / long-doc
     * context-preparation step, scan-local (zero shuffles before the output

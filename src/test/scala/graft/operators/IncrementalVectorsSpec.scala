@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+class IncrementalVectorsSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+  private def queries = emb.filter(col("vec_id") < 10)
+
+  private def dropStore(base: String): Unit =
+    Seq("_cb", "_ctr", "_codes", "_cells")
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+
+  private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, what)
+
+  test("incremental 3-date store equals a one-shot batch store (frozen models)") {
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    dropStore("ivs_inc"); dropStore("ivs_batch")
+    try {
+      IncrementalVectors.initModel(slice(0), "ivs_inc")
+      (0 until 3).foreach(d =>
+        IncrementalVectors.appendDate(slice(d), "ivs_inc", s"d$d"))
+      IncrementalVectors.initModel(slice(0), "ivs_batch")
+      IncrementalVectors.appendDate(emb, "ivs_batch", "all")
+      sameRows(IncrementalVectors.adcSearch(spark, "ivs_inc", queries),
+        IncrementalVectors.adcSearch(spark, "ivs_batch", queries),
+        "ADC: per-date encoding must be bit-equal to one-shot encoding")
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_inc", queries),
+        IncrementalVectors.ivfSearch(spark, "ivs_batch", queries),
+        "IVF: per-date assignment must be bit-equal to one-shot assignment")
+    } finally { dropStore("ivs_inc"); dropStore("ivs_batch") }
+  }
+
+  test("store-served searches equal the from-scratch pipelines (full-corpus models)") {
+    dropStore("ivs_full")
+    try {
+      IncrementalVectors.initModel(emb, "ivs_full")
+      IncrementalVectors.appendDate(emb, "ivs_full", "all")
+      sameRows(IncrementalVectors.adcSearch(spark, "ivs_full", queries),
+        PQ.adcTopK(emb, col("vec_id") < 10, topK = 3),
+        "store-served ADC must equal PQ.adcTopK with the same codebook")
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_full", queries),
+        Similarity.knnIvfDeterministic(queries, emb, 3, nProbe = 6,
+          fitPercent = 100),
+        "store-served IVF must equal knnIvfDeterministic on the same fit")
+    } finally dropStore("ivs_full")
+  }
+
+  test("ADC never reshuffles the code store; IVF scan prunes to probed buckets") {
+    dropStore("ivs_plan")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      IncrementalVectors.initModel(emb, "ivs_plan")
+      IncrementalVectors.appendDate(emb, "ivs_plan", "all")
+      // AQE off so executedPlan is a plain collectible tree
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the claim: raw store rows reach their (qid, id) aggregate with NO
+      // exchange in between (the id-bucketed layout satisfies the
+      // aggregate's distribution). The ranking window above it shuffles
+      // only the already-aggregated query-bounded rows — that exchange is
+      // the output contract, not a store reshuffle.
+      def hasStoreScan(p: org.apache.spark.sql.execution.SparkPlan,
+          suffix: String): Boolean =
+        p.collect { case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table.endsWith(suffix)) => s
+        }.nonEmpty
+      def storeReshuffledBelowAgg(df: DataFrame, suffix: String): Boolean =
+        df.queryExecution.executedPlan
+          .collect {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+              if hasStoreScan(a, suffix) => a
+          }
+          .exists(_.collect { case e: ShuffleExchangeLike => e }
+            .exists(hasStoreScan(_, suffix)))
+      val adc = IncrementalVectors.adcSearch(spark, "ivs_plan", queries)
+      assert(!storeReshuffledBelowAgg(adc, "_codes"),
+        s"code store must never cross the wire:\n${adc.queryExecution.executedPlan}")
+      // the plan is not trivially shuffle-free: the query-bounded ranking
+      // window still exchanges the AGGREGATED (qid, id) rows
+      assert(adc.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeLike => e }.nonEmpty)
+      // a low-fanout query probes 2 cells → the cell-bucketed scan must
+      // read a strict subset of the buckets
+      val ivf = IncrementalVectors.ivfSearch(spark, "ivs_plan",
+        emb.filter(col("vec_id") === 0), nProbe = 2)
+      val scanStr = ivf.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(scanStr)
+      assert(sel.isDefined, s"cells scan must bucket-prune:\n$scanStr")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"probed-cell IN filter selected every bucket:\n$scanStr")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      dropStore("ivs_plan")
+    }
+  }
+}
