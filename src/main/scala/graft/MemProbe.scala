@@ -35,7 +35,9 @@ object MemProbe {
       .config("spark.memory.fraction", frac)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val big = ScaleProbe.ensureScaledTables(spark, n)
+    val big = ScaleProbe.ensureScaledTables(spark, n,
+      sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+        .map(_.split(",").map(_.trim).toSet))
 
     // per-query spill/peak counters from the executor task metrics — the
     // same numbers the Spark UI's "Spill (memory/disk)" columns show
@@ -67,7 +69,10 @@ object MemProbe {
       // source-overlap MinHash, trained-tokenizer encode
       "q127_recall_audit", "q128_postings_bucketed",
       "q129_remove_long_spans", "q130_source_overlap_minhash",
-      "q131_bpe_encode")
+      "q131_bpe_encode",
+      // round-10 flagships: the persisted vector-store lifecycle and the
+      // trigram NB language-ID train+score pass
+      "q133_vector_store", "q134_lang_id_nb")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

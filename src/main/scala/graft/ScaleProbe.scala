@@ -15,10 +15,15 @@ object ScaleProbe {
 
   /** Synthesize (or reuse) the N×-replicated sf0.1 tables under /tmp and
     * return their directory. Shared by [[ScaleProbe]] (growth factors) and
-    * [[MemProbe]] (spill behavior under a memory ceiling). */
-  def ensureScaledTables(spark: SparkSession, n: Int): String = {
+    * [[MemProbe]] (spill behavior under a memory ceiling). `only` limits
+    * the build to the named tables (env `SPARK_GRAFT_SCALE_TABLES`, csv):
+    * a 50× composite probe of the embedding/document flagships should not
+    * pay minutes and GBs for a 30M-row lineitem nobody scans. */
+  def ensureScaledTables(spark: SparkSession, n: Int,
+      only: Option[Set[String]] = None): String = {
     val base = "/root/testdata/sf0.1"
     val big = s"/tmp/graft_scale_${n}x"
+    def want(t: String): Boolean = only.forall(_.contains(t))
 
     def replicate(table: String, keyCols: Seq[String], offset: Long): Unit = {
       val src = Tables.load(spark, base, table)
@@ -68,15 +73,17 @@ object ScaleProbe {
       }
       rmrf(new java.io.File(big))
     }
-    if (!new java.io.File(s"$big/embeddings.parquet").exists())
+    if (want("embeddings") && !new java.io.File(s"$big/embeddings.parquet").exists())
       replicate("embeddings", Seq("vec_id"), 100000000L)
-    if (!new java.io.File(s"$big/lineitem.parquet").exists()
-        || !new java.io.File(s"$big/events.parquet").exists()) {
+    if (want("documents") && !new java.io.File(s"$big/documents.parquet").exists())
+      replicate("documents", Seq("doc_id"), 100000000L)
+    if ((want("lineitem") || want("events"))
+        && (!new java.io.File(s"$big/lineitem.parquet").exists()
+          || !new java.io.File(s"$big/events.parquet").exists())) {
       println(s"[scale] building ${n}x tables under $big …")
       replicate("lineitem", Seq("l_orderkey"), 100000000L)
       replicate("orders", Seq("o_orderkey"), 100000000L)
       replicate("customer", Seq.empty, 0L) // same customers, n× orders each
-      replicate("documents", Seq("doc_id"), 100000000L)
       // events: offset user_id too, so the per-user event density (and
       // session structure) stays constant while the corpus grows 10x
       replicate("events", Seq("event_id", "user_id"), 100000000L)
@@ -94,6 +101,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val only = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt.max(1)
     val base = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -104,7 +114,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val big = ensureScaledTables(spark, n)
+    val big = ensureScaledTables(spark, n, only)
 
     val allProbes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q01_agg" -> SparkEntry.queries("q01_agg"),
@@ -197,13 +207,20 @@ object ScaleProbe {
       "q128_postings_bkt" -> SparkEntry.queries("q128_postings_bucketed"),
       "q129_long_spans" -> SparkEntry.queries("q129_remove_long_spans"),
       "q130_overlap_mh" -> SparkEntry.queries("q130_source_overlap_minhash"),
-      "q131_bpe_encode" -> SparkEntry.queries("q131_bpe_encode"))
+      "q131_bpe_encode" -> SparkEntry.queries("q131_bpe_encode"),
+      // round-10 additions: q133 times the whole vector-store lifecycle
+      // (model init + 3 bucketed encodes + both store-served searches, like
+      // q109/q120); q134 is the trigram NB language-ID train+score pass
+      "q133_vector_store" -> SparkEntry.queries("q133_vector_store"),
+      "q134_lang_id" -> SparkEntry.queries("q134_lang_id_nb"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
-    // including final sorts); min of 3 runs, robust to GC noise
+    // including final sorts); min of `reps` runs (default 3), robust to GC
+    // noise — a 50× composite probe sets SPARK_GRAFT_SCALE_REPS=1, where
+    // per-run minutes dwarf JIT/GC jitter
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
-    def time(fn: => Unit): Double = (1 to 3).map { _ =>
+    def time(fn: => Unit): Double = (1 to reps).map { _ =>
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }.min
     // warm-up

@@ -152,6 +152,7 @@ object SparkEntry {
     "q131_bpe_encode" -> (Quality.q131BpeEncode _),
     "q132_hybrid_rrf" -> (Quality.q132HybridRrf _),
     "q133_vector_store" -> (TextQueries.q133VectorStore _),
+    "q134_lang_id_nb" -> (TextQueries.q134LangIdNb _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -2288,6 +2289,65 @@ object SparkEntry {
 
     // q75: corpus-trained char-trigram LM; per-occurrence ln rounded to 6,
     // decimal-summed (exact), emitted as double.
+    // q134: char-trigram naive-Bayes language ID — trigram extraction =
+    // q75's lower(trim) code-point replay; the 50% train split is q56's
+    // FNV-mod membership on doc_id; per-term lns rounded to 6 and
+    // DECIMAL-summed (tf · round6(ln) is exact: integer × scale-6
+    // decimal); argmax ties break on the language code. The output score
+    // is the exact decimal cast to DOUBLE (no re-rounding — both engines
+    // take the same nearest double of the same exact value).
+    "q134_lang_id_nb" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+         |  WHERE length(trim(text)) >= 3),
+         |tri AS (
+         |  SELECT doc_id, lang, substr(t, i, 3) AS tri
+         |  FROM t, UNNEST(generate_series(1, length(t) - 2)) AS u(i)),
+         |dtf AS (SELECT doc_id, tri, COUNT(*) AS tf FROM tri GROUP BY 1, 2),
+         |trainids AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |        THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
+         |    FROM (SELECT doc_id, ${fnvSql("CAST(doc_id AS VARCHAR)")} AS fnv
+         |          FROM documents))
+         |  WHERE ((fp % 100) + 100) % 100 < 50),
+         |m AS (
+         |  SELECT tri.lang AS cand, tri.tri, COUNT(*) AS c
+         |  FROM tri JOIN trainids USING (doc_id) GROUP BY 1, 2),
+         |ls AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS nl FROM m GROUP BY 1),
+         |pr AS (
+         |  SELECT d.lang AS cand, COUNT(*) AS ndl
+         |  FROM documents d JOIN trainids USING (doc_id) GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT COUNT(*) FROM trainids) AS nd,
+         |         (SELECT COUNT(DISTINCT tri) FROM m) AS v),
+         |cand AS (
+         |  SELECT ls.cand, nl, ndl, nd, v
+         |  FROM ls JOIN pr USING (cand) CROSS JOIN tot),
+         |sc AS (
+         |  SELECT dtf.doc_id, cand.cand, cand.ndl, cand.nd,
+         |    CAST(dtf.tf AS DECIMAL(18,0)) *
+         |      CAST(ROUND(ln(CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+         |        / (cand.nl + cand.v)), 6) AS DECIMAL(18,6)) AS term
+         |  FROM dtf CROSS JOIN cand
+         |  LEFT JOIN m ON m.cand = cand.cand AND m.tri = dtf.tri),
+         |dl AS (
+         |  SELECT doc_id, cand,
+         |    SUM(term) + CAST(ROUND(ln(CAST(ndl AS DOUBLE) / nd), 6)
+         |      AS DECIMAL(18,6)) AS score
+         |  FROM sc GROUP BY doc_id, cand, ndl, nd),
+         |best AS (
+         |  SELECT doc_id, cand AS pred_lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cand) AS rn
+         |  FROM dl)
+         |SELECT b.doc_id, d.lang, b.pred_lang,
+         |  CAST(b.score AS DOUBLE) AS score,
+         |  (b.pred_lang = d.lang) AS is_correct
+         |FROM best b JOIN documents d USING (doc_id)
+         |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
+
     "q75_trigram_lm" ->
       """WITH t AS (
         |  SELECT doc_id, lower(trim(text)) AS t FROM documents

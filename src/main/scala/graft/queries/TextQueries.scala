@@ -183,6 +183,66 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("pred_lang"), col("lang"))
 
+  /** Char-trigram naive-Bayes language identification (q134) — the other
+    * half of CCNet's pipeline next to q107's perplexity stratification
+    * (Wenzek et al., "CCNet", LREC 2020 §3: a fastText-style language-ID
+    * gate precedes the LM filter; this is its classical n-gram
+    * naive-Bayes ancestor, Cavnar & Trenkle 1994): per-language trigram
+    * models train on the DETERMINISTIC 50% content-addressed holdout
+    * (q56's FNV-mod scheme over doc_id), every document scores against
+    * every candidate language with add-one smoothing, argmax predicts.
+    *
+    * score(d, l) = round₆(ln ndl/nd) + Σ_(tri ∈ d) tf · round₆(ln
+    * ((c(tri,l)+1)/(N_l+V))) — per-term lns rounded to 6, DECIMAL-summed
+    * (order-proof), argmax ties → smaller language code; the oracle
+    * replays split, model, smoothing, and argmax exactly.
+    *
+    * Scale shape: trigram extraction is scan-local (native generator);
+    * the model is vocabulary-bounded (≤ |charset|³·|langs| rows) →
+    * broadcast; scoring is one broadcast join over the (doc, tri, tf)
+    * aggregate ×|langs| candidates, then (doc, lang)- and (doc)-keyed
+    * hash aggregates — no data-sized shuffle beyond the tf aggregate.
+    * Unseen trigrams (test-only vocabulary) still score: the LEFT join's
+    * null count smooths to ln(1/(N_l+V)), exactly Laplace. */
+  def q134LangIdNb(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val tris = docs.select(col("doc_id"), col("lang"),
+      graft.functions.CharNgramRows.charNgramRows(col("text"), 3).as("tri"))
+    val isTrain =
+      pmod(Fnv64.fnv64(col("doc_id").cast("string")), lit(100L)) < 50
+    val docTf = tris.groupBy("doc_id", "tri").agg(count(lit(1)).as("tf"))
+    val model = tris.filter(isTrain)
+      .groupBy(col("lang").as("cand"), col("tri"))
+      .agg(count(lit(1)).as("c"))
+    val langTotals = model.groupBy("cand").agg(sum(col("c")).as("nl"))
+    val priors = docs.filter(isTrain)
+      .groupBy(col("lang").as("cand")).agg(count(lit(1)).as("ndl"))
+    val totals = docs.filter(isTrain).agg(count(lit(1)).as("nd"))
+      .crossJoin(model.select("tri").distinct().agg(count(lit(1)).as("v")))
+    val cands = langTotals.join(priors, "cand").crossJoin(totals) // |langs| rows
+    val lnSmooth = round(log(
+      (coalesce(col("c"), lit(0L)) + 1).cast("double") /
+        (col("nl") + col("v")).cast("double")), 6)
+    val scored = docTf.crossJoin(broadcast(cands))
+      .join(broadcast(model), Seq("cand", "tri"), "left")
+      .select(col("doc_id"), col("cand"), col("ndl"), col("nd"),
+        (col("tf") * lnSmooth.cast("decimal(18,6)"))
+          .cast("decimal(28,6)").as("term"))
+    val docLang = scored.groupBy("doc_id", "cand", "ndl", "nd")
+      .agg(sum(col("term")).as("sterms"))
+      .select(col("doc_id"), col("cand"),
+        (col("sterms") +
+          round(log(col("ndl").cast("double") / col("nd")), 6)
+            .cast("decimal(18,6)")).as("score"))
+    docLang.groupBy("doc_id")
+      .agg(min(struct((-col("score")).as("ns"), col("cand"))).as("best"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("best.cand").as("pred_lang"),
+        (-col("best.ns")).cast("double").as("score"),
+        (col("best.cand") === col("lang")).as("is_correct"))
+      .orderBy(col("doc_id"))
+  }
+
   /** FNV-1a content fingerprint via the custom codegen'd Catalyst
     * expression. The oracle replays FNV-1a byte-for-byte in DuckDB
     * (HUGEINT mod-2^64 fold over the UTF-8 bytes) — bit-exact gate. */
