@@ -40,25 +40,35 @@ object ScaleProbe {
         // ~orthogonal to its original (generic vectors), so the 10×
         // corpus behaves like 10× fresh data while norms, within-replica
         // planted near-dups, and cluster geometry are preserved.
-        val shift = r
-        if (table == "embeddings" && shift != 0)
-          keyed.withColumn("embedding", concat(
-            slice(col("embedding"), shift + 1, 1 << 20),
-            slice(col("embedding"), 1, shift)))
-        else keyed
+        // Replicas 64..127 additionally REVERSE the rotated vector:
+        // reversal also preserves norms and is ~orthogonal to every pure
+        // rotation for generic (non-palindromic) vectors, so the 128
+        // transforms {rotate(r%64)} ∪ {reverse∘rotate(r%64)} are pairwise
+        // distinct — which is what lets the 100× composite probe exist.
+        val shift = r % 64
+        val rot =
+          if (table == "embeddings" && shift != 0)
+            keyed.withColumn("embedding", concat(
+              slice(col("embedding"), shift + 1, 1 << 20),
+              slice(col("embedding"), 1, shift)))
+          else keyed
+        if (table == "embeddings" && (r / 64) % 2 == 1)
+          rot.withColumn("embedding", reverse(col("embedding")))
+        else rot
       }.reduce(_.unionAll(_))
       out.write.mode("overwrite").parquet(s"$big/$table.parquet")
     }
-    // replica 64 of a 64-dim vector would rotate back to a verbatim copy,
-    // silently reintroducing the exact-duplicate cliques the rotation
-    // exists to avoid — refuse rather than wrap
-    require(n <= 64, s"replication capped at 64 (embedding dim): $n would wrap rotations")
+    // replica 128 of a 64-dim vector would reverse-then-reverse back to a
+    // verbatim copy, silently reintroducing the exact-duplicate cliques
+    // the transform exists to avoid — refuse rather than wrap
+    require(n <= 128,
+      s"replication capped at 128 (2 × embedding dim): $n would wrap transforms")
     // Methodology marker: scaled tables synthesized by an OLDER recipe
     // (e.g. pre-rotation verbatim replicas) must not satisfy the existence
     // checks below — the probe would measure the old pathology while
     // reporting the new methodology. Bump the token when replicate()
     // changes; mismatch/absence forces a rebuild.
-    val methodology = "v2-rotated-replicas"
+    val methodology = "v3-rotated-reversed-replicas"
     val marker = new java.io.File(s"$big/.methodology")
     // closed via Using (no handle leak per probe run); an unreadable
     // marker means "unknown provenance" — rebuild, don't propagate
