@@ -69,12 +69,18 @@ object ScaleProbe {
     // reporting the new methodology. Bump the token when replicate()
     // changes; mismatch/absence forces a rebuild.
     val methodology = "v3-rotated-reversed-replicas"
+    // v2 ("rotated replicas", no reversal) is BIT-IDENTICAL to v3 for
+    // n <= 64: the reversal branch fires only at r >= 64, so rebuilding a
+    // small-n table set over a v2 marker would discard minutes/GBs of
+    // still-valid build work for nothing (round-10 ADVICE)
+    val accepted =
+      if (n <= 64) Set(methodology, "v2-rotated-replicas") else Set(methodology)
     val marker = new java.io.File(s"$big/.methodology")
     // closed via Using (no handle leak per probe run); an unreadable
     // marker means "unknown provenance" — rebuild, don't propagate
     val markerOk = marker.exists() &&
       scala.util.Using(scala.io.Source.fromFile(marker))(_.mkString.trim)
-        .toOption.contains(methodology)
+        .toOption.exists(accepted.contains)
     if (!markerOk && new java.io.File(big).exists()) {
       println(s"[scale] $big predates methodology '$methodology' — rebuilding")
       def rmrf(f: java.io.File): Unit = {

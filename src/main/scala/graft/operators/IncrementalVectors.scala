@@ -123,7 +123,19 @@ object IncrementalVectors {
     * set (bounded driver metadata) prunes the cell-bucketed scan to
     * ≈ nProbe/nCells of the store, and exact cosine ranks within probed
     * cells. No assignment pass, no quantizer fit — the store already
-    * paid both, once per row. */
+    * paid both, once per row.
+    *
+    * CALLER CONTRACT — building the returned DataFrame is NOT free: this
+    * method runs two eager Spark actions during plan construction (the
+    * probe ranking feeding a `collect()` of the probed-cell ids —
+    * bounded at |queries|·nProbe ints, metadata not data). The collect is
+    * what makes the serve plan cheap, not an implementation shortcut: the
+    * probed cells must be LITERALS (`IN (...)`) for the cell-bucketed
+    * scan to prune buckets at the source; a join against the probe frame
+    * could co-locate the match but would still read every bucket. Call it
+    * per query batch, not per row, and treat it like an action, not a
+    * plan constructor (the [[Similarity.knnIvfDeterministic]] guard's
+    * contract). */
   def ivfSearch(spark: SparkSession, table: String, queries: DataFrame,
       kNeighbors: Int = 3, nProbe: Int = 6, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

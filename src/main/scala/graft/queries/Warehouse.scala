@@ -22,7 +22,23 @@ object Warehouse {
   private val PidName = """graft_q\d+_p(\d+)_.*""".r
 
   /** True iff `name` embeds a pid that is provably not alive. Parse
-    * failures and live pids (this process included) are NOT orphans. */
+    * failures and live pids (this process included) are NOT orphans.
+    *
+    * LIMITS of the pid test — it answers "is a process with this number
+    * alive on THIS host right now", which differs from "does the store's
+    * owner still exist" in two ways:
+    *  - pid recycling: a dead owner's pid can be reused by an unrelated
+    *    process, making a genuinely dead store look alive. The error is
+    *    conservative (the store leaks until the recycled pid also exits;
+    *    nothing live is ever deleted), so it only delays reclamation.
+    *  - shared-filesystem warehouses: a store written by ANOTHER host
+    *    embeds that host's pid, which is meaningless here — a local
+    *    process may coincidentally hold the number forever. For that
+    *    deployment pass `maxAgeHours` to [[sweepOrphans]]: a store whose
+    *    directory mtime is older than the threshold is reclaimed
+    *    regardless of pid (age is host-independent; every live graft
+    *    store is written and dropped within one query call, so hours of
+    *    stillness means an owner that is gone). */
   private[graft] def isOrphan(name: String): Boolean = name match {
     case PidName(pidStr) =>
       pidStr.toLongOption.exists { pid =>
@@ -33,17 +49,29 @@ object Warehouse {
   }
 
   /** Delete every warehouse directory starting with `prefix` whose
-    * embedded pid is dead. Safe to call concurrently from any number of
-    * processes: live stores are never candidates. */
-  def sweepOrphans(s: SparkSession, prefix: String): Unit = {
+    * embedded pid is dead — or, when `maxAgeHours` is set, whose mtime is
+    * older than the threshold even if its pid reads alive (the
+    * shared-warehouse / recycled-pid fallback; see [[isOrphan]]'s limits).
+    * Safe to call concurrently from any number of processes: live stores
+    * are never candidates (with an age threshold, "live" additionally
+    * means "written within the last `maxAgeHours`" — size it far above
+    * any single query's runtime; the name must still parse as a graft
+    * store either way). */
+  def sweepOrphans(s: SparkSession, prefix: String,
+      maxAgeHours: Option[Double] = None): Unit = {
     val whRoot = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"))
     val fs = whRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cutoff = maxAgeHours.map(h =>
+      System.currentTimeMillis() - (h * 3600 * 1000).toLong)
+    def tooOld(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      cutoff.exists(st.getModificationTime < _) &&
+        PidName.pattern.matcher(st.getPath.getName).matches()
     if (fs.exists(whRoot))
       fs.listStatus(whRoot)
         .filter { st =>
           val n = st.getPath.getName
-          n.startsWith(prefix) && isOrphan(n)
+          n.startsWith(prefix) && (isOrphan(n) || tooOld(st))
         }
         .foreach(st => fs.delete(st.getPath, true))
   }

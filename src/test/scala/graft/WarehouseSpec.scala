@@ -37,4 +37,32 @@ class WarehouseSpec extends SparkSpec {
     } finally
       Seq(liveDir, deadDir, otherDir).foreach(p => fs.delete(p, true))
   }
+
+  test("age-threshold fallback reclaims stale live-pid stores, spares fresh ones") {
+    val whRoot = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = ProcessHandle.current().pid()
+    // both embed a LIVE pid (the recycled-pid / foreign-host shape: the
+    // pid test alone would spare them forever)
+    val stale = new Path(whRoot, s"graft_q902_p${live}_stale")
+    val fresh = new Path(whRoot, s"graft_q902_p${live}_fresh")
+    val unparseable = new Path(whRoot, s"graft_q902_notapid")
+    try {
+      Seq(stale, fresh, unparseable).foreach(fs.mkdirs)
+      val dayAgo = System.currentTimeMillis() - 24 * 3600 * 1000L
+      fs.setTimes(stale, dayAgo, dayAgo)
+      fs.setTimes(unparseable, dayAgo, dayAgo)
+      Warehouse.sweepOrphans(spark, "graft_q902_", maxAgeHours = Some(1.0))
+      assert(!fs.exists(stale),
+        "a live-pid store older than the age threshold must be reclaimed")
+      assert(fs.exists(fresh),
+        "a fresh live-pid store must survive an age-threshold sweep")
+      assert(fs.exists(unparseable),
+        "age fallback must still require a parseable graft store name")
+      // without a threshold the same stale live-pid store is untouched
+      Warehouse.sweepOrphans(spark, "graft_q902_")
+      assert(fs.exists(fresh) && fs.exists(unparseable))
+    } finally
+      Seq(stale, fresh, unparseable).foreach(p => fs.delete(p, true))
+  }
 }
