@@ -147,6 +147,7 @@ object SparkEntry {
     "q126_bpe_train" -> (Quality.q126BpeTrain _),
     "q127_recall_audit" -> (TextQueries.q127RecallAudit _),
     "q128_postings_bucketed" -> (Quality.q128PostingsBucketed _),
+    "q135_postings_compacted" -> (Quality.q135PostingsCompacted _),
     "q129_remove_long_spans" -> (TextQueries.q129RemoveLongSpans _),
     "q130_source_overlap_minhash" -> (TextQueries.q130SourceOverlapMinhash _),
     "q131_bpe_encode" -> (Quality.q131BpeEncode _),
@@ -2783,6 +2784,9 @@ object SparkEntry {
     // q128 shares it too: the bucketed store changes the physical layout
     // (term buckets, zero-exchange report), never the logical result
     "q128_postings_bucketed" -> postingsSql,
+    // q135 as well: retention compaction folds date partitions and merges
+    // additive tf rows — a pure re-binning that no store aggregate can see
+    "q135_postings_compacted" -> postingsSql,
 
     // q121: triangle counts + clustering coefficient over the q62/q81
     // near-dup edges — normalized u<v edges, the two-join + closing-edge

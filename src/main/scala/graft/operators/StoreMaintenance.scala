@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.functions._
+
+/** Retention maintenance for the incremental per-date stores (the q92
+  * signature bands, q128 postings, q133 codes/cells tables and the q109
+  * span-count path store). All of them append one set of files per
+  * ingestion date FOREVER — correct (rows are additive or disjoint
+  * state) but unbounded: at thousands of dates the per-bucket file count
+  * grows linearly and scan open-cost starts to dominate the reports the
+  * layouts exist to serve (the same unbounded-growth property as the
+  * reference's marker ledger; Lucene solves it with segment merges,
+  * Iceberg/Delta with compaction passes — this is that pass).
+  *
+  * [[compact]] folds every date partition at-or-before a horizon into ONE
+  * consolidated partition `c_<horizon>`, PRESERVING the table's bucket
+  * spec (read from catalog metadata, never re-declared): the fold reads
+  * the old span once and writes it once through the same bucketed-append
+  * path the daily ingests use, so every plan property the layout grants —
+  * the zero-exchange postings report, the ADC no-reshuffle, the IVF
+  * bucket prune — holds identically on the compacted store, and the
+  * reports are bit-equal (rows are merely re-binned across `ds`; every
+  * reader aggregates over dates — pinned in StoreMaintenanceSpec,
+  * oracle-gated as q135). Already-compacted partitions fold again
+  * (`c_d1` is "everything ≤ d1" and folds into a later `c_d5`), so
+  * periodic compaction keeps the partition count proportional to the
+  * retention window, not the table's age.
+  *
+  * CRASH SAFETY (exactly-once rows without a transactional format): the
+  * consolidated partition is not authoritative until a `_compact_…_done`
+  * marker lands next to the table's partition dirs — append, THEN
+  * marker, THEN drop the old partitions, THEN clear the marker. A re-run
+  * resumes from any interruption: no marker ⇒ the consolidated partition
+  * is a partial write, drop it and redo from the still-intact old
+  * partitions; marker present ⇒ the fold is complete, just finish
+  * dropping whatever old partitions remain. The marker plays the role of
+  * the split engine's commit-point JSON (written LAST, after the data it
+  * vouches for). A production deployment on an eventually-consistent
+  * object store would swap this for a transactional table format's
+  * commit; the protocol is the same.
+  *
+  * Scale shape: one distributed read + one distributed bucketed write of
+  * the folded span (kept partitions are NEVER rewritten), plus bounded
+  * catalog metadata (the partition list). Nothing store-sized touches
+  * the driver. */
+object StoreMaintenance {
+
+  private def effectiveDate(ds: String): String = ds.stripPrefix("c_")
+
+  /** The table's `ds` partition values (bounded catalog metadata). */
+  private def partitions(spark: SparkSession, table: String): Seq[String] =
+    spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).stripPrefix("ds="))
+      .toSeq
+
+  /** Fold every partition with effective date ≤ `upTo` into one
+    * consolidated `c_<upTo>` partition. Idempotent and crash-resumable
+    * (see object scaladoc); a no-op when nothing is foldable (0 or 1 old
+    * partitions, or only the consolidated label itself). Concurrency
+    * contract: run it like any table-maintenance pass — not while a
+    * writer is appending the same table (readers planned before the
+    * final partition drops see a consistent snapshot only if their file
+    * listing predates the drops).
+    *
+    * `merge` optionally rewrites the folded rows before they land —
+    * for ADDITIVE stores this is where compaction shrinks ROWS, not just
+    * files (the q128 tf rows sum across dates: merging
+    * `Σ tf GROUP BY term, doc_id` preserves every report bit-exactly
+    * while collapsing a doc's N date rows to one — Lucene's segment-merge
+    * doc elision, Spark-shaped). The caller owns the invariant: the
+    * transform must preserve every reader's aggregate over the store and
+    * emit the table's exact column set (minus `ds`). */
+  def compact(spark: SparkSession, table: String, upTo: String,
+      merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = identity): Unit = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(TableIdentifier(table))
+    require(meta.partitionColumnNames == Seq("ds"),
+      s"$table is not a per-date store (partitions: ${meta.partitionColumnNames})")
+    val label = s"c_$upTo"
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      meta.location.toString, s"_compact_${label}_done")
+
+    def olds(): Seq[String] = partitions(spark, table)
+      .filter(ds => ds != label && effectiveDate(ds) <= upTo)
+
+    if (!fs.exists(marker)) {
+      val old = olds()
+      // nothing to fold (0 or 1 old partitions): any existing `label`
+      // partition is a PRIOR COMPLETED fold (a fold only starts with ≥2
+      // olds and drops them only after the marker) — leave it alone
+      if (old.size <= 1) return
+      // ≥2 olds and no marker ⇒ a `label` partition can only be an
+      // uncommitted partial write from a crashed fold — the old
+      // partitions are intact and authoritative, so drop it and redo
+      if (partitions(spark, table).contains(label))
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$label')")
+      val folded = merge(spark.table(table)
+          .filter(col("ds").isin(old.map(x => x: Any): _*))
+          .drop("ds"))
+        .withColumn("ds", lit(label))
+      // same bucketed-append path as the daily ingests — spec preserved
+      val base = folded.write.mode("append").partitionBy("ds")
+      val writer = meta.bucketSpec match {
+        case Some(b) =>
+          val bb = base.bucketBy(b.numBuckets,
+            b.bucketColumnNames.head, b.bucketColumnNames.tail: _*)
+          if (b.sortColumnNames.nonEmpty)
+            bb.sortBy(b.sortColumnNames.head, b.sortColumnNames.tail: _*)
+          else bb
+        case None => base
+      }
+      writer.saveAsTable(table)
+      // commit point: from here the consolidated partition is the truth
+      fs.create(marker, true).close()
+    }
+    // marker present ⇒ fold complete; finish (or resume) the drops
+    olds().foreach(ds =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$ds')"))
+    fs.delete(marker, false)
+    ()
+  }
+
+  /** [[compact]] for the PATH-based per-date stores (the q109 span-count
+    * store: plain parquet under `<store>/ds=<date>/`). Same horizon
+    * semantics, same marker protocol, same optional additive `merge`
+    * (the span store's (h, cnt) rows sum across dates); the fold is
+    * written to a sibling staging dir and MOVED into place as the
+    * consolidated partition (a filesystem rename — writing into the
+    * store root while scanning it would race the reader's file
+    * listing). */
+  def compactPath(spark: SparkSession, store: String, upTo: String,
+      merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = identity): Unit = {
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val label = s"c_$upTo"
+    val labelDir = new org.apache.hadoop.fs.Path(root, s"ds=$label")
+    val marker = new org.apache.hadoop.fs.Path(root, s"_compact_${label}_done")
+    val staging = new org.apache.hadoop.fs.Path(
+      root.getParent, s"${root.getName}_staging_$label")
+
+    def olds(): Seq[org.apache.hadoop.fs.Path] = fs.listStatus(root)
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val ds = p.getName.stripPrefix("ds=")
+        p.getName.startsWith("ds=") && ds != label && effectiveDate(ds) <= upTo
+      }.toSeq
+
+    if (!fs.exists(marker)) {
+      val old = olds()
+      // 0/1 olds: an existing label dir is a prior COMPLETED fold — keep it
+      if (old.size <= 1) { fs.delete(staging, true); return }
+      // ≥2 olds, no marker: a label dir can only be an uncommitted partial
+      if (fs.exists(labelDir)) fs.delete(labelDir, true)
+      fs.delete(staging, true)
+      merge(spark.read.parquet(old.map(_.toString): _*))
+        .write.mode("overwrite").parquet(staging.toString)
+      // the staging dir becomes the consolidated partition in one rename;
+      // its _SUCCESS sidecar is harmless to partition discovery
+      if (!fs.rename(staging, labelDir))
+        throw new java.io.IOException(s"rename $staging -> $labelDir failed")
+      fs.create(marker, true).close()
+    }
+    olds().foreach(fs.delete(_, true))
+    fs.delete(marker, false)
+    ()
+  }
+}

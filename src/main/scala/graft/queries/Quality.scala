@@ -385,6 +385,37 @@ object Quality {
     * pseudo-dates and the same oracle as q118/q120 — a green hash gates
     * that the exchange-free variant a 100 TB deployment would serve from
     * is bit-equal to the from-scratch build. */
+  /** q128's bucketed postings store with a RETENTION COMPACTION pass in
+    * the middle (q135): three pseudo-dates append, then
+    * [[graft.operators.StoreMaintenance.compact]] folds d0+d1 into one
+    * consolidated `c_d1` partition — merging each doc's additive tf rows
+    * (`Σ tf GROUP BY term, doc_id`) so compaction shrinks rows AND
+    * files — and the report serves from the compacted store. Same oracle
+    * as q118/q120/q128: compaction re-bins rows across `ds` without
+    * changing any aggregate over the store, so a green hash gates that
+    * the maintenance pass every long-lived store eventually needs is
+    * invisible to its readers (file-count shrink, crash-resume, and the
+    * zero-exchange plan on the compacted layout are pinned in
+    * StoreMaintenanceSpec). */
+  def q135PostingsCompacted(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_q135_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    // q128's lifecycle: clean slate + dead-pid orphan sweep
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    Warehouse.sweepOrphans(s, "graft_q135_p")
+    val docs = Tables.load(s, dir, "documents")
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), tbl, s"d$d")
+    }
+    graft.operators.StoreMaintenance.compact(s, tbl, "d1",
+      merge = _.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")))
+    val out = graft.operators.IncrementalPostings.reportBucketed(s, tbl)
+      .localCheckpoint() // table dropped below; the checkpoint holds the data
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    out.orderBy(col("term"), col("rnk"))
+  }
+
   def q128PostingsBucketed(s: SparkSession, dir: String): DataFrame = {
     val tbl = s"graft_q128_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)

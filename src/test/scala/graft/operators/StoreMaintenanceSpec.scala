@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class StoreMaintenanceSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, what)
+
+  private def dataFiles(table: String): Seq[java.io.File] = {
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(loc)
+  }
+
+  private def partitionsOf(table: String): Set[String] =
+    spark.sql(s"SHOW PARTITIONS $table").collect()
+      .map(_.getString(0).stripPrefix("ds=")).toSet
+
+  private def buildPostings(table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    (0 until 3).foreach { d =>
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), table, s"d$d")
+    }
+  }
+
+  private val tfMerge: DataFrame => DataFrame =
+    _.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf"))
+
+  test("postings compaction: report bit-equal, files shrink, zero-exchange plan holds") {
+    buildPostings("smx_post")
+    try {
+      val before = IncrementalPostings.reportBucketed(spark, "smx_post")
+        .localCheckpoint()
+      val filesBefore = dataFiles("smx_post").size
+      StoreMaintenance.compact(spark, "smx_post", "d1", merge = tfMerge)
+      assert(partitionsOf("smx_post") == Set("c_d1", "d2"),
+        "d0+d1 must fold into c_d1; d2 must survive untouched")
+      assert(dataFiles("smx_post").size < filesBefore,
+        s"compaction must shrink the file count (before: $filesBefore)")
+      val after = IncrementalPostings.reportBucketed(spark, "smx_post")
+      sameRows(after, before, "report must be bit-equal across compaction")
+      // the bucket layout survives the fold: the report still plans with
+      // zero hash exchanges on the store (IncrementalPostingsSpec's pin,
+      // re-asserted on the compacted table)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = IncrementalPostings.reportBucketed(spark, "smx_post")
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+          s"compacted store must not reshuffle:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // recompaction folds the consolidated partition again
+      StoreMaintenance.compact(spark, "smx_post", "d2", merge = tfMerge)
+      assert(partitionsOf("smx_post") == Set("c_d2"))
+      sameRows(IncrementalPostings.reportBucketed(spark, "smx_post"), before,
+        "recompaction to a later horizon must stay bit-equal")
+      // re-running a COMPLETED compaction must not eat the consolidated
+      // partition (the marker is gone, but so are the foldable olds)
+      StoreMaintenance.compact(spark, "smx_post", "d2", merge = tfMerge)
+      assert(partitionsOf("smx_post") == Set("c_d2"))
+      sameRows(IncrementalPostings.reportBucketed(spark, "smx_post"), before,
+        "re-running a completed compaction must be a no-op")
+    } finally spark.sql("DROP TABLE IF EXISTS smx_post")
+  }
+
+  test("compaction is crash-safe: an unmarked partial fold is discarded and redone") {
+    buildPostings("smx_crash")
+    try {
+      val before = IncrementalPostings.reportBucketed(spark, "smx_crash")
+        .localCheckpoint()
+      // simulate a crash mid-fold: a PARTIAL consolidated partition (only
+      // d0's rows) exists but the commit marker was never written — the
+      // old partitions are still intact and must stay authoritative
+      spark.table("smx_crash").filter(col("ds") === "d0").drop("ds")
+        .withColumn("ds", lit("c_d1"))
+        .write.mode("append").partitionBy("ds")
+        .bucketBy(8, "term").sortBy("term").saveAsTable("smx_crash")
+      StoreMaintenance.compact(spark, "smx_crash", "d1", merge = tfMerge)
+      assert(partitionsOf("smx_crash") == Set("c_d1", "d2"))
+      sameRows(IncrementalPostings.reportBucketed(spark, "smx_crash"), before,
+        "resume must discard the unmarked partial and refold — no loss, no double count")
+      // a marked fold, interrupted before the partition drops, resumes by
+      // finishing the drops (never re-appending)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("smx_crash"))
+      val fs = new org.apache.hadoop.fs.Path(meta.location)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      StoreMaintenance.compact(spark, "smx_crash", "d2", merge = tfMerge)
+      val marker = new org.apache.hadoop.fs.Path(
+        meta.location.toString, "_compact_c_d2_done")
+      fs.create(marker, true).close() // re-plant the marker: "crashed post-commit"
+      StoreMaintenance.compact(spark, "smx_crash", "d2", merge = tfMerge)
+      assert(!fs.exists(marker), "a completed compact must clear its marker")
+      assert(partitionsOf("smx_crash") == Set("c_d2"))
+      sameRows(IncrementalPostings.reportBucketed(spark, "smx_crash"), before,
+        "post-commit resume must be a harmless no-op")
+    } finally spark.sql("DROP TABLE IF EXISTS smx_crash")
+  }
+
+  test("vector store compaction: both searches bit-equal, bucket pruning intact") {
+    def dropStore(base: String): Unit =
+      Seq("_cb", "_ctr", "_codes", "_cells")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+    val queries = emb.filter(col("vec_id") < 10)
+    dropStore("smx_vec")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+      IncrementalVectors.initModel(slice(0), "smx_vec")
+      (0 until 3).foreach(d =>
+        IncrementalVectors.appendDate(slice(d), "smx_vec", s"d$d"))
+      val adcBefore = IncrementalVectors.adcSearch(spark, "smx_vec", queries)
+        .localCheckpoint()
+      val ivfBefore = IncrementalVectors.ivfSearch(spark, "smx_vec", queries)
+        .localCheckpoint()
+      // codes and cells rows are disjoint per (id, date) — no merge
+      StoreMaintenance.compact(spark, "smx_vec_codes", "d1")
+      StoreMaintenance.compact(spark, "smx_vec_cells", "d1")
+      assert(partitionsOf("smx_vec_codes") == Set("c_d1", "d2"))
+      sameRows(IncrementalVectors.adcSearch(spark, "smx_vec", queries),
+        adcBefore, "ADC must be bit-equal across code-store compaction")
+      sameRows(IncrementalVectors.ivfSearch(spark, "smx_vec", queries),
+        ivfBefore, "IVF must be bit-equal across cell-store compaction")
+      // the cell-bucketed layout still prunes buckets after the fold
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val planStr = IncrementalVectors.ivfSearch(spark, "smx_vec",
+          emb.filter(col("vec_id") === 0), nProbe = 2)
+        .queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(planStr)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"compacted cells scan must still bucket-prune:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      dropStore("smx_vec")
+    }
+  }
+
+  test("dedup band store compaction composes with continued ingestion") {
+    spark.sql("DROP TABLE IF EXISTS smx_bands")
+    spark.sql("DROP TABLE IF EXISTS smx_bands_ref")
+    try {
+      def ingest(table: String, dates: Range): Unit = dates.foreach { d =>
+        IncrementalDedup.appendBandsBucketed(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === d), table, s"d$d")
+      }
+      ingest("smx_bands", 0 until 2)
+      StoreMaintenance.compact(spark, "smx_bands", "d1") // band rows: no merge
+      ingest("smx_bands", 2 until 3) // a NEW date lands after compaction
+      ingest("smx_bands_ref", 0 until 3)
+      sameRows(
+        IncrementalDedup.newPairsBucketed(spark, "smx_bands", "d2", 0.2),
+        IncrementalDedup.newPairsBucketed(spark, "smx_bands_ref", "d2", 0.2),
+        "day-3 pairs against a compacted store must equal the uncompacted run")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS smx_bands")
+      spark.sql("DROP TABLE IF EXISTS smx_bands_ref")
+    }
+  }
+
+  test("span path-store compaction: report bit-equal, partition dirs shrink") {
+    val tmp = java.nio.file.Files.createTempDirectory("smx-spans").toString
+    val store = s"$tmp/spanstore"
+    (0 until 3).foreach { d =>
+      IncrementalSpans.appendCounts(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), store, s"d$d")
+    }
+    val before = IncrementalSpans.report(docs, store).localCheckpoint()
+    StoreMaintenance.compactPath(spark, store, "d1",
+      merge = _.groupBy("h").agg(sum(col("cnt")).as("cnt"))) // additive counts
+    val dirs = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("ds=c_d1", "ds=d2"),
+      s"d0+d1 must fold into ds=c_d1 (got $dirs)")
+    sameRows(IncrementalSpans.report(docs, store), before,
+      "span report must be bit-equal across path-store compaction")
+    // idempotent re-run (no marker, 1 old partition → no-op)
+    StoreMaintenance.compactPath(spark, store, "d1")
+    sameRows(IncrementalSpans.report(docs, store), before,
+      "re-running the same compaction must be a no-op")
+  }
+}
