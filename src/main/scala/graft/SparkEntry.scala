@@ -154,6 +154,8 @@ object SparkEntry {
     "q132_hybrid_rrf" -> (Quality.q132HybridRrf _),
     "q133_vector_store" -> (TextQueries.q133VectorStore _),
     "q134_lang_id_nb" -> (TextQueries.q134LangIdNb _),
+    "q136_vector_serve" -> (TextQueries.q136VectorServe _),
+    "q137_ivf_cell_audit" -> (TextQueries.q137IvfCellAudit _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -431,6 +433,23 @@ object SparkEntry {
     * passes its initial-date slice instead (quantizer frozen at store
     * init). */
   private def ivfDetCtes: String = ivfDetCtesFit("((hk % 100) + 100) % 100 < 10")
+
+  /** q133/q136 — the persisted vector store's searches: both models
+    * frozen at the initial ingestion date (vec_id % 3 = 0), union-corpus
+    * encode, ADC ∪ deterministic-IVF top-3, tagged by method. */
+  private def vectorStoreSql: String =
+    s"""WITH $embNormCte,
+       |$fnvMapCte,
+       |${pqAdcCtesFit("vec_id % 3 = 0")},
+       |${ivfDetCtesFit("vec_id % 3 = 0")}
+       |SELECT method, qid, rank, cid, score FROM (
+       |  SELECT 'adc' AS method, qid, CAST(rank AS BIGINT) AS rank,
+       |    cand AS cid, ROUND(CAST(ad AS DOUBLE), 6) AS score
+       |  FROM pqr WHERE rank <= 3
+       |  UNION ALL
+       |  SELECT 'ivf', qid, CAST(rank AS BIGINT), cid, cosine
+       |  FROM vs WHERE rank <= 3)
+       |ORDER BY method, qid, rank""".stripMargin
 
   private def ivfDetCtesFit(fitWhere: String): String =
     s"""vfit AS (
@@ -1348,19 +1367,27 @@ object SparkEntry {
     // codebook + d0-fitted quantizer, union-corpus encode, and both
     // rankings, so a green hash proves store-served == from-scratch
     // with the frozen models.
-    "q133_vector_store" ->
+    "q133_vector_store" -> vectorStoreSql,
+    // q136 serves the IDENTICAL searches from a memoized store (build
+    // paid once per process, outside the steady-state serve path) — same
+    // frozen models, same corpus, same queries, same oracle
+    "q136_vector_serve" -> vectorStoreSql,
+
+    // q137: cell-occupancy audit of the q133/q136 store's inverted lists
+    // — replay the d0-frozen quantizer fit + full-corpus assignment (the
+    // exact rows the store's cell table holds), then per-cell counts and
+    // the max/mean skew ratio
+    "q137_ivf_cell_audit" ->
       s"""WITH $embNormCte,
          |$fnvMapCte,
-         |${pqAdcCtesFit("vec_id % 3 = 0")},
-         |${ivfDetCtesFit("vec_id % 3 = 0")}
-         |SELECT method, qid, rank, cid, score FROM (
-         |  SELECT 'adc' AS method, qid, CAST(rank AS BIGINT) AS rank,
-         |    cand AS cid, ROUND(CAST(ad AS DOUBLE), 6) AS score
-         |  FROM pqr WHERE rank <= 3
-         |  UNION ALL
-         |  SELECT 'ivf', qid, CAST(rank AS BIGINT), cid, cosine
-         |  FROM vs WHERE rank <= 3)
-         |ORDER BY method, qid, rank""".stripMargin,
+         |${ivfDetCtesFit("vec_id % 3 = 0")},
+         |occ AS (SELECT cid AS cell, COUNT(*) AS n FROM va1 GROUP BY cid),
+         |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+         |              CAST(MAX(n) AS BIGINT) AS mx, COUNT(*) AS nc FROM occ)
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(n AS BIGINT) AS n_vectors,
+         |  ROUND(CAST(n AS DOUBLE) / total, 6) AS frac,
+         |  ROUND(CAST(mx AS DOUBLE) * nc / total, 6) AS skew
+         |FROM occ, tt ORDER BY cell""".stripMargin,
 
     "q32_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,

@@ -89,6 +89,110 @@ object IncrementalVectors {
       .saveAsTable(s"${table}_cells")
   }
 
+  /** Cell-occupancy audit over a (cell, …) postings frame: one row per
+    * cell with its vector count, corpus fraction, and the store-wide
+    * max/mean occupancy ratio (`skew` — 1.0 means perfectly balanced
+    * lists, k means the hottest list is k× the average and the probed
+    * scan fraction claim "≈ nProbe/nCells" degrades toward k·nProbe/
+    * nCells for queries landing on it). Run it on `spark.table(t_cells)`
+    * before sizing nProbe, and feed its hot cells to [[splitHotCells]].
+    * Deterministic: counts are exact longs, the two ratios single
+    * double ops rounded to 6 (oracle-replayable, gated as q137). */
+  def cellOccupancy(cells: DataFrame): DataFrame = {
+    val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val tot = occ.agg(sum(col("n_vectors")).as("total"),
+      max(col("n_vectors")).as("mx"), count(lit(1)).as("nc"))
+    occ.crossJoin(broadcast(tot))
+      .select(col("cell").cast("bigint").as("cell"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("total"), 6).as("frac"),
+        round(col("mx").cast("double") * col("nc") / col("total"), 6)
+          .as("skew"))
+      .orderBy(col("cell"))
+  }
+
+  /** [[cellOccupancy]] straight off a store's cell table. After a
+    * [[splitHotCells]] pass the audit reports the CHILD cells — i.e. the
+    * physical posting lists a probe actually scans — which is exactly
+    * where the skew fix should be visible. */
+  def cellAudit(spark: SparkSession, table: String): DataFrame =
+    cellOccupancy(spark.table(s"${table}_cells"))
+
+  /** STORAGE-level re-split of oversized IVF cells — the skew
+    * maintenance pass for stores whose embedding distribution
+    * concentrates mass in few cells (real corpora do; the fixed
+    * [[initModel]] quantizer never rebalances itself). Every cell
+    * holding more than `maxCellRows` vectors is partitioned by a k=2
+    * k-means fitted WITHIN the cell (the q98 machinery on the cell's own
+    * rows), its rows rewritten under two fresh child cell ids, and the
+    * child→parent mapping appended to `t_map`.
+    *
+    * The quantizer itself stays FROZEN: `t_ctr` is untouched, probe
+    * ranking still happens against the original centroids, and
+    * [[ivfSearch]] expands probed parents to their children through the
+    * map — so the candidate set, and therefore the search output, is
+    * BIT-EQUAL before/after (pinned in IncrementalVectorsSpec). What
+    * changes is physical: the hot posting list becomes two bounded lists
+    * under distinct bucket keys, restoring write/scan parallelism and
+    * per-task memory bounds the same way AQE splits a skewed shuffle
+    * partition. New [[appendDate]] rows still land under the PARENT id
+    * (the frozen quantizer assigns them); re-run the pass when growth
+    * re-crosses the bound — splits nest (children of children keep
+    * mapping to the original quantizer cell).
+    *
+    * Mechanics: the rewrite is [[StoreMaintenance.rewrite]] — the
+    * compaction pass's marker-committed fold with the cell remap as its
+    * transform (a split must touch every hot row anyway, so it compacts
+    * the store's date partitions while at it; per-date re-run history is
+    * consumed, the documented compaction trade). The map rows land
+    * BEFORE the rewrite — a mapping whose children don't exist yet is a
+    * harmless superset probe filter, while split rows without a mapping
+    * would silently vanish from searches. Returns the
+    * (hotCell → (childA, childB)) splits applied. */
+  def splitHotCells(spark: SparkSession, table: String,
+      maxCellRows: Long): Seq[(Int, (Int, Int))] = {
+    val cellsT = s"${table}_cells"
+    val cells = spark.table(cellsT)
+    // bounded metadata: ≤ |cells| ints (nCells + prior children)
+    val hot = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellRows)
+      .select(col("cell")).collect().map(_.getInt(0)).sorted.toSeq
+    if (hot.isEmpty) return Nil
+    val mapT = s"${table}_map"
+    val parentOf: Map[Int, Int] =
+      if (spark.catalog.tableExists(mapT))
+        spark.table(mapT).collect()
+          .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      else Map.empty
+    val maxId = math.max(
+      cells.agg(max(col("cell"))).head().getInt(0),
+      if (parentOf.isEmpty) Int.MinValue else parentOf.keys.max)
+    var next = maxId + 1
+    val splits = hot.map { h => val s = (h, (next, next + 1)); next += 2; s }
+    // one k=2 fit per hot cell, on the cell's own rows; the remap plans
+    // stay lazy (one pass rewrites everything below) and the fits' dims
+    // caches are released after the staged write — the last action over
+    // their lineage
+    val fits = splits.map { case (h, (a, _)) =>
+      val (assigned, _, release) = KMeans.fitCentroidsManaged(
+        cells.filter(col("cell") === h), k = 2, iterations = 2,
+        idCol = "id", vecCol = "e")
+      (assigned.select(col("id"), (lit(a) + col("cid")).as("new_cell")),
+        release)
+    }
+    import spark.implicits._
+    splits.flatMap { case (h, (a, b)) =>
+      Seq(a -> parentOf.getOrElse(h, h), b -> parentOf.getOrElse(h, h))
+    }.toDF("cell", "parent")
+      .write.mode("append").saveAsTable(mapT) // before the rewrite (see above)
+    val remap = fits.map(_._1).reduce(_ unionAll _)
+    StoreMaintenance.rewrite(spark, cellsT, gen = s"$maxId",
+      transform = _.join(remap, Seq("id"), "left")
+        .select(coalesce(col("new_cell"), col("cell")).as("cell"),
+          col("id"), col("e"), col("n")))
+    fits.foreach(_._2())
+    splits
+  }
+
   /** ADC top-k over the accumulated code store — [[PQ.adcTopK]]'s output
     * contract served WITHOUT re-encoding: the query side computes its
     * exact per-subspace distance table against the persisted codebook
@@ -141,11 +245,22 @@ object IncrementalVectors {
       vecCol: String = "embedding"): DataFrame = {
     val centroids = spark.table(s"${table}_ctr")
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
-    val probes = KMeans.cellDistances(
+    val parentProbes = KMeans.cellDistances(
         KMeans.dimRows(queries, idCol, vecCol), centroids)
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)
       .select(col("id").as("qid"), col("cid").as("cell"))
+    // a [[splitHotCells]] pass leaves probed parents' rows under child
+    // cell ids: expand each probed parent to its children through the
+    // (bounded) map — same candidate VECTORS, more posting lists
+    val probes =
+      if (spark.catalog.tableExists(s"${table}_map")) {
+        val m = spark.table(s"${table}_map")
+        parentProbes.unionAll(
+          parentProbes.as("p").join(m.as("m"),
+              col("p.cell") === col("m.parent"))
+            .select(col("p.qid").as("qid"), col("m.cell").as("cell")))
+      } else parentProbes
     // bounded driver collect (|queries|·nProbe ints): the literal IN list
     // is what lets the bucketed scan PRUNE — a join could co-locate but
     // never skip unprobed buckets at the source

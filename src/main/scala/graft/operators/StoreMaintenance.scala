@@ -74,32 +74,61 @@ object StoreMaintenance {
     * emit the table's exact column set (minus `ds`). */
   def compact(spark: SparkSession, table: String, upTo: String,
       merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
-        = identity): Unit = {
+        = identity): Unit =
+    // a single foldable partition is a no-win rename — require 2 (which
+    // also keeps the partial-label rule sound: a fold only STARTS with
+    // ≥2 olds, so an unmarked label next to 0/1 olds is a prior commit)
+    foldTable(spark, table, s"c_$upTo",
+      ds => effectiveDate(ds) <= upTo, minOlds = 2, merge)
+
+  /** Rewrite EVERY row of a per-date store through `transform`, folding
+    * all partitions into one `r_<gen>` generation partition — the
+    * whole-store maintenance primitive under
+    * [[IncrementalVectors.splitHotCells]] (a transform that must touch
+    * an arbitrary subset of rows has to rewrite the partitions holding
+    * them; folding while at it is [[compact]] for free). Same marker
+    * protocol, same crash-resume windows, same bucket-spec preservation;
+    * `gen` must be fresh per pass (a repeated gen whose rewrite already
+    * completed is a no-op — the partitions are already folded into its
+    * label). Per-date history is consumed by design: re-running an old
+    * ingestion date is no longer possible afterwards, exactly as with a
+    * date-horizon compact. */
+  def rewrite(spark: SparkSession, table: String, gen: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Unit =
+    foldTable(spark, table, s"r_$gen", _ => true, minOlds = 1, transform)
+
+  /** Shared fold machinery: append the transformed union of the selected
+    * old partitions as `label`, commit with a marker, then drop the olds
+    * (see the object scaladoc for the crash-window analysis). */
+  private def foldTable(spark: SparkSession, table: String, label: String,
+      foldable: String => Boolean, minOlds: Int,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Unit = {
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(TableIdentifier(table))
     require(meta.partitionColumnNames == Seq("ds"),
       s"$table is not a per-date store (partitions: ${meta.partitionColumnNames})")
-    val label = s"c_$upTo"
     val fs = new org.apache.hadoop.fs.Path(meta.location)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(
       meta.location.toString, s"_compact_${label}_done")
 
     def olds(): Seq[String] = partitions(spark, table)
-      .filter(ds => ds != label && effectiveDate(ds) <= upTo)
+      .filter(ds => ds != label && foldable(ds))
 
     if (!fs.exists(marker)) {
       val old = olds()
-      // nothing to fold (0 or 1 old partitions): any existing `label`
-      // partition is a PRIOR COMPLETED fold (a fold only starts with ≥2
-      // olds and drops them only after the marker) — leave it alone
-      if (old.size <= 1) return
-      // ≥2 olds and no marker ⇒ a `label` partition can only be an
-      // uncommitted partial write from a crashed fold — the old
-      // partitions are intact and authoritative, so drop it and redo
+      // below the threshold: any existing `label` partition is a PRIOR
+      // COMPLETED fold (a fold only starts at the threshold and drops
+      // its olds only after the marker) — leave it alone
+      if (old.size < minOlds) return
+      // at/above the threshold with no marker ⇒ a `label` partition can
+      // only be an uncommitted partial write from a crashed fold — the
+      // old partitions are intact and authoritative, so drop it and redo
       if (partitions(spark, table).contains(label))
         spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$label')")
-      val folded = merge(spark.table(table)
+      val folded = transform(spark.table(table)
           .filter(col("ds").isin(old.map(x => x: Any): _*))
           .drop("ds"))
         .withColumn("ds", lit(label))

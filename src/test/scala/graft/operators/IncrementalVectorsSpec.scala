@@ -12,7 +12,7 @@ class IncrementalVectorsSpec extends SparkSpec {
   private def queries = emb.filter(col("vec_id") < 10)
 
   private def dropStore(base: String): Unit =
-    Seq("_cb", "_ctr", "_codes", "_cells")
+    Seq("_cb", "_ctr", "_codes", "_cells", "_map", "_cells_splitting")
       .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
@@ -49,6 +49,76 @@ class IncrementalVectorsSpec extends SparkSpec {
           fitPercent = 100),
         "store-served IVF must equal knnIvfDeterministic on the same fit")
     } finally dropStore("ivs_full")
+  }
+
+  test("hot-cell split: skew shrinks, searches stay bit-equal, ingestion continues") {
+    // plant a hot cell: 24 near-duplicates of vector 0 at distinct
+    // magnitudes — they all quantize to vector 0's cell (making it the
+    // unambiguous hottest), and their magnitude spread gives the k=2
+    // subfit real structure to separate (a clump of IDENTICAL vectors
+    // would tie every argmin to child 0 — Lloyd's documented
+    // empty-cluster case, which real skewed corpora don't exhibit)
+    val v0 = emb.filter(col("vec_id") === 0)
+    val planted = (0 until 24).map { i =>
+      v0.select((col("vec_id") + lit(9000000L + i)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * (lit(1.0) + lit(0.0001) * (i + 1)))
+            .cast("float")).as("embedding"))
+    }.reduce(_ unionAll _)
+    val aug = emb.select(col("vec_id"), col("embedding")).unionAll(planted)
+    def slice(d: Int) = aug.filter(pmod(col("vec_id"), lit(3L)) === d)
+    dropStore("ivs_split"); dropStore("ivs_ref")
+    try {
+      IncrementalVectors.initModel(aug, "ivs_split")
+      (0 until 2).foreach(d =>
+        IncrementalVectors.appendDate(slice(d), "ivs_split", s"d$d"))
+      val audit = IncrementalVectors.cellAudit(spark, "ivs_split")
+        .localCheckpoint()
+      // the audit operator reports exactly the stored assignment
+      val direct = IncrementalVectors.cellOccupancy(
+        spark.table("ivs_split_cells").select("cell", "id"))
+      sameRows(audit, direct, "cellAudit must equal the inline occupancy")
+      val occ = audit.orderBy(col("n_vectors").desc)
+        .select("cell", "n_vectors").collect()
+      val (hotCell, maxN) = (occ.head.getLong(0), occ.head.getLong(1))
+      val secondN = occ.drop(1).headOption.map(_.getLong(1)).getOrElse(0L)
+      assert(maxN > secondN, "the planted cell must be the unique hottest")
+      val adcBefore = IncrementalVectors.adcSearch(spark, "ivs_split", queries)
+        .localCheckpoint()
+      val ivfBefore = IncrementalVectors.ivfSearch(spark, "ivs_split", queries)
+        .localCheckpoint()
+      // bound between the two: exactly the planted hot cell splits
+      val splits = IncrementalVectors.splitHotCells(spark, "ivs_split", secondN)
+      assert(splits.map(_._1) == Seq(hotCell.toInt),
+        s"exactly the planted cell $hotCell must split (got $splits)")
+      val after = IncrementalVectors.cellAudit(spark, "ivs_split")
+        .localCheckpoint()
+      val afterCells = after.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!afterCells.contains(hotCell),
+        "the split parent must no longer hold rows")
+      val (a, b) = splits.head._2
+      assert(afterCells.contains(a.toLong) && afterCells.contains(b.toLong),
+        s"both children must hold rows (occupancy: $afterCells)")
+      assert(afterCells(a.toLong) + afterCells(b.toLong) == maxN,
+        "children must hold exactly the parent's rows")
+      assert(afterCells.values.max < maxN,
+        "the max posting-list length must shrink — that is the point")
+      // the searches cannot see the physical split
+      sameRows(IncrementalVectors.adcSearch(spark, "ivs_split", queries),
+        adcBefore, "ADC must be bit-equal across a cell split (codes untouched)")
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_split", queries),
+        ivfBefore, "IVF must be bit-equal across a cell split (same candidates)")
+      // ingestion after the split: new rows land under the frozen parent
+      // ids, probes cover parent ∪ children — equal to a never-split store
+      IncrementalVectors.appendDate(slice(2), "ivs_split", "d2")
+      IncrementalVectors.initModel(aug, "ivs_ref")
+      (0 until 3).foreach(d =>
+        IncrementalVectors.appendDate(slice(d), "ivs_ref", s"d$d"))
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_split", queries),
+        IncrementalVectors.ivfSearch(spark, "ivs_ref", queries),
+        "post-split ingestion must serve identically to a never-split store")
+    } finally { dropStore("ivs_split"); dropStore("ivs_ref") }
   }
 
   test("ADC never reshuffles the code store; IVF scan prunes to probed buckets") {
