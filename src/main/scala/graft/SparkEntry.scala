@@ -156,6 +156,8 @@ object SparkEntry {
     "q134_lang_id_nb" -> (TextQueries.q134LangIdNb _),
     "q136_vector_serve" -> (TextQueries.q136VectorServe _),
     "q137_ivf_cell_audit" -> (TextQueries.q137IvfCellAudit _),
+    "q138_lang_id_confident" -> (TextQueries.q138LangIdConfident _),
+    "q139_ccnet_pipeline" -> (TextQueries.q139CcnetPipeline _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -653,6 +655,71 @@ object SparkEntry {
        |             + strpos('0123456789ABCDEF', substr(hex(encode($expr)), 2*i, 1)) - 1)),
        |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
        |                % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Shared CTE chain for the q134/q138/q139 NB language-ID oracles:
+    * trigram extraction (q75's lower(trim) code-point replay), the 50%
+    * FNV-mod train split (q56's scheme), per-language Laplace-smoothed
+    * trigram model, and the exact-decimal doc × candidate score frame
+    * `dl` (doc_id, cand, score) — per-term lns rounded to 6 and
+    * DECIMAL-summed, so argmax (q134) and the top-2 margin (q138/q139)
+    * replay bit-for-bit. */
+  private def nbLangCtes: String =
+    s"""t AS (
+       |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+       |  WHERE length(trim(text)) >= 3),
+       |tri AS (
+       |  SELECT doc_id, lang, substr(t, i, 3) AS tri
+       |  FROM t, UNNEST(generate_series(1, length(t) - 2)) AS u(i)),
+       |dtf AS (SELECT doc_id, tri, COUNT(*) AS tf FROM tri GROUP BY 1, 2),
+       |trainids AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+       |        THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
+       |    FROM (SELECT doc_id, ${fnvSql("CAST(doc_id AS VARCHAR)")} AS fnv
+       |          FROM documents))
+       |  WHERE ((fp % 100) + 100) % 100 < 50),
+       |m AS (
+       |  SELECT tri.lang AS cand, tri.tri, COUNT(*) AS c
+       |  FROM tri JOIN trainids USING (doc_id) GROUP BY 1, 2),
+       |ls AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS nl FROM m GROUP BY 1),
+       |pr AS (
+       |  SELECT d.lang AS cand, COUNT(*) AS ndl
+       |  FROM documents d JOIN trainids USING (doc_id) GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT COUNT(*) FROM trainids) AS nd,
+       |         (SELECT COUNT(DISTINCT tri) FROM m) AS v),
+       |cand AS (
+       |  SELECT ls.cand, nl, ndl, nd, v
+       |  FROM ls JOIN pr USING (cand) CROSS JOIN tot),
+       |sc AS (
+       |  SELECT dtf.doc_id, cand.cand, cand.ndl, cand.nd,
+       |    CAST(dtf.tf AS DECIMAL(18,0)) *
+       |      CAST(ROUND(ln(CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+       |        / (cand.nl + cand.v)), 6) AS DECIMAL(18,6)) AS term
+       |  FROM dtf CROSS JOIN cand
+       |  LEFT JOIN m ON m.cand = cand.cand AND m.tri = dtf.tri),
+       |dl AS (
+       |  SELECT doc_id, cand,
+       |    SUM(term) + CAST(ROUND(ln(CAST(ndl AS DOUBLE) / nd), 6)
+       |      AS DECIMAL(18,6)) AS score
+       |  FROM sc GROUP BY doc_id, cand, ndl, nd)""".stripMargin
+
+  /** q138's margin gate as CTEs appended after [[nbLangCtes]]: top-2
+    * scores per doc via one window + conditional aggregate (`agg2`),
+    * exact-decimal margin compared against the q138 default threshold. */
+  private def nbMarginCtes: String =
+    """rk AS (
+      |  SELECT doc_id, cand, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, cand) AS rn
+      |  FROM dl),
+      |agg2 AS (
+      |  SELECT doc_id,
+      |    MAX(CASE WHEN rn = 1 THEN cand END) AS c1,
+      |    MAX(CASE WHEN rn = 1 THEN score END) AS s1,
+      |    MAX(CASE WHEN rn = 2 THEN score END) AS s2
+      |  FROM rk WHERE rn <= 2 GROUP BY doc_id)""".stripMargin
 
   /** Same FNV-1a fold, but over bytes given as an UPPERCASE HEX STRING
     * expression (q60/q61 reconstruct the GIF container as hex and
@@ -2325,46 +2392,7 @@ object SparkEntry {
     // is the exact decimal cast to DOUBLE (no re-rounding — both engines
     // take the same nearest double of the same exact value).
     "q134_lang_id_nb" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
-         |  WHERE length(trim(text)) >= 3),
-         |tri AS (
-         |  SELECT doc_id, lang, substr(t, i, 3) AS tri
-         |  FROM t, UNNEST(generate_series(1, length(t) - 2)) AS u(i)),
-         |dtf AS (SELECT doc_id, tri, COUNT(*) AS tf FROM tri GROUP BY 1, 2),
-         |trainids AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id,
-         |      CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
-         |        THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
-         |    FROM (SELECT doc_id, ${fnvSql("CAST(doc_id AS VARCHAR)")} AS fnv
-         |          FROM documents))
-         |  WHERE ((fp % 100) + 100) % 100 < 50),
-         |m AS (
-         |  SELECT tri.lang AS cand, tri.tri, COUNT(*) AS c
-         |  FROM tri JOIN trainids USING (doc_id) GROUP BY 1, 2),
-         |ls AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS nl FROM m GROUP BY 1),
-         |pr AS (
-         |  SELECT d.lang AS cand, COUNT(*) AS ndl
-         |  FROM documents d JOIN trainids USING (doc_id) GROUP BY 1),
-         |tot AS (
-         |  SELECT (SELECT COUNT(*) FROM trainids) AS nd,
-         |         (SELECT COUNT(DISTINCT tri) FROM m) AS v),
-         |cand AS (
-         |  SELECT ls.cand, nl, ndl, nd, v
-         |  FROM ls JOIN pr USING (cand) CROSS JOIN tot),
-         |sc AS (
-         |  SELECT dtf.doc_id, cand.cand, cand.ndl, cand.nd,
-         |    CAST(dtf.tf AS DECIMAL(18,0)) *
-         |      CAST(ROUND(ln(CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
-         |        / (cand.nl + cand.v)), 6) AS DECIMAL(18,6)) AS term
-         |  FROM dtf CROSS JOIN cand
-         |  LEFT JOIN m ON m.cand = cand.cand AND m.tri = dtf.tri),
-         |dl AS (
-         |  SELECT doc_id, cand,
-         |    SUM(term) + CAST(ROUND(ln(CAST(ndl AS DOUBLE) / nd), 6)
-         |      AS DECIMAL(18,6)) AS score
-         |  FROM sc GROUP BY doc_id, cand, ndl, nd),
+      s"""WITH $nbLangCtes,
          |best AS (
          |  SELECT doc_id, cand AS pred_lang, score,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -2375,6 +2403,70 @@ object SparkEntry {
          |  (b.pred_lang = d.lang) AS is_correct
          |FROM best b JOIN documents d USING (doc_id)
          |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
+
+    // q138: q134's scores gated on the top-2 log-score margin (the NB
+    // analogue of CCNet's fastText confidence threshold) — margin is the
+    // exact decimal difference of two exact decimal scores; docs under
+    // the 2.0 log-odds default land in the 'unknown' bucket.
+    "q138_lang_id_confident" ->
+      s"""WITH $nbLangCtes,
+         |$nbMarginCtes
+         |SELECT a.doc_id, d.lang,
+         |  CASE WHEN CAST(s1 - s2 AS DOUBLE) >= 2.0 THEN c1
+         |       ELSE 'unknown' END AS pred_lang,
+         |  CAST(s1 - s2 AS DOUBLE) AS margin,
+         |  (CAST(s1 - s2 AS DOUBLE) >= 2.0) AS is_confident
+         |FROM agg2 a JOIN documents d ON d.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // q139: the fused CCNet chain — q138's margin gate picks survivors,
+    // then q107's CTEs (trigram LM, hash-mod sample, tercile edges,
+    // head/middle/tail) run over the SURVIVOR corpus only (the LM trains
+    // on gated text, edges sample gated docs).
+    "q139_ccnet_pipeline" ->
+      s"""WITH $nbLangCtes,
+         |$nbMarginCtes,
+         |surv AS (
+         |  SELECT doc_id, c1 AS pred_lang FROM agg2
+         |  WHERE CAST(s1 - s2 AS DOUBLE) >= 2.0),
+         |t2 AS (
+         |  SELECT d.doc_id, lower(trim(d.text)) AS t
+         |  FROM documents d JOIN surv ON surv.doc_id = d.doc_id
+         |  WHERE length(trim(d.text)) >= 3),
+         |tri2 AS (
+         |  SELECT doc_id, substr(t, i, 3) AS tri
+         |  FROM t2, UNNEST(generate_series(1, length(t) - 2)) AS u(i)),
+         |m3 AS (SELECT tri, COUNT(*) AS n3 FROM tri2 GROUP BY 1),
+         |m2 AS (SELECT substr(tri, 1, 2) AS pre, CAST(SUM(n3) AS BIGINT) AS n2
+         |  FROM m3 GROUP BY 1),
+         |lnp2 AS (
+         |  SELECT doc_id,
+         |    CAST(ROUND(ln(CAST(n3 AS DOUBLE) / n2), 6) AS DECIMAL(18,6)) AS lnp
+         |  FROM tri2 JOIN m3 USING (tri) JOIN m2 ON substr(tri2.tri, 1, 2) = m2.pre),
+         |doc2 AS (
+         |  SELECT doc_id, ROUND(CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS avg_lnp
+         |  FROM lnp2 GROUP BY doc_id),
+         |samp AS (
+         |  SELECT doc_id, avg_lnp FROM (
+         |    SELECT doc_id, avg_lnp,
+         |      CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |        THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
+         |    FROM (SELECT doc_id, avg_lnp,
+         |        ${fnvSql("CAST(doc_id AS VARCHAR)")} AS fnv
+         |      FROM doc2))
+         |  WHERE ((fp % 100) + 100) % 100 < 30),
+         |tiles AS (
+         |  SELECT avg_lnp,
+         |    NTILE(3) OVER (ORDER BY avg_lnp, doc_id) AS tile FROM samp),
+         |e AS (
+         |  SELECT MAX(CASE WHEN tile = 1 THEN avg_lnp END) AS e1,
+         |         MAX(CASE WHEN tile <= 2 THEN avg_lnp END) AS e2 FROM tiles)
+         |SELECT doc2.doc_id, surv.pred_lang, avg_lnp,
+         |  CASE WHEN avg_lnp <= e1 THEN 'tail'
+         |       WHEN avg_lnp <= e2 THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM doc2 JOIN surv ON surv.doc_id = doc2.doc_id CROSS JOIN e
+         |ORDER BY doc2.doc_id""".stripMargin,
 
     "q75_trigram_lm" ->
       """WITH t AS (

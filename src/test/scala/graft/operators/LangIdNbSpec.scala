@@ -29,4 +29,46 @@ class LangIdNbSpec extends SparkSpec {
     val b = TextQueries.q134LangIdNb(spark, sf)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("q138: margin gate partitions docs; confident rows keep q134's argmax") {
+    val out = TextQueries.q138LangIdConfident(spark, sf).cache()
+    try {
+      // the gate is non-vacuous at this SF: both buckets populated
+      assert(out.filter(col("pred_lang") === "unknown").count() > 0)
+      assert(out.filter(col("pred_lang") =!= "unknown").count() > 0)
+      // margin is a top-1 minus top-2 score: strictly positive (a tie at
+      // exactly 0 is possible in principle, never negative)
+      assert(out.filter(col("margin") < 0).count() == 0)
+      // flag and bucket agree: unknown <=> not confident
+      assert(out.filter(col("is_confident") =!=
+        (col("pred_lang") =!= "unknown")).count() == 0)
+      // a confident prediction IS q134's argmax for that doc
+      val argmax = TextQueries.q134LangIdNb(spark, sf)
+        .select(col("doc_id"), col("pred_lang").as("am"))
+      assert(out.filter(col("is_confident")).join(argmax, "doc_id")
+        .filter(col("pred_lang") =!= col("am")).count() == 0)
+      // raising the threshold only shrinks the confident set (monotone dial)
+      val strict = TextQueries.langIdConfident(spark, sf, minMargin = 10.0)
+      assert(strict.filter(col("is_confident")).count() <
+        out.filter(col("is_confident")).count())
+    } finally { out.unpersist(); () }
+  }
+
+  test("q139: fused pipeline covers exactly the confident survivors") {
+    val surv = TextQueries.q138LangIdConfident(spark, sf)
+      .filter(col("is_confident"))
+      .select(col("doc_id"), col("pred_lang"))
+    val out = TextQueries.q139CcnetPipeline(spark, sf).cache()
+    try {
+      // one bucket row per survivor (every fixture doc has >= 3 chars),
+      // with the survivor's own predicted language carried through
+      assert(out.select("doc_id", "pred_lang").exceptAll(surv).isEmpty)
+      assert(surv.exceptAll(out.select("doc_id", "pred_lang")).isEmpty)
+      val buckets = out.select("bucket").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(buckets.subsetOf(Set("head", "middle", "tail")))
+      // terciles over the survivor sample: all three strata appear
+      assert(buckets.size == 3, s"expected all three buckets, got $buckets")
+    } finally { out.unpersist(); () }
+  }
 }
