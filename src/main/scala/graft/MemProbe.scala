@@ -72,7 +72,12 @@ object MemProbe {
       "q131_bpe_encode",
       // round-10 flagships: the persisted vector-store lifecycle and the
       // trigram NB language-ID train+score pass
-      "q133_vector_store", "q134_lang_id_nb")
+      "q133_vector_store", "q134_lang_id_nb",
+      // round-11 flagships: compaction-in-the-middle postings cycle,
+      // serve-only vector search, fused lang-ID→perplexity chain, and
+      // the split-leakage audit (label propagation under the ceiling)
+      "q135_postings_compacted", "q136_vector_serve", "q139_ccnet_pipeline",
+      "q140_split_leakage")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

@@ -228,7 +228,25 @@ object ScaleProbe {
       // (model init + 3 bucketed encodes + both store-served searches, like
       // q109/q120); q134 is the trigram NB language-ID train+score pass
       "q133_vector_store" -> SparkEntry.queries("q133_vector_store"),
-      "q134_lang_id" -> SparkEntry.queries("q134_lang_id_nb"))
+      "q134_lang_id" -> SparkEntry.queries("q134_lang_id_nb"),
+      // round-10.5/11 additions: RRF fusion over two bounded rankings;
+      // the compaction-in-the-middle postings cycle; SERVE-ONLY vector
+      // search (the warm-up pass builds the memoized pid-keyed store, so
+      // the timed reps measure exactly the ADC+IVF serve path — the
+      // append/serve split q133's lifecycle number can't show); the IVF
+      // cell audit; the margin-gated lang ID and the fused CCNet chain
+      "q132_hybrid_rrf" -> SparkEntry.queries("q132_hybrid_rrf"),
+      "q135_postings_compact" -> SparkEntry.queries("q135_postings_compacted"),
+      "q136_vector_serve" -> SparkEntry.queries("q136_vector_serve"),
+      "q137_ivf_cell_audit" -> SparkEntry.queries("q137_ivf_cell_audit"),
+      "q138_lang_id_conf" -> SparkEntry.queries("q138_lang_id_confident"),
+      "q139_ccnet_pipeline" -> SparkEntry.queries("q139_ccnet_pipeline"),
+      // round-11 second wave: near-dup split-leakage audit (q62's label
+      // propagation + two bounded aggregates; replication densifies the
+      // clusters, the q115 caveat) and the per-date cell-drift PSI (the
+      // q137 assignment scan + (nDates·nCells)-sized arithmetic)
+      "q140_split_leakage" -> SparkEntry.queries("q140_split_leakage"),
+      "q141_cell_drift" -> SparkEntry.queries("q141_cell_drift_psi"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

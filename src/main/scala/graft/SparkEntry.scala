@@ -158,6 +158,8 @@ object SparkEntry {
     "q137_ivf_cell_audit" -> (TextQueries.q137IvfCellAudit _),
     "q138_lang_id_confident" -> (TextQueries.q138LangIdConfident _),
     "q139_ccnet_pipeline" -> (TextQueries.q139CcnetPipeline _),
+    "q140_split_leakage" -> (TextQueries.q140SplitLeakage _),
+    "q141_cell_drift_psi" -> (TextQueries.q141CellDriftPsi _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -212,12 +214,12 @@ object SparkEntry {
       |WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** q62: the same exact pairs, then the TRANSITIVE CLOSURE — component id
-    * = min doc id reachable through any near-dup chain — via a recursive
-    * CTE. Gates the engine's distributed label propagation bit-exactly. */
-  private val dedupComponentsSql =
-    s"""WITH RECURSIVE $ngramPairCtes,
-      |pairsj AS (
+  /** Transitive-closure CTEs over the exact near-dup pairs (`pairsj` →
+    * doubled `edges` → recursive `reach` → min-label `lab`) — shared by
+    * q62's clustering oracle and q140's split-leakage oracle. Requires
+    * [[ngramPairCtes]] and a `WITH RECURSIVE` statement head. */
+  private val componentClosureCtes =
+    """pairsj AS (
       |  SELECT a_id, b_id
       |  FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
       |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5),
@@ -228,7 +230,14 @@ object SparkEntry {
       |  SELECT DISTINCT s, s FROM edges
       |  UNION
       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
-      |lab AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      |lab AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** q62: the same exact pairs, then the TRANSITIVE CLOSURE — component id
+    * = min doc id reachable through any near-dup chain — via a recursive
+    * CTE. Gates the engine's distributed label propagation bit-exactly. */
+  private val dedupComponentsSql =
+    s"""WITH RECURSIVE $ngramPairCtes,
+      |$componentClosureCtes,
       |siz AS (SELECT component, COUNT(*) AS csize FROM lab GROUP BY component)
       |SELECT l.id AS doc_id, l.component,
       |  CAST(s.csize AS BIGINT) AS component_size,
@@ -1455,6 +1464,64 @@ object SparkEntry {
          |  ROUND(CAST(n AS DOUBLE) / total, 6) AS frac,
          |  ROUND(CAST(mx AS DOUBLE) * nc / total, 6) AS skew
          |FROM occ, tt ORDER BY cell""".stripMargin,
+
+    // q140: near-dup split leakage — q62's exact pairs + recursive-CTE
+    // closure, the q49 doc_id-mod-10 split arithmetic, then per-split
+    // counts of cross-split components and train-linked val/test docs
+    "q140_split_leakage" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |$componentClosureCtes,
+         |alldocs AS (
+         |  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component,
+         |    CASE WHEN d.doc_id % 10 < 8 THEN 'train'
+         |         WHEN d.doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         |cf AS (
+         |  SELECT component, COUNT(DISTINCT split) AS nsplits,
+         |    MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+         |  FROM alldocs GROUP BY component)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN nsplits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cross_split,
+         |  ROUND(SUM(CASE WHEN nsplits >= 2 THEN 1 ELSE 0 END)::DOUBLE
+         |    / COUNT(*), 6) AS cross_rate,
+         |  CAST(SUM(CASE WHEN split <> 'train' AND has_train = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train_leak,
+         |  ROUND(SUM(CASE WHEN split <> 'train' AND has_train = 1
+         |    THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS train_leak_rate
+         |FROM alldocs JOIN cf USING (component)
+         |GROUP BY split ORDER BY split""".stripMargin,
+
+    // q141: per-date cell-drift PSI — replay the d0-frozen quantizer fit
+    // + full assignment (q137's CTEs), bin by ingestion date, Laplace-
+    // smooth the per-cell proportions over the assignment's cell grid,
+    // and decimal-sum the round-12 (p−q)·ln(p/q) terms per date
+    "q141_cell_drift_psi" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${ivfDetCtesFit("vec_id % 3 = 0")},
+         |dcnt AS (
+         |  SELECT id % 3 AS dt, cid, COUNT(*) AS n FROM va1 GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT d.dt, c.cid
+         |  FROM (SELECT UNNEST([0, 1, 2]) AS dt) d,
+         |       (SELECT DISTINCT cid FROM va1) c),
+         |fullg AS (
+         |  SELECT g.dt, g.cid, COALESCE(n, 0) AS n
+         |  FROM grid g LEFT JOIN dcnt ON g.dt = dcnt.dt AND g.cid = dcnt.cid),
+         |tot AS (SELECT dt, SUM(n) AS nd FROM fullg GROUP BY dt),
+         |wp AS (
+         |  SELECT f.dt, f.cid, (f.n + 1)::DOUBLE / (t.nd + 16) AS p
+         |  FROM fullg f JOIN tot t USING (dt)),
+         |bq AS (SELECT cid, p AS q FROM wp WHERE dt = 0),
+         |terms AS (
+         |  SELECT wp.dt, ROUND((p - q) * LN(p / q), 12) AS term
+         |  FROM wp JOIN bq USING (cid))
+         |SELECT 'd' || CAST(t.dt AS VARCHAR) AS ds,
+         |  CAST(tot.nd AS BIGINT) AS n_vectors,
+         |  ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+         |FROM terms t JOIN tot ON t.dt = tot.dt
+         |GROUP BY t.dt, tot.nd ORDER BY ds""".stripMargin,
 
     "q32_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,

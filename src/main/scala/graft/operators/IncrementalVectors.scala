@@ -89,6 +89,21 @@ object IncrementalVectors {
       .saveAsTable(s"${table}_cells")
   }
 
+  /** Drop one ingestion date's partitions from BOTH store tables — the
+    * re-run/retry guard the append-only contract asks the caller to hold
+    * ("a re-run of a failed date drops that date's partition first").
+    * [[graft.streaming.StreamingVectors]] calls it at the top of every
+    * micro-batch so a replayed batch replaces its own `ds=b<id>` rows
+    * instead of double-appending them (the storage-layer idempotence the
+    * other streaming duals get from dynamic partition overwrite, which
+    * `saveAsTable` bucketed appends do not support). Bounded metadata
+    * DDL: two ALTER TABLE statements, no data motion. */
+  def dropDate(spark: SparkSession, table: String, date: String): Unit =
+    Seq(s"${table}_codes", s"${table}_cells").foreach { t =>
+      if (spark.catalog.tableExists(t))
+        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
+    }
+
   /** Cell-occupancy audit over a (cell, …) postings frame: one row per
     * cell with its vector count, corpus fraction, and the store-wide
     * max/mean occupancy ratio (`skew` — 1.0 means perfectly balanced

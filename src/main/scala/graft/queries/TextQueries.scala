@@ -88,6 +88,48 @@ object TextQueries {
       docs, Dedup.minhashLsh(docs, 0.5))
   }
 
+  /** Near-dup SPLIT-LEAKAGE audit (q140) — the eval-integrity lens the
+    * n-gram decontamination check (q86) cannot provide: q86 catches
+    * verbatim shingle overlap, but a val/test document whose NEAR-DUP
+    * cluster (q62's transitive closure over the MinHash+LSH pairs)
+    * contains any train member leaks the same content through chains of
+    * variants (truncations, boilerplate edits) that 3-gram containment
+    * misses. Per split (the q49/q100 deterministic doc_id-mod-10
+    * assignment): total docs, docs whose component spans ≥2 splits, and
+    * — the actionable number — val/test docs whose component contains a
+    * train member (these must move or drop before the split ships).
+    * Scale shape: label propagation is per-edge (q62's), the component
+    * flags are one component-keyed aggregate, the report one split-keyed
+    * aggregate — nothing all-pairs, nothing driver-side. The oracle
+    * replays pairs, recursive-CTE closure, split arithmetic, and both
+    * rates. */
+  def q140SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val lab = graft.operators.Components
+      .connected(Dedup.minhashLsh(docs, 0.5))
+      .withColumnRenamed("id", "doc_id")
+    val labeled = graft.operators.Corpus.datasetSplit(docs)
+      .select(col("doc_id"), col("split"))
+      .join(lab, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val flags = labeled.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("nsplits"),
+        max(when(col("split") === "train", 1).otherwise(0)).as("has_train"))
+    labeled.join(flags, "component")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nsplits") >= 2, 1L).otherwise(0L)).as("n_cross_split"),
+        sum(when(col("split") =!= "train" && col("has_train") === 1, 1L)
+          .otherwise(0L)).as("n_train_leak"))
+      .select(col("split"), col("n_docs"), col("n_cross_split"),
+        round(col("n_cross_split").cast("double") / col("n_docs"), 6)
+          .as("cross_rate"),
+        col("n_train_leak"),
+        round(col("n_train_leak").cast("double") / col("n_docs"), 6)
+          .as("train_leak_rate"))
+      .orderBy(col("split"))
+  }
+
   /** PageRank centrality over the near-dup graph (same oracle-gated
     * MinHash+LSH pairs as q62), 5 power iterations — within a dup cluster
     * the top-rank doc is the most-connected variant (a canonical-pick
@@ -638,6 +680,63 @@ object TextQueries {
     graft.operators.IncrementalVectors.cellOccupancy(
       graft.operators.KMeans.assign(emb, frozen)
         .select(col("cid").as("cell"), col("id")))
+  }
+
+  /** Per-date IVF cell DRIFT audit (q141) — population stability index
+    * of each ingestion date's cell-occupancy distribution against the
+    * init date's, under the store's frozen quantizer: q137 answers "are
+    * the lists balanced NOW", this answers "is the embedding
+    * distribution MOVING away from what the quantizer was trained on" —
+    * the re-init trigger for a long-lived q133 store (a drifted corpus
+    * concentrates new vectors into few cells, degrading the
+    * ≈nProbe/nCells probe economics even when day-one occupancy was
+    * flat; the standard monitoring rule of thumb reads PSI > 0.25 as
+    * "retrain"). Laplace-smoothed per-cell proportions (+1 / +nCells)
+    * keep empty cells finite and the statistic exact-decimal: each of
+    * the ≤ nCells per-date terms (p−q)·ln(p/q) rounds to 12 and
+    * decimal-sums (partition-order-proof), so the oracle replays
+    * quantizer fit, full assignment, the date grid, and the PSI
+    * arithmetic bit-for-bit. d0 vs d0 is identically zero by
+    * construction — a non-zero d0 row means the replay itself broke.
+    * Scale shape: everything past the assignment scan is
+    * (nDates·nCells)-sized. */
+  def q141CellDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val d0 = emb.filter(pmod(col("vec_id"), lit(3L)) === 0)
+    val (_, ctr, release) =
+      graft.operators.KMeans.fitCentroidsManaged(d0, 16, 2)
+    val frozen = ctr.localCheckpoint() // 16·dim rows — bounded model state
+    release()
+    // (date, cell) counts — bounded at nDates·nCells rows; checkpointed
+    // eagerly so the grid below derives its cell set from the SAME
+    // materialized aggregate instead of re-running the assignment scan
+    val counts = graft.operators.KMeans.assign(emb, frozen)
+      .withColumn("dt", pmod(col("id"), lit(3L)))
+      .groupBy(col("dt"), col("cid")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // full date×cell grid (bounded: 3·16 rows) over the cells the
+    // assignment actually uses, so a date's empty cell still contributes
+    // its smoothed mass on both sides of the divergence
+    val grid = s.range(3).select(col("id").as("dt"))
+      .crossJoin(counts.select(col("cid")).distinct())
+    val full = grid.join(counts, Seq("dt", "cid"), "left")
+      .select(col("dt"), col("cid"), coalesce(col("n"), lit(0L)).as("n"))
+    val withP = full
+      .join(full.groupBy(col("dt")).agg(sum(col("n")).as("nd")), "dt")
+      .select(col("dt"), col("cid"), col("nd"),
+        ((col("n") + 1).cast("double") / (col("nd") + 16)).as("p"))
+    val base = withP.filter(col("dt") === 0)
+      .select(col("cid"), col("p").as("q"))
+    withP.join(base, "cid")
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 12))
+      .groupBy(col("dt"))
+      .agg(max(col("nd")).as("n_vectors"),
+        round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
+          .as("psi"))
+      .select(concat(lit("d"), col("dt")).as("ds"), col("n_vectors"),
+        col("psi"))
+      .orderBy(col("ds"))
   }
 
   /** Overlapping token-window chunking (q97): 64-token windows every 48

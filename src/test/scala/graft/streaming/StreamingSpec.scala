@@ -243,4 +243,65 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "streamed store report must equal the from-scratch postings build")
   }
+
+  test("streaming vector store: streamed micro-batches serve the batch-built store's searches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("svec").toString
+    val pid = ProcessHandle.current().pid()
+    val sBase = s"graft_svec_stream_$pid"
+    val bBase = s"graft_svec_batch_$pid"
+    val all = Seq(sBase, bBase).flatMap(b =>
+      Seq("_cb", "_ctr", "_codes", "_cells", "_map").map(b + _))
+    all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    // model training is deterministic, so both stores freeze identical
+    // models from the same initial slice
+    graft.operators.IncrementalVectors.initModel(slice(0), sBase)
+    graft.operators.IncrementalVectors.initModel(slice(0), bBase)
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalVectors.appendDate(slice(d), bBase, s"d$d")
+    }
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamingVectors.run(ms.toDF().toDF("vec_id", "embedding"),
+      sBase, s"$tmp/ck")
+    (0 until 3).foreach { d =>
+      ms.addData(slice(d).select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val queries = emb.filter(col("vec_id") < 10)
+    val wantAdc = graft.operators.IncrementalVectors
+      .adcSearch(spark, bBase, queries).localCheckpoint()
+    val gotAdc = graft.operators.IncrementalVectors
+      .adcSearch(spark, sBase, queries)
+    assert(wantAdc.count() > 0)
+    assert(gotAdc.exceptAll(wantAdc).isEmpty && wantAdc.exceptAll(gotAdc).isEmpty,
+      "streamed store must serve the batch store's ADC results bit-equal")
+    val wantIvf = graft.operators.IncrementalVectors
+      .ivfSearch(spark, bBase, queries)
+    val gotIvf = graft.operators.IncrementalVectors
+      .ivfSearch(spark, sBase, queries)
+    assert(wantIvf.count() > 0)
+    assert(gotIvf.exceptAll(wantIvf).isEmpty && wantIvf.exceptAll(gotIvf).isEmpty,
+      "streamed store must serve the batch store's IVF results bit-equal")
+
+    // at-least-once safety: replaying a micro-batch (drop-then-append,
+    // exactly the foreachBatch body) leaves the store row-identical
+    val before = spark.table(s"${sBase}_codes").count()
+    graft.operators.IncrementalVectors.dropDate(spark, sBase, "b1")
+    graft.operators.IncrementalVectors.appendDate(slice(1), sBase, "b1")
+    assert(spark.table(s"${sBase}_codes").count() == before,
+      "a replayed micro-batch must replace its partition, not double it")
+    val replayed = graft.operators.IncrementalVectors
+      .adcSearch(spark, sBase, queries)
+    assert(replayed.exceptAll(wantAdc).isEmpty && wantAdc.exceptAll(replayed).isEmpty,
+      "searches must be unchanged after a micro-batch replay")
+    all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
