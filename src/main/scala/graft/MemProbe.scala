@@ -77,7 +77,10 @@ object MemProbe {
       // serve-only vector search, fused lang-ID→perplexity chain, and
       // the split-leakage audit (label propagation under the ceiling)
       "q135_postings_compacted", "q136_vector_serve", "q139_ccnet_pipeline",
-      "q140_split_leakage")
+      "q140_split_leakage",
+      // round-11 fourth wave: whole-store migration under the ceiling,
+      // and the incremental NB model cycle
+      "q142_quantizer_refit", "q145_incremental_lang_model")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

@@ -246,7 +246,20 @@ object ScaleProbe {
       // clusters, the q115 caveat) and the per-date cell-drift PSI (the
       // q137 assignment scan + (nDates·nCells)-sized arithmetic)
       "q140_split_leakage" -> SparkEntry.queries("q140_split_leakage"),
-      "q141_cell_drift" -> SparkEntry.queries("q141_cell_drift_psi"))
+      "q141_cell_drift" -> SparkEntry.queries("q141_cell_drift_psi"),
+      // q95 with the band-width knob turned for ~100k-vector corpora
+      // (rowsPerBand = log2 N): the fixture's 8-bit bands are pigeonhole-
+      // quadratic at 50x — this entry is the honest 50x-composite probe
+      "q95_scaled_bands" ->
+        ((s: SparkSession, dir: String) => queries.TextQueries.q95ScaledBands(s, dir)),
+      // round-11 third/fourth wave: quantizer-refit lifecycle (build +
+      // retrain + whole-store migration rewrite), hash-placed shard
+      // manifest, as-of searches (partition-pruned serve), and the
+      // incremental NB model cycle (3 appends + full-corpus scoring)
+      "q142_refit" -> SparkEntry.queries("q142_quantizer_refit"),
+      "q143_shards" -> SparkEntry.queries("q143_shard_manifest"),
+      "q144_asof" -> SparkEntry.queries("q144_asof_search"),
+      "q145_incr_lang" -> SparkEntry.queries("q145_incremental_lang_model"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -160,6 +160,10 @@ object SparkEntry {
     "q139_ccnet_pipeline" -> (TextQueries.q139CcnetPipeline _),
     "q140_split_leakage" -> (TextQueries.q140SplitLeakage _),
     "q141_cell_drift_psi" -> (TextQueries.q141CellDriftPsi _),
+    "q142_quantizer_refit" -> (TextQueries.q142QuantizerRefit _),
+    "q143_shard_manifest" -> (TextQueries.q143ShardManifest _),
+    "q144_asof_search" -> (TextQueries.q144AsOfSearch _),
+    "q145_incremental_lang_model" -> (TextQueries.q145IncrementalLangModel _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -400,7 +404,11 @@ object SparkEntry {
     * `fitWhere`). Requires [[fnvMapCte]] in the same statement. */
   private def pqAdcCtes: String = pqAdcCtesFit("TRUE")
 
-  private def pqAdcCtesFit(fitWhere: String): String =
+  /** `candWhere` (a predicate over `codes.id`) restricts the CANDIDATE
+    * set — q144's as-of search replays "only ids ingested by date d"
+    * with it while fit and encode stay corpus-wide. */
+  private def pqAdcCtesFit(fitWhere: String,
+      candWhere: String = "TRUE"): String =
     s"""seeds AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY hk, vec_id) - 1 AS cid, embedding
        |  FROM fnvmap WHERE $fitWhere ORDER BY hk, vec_id LIMIT 16),
@@ -425,6 +433,7 @@ object SparkEntry {
        |  SELECT qid, codes.id AS cand, SUM(qd.d2) AS ad
        |  FROM codes JOIN qd ON qd.m = codes.m AND qd.cid = codes.code
        |    AND qd.qid <> codes.id
+       |  WHERE $candWhere
        |  GROUP BY 1, 2),
        |pqr AS (
        |  SELECT qid, cand, ad,
@@ -462,7 +471,10 @@ object SparkEntry {
        |  FROM vs WHERE rank <= 3)
        |ORDER BY method, qid, rank""".stripMargin
 
-  private def ivfDetCtesFit(fitWhere: String): String =
+  /** `candWhere` (a predicate over `a.id`) restricts the candidate set,
+    * per [[pqAdcCtesFit]]'s note. */
+  private def ivfDetCtesFit(fitWhere: String,
+      candWhere: String = "TRUE"): String =
     s"""vfit AS (
        |  SELECT vec_id, embedding, hk FROM fnvmap
        |  WHERE $fitWhere),
@@ -508,7 +520,8 @@ object SparkEntry {
        |    FROM vd1 WHERE id < 10) WHERE rn <= 6),
        |vcand AS (
        |  SELECT p.qid, a.id AS cid
-       |  FROM vprobes p JOIN va1 a ON a.cid = p.cid AND a.id <> p.qid),
+       |  FROM vprobes p JOIN va1 a ON a.cid = p.cid AND a.id <> p.qid
+       |  WHERE $candWhere),
        |vd AS (
        |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
        |    SELECT vcand.qid, vcand.cid,
@@ -664,6 +677,22 @@ object SparkEntry {
        |             + strpos('0123456789ABCDEF', substr(hex(encode($expr)), 2*i, 1)) - 1)),
        |      (h, b) -> ((h - h % 256 + xor((h % 256)::BIGINT, b)::HUGEINT) * 1099511628211::HUGEINT)
        |                % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** The q134 prediction statement — shared verbatim by q145 (the
+    * incremental model store accumulates the same additive training
+    * state, so its predictions replay against the identical SQL). */
+  private def nbLangArgmaxSql: String =
+    s"""WITH $nbLangCtes,
+       |best AS (
+       |  SELECT doc_id, cand AS pred_lang, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand) AS rn
+       |  FROM dl)
+       |SELECT b.doc_id, d.lang, b.pred_lang,
+       |  CAST(b.score AS DOUBLE) AS score,
+       |  (b.pred_lang = d.lang) AS is_correct
+       |FROM best b JOIN documents d USING (doc_id)
+       |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin
 
   /** Shared CTE chain for the q134/q138/q139 NB language-ID oracles:
     * trigram extraction (q75's lower(trim) code-point replay), the 50%
@@ -1522,6 +1551,76 @@ object SparkEntry {
          |  ROUND(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
          |FROM terms t JOIN tot ON t.dt = tot.dt
          |GROUP BY t.dt, tot.nd ORDER BY ds""".stripMargin,
+
+    // q142: quantizer refit + store migration — the store rebuilds its
+    // cell layout under a quantizer retrained on the post-init corpus
+    // (vec_id % 3 >= 1); the oracle is the from-scratch deterministic-
+    // IVF replay with exactly that fit slice, so a green hash proves
+    // the migrated store serves the new quantizer's closed-form ranking
+    "q142_quantizer_refit" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${ivfDetCtesFit("vec_id % 3 >= 1")}
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+         |FROM vs WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
+
+    // q144: as-of search — the q133 frozen-model pipelines with the
+    // CANDIDATE set restricted to the d0/d1 ingestion dates (the store
+    // prunes d2's partitions; the oracle prunes the same ids)
+    "q144_asof_search" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${pqAdcCtesFit("vec_id % 3 = 0", "codes.id % 3 <= 1")},
+         |${ivfDetCtesFit("vec_id % 3 = 0", "a.id % 3 <= 1")}
+         |SELECT method, qid, rank, cid, score FROM (
+         |  SELECT 'adc' AS method, qid, CAST(rank AS BIGINT) AS rank,
+         |    cand AS cid, ROUND(CAST(ad AS DOUBLE), 6) AS score
+         |  FROM pqr WHERE rank <= 3
+         |  UNION ALL
+         |  SELECT 'ivf', qid, CAST(rank AS BIGINT), cid, cosine
+         |  FROM vs WHERE rank <= 3)
+         |ORDER BY method, qid, rank""".stripMargin,
+
+    // q143: training-shard manifest — q49's packing, FNV hash shard
+    // placement (split|pack_id mod 8, row-local — no global order), and
+    // the per-shard totals + max/mean balance audit
+    "q143_shard_manifest" ->
+      s"""WITH split AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         |    CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_tokens
+         |  FROM documents),
+         |packedd AS (
+         |  SELECT split, est_tokens,
+         |    CAST(FLOOR(CAST(SUM(est_tokens) OVER (PARTITION BY split ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - est_tokens AS DOUBLE)
+         |      / 1024) AS BIGINT) AS pack_id
+         |  FROM split),
+         |packs AS (
+         |  SELECT split, pack_id, COUNT(*) AS n_docs, SUM(est_tokens) AS tokens
+         |  FROM packedd GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT n_docs, tokens,
+         |    ((CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
+         |        THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT)
+         |      % 8) + 8) % 8 AS shard
+         |  FROM (SELECT n_docs, tokens,
+         |          ${fnvSql("split || '|' || CAST(pack_id AS VARCHAR)")} AS fnv
+         |        FROM packs)),
+         |per AS (
+         |  SELECT shard, COUNT(*) AS n_packs, SUM(n_docs) AS n_docs,
+         |    SUM(tokens) AS total_tokens
+         |  FROM sh GROUP BY shard),
+         |tt AS (SELECT MAX(total_tokens) AS mx, SUM(total_tokens) AS t,
+         |       COUNT(*) AS ns FROM per)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(n_packs AS BIGINT) AS n_packs,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens,
+         |  ROUND(CAST(mx AS DOUBLE) * ns / t, 6) AS balance
+         |FROM per, tt ORDER BY shard""".stripMargin,
 
     "q32_approx_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
@@ -2458,18 +2557,14 @@ object SparkEntry {
     // decimal); argmax ties break on the language code. The output score
     // is the exact decimal cast to DOUBLE (no re-rounding — both engines
     // take the same nearest double of the same exact value).
-    "q134_lang_id_nb" ->
-      s"""WITH $nbLangCtes,
-         |best AS (
-         |  SELECT doc_id, cand AS pred_lang, score,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_id
-         |      ORDER BY score DESC, cand) AS rn
-         |  FROM dl)
-         |SELECT b.doc_id, d.lang, b.pred_lang,
-         |  CAST(b.score AS DOUBLE) AS score,
-         |  (b.pred_lang = d.lang) AS is_correct
-         |FROM best b JOIN documents d USING (doc_id)
-         |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
+    "q134_lang_id_nb" -> nbLangArgmaxSql,
+
+    // q145: the incremental model store accumulates the SAME additive
+    // training state q134 fits in one shot (Σ per-date trigram counts /
+    // priors == union-corpus counts), so the store-served predictions
+    // gate against q134's own oracle — the incremental==from-scratch
+    // convention (q109/q120/q133)
+    "q145_incremental_lang_model" -> nbLangArgmaxSql,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

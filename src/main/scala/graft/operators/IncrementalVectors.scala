@@ -89,6 +89,21 @@ object IncrementalVectors {
       .saveAsTable(s"${table}_cells")
   }
 
+  /** AS-OF restriction on a per-date store scan — the date partitioning
+    * makes time-travel a partition PRUNE, not a rebuild: "search the
+    * index as it stood after date d" is the same plan with the `ds`
+    * filter evaluated against the partition catalog (no data read from
+    * later dates at all). Consolidated `c_<date>` partitions compare by
+    * their effective date (everything in them is ≤ that horizon);
+    * `r_<gen>` generation partitions from a [[StoreMaintenance.rewrite]]
+    * are excluded by any as-of — a rewrite consumes per-date history by
+    * documented design, so time-travel across one is impossible, not
+    * silently wrong. */
+  private def asOf(store: DataFrame, upTo: Option[String]): DataFrame =
+    upTo.fold(store)(d =>
+      store.filter(!col("ds").startsWith("r_") &&
+        regexp_replace(col("ds"), "^c_", "") <= d))
+
   /** Drop one ingestion date's partitions from BOTH store tables — the
     * re-run/retry guard the append-only contract asks the caller to hold
     * ("a re-run of a failed date drops that date's partition first").
@@ -208,6 +223,44 @@ object IncrementalVectors {
     splits
   }
 
+  /** Refit the IVF coarse quantizer on `fitDf` and MIGRATE the cell
+    * store to it — the "act" to the q141 drift audit's "detect": when
+    * the per-date occupancy PSI crosses the retrain bar, the
+    * frozen-at-init quantizer no longer reflects the corpus and the
+    * ≈ nProbe/nCells probe economics decay. This retrains centroids
+    * (the same deterministic fit [[initModel]] ran), overwrites the
+    * model table, FORGETS any [[splitHotCells]] parent→child map (its
+    * parents are the old quantizer's cells), and rewrites every posting
+    * under its new cell id via [[StoreMaintenance.rewrite]]. The
+    * vectors live inline in the cell rows, so migration is one
+    * distributed read + one bucketed write of the store — the source
+    * corpus is never re-read. The PQ codebook (and with it
+    * [[adcSearch]]) is untouched: code distances do not depend on the
+    * coarse partitioning; refit it separately if PQ-space drift is the
+    * concern. After the pass [[ivfSearch]] serves the new quantizer's
+    * closed-form ranking, gated (q142) against the full from-scratch
+    * deterministic-IVF replay with the new fit slice. `gen` labels the
+    * rewrite generation — fresh per pass, per [[StoreMaintenance
+    * .rewrite]]'s contract. */
+  def refitQuantizer(spark: SparkSession, table: String, fitDf: DataFrame,
+      gen: String, nCells: Int = 16, iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (_, centroids, release) =
+      KMeans.fitCentroidsManaged(fitDf, nCells, iterations, idCol, vecCol)
+    centroids.write.mode("overwrite").saveAsTable(s"${table}_ctr")
+    release() // the write above was the last action over the fit's plans
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_map")
+    val ctr = spark.table(s"${table}_ctr")
+    StoreMaintenance.rewrite(spark, s"${table}_cells", gen,
+      transform = df => {
+        val re = KMeans.assign(df.select(col("id"), col("e")), ctr,
+            idCol = "id", vecCol = "e")
+          .select(col("id"), col("cid").as("new_cell"))
+        df.drop("cell").join(re, "id")
+          .select(col("new_cell").as("cell"), col("id"), col("e"), col("n"))
+      })
+  }
+
   /** ADC top-k over the accumulated code store — [[PQ.adcTopK]]'s output
     * contract served WITHOUT re-encoding: the query side computes its
     * exact per-subspace distance table against the persisted codebook
@@ -217,12 +270,12 @@ object IncrementalVectors {
     * the plan are on query-bounded frames). */
   def adcSearch(spark: SparkSession, table: String, queries: DataFrame,
       topK: Int = 3, m: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", upTo: Option[String] = None): DataFrame = {
     val cb = spark.table(s"${table}_cb")
     val dim = PQ.vecDim(queries, vecCol)
     val qd = PQ.subDistances(queries, cb, dim / m, idCol, vecCol)
       .select(col("id").as("qid"), col("m"), col("cid"), col("d2"))
-    val codes = spark.table(s"${table}_codes")
+    val codes = asOf(spark.table(s"${table}_codes"), upTo)
     val adist = codes.join(broadcast(qd),
         qd("m") === codes("m") && qd("cid") === codes("code") &&
           qd("qid") =!= codes("id"))
@@ -257,7 +310,7 @@ object IncrementalVectors {
     * contract). */
   def ivfSearch(spark: SparkSession, table: String, queries: DataFrame,
       kNeighbors: Int = 3, nProbe: Int = 6, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", upTo: Option[String] = None): DataFrame = {
     val centroids = spark.table(s"${table}_ctr")
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     val parentProbes = KMeans.cellDistances(
@@ -281,7 +334,7 @@ object IncrementalVectors {
     // never skip unprobed buckets at the source
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val store = spark.table(s"${table}_cells")
+    val store = asOf(spark.table(s"${table}_cells"), upTo)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       Similarity.norm(col(vecCol)).as("qn"))

@@ -248,13 +248,45 @@ object TextQueries {
     * null count smooths to ln(1/(N_l+V)), exactly Laplace. */
   def q134LangIdNb(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    nbDocLangScores(docs).groupBy("doc_id")
+    nbArgmax(docs, nbDocLangScores(docs))
+  }
+
+  /** The q134 prediction tail — per-doc argmax (ties → smaller language
+    * code), truth join, exact-decimal score to double. Shared with q145,
+    * whose scores come from the incremental model store. */
+  private def nbArgmax(docs: DataFrame, scores: DataFrame): DataFrame =
+    scores.groupBy("doc_id")
       .agg(min(struct((-col("score")).as("ns"), col("cand"))).as("best"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("best.cand").as("pred_lang"),
         (-col("best.ns")).cast("double").as("score"),
         (col("best.cand") === col("lang")).as("is_correct"))
       .orderBy(col("doc_id"))
+
+  /** Incrementally-maintained NB language-ID model (q145) — q134 served
+    * from the additive model store: three ingestion dates each append
+    * their labeled training docs' (cand, tri, c) counts and (cand, ndl)
+    * priors (see [[graft.operators.IncrementalLangModel]]); the
+    * accumulated sums rebuild the exact one-shot model, so the full
+    * corpus scored against the store gates against q134's own oracle —
+    * the classifier absorbs each day's labels at append cost (two
+    * vocabulary-bounded aggregates over the NEW docs only), never a
+    * retraining pass over history. */
+  def q145IncrementalLangModel(s: SparkSession, dir: String): DataFrame = {
+    val store = s"/tmp/graft_q145_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    // clean slate per (process, sf dir) — the q91/q109 lifecycle
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    val docs = Tables.load(s, dir, "documents")
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalLangModel.appendCounts(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), store, s"d$d")
+    }
+    val (model, priors) = graft.operators.IncrementalLangModel.model(s, store)
+    nbArgmax(docs, nbScoresAgainst(docs, model, priors,
+      priors.agg(sum(col("ndl")).as("nd"))))
   }
 
   /** The doc × candidate-language NB score frame behind q134/q138/q139:
@@ -268,14 +300,28 @@ object TextQueries {
       graft.functions.CharNgramRows.charNgramRows(col("text"), 3).as("tri"))
     val isTrain =
       pmod(Fnv64.fnv64(col("doc_id").cast("string")), lit(100L)) < 50
-    val docTf = tris.groupBy("doc_id", "tri").agg(count(lit(1)).as("tf"))
     val model = tris.filter(isTrain)
       .groupBy(col("lang").as("cand"), col("tri"))
       .agg(count(lit(1)).as("c"))
-    val langTotals = model.groupBy("cand").agg(sum(col("c")).as("nl"))
     val priors = docs.filter(isTrain)
       .groupBy(col("lang").as("cand")).agg(count(lit(1)).as("ndl"))
-    val totals = docs.filter(isTrain).agg(count(lit(1)).as("nd"))
+    nbScoresAgainst(docs, model, priors,
+      docs.filter(isTrain).agg(count(lit(1)).as("nd")))
+  }
+
+  /** Score `docs` against an EXTERNAL NB model — the q134 arithmetic
+    * with the training state injected: `model` = (cand, tri, c) trigram
+    * counts, `priors` = (cand, ndl) doc counts, `totalsNd` = a one-row
+    * (nd) frame with the training-corpus size. [[nbDocLangScores]]
+    * passes the state it fits in-statement; q145 passes the accumulated
+    * sums of its incremental store (bit-equal by additivity). */
+  private[queries] def nbScoresAgainst(docs: DataFrame, model: DataFrame,
+      priors: DataFrame, totalsNd: DataFrame): DataFrame = {
+    val docTf = docs.select(col("doc_id"),
+        graft.functions.CharNgramRows.charNgramRows(col("text"), 3).as("tri"))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("tf"))
+    val langTotals = model.groupBy("cand").agg(sum(col("c")).as("nl"))
+    val totals = totalsNd
       .crossJoin(model.select("tri").distinct().agg(count(lit(1)).as("v")))
     val cands = langTotals.join(priors, "cand").crossJoin(totals) // |langs| rows
     val lnSmooth = round(log(
@@ -558,6 +604,24 @@ object TextQueries {
         col("component_size"), col("is_canonical"))
       .orderBy(col("vec_id"))
 
+  /** q95's pipeline with the band-width knob turned for ≈50× corpora —
+    * NOT an oracle query, the ScaleProbe entry for the 50× composite:
+    * `rowsPerBand` is a log₂N knob (README round 6 — at fixture N the
+    * 4-bit setting measured 113.8× growth before the 8-bit fix), and at
+    * N ≈ 100k the fixture's 8-bit bands are undersized the same way
+    * (measured: pigeonhole candidate mass spilled >74 GB before the run
+    * was aborted). 12-bit bands × 16 (192 hyperplanes) keep candidate
+    * mass sub-quadratic at that N with recall ≈0.93 at s=0.9 and ≈1 in
+    * the s ≥ 0.99 regime actual near-dups occupy. */
+  def q95ScaledBands(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Components.dedupClusters(
+        Similarity.cosineNearDupBanded(augmentedEmbeddings(s, dir), 0.9,
+            nPlanes = 192, rowsPerBand = 12)
+          .select(col("a_id"), col("b_id")))
+      .select(col("id").as("vec_id"), col("component"),
+        col("component_size"), col("is_canonical"))
+      .orderBy(col("vec_id"))
+
   /** Product-quantization ADC search (q96): 64-dim vectors → 8 codes
     * against content-addressed 16-centroid subspace codebooks, queries
     * (vec_id < 10, q44's convention) ranked by asymmetric distance — the
@@ -737,6 +801,114 @@ object TextQueries {
       .select(concat(lit("d"), col("dt")).as("ds"), col("n_vectors"),
         col("psi"))
       .orderBy(col("ds"))
+  }
+
+  /** Drift-triggered quantizer REFIT + store migration (q142) — the
+    * full detect→act loop over the q133 store: build it (models frozen
+    * at d0, three date appends), then refit the coarse quantizer on the
+    * post-init corpus (d1 ∪ d2 — the slice a q141 PSI alarm says the
+    * d0 quantizer no longer represents) and migrate every posting to
+    * its new cell via the marker-committed store rewrite (see
+    * [[graft.operators.IncrementalVectors.refitQuantizer]]). Output =
+    * the MIGRATED store's IVF search rows; the oracle replays the new
+    * fit (content-addressed seeds + Lloyd rounds on d1∪d2), the
+    * full-corpus assignment, probe ranking, and cosine scoring end to
+    * end — a green hash proves the refit store serves exactly the
+    * from-scratch deterministic-IVF pipeline under the new quantizer,
+    * i.e. migration lost nothing and re-encoded nothing it shouldn't. */
+  def q142QuantizerRefit(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q142_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_cb", s"${base}_ctr", s"${base}_codes",
+      s"${base}_cells", s"${base}_map")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q142_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    graft.operators.IncrementalVectors.initModel(slice(0), base)
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+    }
+    graft.operators.IncrementalVectors.refitQuantizer(s, base,
+      emb.filter(pmod(col("vec_id"), lit(3L)) >= 1), gen = "refit1")
+    val out = graft.operators.IncrementalVectors
+      .ivfSearch(s, base, emb.filter(col("vec_id") < 10))
+      .localCheckpoint() // eager: the tables drop below (q133's note)
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("qid"), col("rank"))
+  }
+
+  /** AS-OF (time-travel) vector search (q144) — the date partitioning's
+    * second payoff beyond incremental builds: "search the index as it
+    * stood after date d" is the SAME serve plan with the `ds` predicate
+    * pruned against the partition catalog — later dates' files are
+    * never opened, so a reproducibility investigation ("what would this
+    * query have retrieved last Tuesday?") costs a normal search, not a
+    * store rebuild. Builds the q133 store (d0-frozen models, three date
+    * appends), then runs BOTH searches as of d1: the candidate set is
+    * exactly the d0/d1 vectors while queries and frozen models are
+    * unchanged. The oracle replays both frozen-model pipelines with the
+    * candidates restricted to those ingestion dates — a green hash
+    * proves the as-of prune changes retrieval scope and nothing else. */
+  def q144AsOfSearch(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q144_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_cb", s"${base}_ctr", s"${base}_codes",
+      s"${base}_cells", s"${base}_map")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q144_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    graft.operators.IncrementalVectors.initModel(slice(0), base)
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+    val adc = graft.operators.IncrementalVectors
+      .adcSearch(s, base, queries, upTo = Some("d1"))
+      .select(lit("adc").as("method"), col("qid"), col("rank"), col("cid"),
+        col("adist").as("score"))
+    val ivf = graft.operators.IncrementalVectors
+      .ivfSearch(s, base, queries, upTo = Some("d1"))
+      .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
+        col("cosine").as("score"))
+    val out = adc.unionAll(ivf).localCheckpoint() // tables drop below
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("method"), col("qid"), col("rank"))
+  }
+
+  /** Training-shard export manifest (q143) — the pipeline's last mile:
+    * the q49 packed sequences assigned to a fixed shard count the way a
+    * distributed trainer's loader consumes them. Shard assignment is a
+    * pure row-local hash of the pack key (FNV of split|pack_id, mod 8)
+    * — the only assignment that needs NO global coordination at 100 TB
+    * (a balance-optimal greedy needs a total order over all packs; hash
+    * placement converges to even shards by cardinality alone) — and the
+    * manifest is the audit that the realized balance is acceptable:
+    * per shard, its packs/docs/token totals plus the store-wide
+    * max/mean token-balance ratio (1.0 = perfectly even). Oracle
+    * replays packing, the FNV shard hash, and both aggregates. */
+  def q143ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val packed = graft.operators.Corpus.sequencePack(
+      graft.operators.Corpus.datasetSplit(Tables.load(s, dir, "documents")),
+      tokenBudget = 1024, groupCol = "split")
+    val packs = packed.groupBy(col("split"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("tokens"))
+    val sharded = packs.withColumn("shard",
+      pmod(graft.functions.Fnv64.fnv64(
+        concat(col("split"), lit("|"), col("pack_id").cast("string"))),
+        lit(8L)))
+    val per = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"))
+    val tot = per.agg(max(col("total_tokens")).as("mx"),
+      sum(col("total_tokens")).as("tt"), count(lit(1)).as("ns"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_packs"), col("n_docs"),
+        col("total_tokens"),
+        round(col("mx").cast("double") * col("ns") / col("tt"), 6)
+          .as("balance"))
+      .orderBy(col("shard"))
   }
 
   /** Overlapping token-window chunking (q97): 64-token windows every 48

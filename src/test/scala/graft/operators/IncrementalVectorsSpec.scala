@@ -51,6 +51,75 @@ class IncrementalVectorsSpec extends SparkSpec {
     } finally dropStore("ivs_full")
   }
 
+  test("as-of search equals a store that never saw the later date; prune is partition-level") {
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    dropStore("ivs_asof"); dropStore("ivs_trunc")
+    try {
+      IncrementalVectors.initModel(slice(0), "ivs_asof")
+      (0 until 3).foreach(d =>
+        IncrementalVectors.appendDate(slice(d), "ivs_asof", s"d$d"))
+      IncrementalVectors.initModel(slice(0), "ivs_trunc")
+      (0 until 2).foreach(d =>
+        IncrementalVectors.appendDate(slice(d), "ivs_trunc", s"d$d"))
+      val asOfAdc =
+        IncrementalVectors.adcSearch(spark, "ivs_asof", queries,
+          upTo = Some("d1"))
+      sameRows(asOfAdc,
+        IncrementalVectors.adcSearch(spark, "ivs_trunc", queries),
+        "as-of ADC must equal the store that never ingested d2")
+      sameRows(
+        IncrementalVectors.ivfSearch(spark, "ivs_asof", queries,
+          upTo = Some("d1")),
+        IncrementalVectors.ivfSearch(spark, "ivs_trunc", queries),
+        "as-of IVF must equal the store that never ingested d2")
+      // the ds predicate must reach the code scan as a PARTITION filter
+      // (evaluated against the catalog — d2's files are never listed);
+      // AQE off so executedPlan is a plain collectible tree
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val scans = try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        IncrementalVectors.adcSearch(spark, "ivs_asof", queries,
+            upTo = Some("d1"))
+          .queryExecution.executedPlan.collect {
+            case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table == "ivs_asof_codes") => f
+          }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+        "the as-of predicate must prune partitions, not filter rows")
+    } finally { dropStore("ivs_asof"); dropStore("ivs_trunc") }
+  }
+
+  test("quantizer refit: migrated store serves the fresh-fit ranking; ADC untouched") {
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    dropStore("ivs_refit"); dropStore("ivs_fresh")
+    try {
+      IncrementalVectors.initModel(slice(0), "ivs_refit")
+      (0 until 3).foreach(d =>
+        IncrementalVectors.appendDate(slice(d), "ivs_refit", s"d$d"))
+      val adcBefore =
+        IncrementalVectors.adcSearch(spark, "ivs_refit", queries)
+          .localCheckpoint()
+      val newFit = emb.filter(pmod(col("vec_id"), lit(3L)) >= 1)
+      IncrementalVectors.refitQuantizer(spark, "ivs_refit", newFit, "t1")
+      // ground truth: a store whose models were fitted on the new slice
+      // from scratch (IVF side only — its codebook differs, by design)
+      IncrementalVectors.initModel(newFit, "ivs_fresh")
+      IncrementalVectors.appendDate(emb, "ivs_fresh", "all")
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_refit", queries),
+        IncrementalVectors.ivfSearch(spark, "ivs_fresh", queries),
+        "migrated cells must serve the new quantizer's ranking bit-equal")
+      sameRows(IncrementalVectors.adcSearch(spark, "ivs_refit", queries),
+        adcBefore,
+        "the PQ side must be untouched by a coarse-quantizer refit")
+      // the rewrite folded every date partition into one generation
+      val parts = spark.sql("SHOW PARTITIONS ivs_refit_cells")
+        .collect().map(_.getString(0)).toSeq
+      assert(parts == Seq("ds=r_t1"),
+        s"expected a single folded generation partition, got $parts")
+    } finally { dropStore("ivs_refit"); dropStore("ivs_fresh") }
+  }
+
   test("hot-cell split: skew shrinks, searches stay bit-equal, ingestion continues") {
     // plant a hot cell: 24 near-duplicates of vector 0 at distinct
     // magnitudes — they all quantize to vector 0's cell (making it the

@@ -30,6 +30,14 @@ class LangIdNbSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("q145: the incremental model store's predictions equal from-scratch q134") {
+    val inc = TextQueries.q145IncrementalLangModel(spark, sf)
+    val batch = TextQueries.q134LangIdNb(spark, sf)
+    assert(inc.count() > 0)
+    assert(inc.exceptAll(batch).isEmpty && batch.exceptAll(inc).isEmpty,
+      "accumulated additive counts must rebuild the one-shot model bit-equal")
+  }
+
   test("q138: margin gate partitions docs; confident rows keep q134's argmax") {
     val out = TextQueries.q138LangIdConfident(spark, sf).cache()
     try {
