@@ -80,7 +80,10 @@ object MemProbe {
       "q140_split_leakage",
       // round-11 fourth wave: whole-store migration under the ceiling,
       // and the incremental NB model cycle
-      "q142_quantizer_refit", "q145_incremental_lang_model")
+      "q142_quantizer_refit", "q145_incremental_lang_model",
+      // round-11 fifth wave: cluster-atomic split (propagation + two
+      // joins under the ceiling) and the incremental clustering cycle
+      "q146_cluster_atomic_split", "q148_incremental_components")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

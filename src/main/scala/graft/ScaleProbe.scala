@@ -259,7 +259,15 @@ object ScaleProbe {
       "q142_refit" -> SparkEntry.queries("q142_quantizer_refit"),
       "q143_shards" -> SparkEntry.queries("q143_shard_manifest"),
       "q144_asof" -> SparkEntry.queries("q144_asof_search"),
-      "q145_incr_lang" -> SparkEntry.queries("q145_incremental_lang_model"))
+      "q145_incr_lang" -> SparkEntry.queries("q145_incremental_lang_model"),
+      // round-11 fifth wave: cluster-atomic split (q140's propagation plus
+      // the naive-split comparison — replication densifies clusters, the
+      // q115 caveat applies), SQ8 full index (grid fit + encode + serve),
+      // and the incremental clustering cycle (3 ingests, contracted
+      // propagation, label/repmap store maintenance)
+      "q146_atomic_split" -> SparkEntry.queries("q146_cluster_atomic_split"),
+      "q147_sq8" -> SparkEntry.queries("q147_sq8_serve"),
+      "q148_incr_comp" -> SparkEntry.queries("q148_incremental_components"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

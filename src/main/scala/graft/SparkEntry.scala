@@ -164,6 +164,10 @@ object SparkEntry {
     "q143_shard_manifest" -> (TextQueries.q143ShardManifest _),
     "q144_asof_search" -> (TextQueries.q144AsOfSearch _),
     "q145_incremental_lang_model" -> (TextQueries.q145IncrementalLangModel _),
+    "q146_cluster_atomic_split" -> (TextQueries.q146ClusterAtomicSplit _),
+    "q147_sq8_serve" -> (TextQueries.q147SqServe _),
+    "q148_incremental_components" -> (TextQueries.q148IncrementalComponents _),
+    "q149_components_compacted" -> (TextQueries.q149ComponentsCompacted _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -1331,6 +1335,13 @@ object SparkEntry {
     "q91_incremental_dedup" -> ngramJaccardSql,
     "q92_incremental_dedup_bucketed" -> ngramJaccardSql,
     "q62_dedup_components" -> dedupComponentsSql,
+    // q148: the incremental label store's final report must be bit-equal
+    // to from-scratch clustering — same oracle as q62, which is the gate's
+    // whole point (incremental union-find == batch transitive closure)
+    "q148_incremental_components" -> dedupComponentsSql,
+    // q149: the compaction-in-the-middle cycle must still equal the
+    // from-scratch clustering — maintenance re-bins partitions, never rows
+    "q149_components_compacted" -> dedupComponentsSql,
     "q81_pagerank"      -> pageRankSql,
 
     "q68_session_window" ->
@@ -1462,6 +1473,45 @@ object SparkEntry {
          |  ROUND(CAST(ad AS DOUBLE), 6) AS adist
          |FROM pqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // q147: SQ8 serve — full index replay: per-dim MIN/MAX grid (exact
+    // selection, no summation), the identical IEEE floor(t·255 + 0.5)
+    // encode tree, reconstruction, then decimal-summed asymmetric cosine
+    // (exact query × reconstructed corpus), rank ties by cid
+    "q147_sq8_serve" ->
+      """WITH sqdims AS (
+        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |grid AS (
+        |  SELECT dim, MIN(x) AS mn, MAX(x) - MIN(x) AS span
+        |  FROM sqdims GROUP BY dim),
+        |sqrec AS (
+        |  SELECT id, sqdims.dim,
+        |    mn + CAST(CASE WHEN span = 0 THEN 0
+        |      ELSE CAST(FLOOR((x - mn) / span * 255 + 0.5) AS INT)
+        |      END AS DOUBLE) / 255 * span AS xh
+        |  FROM sqdims JOIN grid ON sqdims.dim = grid.dim),
+        |sqcn AS (
+        |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)) AS cn
+        |  FROM sqrec GROUP BY id),
+        |sqq AS (SELECT id AS qid, dim, x AS qx FROM sqdims WHERE id < 10),
+        |sqqn AS (
+        |  SELECT qid, sqrt(CAST(SUM(CAST(ROUND(qx * qx, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)) AS qn
+        |  FROM sqq GROUP BY qid),
+        |sqdot AS (
+        |  SELECT qid, id AS cid,
+        |    CAST(SUM(CAST(ROUND(qx * xh, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        |  FROM sqrec JOIN sqq ON sqrec.dim = sqq.dim AND qid <> id
+        |  GROUP BY 1, 2),
+        |sqr AS (
+        |  SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rank
+        |  FROM sqdot JOIN sqqn USING (qid) JOIN sqcn ON cid = sqcn.id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+        |FROM sqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
     "q30_knn_brute" -> knnBruteSql,
     "q31_knn_lsh"   -> knnLshSql,
     "q127_recall_audit" -> recallAuditSql,
@@ -1519,6 +1569,34 @@ object SparkEntry {
          |  ROUND(SUM(CASE WHEN split <> 'train' AND has_train = 1
          |    THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS train_leak_rate
          |FROM alldocs JOIN cf USING (component)
+         |GROUP BY split ORDER BY split""".stripMargin,
+
+    // q146: cluster-atomic split assignment — the ACT to q140: same pairs
+    // + recursive closure, but the split keys on the component
+    // REPRESENTATIVE (min reachable id), so clusters move as a unit; the
+    // report recomputes cross-split (zero by construction) and counts docs
+    // moved vs the naive doc_id-mod split
+    "q146_cluster_atomic_split" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |$componentClosureCtes,
+         |asg AS (
+         |  SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS rep,
+         |    CASE WHEN COALESCE(l.component, d.doc_id) % 10 < 8 THEN 'train'
+         |         WHEN COALESCE(l.component, d.doc_id) % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CASE WHEN d.doc_id % 10 < 8 THEN 'train'
+         |         WHEN d.doc_id % 10 = 8 THEN 'val' ELSE 'test'
+         |         END AS naive_split
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         |cf AS (SELECT rep, COUNT(DISTINCT split) AS nsplits
+         |       FROM asg GROUP BY rep)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved,
+         |  CAST(SUM(CASE WHEN nsplits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cross_split
+         |FROM asg JOIN cf USING (rep)
          |GROUP BY split ORDER BY split""".stripMargin,
 
     // q141: per-date cell-drift PSI — replay the d0-frozen quantizer fit

@@ -36,6 +36,34 @@ object Corpus {
         .when(pmod(col(idCol), lit(10)) === 8, "val")
         .otherwise("test"))
 
+  /** Cluster-atomic train/val/test assignment — the ACT to the split-leakage
+    * audit's DETECT (q140): near-dup components (from the given pair set)
+    * are assigned as a UNIT, keyed on the component representative (the min
+    * reachable doc id that [[Components.connected]] emits), so no val/test
+    * document can ever share a near-dup cluster with a train document. Docs
+    * outside every pair keep their own id as representative, which makes the
+    * rule a strict generalization of [[datasetSplit]]: singleton clusters get
+    * the identical 8/1/1 id-hash assignment, and only genuinely-clustered
+    * docs can move.
+    *
+    * Returns one row per doc: (idCol, rep, split). Scale shape: the labeling
+    * is the distributed per-edge label propagation; the assignment adds ONE
+    * left join of corpus against labels (both id-keyed, same partitioning)
+    * plus integer arithmetic — no new data-sized shuffle beyond the labeling
+    * itself, and the labels side is |clustered docs| ≪ |corpus|. */
+  def clusterAtomicSplit(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val lab = Components.connected(pairs).withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(lab, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(pmod(col("rep"), lit(10)) < 8, "train")
+          .when(pmod(col("rep"), lit(10)) === 8, "val")
+          .otherwise("test"))
+      .select(col(idCol), col("rep"), col("split"))
+  }
+
   /** Sequence packing: fill fixed token-budget packs in id order within each
     * group (greedy sequential fill; pack boundary = running token total
     * before this doc, integer-divided by the budget). One window per group —

@@ -130,6 +130,36 @@ object TextQueries {
       .orderBy(col("split"))
   }
 
+  /** q146: cluster-atomic split ASSIGNMENT — the ACT to q140's DETECT (the
+    * q141→q142 detect→act pattern applied to split leakage). Near-dup
+    * components are assigned to train/val/test as a unit, keyed on the
+    * component representative (see
+    * [[graft.operators.Corpus.clusterAtomicSplit]]); the report proves the
+    * fix: per split, doc and cluster counts, how many docs MOVED relative
+    * to the naive id-hash split, and the recomputed cross-split count —
+    * zero by construction, and the oracle replays the whole chain (pairs,
+    * recursive closure, representative arithmetic, both splits) to agree.
+    * Scale shape: q140's (per-edge propagation + one id-keyed join + one
+    * split-keyed aggregate); the naive-split comparison is scan-local
+    * arithmetic on the same rows. */
+  def q146ClusterAtomicSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val assigned = graft.operators.Corpus.clusterAtomicSplit(
+      docs, Dedup.minhashLsh(docs, 0.5))
+    val naive = graft.operators.Corpus.datasetSplit(docs)
+      .select(col("doc_id"), col("split").as("naive_split"))
+    val flags = assigned.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("nsplits"))
+    assigned.join(naive, "doc_id").join(flags, "rep")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(when(col("split") =!= col("naive_split"), 1L).otherwise(0L))
+          .as("n_moved"),
+        sum(when(col("nsplits") >= 2, 1L).otherwise(0L)).as("n_cross_split"))
+      .orderBy(col("split"))
+  }
+
   /** PageRank centrality over the near-dup graph (same oracle-gated
     * MinHash+LSH pairs as q62), 5 power iterations — within a dup cluster
     * the top-rank doc is the most-connected variant (a canonical-pick
@@ -156,6 +186,21 @@ object TextQueries {
       Dedup.minhashLsh(Tables.load(s, dir, "documents"), 0.5))
 
   // ---- similarity search -------------------------------------------------
+
+  /** q147: scalar-quantized (SQ8) ANN serve — the third index family next
+    * to PQ/ADC (q96) and IVF (q44/q133): per-dimension trained uint8 grid,
+    * 4× memory cut, asymmetric exact-query-vs-reconstructed-code cosine
+    * top-3 for the q30 query set (see [[graft.operators.SQ]]). The oracle
+    * replays grid training (exact MIN/MAX selection), the encode floor
+    * arithmetic, reconstruction, and the decimal-summed scoring — the
+    * whole index, not just the ranking. */
+  def q147SqServe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val grid = graft.operators.SQ.stats(e)
+    val rec = graft.operators.SQ.reconstruct(graft.operators.SQ.encode(e, grid), grid)
+    graft.operators.SQ.search(e.filter(col("vec_id") < 10), rec)
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** Brute-force cosine top-3 for query vectors vec_id < 10 (oracle-checked). */
   def q30KnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -550,6 +595,73 @@ object TextQueries {
         daily.reduce(_ unionAll _).select(col("a_id"), col("b_id")).distinct(),
         0.5)
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** q148: incremental near-dup CLUSTERING through the persisted label
+    * store — the fifth incremental family (see
+    * [[graft.operators.IncrementalComponents]]): three pseudo-dates ingest
+    * doc_id % 3 slices; each date discovers only its new verified pairs,
+    * contracts endpoints to current representatives, propagates over the
+    * contracted edges, and updates the immutable labels + versioned
+    * rep-map. The final report (labels ⋈ tiny repmap, sizes, canonical
+    * flags) is gated BIT-EQUAL against q62's from-scratch recursive-
+    * closure oracle — the incremental union-find provably equals
+    * re-clustering the whole corpus. */
+  def q148IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_q148_${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables.load(s, dir, "documents")
+    (0 until 3).foreach { d =>
+      graft.operators.IncrementalComponents.processDate(s,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), docs,
+        s"$base/sigs", s"$base/labels", s"$base/repmap", s"d$d")
+    }
+    val lab = graft.operators.IncrementalComponents
+      .currentLabels(s, s"$base/labels", s"$base/repmap")
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val siz = lab.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    lab.join(siz, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"),
+        col("csize").cast("bigint").as("component_size"),
+        (col("id") === col("component")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q149: q148's incremental clustering cycle with RETENTION MAINTENANCE
+    * in the middle — after d1, the d0+d1 label partitions fold into one
+    * consolidated `c_d1` partition (the q135 compaction contract applied
+    * to the path store) and superseded rep-map versions are pruned; d2
+    * then ingests against the compacted store. Same oracle as q148/q62 —
+    * a green hash proves maintenance changed the layout, not one label. */
+  def q149ComponentsCompacted(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_q149_${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val docs = Tables.load(s, dir, "documents")
+    def ingest(d: Int): Unit =
+      graft.operators.IncrementalComponents.processDate(s,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), docs,
+        s"$base/sigs", s"$base/labels", s"$base/repmap", s"d$d")
+    ingest(0); ingest(1)
+    graft.operators.IncrementalComponents.compactLabels(s, s"$base/labels", "d1")
+    graft.operators.IncrementalComponents.pruneRepmapVersions(s, s"$base/repmap")
+    ingest(2)
+    val lab = graft.operators.IncrementalComponents
+      .currentLabels(s, s"$base/labels", s"$base/repmap")
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val siz = lab.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    lab.join(siz, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"),
+        col("csize").cast("bigint").as("component_size"),
+        (col("id") === col("component")).as("is_canonical"))
+      .orderBy(col("doc_id"))
   }
 
   /** Banded hyperplane-LSH embedding near-dup at threshold 0.9 — the

@@ -286,4 +286,38 @@ class CorpusSpec extends SparkSpec {
     assert(doc2.count(_ == false) >= doc2.length / 2,
       s"expected most shifted chunks to dedup, got ${doc2.toSeq}")
   }
+
+  test("clusterAtomicSplit: no component ever spans two splits") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val assigned = Corpus.clusterAtomicSplit(docs, Dedup.minhashLsh(docs, 0.5))
+    val cross = assigned.groupBy(col("rep"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(cross == 0L, s"$cross components cross a split boundary")
+  }
+
+  test("clusterAtomicSplit: singletons keep the naive id-hash assignment") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val assigned = Corpus.clusterAtomicSplit(docs, Dedup.minhashLsh(docs, 0.5))
+    val naive = Corpus.datasetSplit(docs)
+      .select(col("doc_id"), col("split").as("naive_split"))
+    val moved = assigned.filter(col("rep") === col("doc_id"))
+      .join(naive, "doc_id")
+      .filter(col("split") =!= col("naive_split")).count()
+    assert(moved == 0L, "a self-representative doc must never move")
+  }
+
+  test("clusterAtomicSplit: a planted cross-split pair moves as a unit") {
+    import spark.implicits._
+    // ids 7 (train under %10) and 8 (val) share a text: the naive split
+    // leaks them across the boundary; the atomic split keys both on rep=7
+    val t = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    val docs = Seq((7L, t), (8L, t), (11L, "q1 q2 q3 q4 q5 q6 q7 q8"))
+      .toDF("doc_id", "text")
+    val rows = Corpus.clusterAtomicSplit(docs, Dedup.minhashLsh(docs, 0.5))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows(7L) == (7L, "train") && rows(8L) == (7L, "train"),
+      s"pair must land together in rep 7's split: $rows")
+    assert(rows(11L) == (11L, "train"), "singleton keeps its own id hash")
+  }
 }
