@@ -168,6 +168,8 @@ object SparkEntry {
     "q147_sq8_serve" -> (TextQueries.q147SqServe _),
     "q148_incremental_components" -> (TextQueries.q148IncrementalComponents _),
     "q149_components_compacted" -> (TextQueries.q149ComponentsCompacted _),
+    "q150_matryoshka_recall" -> (TextQueries.q150MatryoshkaRecall _),
+    "q151_decontaminated_eval" -> (TextQueries.q151DecontaminatedEval _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -326,6 +328,29 @@ object SparkEntry {
       |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
       |  FROM (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings)
       |  GROUP BY vec_id)""".stripMargin
+
+  /** Contamination pipeline CTEs through per-eval-doc shingle counts `n`
+    * and train-overlap hits `h` — shared by the q86 audit and the q151
+    * eval purge (`sp` carries every doc + split for the purge's
+    * denominator). */
+  private val contaminationCtes =
+    """sp AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+      |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS t
+      |  FROM sp),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, split, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s3
+      |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |train AS (SELECT DISTINCT s3 FROM sh WHERE split = 'train'),
+      |ev AS (SELECT doc_id, split, s3 FROM sh WHERE split <> 'train'),
+      |n AS (SELECT doc_id, split, COUNT(*) AS n_sh FROM ev GROUP BY 1, 2),
+      |h AS (SELECT doc_id, COUNT(*) AS n_hit
+      |  FROM ev JOIN train USING (s3) GROUP BY 1)""".stripMargin
 
   /** LSH ANN pipeline CTEs through the ranked result `ls` (deterministic
     * hyperplane buckets, Hamming-1 multi-probe, rank-within-probed);
@@ -1514,6 +1539,40 @@ object SparkEntry {
 
     "q30_knn_brute" -> knnBruteSql,
     "q31_knn_lsh"   -> knnLshSql,
+
+    // q150: matryoshka truncation recall — the full-dim brute replay
+    // (embNormCte + knnBruteCtes) next to its 16-dim-prefix twin
+    // (embedding[1:16] slices through the same pipeline), then per-query
+    // top-3 overlap; right-join keeps qids with zero overlap
+    "q150_matryoshka_recall" ->
+      s"""WITH $embNormCte,
+         |$knnBruteCtes,
+         |tn AS (
+         |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+         |  FROM (SELECT vec_id, CAST(UNNEST(embedding[1:16]) AS DOUBLE) AS x
+         |        FROM embeddings)
+         |  GROUP BY vec_id),
+         |td AS (
+         |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |      CAST(UNNEST(q.embedding[1:16]) AS DOUBLE) AS qx,
+         |      CAST(UNNEST(c.embedding[1:16]) AS DOUBLE) AS cx
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |  GROUP BY qid, cid),
+         |ts AS (
+         |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
+         |  FROM td JOIN tn nq ON qid = nq.vec_id JOIN tn nc ON cid = nc.vec_id),
+         |f3 AS (SELECT qid, cid FROM bs WHERE rank <= 3),
+         |t3 AS (SELECT qid, cid FROM ts WHERE rank <= 3),
+         |hit AS (
+         |  SELECT f3.qid, COUNT(t3.cid) AS n_hit
+         |  FROM f3 LEFT JOIN t3 ON f3.qid = t3.qid AND f3.cid = t3.cid
+         |  GROUP BY f3.qid)
+         |SELECT qid, CAST(n_hit AS BIGINT) AS n_hit,
+         |  ROUND(CAST(n_hit AS DOUBLE) / 3, 6) AS recall3
+         |FROM hit ORDER BY qid""".stripMargin,
     "q127_recall_audit" -> recallAuditSql,
 
     // q133: the persisted vector store serves the SAME closed-form
@@ -2792,29 +2851,33 @@ object SparkEntry {
     "q82_zorder" -> zorderSql,
 
     "q86_contamination" ->
-      """WITH sp AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
-        |         WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split
-        |  FROM documents),
-        |toks AS (
-        |  SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS t
-        |  FROM sp),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, split, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s3
-        |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |train AS (SELECT DISTINCT s3 FROM sh WHERE split = 'train'),
-        |ev AS (SELECT doc_id, split, s3 FROM sh WHERE split <> 'train'),
-        |n AS (SELECT doc_id, split, COUNT(*) AS n_sh FROM ev GROUP BY 1, 2),
-        |h AS (SELECT doc_id, COUNT(*) AS n_hit
-        |  FROM ev JOIN train USING (s3) GROUP BY 1)
+      s"""WITH $contaminationCtes
         |SELECT n.doc_id, n.split, n.n_sh,
         |  COALESCE(h.n_hit, 0) AS n_hit,
         |  ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_sh, 6) AS contamination,
         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_sh >= 0.8 AS contaminated
         |FROM n LEFT JOIN h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // q151: the eval purge — q86's per-doc contamination flag rolled into
+    // per-split drop counts over ALL eval docs (shingle-less docs join as
+    // null ⇒ kept, q86's absent-row semantics)
+    "q151_decontaminated_eval" ->
+      s"""WITH $contaminationCtes,
+        |cc AS (
+        |  SELECT n.doc_id,
+        |    CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / n.n_sh >= 0.8 AS contaminated
+        |  FROM n LEFT JOIN h USING (doc_id)),
+        |evd AS (SELECT doc_id, split FROM sp WHERE split <> 'train')
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(COUNT(*) - SUM(CASE WHEN contaminated THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  ROUND(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END)::DOUBLE
+        |    / COUNT(*), 6) AS drop_rate
+        |FROM evd LEFT JOIN cc USING (doc_id)
+        |GROUP BY split ORDER BY split""".stripMargin,
 
     "q87_scd2" ->
       """WITH base AS (

@@ -202,6 +202,30 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q150: MATRYOSHKA truncation recall audit (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): serve the q30
+    * brute top-3 from only the FIRST 16 of 64 dimensions (the 4×-cheaper
+    * prefix a matryoshka-trained model is meant to make sufficient) and
+    * report per-query overlap@3 against the full-dimension ranking — the
+    * measured answer to "can this corpus's searches run at quarter
+    * dimension". Both rankings are the same brute pipeline (round-6
+    * cosine, cid tie-break); the truncated side just slices the vector,
+    * so the oracle replays both and the set intersection. Scale shape:
+    * two bounded-query broadcast scans + one (qid)-keyed count. */
+  def q150MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val tr = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val full = Similarity.knnBrute(e.filter(col("vec_id") < 10), e, 3)
+      .select(col("qid"), col("cid"))
+    val trunc = Similarity.knnBrute(tr.filter(col("vec_id") < 10), tr, 3)
+      .select(col("qid"), col("cid"))
+    full.join(trunc.withColumn("m", lit(1)), Seq("qid", "cid"), "left")
+      .groupBy(col("qid")).agg(count(col("m")).as("n_hit"))
+      .select(col("qid"), col("n_hit"),
+        round(col("n_hit").cast("double") / 3d, 6).as("recall3"))
+      .orderBy(col("qid"))
+  }
+
   /** Brute-force cosine top-3 for query vectors vec_id < 10 (oracle-checked). */
   def q30KnnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "embeddings")
@@ -1213,6 +1237,30 @@ object TextQueries {
   def q86Contamination(s: SparkSession, dir: String): DataFrame =
     graft.operators.Corpus.contamination(Tables.load(s, dir, "documents"), 0.8)
       .orderBy(col("doc_id"))
+
+  /** q151: eval-set PURGE — the ACT to q86's contamination DETECT (the
+    * decontamination step GPT-3/PaLM run before reporting evals): val/test
+    * documents whose train-overlap fraction clears the q86 threshold are
+    * dropped, and the report counts the purge per split. Docs too short to
+    * shingle can't be contaminated and are kept (q86's absent-row
+    * semantics, made explicit here by the left join's null). Scale shape:
+    * q86's shingle semi-join plus one split-keyed aggregate. */
+  def q151DecontaminatedEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val ev = graft.operators.Corpus.datasetSplit(docs)
+      .filter(col("split") =!= "train").select(col("doc_id"), col("split"))
+    val c = graft.operators.Corpus.contamination(docs, 0.8)
+      .select(col("doc_id"), col("contaminated"))
+    ev.join(c, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("split"), col("n_docs"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"),
+        round(col("n_dropped").cast("double") / col("n_docs"), 6)
+          .as("drop_rate"))
+      .orderBy(col("split"))
+  }
 
   /** Composed corpus-cleaning pipeline: lang gate + quality gate + exact
     * dedup, one declarative plan (oracle replays every step in SQL). */

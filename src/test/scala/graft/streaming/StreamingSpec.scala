@@ -304,4 +304,55 @@ class StreamingSpec extends SparkSpec {
       "searches must be unchanged after a micro-batch replay")
     all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("streaming components: micro-batched labels equal from-scratch clustering") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("scomp").toString
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingComponents.run(ms.toDF().toDF("doc_id", "text"),
+      s"$tmp/store", s"$tmp/ck")
+    ms.addData(half1); q.processAllAvailable()
+    ms.addData(half2); q.processAllAvailable()
+    q.stop()
+
+    val got = graft.operators.IncrementalComponents
+      .currentLabels(spark, s"$tmp/store/labels", s"$tmp/store/repmap")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.Components
+      .connected(graft.operators.Dedup.minhashLsh(docs, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == want,
+      s"stream ${got.size} vs batch ${want.size}; " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+
+    // the crash window between the label write and the rep-map write
+    // HEALS on replay: drop the latest rep-map version, replay the last
+    // micro-batch's processDate, and the labels come back identical
+    val repmapDirs = Option(new java.io.File(s"$tmp/store/repmap").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).sorted
+    if (repmapDirs.nonEmpty) {
+      val latest = repmapDirs.last
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/store/repmap/$latest"), true)
+      val all = spark.read.parquet(s"$tmp/store/corpus")
+        .select(col("doc_id"), col("text"))
+      graft.operators.IncrementalComponents.processDate(spark,
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"), all,
+        s"$tmp/store/sigs", s"$tmp/store/labels", s"$tmp/store/repmap",
+        StreamingComponents.batchDs(1))
+      val healed = graft.operators.IncrementalComponents
+        .currentLabels(spark, s"$tmp/store/labels", s"$tmp/store/repmap")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(healed == want, "a replayed batch must restore the lost merges")
+    }
+  }
 }
