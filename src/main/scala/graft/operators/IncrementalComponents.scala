@@ -46,11 +46,17 @@ object IncrementalComponents {
   // explicit schema, not inference: a store dir can legitimately exist with
   // ZERO data files (a date whose repmap composition had only identity
   // entries writes nothing under dynamic overwrite), and schema inference
-  // over an empty dir throws where an explicit schema reads empty
+  // over an empty dir throws where an explicit schema reads empty.
+  // Existence goes through the Hadoop FileSystem resolved FROM the path
+  // (the MarkerLedger idiom) — a java.io.File probe is always false on
+  // hdfs://, s3a://, or file:-URI stores, which would silently read an
+  // existing store as empty and re-cluster from scratch.
   private def readOrEmpty(spark: SparkSession, path: String,
       schema: String): DataFrame = {
     val st = org.apache.spark.sql.types.StructType.fromDDL(schema)
-    if (new java.io.File(path).exists()) spark.read.schema(st).parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(st).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
   }
@@ -149,8 +155,14 @@ object IncrementalComponents {
   /** Ingest one date: append signatures, discover + verify this date's new
     * pairs, contract, propagate, and update the label store. `newDocs`
     * must be exactly the date's slice of `allDocs`. Candidate estimation
-    * uses the loose q91 threshold so exact verification (at `threshold`)
-    * is the only filter that decides pair membership. */
+    * uses `min(0.2, threshold)` — never tighter than the caller's
+    * threshold, so a sub-0.2 threshold is honored — and exact verification
+    * (at `threshold`) decides final pair membership. Note the estimate
+    * pre-filter makes band recall probabilistic in the tail: a true pair
+    * whose k=32 signature estimate falls below the floor is dropped on
+    * this path (P ≈ 3e-4 per borderline pair), so bit-equality to a
+    * from-scratch clustering holds with overwhelming probability, not
+    * structurally. */
   def processDate(spark: SparkSession, newDocs: DataFrame, allDocs: DataFrame,
       sigStore: String, labelsPath: String, repmapPath: String, date: String,
       threshold: Double = 0.5, idCol: String = "doc_id"): Unit = {
@@ -159,7 +171,8 @@ object IncrementalComponents {
       .select(col("id"), col("sig"))
     val newSigs = IncrementalDedup.loadSignatures(spark, sigStore)
       .filter(col("ds") === date).select(col("id"), col("sig"))
-    val cand = IncrementalDedup.newPairs(newSigs, allSigs, threshold = 0.2)
+    val cand = IncrementalDedup.newPairs(newSigs, allSigs,
+      threshold = math.min(0.2, threshold))
       .select(col("a_id"), col("b_id"))
     // exact verification bounded to candidate endpoints: only docs that
     // matched a band get their text re-shingled

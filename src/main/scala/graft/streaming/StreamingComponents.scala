@@ -50,15 +50,25 @@ object StreamingComponents {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
         val slice = batch.select(col(idCol), col("text"))
-        slice.withColumn("ds", lit(batchDs(id)))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("ds")
-          .parquet(s"$base/corpus")
-        val all = s.read.parquet(s"$base/corpus").select(col(idCol), col("text"))
-        IncrementalComponents.processDate(s, slice, all,
-          s"$base/sigs", s"$base/labels", s"$base/repmap", batchDs(id),
-          threshold, idCol)
+        // skip empty batches (AvailableNow on an empty source fires one):
+        // an empty slice writes no data files, and the archive must be
+        // read with an explicit schema anyway — inference over a
+        // zero-file directory throws, the exact failure readOrEmpty
+        // guards against for the label/repmap stores
+        if (!slice.isEmpty) {
+          slice.withColumn("ds", lit(batchDs(id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ds")
+            .parquet(s"$base/corpus")
+          val corpusSchema = org.apache.spark.sql.types.StructType.fromDDL(
+            s"$idCol BIGINT, text STRING, ds STRING")
+          val all = s.read.schema(corpusSchema).parquet(s"$base/corpus")
+            .select(col(idCol), col("text"))
+          IncrementalComponents.processDate(s, slice, all,
+            s"$base/sigs", s"$base/labels", s"$base/repmap", batchDs(id),
+            threshold, idCol)
+        }
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

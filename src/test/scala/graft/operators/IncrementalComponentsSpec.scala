@@ -109,6 +109,29 @@ class IncrementalComponentsSpec extends SparkSpec {
     assert(dsDirs() == Seq("ds=c_d2"))
   }
 
+  test("store paths resolve through the Hadoop FileSystem, not java.io.File") {
+    import spark.implicits._
+    // a file:-URI path is a valid Hadoop Path that java.io.File can never
+    // probe (new java.io.File("file:/tmp/x").exists() is always false) —
+    // the exact shape of every non-local deployment (hdfs://, s3a://).
+    // Before the fix, loadLabels on such a store silently returned EMPTY
+    // and a second processDate re-clustered from scratch.
+    val t = (1 to 10).map(i => s"p$i").mkString(" ")
+    val all = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val base = "file:" + freshBase()
+    val (sigs, labels, repmap) = paths(base)
+    IncrementalComponents.processDate(spark,
+      all.filter(col("doc_id") === 1L), all, sigs, labels, repmap, "d0")
+    IncrementalComponents.processDate(spark,
+      all.filter(col("doc_id") === 2L), all, sigs, labels, repmap, "d1")
+    // d1's pair (1,2) only clusters if d1 SAW d0's signature store — i.e.
+    // if the existence probe resolved the file:-URI store as present
+    val cur = IncrementalComponents.currentLabels(spark, labels, repmap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cur == Set((1L, 1L), (2L, 1L)),
+      s"file:-URI store must accumulate across dates, got $cur")
+  }
+
   test("a crash between marker and drops resumes to the same state") {
     import spark.implicits._
     val t = (1 to 10).map(i => s"t$i").mkString(" ")
