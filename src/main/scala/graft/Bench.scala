@@ -107,6 +107,12 @@ object Bench {
     // for rounds, and it exercises scan+shuffle+agg, the same machinery
     // whose contention the sentinel exists to witness.
     val sentinelName = "q20_dedup_exact"
+    // Per-phase sub-timings for the LIFECYCLE queries (build vs serve —
+    // see graft.Phases): per-phase MIN across successful reps, the same
+    // estimator as the headline numbers. Phase sums need not equal the
+    // headline value (cleanup/untimed sections sit between phases).
+    val phasesMin =
+      scala.collection.mutable.LinkedHashMap[String, Map[String, Double]]()
     val sentinel = scala.collection.mutable.ListBuffer[Double]()
     var sinceSentinel = 0
     def fmtSeq(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
@@ -132,7 +138,11 @@ object Bench {
           (okSentinel.max / okSentinel.min > 3.0).toString
         else "null"
       val total = best.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"reps":$repsJson,"raw":$rawJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"contended":$contended,"run_id":"$runId"}"""
+      val phasesJson = phasesMin.map { case (k, m) =>
+        "\"" + k + "\":" +
+          m.map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"reps":$repsJson,"raw":$rawJson,"phases":$phasesJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"contended":$contended,"run_id":"$runId"}"""
     }
     def snapshot(): Unit = try {
       val tmp = new java.io.File(partialPath + ".tmp")
@@ -142,11 +152,19 @@ object Bench {
       ()
     } catch { case _: Throwable => () } // never let bookkeeping kill the run
     def timeOne(name: String): Double = {
+      Phases.drain() // discard any stale phase records from a failed rep
       val t0 = System.nanoTime()
       val ok = try { run(SparkEntry.queries(name)(spark, sfDir)); true }
       catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       sweep()
+      val ph = Phases.drain()
+      if (ok && ph.nonEmpty)
+        phasesMin(name) = phasesMin.get(name).fold(ph) { prev =>
+          (prev.keySet ++ ph.keySet).map(k => k -> math.min(
+            prev.getOrElse(k, Double.MaxValue),
+            ph.getOrElse(k, Double.MaxValue))).toMap
+        }
       if (ok) dt else -dt
     }
     // Sentinel runs are calibration-only: never merged into the query's

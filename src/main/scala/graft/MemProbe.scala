@@ -83,7 +83,11 @@ object MemProbe {
       "q142_quantizer_refit", "q145_incremental_lang_model",
       // round-11 fifth wave: cluster-atomic split (propagation + two
       // joins under the ceiling) and the incremental clustering cycle
-      "q146_cluster_atomic_split", "q148_incremental_components")
+      "q146_cluster_atomic_split", "q148_incremental_components",
+      // round-12: the compaction-in-the-middle clustering cycle, the
+      // shingle-keyed eval purge, and the incremental SQ8 store lifecycle
+      "q149_components_compacted", "q151_decontaminated_eval",
+      "q152_sq8_store")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

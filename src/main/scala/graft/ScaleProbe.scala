@@ -267,7 +267,18 @@ object ScaleProbe {
       // propagation, label/repmap store maintenance)
       "q146_atomic_split" -> SparkEntry.queries("q146_cluster_atomic_split"),
       "q147_sq8" -> SparkEntry.queries("q147_sq8_serve"),
-      "q148_incr_comp" -> SparkEntry.queries("q148_incremental_components"))
+      "q148_incr_comp" -> SparkEntry.queries("q148_incremental_components"),
+      // round-12 additions: the compaction-in-the-middle clustering cycle
+      // (q148 plus the label fold + repmap prune), the matryoshka
+      // truncation audit and its two-stage serve (bounded-query broadcast
+      // scans), the eval decontamination purge (shingle-keyed semi-joins),
+      // and the incremental SQ8 store lifecycle (grid init + 3 bucketed
+      // encodes + asymmetric serve, like q133)
+      "q149_comp_compact" -> SparkEntry.queries("q149_components_compacted"),
+      "q150_matryoshka" -> SparkEntry.queries("q150_matryoshka_recall"),
+      "q151_decontam" -> SparkEntry.queries("q151_decontaminated_eval"),
+      "q152_sq8_store" -> SparkEntry.queries("q152_sq8_store"),
+      "q153_two_stage" -> SparkEntry.queries("q153_matryoshka_two_stage"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -170,6 +170,8 @@ object SparkEntry {
     "q149_components_compacted" -> (TextQueries.q149ComponentsCompacted _),
     "q150_matryoshka_recall" -> (TextQueries.q150MatryoshkaRecall _),
     "q151_decontaminated_eval" -> (TextQueries.q151DecontaminatedEval _),
+    "q152_sq8_store" -> (TextQueries.q152SqStore _),
+    "q153_matryoshka_two_stage" -> (TextQueries.q153MatryoshkaTwoStage _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -1537,6 +1539,48 @@ object SparkEntry {
         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
         |FROM sqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // q152: the persisted incremental SQ8 store — q147's replay with the
+    // grid trained ONLY on the initial ingestion slice (vec_id % 3 = 0)
+    // and frozen, plus the saturation clamp (GREATEST/LEAST into [0,255])
+    // that freezing makes load-bearing: later dates' components outside
+    // the trained range clamp instead of escaping uint8. A green hash
+    // gates store-served == from-scratch with the frozen grid.
+    "q152_sq8_store" ->
+      """WITH sqdims AS (
+        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |grid AS (
+        |  SELECT dim, MIN(x) AS mn, MAX(x) - MIN(x) AS span
+        |  FROM sqdims WHERE id % 3 = 0 GROUP BY dim),
+        |sqrec AS (
+        |  SELECT id, sqdims.dim,
+        |    mn + CAST(CASE WHEN span = 0 THEN 0
+        |      ELSE GREATEST(0, LEAST(255,
+        |        CAST(FLOOR((x - mn) / span * 255 + 0.5) AS INT)))
+        |      END AS DOUBLE) / 255 * span AS xh
+        |  FROM sqdims JOIN grid ON sqdims.dim = grid.dim),
+        |sqcn AS (
+        |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)) AS cn
+        |  FROM sqrec GROUP BY id),
+        |sqq AS (SELECT id AS qid, dim, x AS qx FROM sqdims WHERE id < 10),
+        |sqqn AS (
+        |  SELECT qid, sqrt(CAST(SUM(CAST(ROUND(qx * qx, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)) AS qn
+        |  FROM sqq GROUP BY qid),
+        |sqdot AS (
+        |  SELECT qid, id AS cid,
+        |    CAST(SUM(CAST(ROUND(qx * xh, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        |  FROM sqrec JOIN sqq ON sqrec.dim = sqq.dim AND qid <> id
+        |  GROUP BY 1, 2),
+        |sqr AS (
+        |  SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rank
+        |  FROM sqdot JOIN sqqn USING (qid) JOIN sqcn ON cid = sqcn.id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+        |FROM sqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
     "q30_knn_brute" -> knnBruteSql,
     "q31_knn_lsh"   -> knnLshSql,
 
@@ -1574,6 +1618,47 @@ object SparkEntry {
          |  ROUND(CAST(n_hit AS DOUBLE) / 3, 6) AS recall3
          |FROM hit ORDER BY qid""".stripMargin,
     "q127_recall_audit" -> recallAuditSql,
+
+    // q153: matryoshka two-stage serve — stage 1 ranks by the 16-dim
+    // prefix (q150's truncated twin CTEs) and takes top-`depth`
+    // candidates at depths 8 and 24; stage 2 re-ranks only those
+    // candidates by full-dim exact cosine (the bd dots, reused) and
+    // serves top-3, each row flagged against the full brute top-3
+    "q153_matryoshka_two_stage" ->
+      s"""WITH $embNormCte,
+         |$knnBruteCtes,
+         |tn AS (
+         |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+         |  FROM (SELECT vec_id, CAST(UNNEST(embedding[1:16]) AS DOUBLE) AS x
+         |        FROM embeddings)
+         |  GROUP BY vec_id),
+         |td AS (
+         |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |      CAST(UNNEST(q.embedding[1:16]) AS DOUBLE) AS qx,
+         |      CAST(UNNEST(c.embedding[1:16]) AS DOUBLE) AS cx
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |  GROUP BY qid, cid),
+         |ts AS (
+         |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
+         |  FROM td JOIN tn nq ON qid = nq.vec_id JOIN tn nc ON cid = nc.vec_id),
+         |depths AS (SELECT UNNEST([8, 24]) AS depth),
+         |cand AS (SELECT depth, qid, cid FROM depths, ts WHERE ts.rank <= depth),
+         |rr AS (
+         |  SELECT depth, cand.qid AS qid, cand.cid AS cid,
+         |    ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY depth, cand.qid
+         |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cand.cid) AS rank
+         |  FROM cand JOIN bd ON cand.qid = bd.qid AND cand.cid = bd.cid
+         |    JOIN n nq ON cand.qid = nq.vec_id JOIN n nc ON cand.cid = nc.vec_id),
+         |f3 AS (SELECT qid, cid FROM bs WHERE rank <= 3)
+         |SELECT CAST(depth AS BIGINT) AS depth, rr.qid AS qid,
+         |  CAST(rank AS BIGINT) AS rank, rr.cid AS cid, cosine,
+         |  (f3.cid IS NOT NULL) AS hit_full3
+         |FROM rr LEFT JOIN f3 ON rr.qid = f3.qid AND rr.cid = f3.cid
+         |WHERE rank <= 3 ORDER BY depth, qid, rank""".stripMargin,
 
     // q133: the persisted vector store serves the SAME closed-form
     // pipelines as q96/q44, but with both models frozen at the initial

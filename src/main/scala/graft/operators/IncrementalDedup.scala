@@ -33,12 +33,14 @@ object IncrementalDedup {
     * only this date's partition (idempotent re-run, like the split engine's
     * marker semantics). */
   def appendSignatures(docs: DataFrame, store: String, date: String,
-      k: Int = 32, idCol: String = "doc_id"): Unit =
+      k: Int = 32, idCol: String = "doc_id"): Unit = {
+    StoreMaintenance.assertNoActiveFold(docs.sparkSession, store)
     Dedup.minhashSignatures(docs, k, idCol)
       .withColumn("ds", lit(date))
       .write.mode("overwrite").partitionBy("ds")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(store)
+  }
 
   /** All signatures accumulated so far. */
   def loadSignatures(spark: SparkSession, store: String): DataFrame =
@@ -116,13 +118,15 @@ object IncrementalDedup {
     * size it as |store at horizon| · rowBytes / targetPartitionBytes. */
   def appendBandsBucketed(docs: DataFrame, table: String, date: String,
       k: Int = 32, rowsPerBand: Int = 2, idCol: String = "doc_id",
-      nBuckets: Int = 8): Unit =
+      nBuckets: Int = 8): Unit = {
+    StoreMaintenance.assertNoActiveFoldTable(docs.sparkSession, table)
     Dedup.bandRows(Dedup.minhashSignatures(docs, k, idCol), k, rowsPerBand)
       .withColumn("ds", lit(date))
       .write.mode("append")
       .partitionBy("ds")
       .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
       .saveAsTable(table)
+  }
 
   /** One incremental step against the bucketed store: pairs involving at
     * least one `date` document, scored by signature-estimated Jaccard —

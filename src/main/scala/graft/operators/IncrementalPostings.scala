@@ -28,12 +28,14 @@ object IncrementalPostings {
   /** Tokenize one date's documents and append their (term, doc_id, tf)
     * rows under that date's partition (idempotent re-run). */
   def appendCounts(docs: DataFrame, store: String, date: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    StoreMaintenance.assertNoActiveFold(docs.sparkSession, store)
     Search.termFrequencies(docs, idCol, textCol)
       .withColumn("ds", lit(date))
       .write.mode("overwrite").partitionBy("ds")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(store)
+  }
 
   /** Index report over the accumulated store — same output contract as
     * [[Search.postings]] over the union of every ingested date. */
@@ -59,13 +61,15 @@ object IncrementalPostings {
     * size it as |store at horizon| · rowBytes / targetPartitionBytes. */
   def appendCountsBucketed(docs: DataFrame, table: String, date: String,
       idCol: String = "doc_id", textCol: String = "text",
-      nBuckets: Int = 8): Unit =
+      nBuckets: Int = 8): Unit = {
+    StoreMaintenance.assertNoActiveFoldTable(docs.sparkSession, table)
     Search.termFrequencies(docs, idCol, textCol)
       .withColumn("ds", lit(date))
       .write.mode("append")
       .partitionBy("ds")
       .bucketBy(nBuckets, "term").sortBy("term")
       .saveAsTable(table)
+  }
 
   /** Report over the bucketed store — same output contract as [[report]],
     * but every keyed stage reuses the bucket layout: the only exchange in

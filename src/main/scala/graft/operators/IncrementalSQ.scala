@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained SQ8 index — the
+  * [[IncrementalVectors]] store contract applied to the third index family
+  * ([[SQ]], q147): the per-dimension affine grid is trained ONCE on the
+  * initial corpus slice and frozen as a model table; each ingestion date
+  * then encodes ITS OWN vectors once against the frozen grid and appends
+  * the uint8 codes to an id-bucketed store table; searches serve
+  * asymmetrically (exact query × reconstructed codes) from the accumulated
+  * store with no re-encoding. This is how a memory-constrained serving
+  * fleet actually runs SQ8: the grid is fleet-wide frozen state, fresh
+  * embeddings append as they arrive, and the 4×-compressed store is the
+  * only thing the servers hold.
+  *
+  * Store layout per base name `t`:
+  *  - `t_grid` — the frozen per-dimension grid (dim, mn, span): D rows,
+  *    broadcast into every encode and serve (the model is data, so it
+  *    lives in the store — the [[IncrementalVectors.initModel]] rule);
+  *  - `t_codes` — uint8 codes in row form (id, dim, code), partitioned by
+  *    ingestion date, BUCKETED ON `id`: both serve-side aggregates (the
+  *    corpus-norm `groupBy(id)` and the dot-product `groupBy(qid, id)`)
+  *    have their distribution satisfied by the id bucketing, so the
+  *    store-side rows never cross the wire at serve time (pinned in
+  *    IncrementalSQSpec — zero exchanges at or below the code scan).
+  *
+  * Because the grid is frozen, encoding is a per-row pure function of
+  * (vector, grid) — the accumulated store over any date split is bit-equal
+  * to a one-shot encode of the union corpus against the same grid
+  * (incremental == from-scratch, spec-pinned; the q152 registry row gates
+  * the full replay: init-slice grid training, per-date saturated encode,
+  * reconstruction, decimal-summed asymmetric serve). The price of freezing
+  * is SATURATION: later dates' components outside the trained range clamp
+  * to code 0/255 ([[SQ.encode]]'s rule) — reconstruction error grows with
+  * drift, which is exactly what the q141 PSI audit detects and
+  * [[refitGrid]] repairs.
+  *
+  * Idempotence follows the family contract: append-only by design; a
+  * re-run or replayed micro-batch drops its own date partition first
+  * ([[dropDate]] — [[graft.streaming.StreamingSQ]] calls it at the top of
+  * every batch). `nBuckets` is fixed for the table's life.
+  */
+object IncrementalSQ {
+
+  /** Train the per-dimension grid on the initial corpus slice and persist
+    * it as the store's model table (overwrite = re-init is a new store).
+    * One dim-keyed min/max aggregate — D output rows. */
+  def initGrid(initial: DataFrame, table: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    SQ.stats(initial, idCol, vecCol)
+      .write.mode("overwrite").saveAsTable(s"${table}_grid")
+
+  /** Encode one date's vectors against the frozen grid and append to the
+    * id-bucketed code table. The encode join is scan-local (grid
+    * broadcast); the expensive work happens here once per row, ever. */
+  def appendDate(emb: DataFrame, table: String, date: String,
+      nBuckets: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    // fail fast against a concurrent maintenance fold (the family rule)
+    StoreMaintenance.assertNoActiveFoldTable(spark, s"${table}_codes")
+    SQ.encode(emb, spark.table(s"${table}_grid"), idCol, vecCol)
+      .withColumn("ds", lit(date))
+      .write.mode("append").partitionBy("ds")
+      .bucketBy(nBuckets, "id").sortBy("id")
+      .saveAsTable(s"${table}_codes")
+  }
+
+  /** Drop one ingestion date's partition — the re-run/retry guard
+    * (bounded metadata DDL, no data motion). */
+  def dropDate(spark: SparkSession, table: String, date: String): Unit = {
+    val t = s"${table}_codes"
+    if (spark.catalog.tableExists(t))
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
+  }
+
+  /** AS-OF restriction — the [[IncrementalVectors]] convention: the date
+    * partitioning makes time-travel a partition PRUNE. Consolidated
+    * `c_<date>` partitions compare by their effective date; `r_<gen>`
+    * rewrite generations are excluded by any as-of (a rewrite consumes
+    * per-date history by documented design). */
+  private def asOf(store: DataFrame, upTo: Option[String]): DataFrame =
+    upTo.fold(store)(d =>
+      store.filter(!col("ds").startsWith("r_") &&
+        regexp_replace(col("ds"), "^c_", "") <= d))
+
+  /** Asymmetric top-k serve from the accumulated store: [[SQ.search]]'s
+    * output contract (qid, rank, cid, cosine) with the reconstruction fed
+    * by the persisted codes — queries stay exact, the store never
+    * re-encodes. Queries must be a bounded set (broadcast). */
+  def search(spark: SparkSession, table: String, queries: DataFrame,
+      kNeighbors: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding", upTo: Option[String] = None): DataFrame = {
+    val grid = spark.table(s"${table}_grid")
+    val codes = asOf(spark.table(s"${table}_codes"), upTo)
+      .select(col("id"), col("dim"), col("code"))
+    SQ.search(queries, SQ.reconstruct(codes, grid), kNeighbors, idCol, vecCol)
+  }
+
+  /** Refit the grid on `fitDf` and MIGRATE the code store — the "act" to
+    * drift detection, the [[IncrementalVectors.refitQuantizer]] shape for
+    * the scalar family. Codes are NOT invertible to exact vectors, so
+    * unlike the IVF migration (vectors inline) the re-encode needs the
+    * source embeddings: old codes are first reconstructed under the OLD
+    * grid (the best information the store holds — production fleets that
+    * dropped the float32 corpus do exactly this), then re-encoded under
+    * the new grid in one marker-committed rewrite. Callers that still
+    * hold the original corpus should instead re-init a fresh store —
+    * reconstruct-re-encode compounds quantization error once, which is
+    * the documented trade for never re-reading the corpus. */
+  def refitGrid(spark: SparkSession, table: String, fitDf: DataFrame,
+      gen: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val oldGrid = spark.table(s"${table}_grid").localCheckpoint()
+    SQ.stats(fitDf, idCol, vecCol)
+      .write.mode("overwrite").saveAsTable(s"${table}_grid")
+    val newGrid = spark.table(s"${table}_grid")
+    StoreMaintenance.rewrite(spark, s"${table}_codes", gen,
+      transform = df => {
+        val xh = SQ.reconstruct(df.select(col("id"), col("dim"),
+          col("code")), oldGrid)
+        xh.join(broadcast(newGrid), Seq("dim"))
+          .select(col("id"), col("dim"),
+            when(col("span") === 0d, lit(0))
+              .otherwise(greatest(lit(0), least(lit(255),
+                floor((col("xh") - col("mn")) / col("span") * lit(255d)
+                  + lit(0.5d)).cast("int"))))
+              .cast("int").as("code"))
+      })
+    Components.freeLocalCheckpoint(oldGrid)
+  }
+}

@@ -72,6 +72,10 @@ object IncrementalVectors {
       nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
+    // fail fast if a maintenance fold holds either store table's lease —
+    // an append racing a fold's partition drops would lose rows silently
+    StoreMaintenance.assertNoActiveFoldTable(spark, s"${table}_codes")
+    StoreMaintenance.assertNoActiveFoldTable(spark, s"${table}_cells")
     PQ.encode(emb, spark.table(s"${table}_cb"), m, idCol, vecCol)
       .withColumn("ds", lit(date))
       .write.mode("append").partitionBy("ds")

@@ -52,15 +52,21 @@ object SQ {
     * `round` so the DuckDB oracle replays the exact same half-up cut on the
     * exact same IEEE double (Spark's round on doubles goes through
     * BigDecimal HALF_UP — equivalent here, but floor is the formulation
-    * both engines parse into the identical expression tree). */
+    * both engines parse into the identical expression tree). Codes are
+    * SATURATED into [0, 255] (the FAISS SQ8 rule): a no-op when the grid
+    * was trained on the corpus being encoded (min/max cover every x), but
+    * load-bearing for the incremental store ([[IncrementalSQ]]), where a
+    * grid frozen at init encodes later dates whose components may fall
+    * outside the trained range. */
   def encode(emb: DataFrame, grid: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     dims(emb, idCol, vecCol)
       .join(broadcast(grid), Seq("dim"))
       .select(col("id"), col("dim"),
         when(col("span") === 0d, lit(0))
-          .otherwise(floor((col("x") - col("mn")) / col("span") * lit(255d)
-            + lit(0.5d)))
+          .otherwise(greatest(lit(0), least(lit(255),
+            floor((col("x") - col("mn")) / col("span") * lit(255d)
+              + lit(0.5d)).cast("int"))))
           .cast("int").as("code"))
 
   /** Reconstructed components (id, dim, xh): the grid point the code names.

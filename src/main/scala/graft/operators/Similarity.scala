@@ -285,8 +285,24 @@ object Similarity {
         greatest(col("x_id"), col("y_id")).as("b_id"), col("cosine"))
   }
 
+  /** The banded-LSH band-width law, applied: r = clamp(⌈log₂N⌉, 4, 16)
+    * bits per band. Each band's 2^r buckets then hold O(1) isotropic
+    * vectors at any corpus size, so the pigeonhole candidate mass
+    * b·N²/2^(r+1) stays O(b·N) — the property that makes banding the
+    * sub-quadratic scale path. The clamps: below 4 bits banding is
+    * pointless (≤16 buckets), above 16 bits the per-band match
+    * probability for a true s ≥ 0.99 near-dup (p^r at p ≈ 0.991) decays
+    * enough that the default 8 bands' miss bound leaves the 1e-7 regime.
+    * Public so the spec pins the derived width at known corpus sizes. */
+  def derivedRowsPerBand(n: Long, nPlanes: Int): Int = {
+    val ceilLog2 =
+      if (n <= 2L) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(4, math.min(16, math.min(ceilLog2, nPlanes / 2)))
+  }
+
   /** Banded hyperplane-LSH near-dup: sign-bit signatures over `nPlanes`
-    * deterministic hyperplanes, banded `rowsPerBand` bits per band; pairs
+    * deterministic hyperplanes, banded `r` bits per band; pairs
     * sharing any band's full bit pattern become candidates, then exact
     * cosine verifies them — output ⊆ [[cosineNearDup]] with equality when
     * every true pair collides in ≥1 band.
@@ -296,20 +312,29 @@ object Similarity {
     * the NON-dup candidate mass on unstructured vectors is pigeonhole-
     * bounded below by b·N²/2^(r+1) — so r is a log₂N knob, not a constant.
     * r=4 (16 buckets/band) was measured 113.8× at 10× data on the isotropic
-    * probe table (quadratic mass N²/4 dominating); r=8 cuts that 8× and
-    * b=16 holds recall: true near-dups sit at s ≥ 0.99 (p ≥ 0.991, band
-    * match p⁸ ≈ 0.93, miss (0.07)¹⁶ ≈ 3e-19) and even borderline s = 0.9
-    * pairs reach recall ≈ 0.996. At another 10× the knob moves again —
-    * r ≈ log₂N keeps buckets O(1) for the isotropic tail; structured
-    * corpora keep their true dups colliding regardless because p^r stays
-    * high at s→1. At LOW thresholds (≈0.4, angle ≈ 66°) no banding is
-    * simultaneously high-recall and sub-quadratic — use
+    * probe table (quadratic mass N²/4 dominating), and the fixed r=8
+    * default was in turn measured catastrophic at 50× (>74 GB of
+    * pigeonhole spill, run aborted — round-11 probe). The law is therefore
+    * the DEFAULT since round 12: `rowsPerBand = None` derives
+    * r = ⌈log₂N⌉ (clamped to [4, 16]) from one count of the input at plan
+    * time ([[derivedRowsPerBand]]), so the operator is safe at any corpus
+    * size with NO manual knob; pass `Some(r)` to override. Recall under
+    * the law: true near-dups sit at s ≥ 0.99 (p ≥ 0.991); even at the
+    * r=16 clamp the per-band match is p¹⁶ ≈ 0.87 and 8 bands miss with
+    * probability (0.13)⁸ ≈ 1e-7. Unused tail planes (when r ∤ nPlanes)
+    * are simply not banded. At LOW thresholds (≈0.4, angle ≈ 66°) no
+    * banding is simultaneously high-recall and sub-quadratic — use
     * [[cosineNearDupBlocked]] there. */
   def cosineNearDupBanded(embeddings: DataFrame, threshold: Double = 0.9,
-      nPlanes: Int = 128, rowsPerBand: Int = 8,
+      nPlanes: Int = 128, rowsPerBand: Option[Int] = None,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nPlanes % rowsPerBand == 0, "nPlanes must be a multiple of rowsPerBand")
-    val nBands = nPlanes / rowsPerBand
+    // one count() of the input at plan time — the price of a self-sizing
+    // default (a column-pruned scan; callers on a hot path that already
+    // know N pass the override)
+    val r = rowsPerBand.getOrElse(
+      derivedRowsPerBand(embeddings.count(), nPlanes))
+    require(r >= 1 && r <= nPlanes, s"rowsPerBand $r out of range")
+    val nBands = nPlanes / r
     val maxDim = 1024
     val planes: Seq[Column] = (0 until nPlanes).map { p =>
       typedlit(Array.tabulate(maxDim)(i => hyperplaneWeight(p, i)))
@@ -317,7 +342,7 @@ object Similarity {
     def bit(vec: Column, p: Int): Column =
       when(graft.functions.VectorExpressions.dotF(vec, planes(p)) > 0, 1).otherwise(0)
     def bandHash(vec: Column, b: Int): Column =
-      (0 until rowsPerBand).map(j => bit(vec, b * rowsPerBand + j) * (1 << j))
+      (0 until r).map(j => bit(vec, b * r + j) * (1 << j))
         .reduce(_ + _)
     val bands = embeddings.select(col(idCol).as("id"),
         posexplode(array((0 until nBands).map(b => bandHash(col(vecCol), b)): _*))

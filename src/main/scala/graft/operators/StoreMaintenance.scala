@@ -49,6 +49,103 @@ object StoreMaintenance {
 
   private def effectiveDate(ds: String): String = ds.stripPrefix("c_")
 
+  // ---- writer/compactor mutual exclusion ---------------------------------
+  //
+  // The fold's marker protocol protects against CRASHES, not concurrency: a
+  // daily-append job that overlaps a scheduled fold would race the
+  // partition drops (the fold's file listing predates the append — the
+  // appended rows land in a partition the fold is about to drop). The
+  // lease below makes that overlap fail FAST on whichever side arrives
+  // second: a fold holds `_maintenance_lease` (pid + timestamp) in the
+  // store root for its duration; appends check it before writing. Best
+  // effort by design — create-exclusive is atomic on HDFS and local
+  // filesystems but only best-effort on eventually-consistent object
+  // stores, where the transactional-format commit (the object scaladoc's
+  // deployment note) is the real answer. Staleness mirrors the Warehouse
+  // orphan rule: a lease whose pid is provably dead on this host is
+  // reclaimed; for shared-filesystem deployments (another host's pid is
+  // meaningless here) pass `maxAgeHours` so stillness reclaims it.
+
+  private[operators] def leaseFile(location: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(location, "_maintenance_lease")
+
+  private def leaseHolder(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(Long, Long)] =
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val parts = s.trim.split(" ")
+      (parts(0).toLong, parts(1).toLong)
+    }.toOption.orElse(Some((-1L, 0L))) // unreadable lease: unknown LIVE holder
+
+  private def leaseStale(holder: (Long, Long),
+      maxAgeHours: Option[Double]): Boolean = {
+    val (pid, ts) = holder
+    val dead = pid > 0 && {
+      val h = ProcessHandle.of(pid)
+      !h.isPresent || !h.get().isAlive
+    }
+    val aged = maxAgeHours.exists(h =>
+      System.currentTimeMillis() - ts > (h * 3600 * 1000).toLong)
+    dead || aged
+  }
+
+  /** Take the maintenance lease for `location` or throw. A live lease —
+    * including one held by THIS process (a concurrent fold in the same
+    * JVM) — rejects; a stale one (dead pid, or older than `maxAgeHours`
+    * when given) is reclaimed. */
+  def acquireLease(spark: SparkSession, location: String,
+      maxAgeHours: Option[Double] = None): Unit = {
+    val p = leaseFile(location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    leaseHolder(fs, p).foreach { h =>
+      if (!leaseStale(h, maxAgeHours))
+        throw new IllegalStateException(
+          s"maintenance lease on $location held by live pid ${h._1} — " +
+            "a fold or append is in progress; retry after it completes")
+      fs.delete(p, false)
+    }
+    val out = fs.create(p, false) // create-exclusive: lose the race ⇒ throw
+    try out.writeBytes(
+      s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}")
+    finally out.close()
+  }
+
+  /** Release a lease this process holds (no-op when absent). */
+  def releaseLease(spark: SparkSession, location: String): Unit = {
+    val p = leaseFile(location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
+
+  /** Writer-side guard: throw if a LIVE fold holds `location`'s lease
+    * (sweeping a stale one while here). Incremental-store appends call
+    * this before writing so an append that overlaps a scheduled fold
+    * fails fast instead of racing the partition drops. */
+  def assertNoActiveFold(spark: SparkSession, location: String,
+      maxAgeHours: Option[Double] = None): Unit = {
+    val p = leaseFile(location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    leaseHolder(fs, p).foreach { h =>
+      if (!leaseStale(h, maxAgeHours))
+        throw new IllegalStateException(
+          s"append rejected: maintenance fold in progress on $location " +
+            s"(lease pid ${h._1}) — retry after the fold completes")
+      fs.delete(p, false)
+    }
+  }
+
+  /** [[assertNoActiveFold]] resolved through the catalog — the guard for
+    * table-backed stores (a table that does not exist yet has no lease
+    * to check). */
+  def assertNoActiveFoldTable(spark: SparkSession, table: String): Unit =
+    if (spark.catalog.tableExists(table))
+      assertNoActiveFold(spark, spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).location.toString)
+
   /** The table's `ds` partition values (bounded catalog metadata). */
   private def partitions(spark: SparkSession, table: String): Seq[String] =
     spark.sql(s"SHOW PARTITIONS $table").collect()
@@ -117,6 +214,21 @@ object StoreMaintenance {
     def olds(): Seq[String] = partitions(spark, table)
       .filter(ds => ds != label && foldable(ds))
 
+    // hold the maintenance lease for the whole fold (appends fail fast
+    // against it); released on any in-process exit — a hard crash leaves
+    // it for the dead-pid staleness sweep
+    acquireLease(spark, meta.location.toString)
+    try foldBody(spark, table, label, minOlds, transform, fs, marker, olds _)
+    finally releaseLease(spark, meta.location.toString)
+  }
+
+  private def foldBody(spark: SparkSession, table: String, label: String,
+      minOlds: Int,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem, marker: org.apache.hadoop.fs.Path,
+      olds: () => Seq[String]): Unit = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(TableIdentifier(table))
     if (!fs.exists(marker)) {
       val old = olds()
       // below the threshold: any existing `label` partition is a PRIOR
@@ -168,6 +280,16 @@ object StoreMaintenance {
     val root = new org.apache.hadoop.fs.Path(store)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    acquireLease(spark, store)
+    try compactPathBody(spark, store, upTo, merge, root, fs)
+    finally releaseLease(spark, store)
+  }
+
+  private def compactPathBody(spark: SparkSession, store: String,
+      upTo: String,
+      merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      root: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val label = s"c_$upTo"
     val labelDir = new org.apache.hadoop.fs.Path(root, s"ds=$label")
     val marker = new org.apache.hadoop.fs.Path(root, s"_compact_${label}_done")

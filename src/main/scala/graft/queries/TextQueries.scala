@@ -202,6 +202,42 @@ object TextQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** q152: the persisted incremental SQ8 store — the q133 store contract
+    * applied to the third index family (see
+    * [[graft.operators.IncrementalSQ]]): the per-dimension grid is
+    * trained on the INITIAL ingestion date (vec_id % 3 = 0) and frozen as
+    * the store's model table; each of three date slices then encodes its
+    * own vectors once (saturated uint8 codes, id-bucketed append); the
+    * asymmetric top-3 serve reads the accumulated store with no
+    * re-encoding. The oracle replays the d0-trained grid, the clamped
+    * encode floor tree over the union corpus, reconstruction, and the
+    * decimal-summed scoring — a green hash gates store-served ==
+    * from-scratch with the frozen grid (which DIFFERS from q147's
+    * full-corpus grid exactly where saturation bites — the drift cost
+    * the store accepts and the q141-style audit watches). */
+  def q152SqStore(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q152_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_grid", s"${base}_codes")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q152_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalSQ.initGrid(slice(0), base)
+      (0 until 3).foreach { d =>
+        graft.operators.IncrementalSQ.appendDate(slice(d), base, s"d$d")
+      }
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalSQ
+        .search(s, base, emb.filter(col("vec_id") < 10))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("qid"), col("rank"))
+  }
+
   /** q150: MATRYOSHKA truncation recall audit (Kusupati et al.,
     * "Matryoshka Representation Learning", NeurIPS 2022): serve the q30
     * brute top-3 from only the FIRST 16 of 64 dimensions (the 4×-cheaper
@@ -224,6 +260,49 @@ object TextQueries {
       .select(col("qid"), col("n_hit"),
         round(col("n_hit").cast("double") / 3d, 6).as("recall3"))
       .orderBy(col("qid"))
+  }
+
+  /** q153: MATRYOSHKA two-stage SERVE — q150's audit turned into the
+    * production pattern it motivates (Kusupati et al., NeurIPS 2022):
+    * stage 1 generates top-`depth` candidates per query from the 16-dim
+    * PREFIX (4× cheaper per comparison — at fleet scale this is the stage
+    * an index accelerates; any prefix index slots in, the composition is
+    * what's gated here); stage 2 re-ranks ONLY those candidates with the
+    * full-dimension exact cosine and serves top-3. Run at two candidate
+    * depths (8 and 24) with a per-row `hit_full3` flag against the
+    * full-dim brute top-3, so recall@3-vs-depth — the knob a deployment
+    * actually tunes — is read straight off the result. Scale shape:
+    * stage 2 touches |Q|·depth candidate vectors (broadcast-joined),
+    * never the corpus. */
+  def q153MatryoshkaTwoStage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val tr = e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    // stage 1 once at the max depth; shallower depths are prefixes of the
+    // same truncated ranking
+    val cand = Similarity.knnBrute(tr.filter(col("vec_id") < 10), tr, 24)
+      .select(col("qid"), col("cid"), col("rank").as("crank"))
+      .join(broadcast(Seq(8, 24).toDF("depth")), col("crank") <= col("depth"))
+    val qf = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        Similarity.norm(col("embedding")).as("qn"))
+    val cf = e.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      Similarity.norm(col("embedding")).as("cn"))
+    val rr = broadcast(cand.join(qf, "qid")).join(cf, "cid")
+      .withColumn("cosine",
+        round(Similarity.dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("depth"), col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+    val full3 = Similarity.knnBrute(e.filter(col("vec_id") < 10), e, 3)
+      .select(col("qid"), col("cid")).withColumn("m", lit(1))
+    rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .join(full3, Seq("qid", "cid"), "left")
+      .select(col("depth").cast("bigint").as("depth"), col("qid"),
+        col("rank").cast("bigint").as("rank"), col("cid"), col("cosine"),
+        col("m").isNotNull.as("hit_full3"))
+      .orderBy(col("depth"), col("qid"), col("rank"))
   }
 
   /** Brute-force cosine top-3 for query vectors vec_id < 10 (oracle-checked). */
@@ -631,28 +710,54 @@ object TextQueries {
     * flags) is gated BIT-EQUAL against q62's from-scratch recursive-
     * closure oracle — the incremental union-find provably equals
     * re-clustering the whole corpus. */
-  def q148IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_q148_${ProcessHandle.current().pid()}_" +
-      Integer.toHexString(dir.hashCode)
+  def q148IncrementalComponents(s: SparkSession, dir: String): DataFrame =
+    componentsCycle(s, dir, "q148", compactAfterD1 = false)
+
+  /** Shared q148/q149 driver. The /tmp store base carries a per-invocation
+    * NONCE next to pid+dir so two concurrent invocations in one JVM (bench
+    * reps, ScaleProbe vs MemProbe) never collide on the same store; the
+    * store delete sits in a `finally` so an exception inside processDate
+    * doesn't leak the directory; and the intermediate label checkpoint is
+    * explicitly freed once the (doc-count-sized) report is materialized —
+    * repeated bench reps no longer accumulate executor storage. */
+  private def componentsCycle(s: SparkSession, dir: String, tag: String,
+      compactAfterD1: Boolean): DataFrame = {
+    val base = s"/tmp/graft_${tag}_${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(System.nanoTime())
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val docs = Tables.load(s, dir, "documents")
-    (0 until 3).foreach { d =>
-      graft.operators.IncrementalComponents.processDate(s,
-        docs.filter(pmod(col("doc_id"), lit(3L)) === d), docs,
-        s"$base/sigs", s"$base/labels", s"$base/repmap", s"d$d")
-    }
-    val lab = graft.operators.IncrementalComponents
-      .currentLabels(s, s"$base/labels", s"$base/repmap")
-      .localCheckpoint()
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val lab = try {
+      val docs = Tables.load(s, dir, "documents")
+      def ingest(d: Int): Unit =
+        graft.operators.IncrementalComponents.processDate(s,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === d), docs,
+          s"$base/sigs", s"$base/labels", s"$base/repmap", s"d$d")
+      graft.Phases.timed("build") { ingest(0); ingest(1) }
+      if (compactAfterD1) graft.Phases.timed("maintain") {
+        graft.operators.IncrementalComponents
+          .compactLabels(s, s"$base/labels", "d1")
+        graft.operators.IncrementalComponents
+          .pruneRepmapVersions(s, s"$base/repmap")
+      }
+      graft.Phases.timed("build") { ingest(2) }
+      graft.Phases.timed("serve") {
+        graft.operators.IncrementalComponents
+          .currentLabels(s, s"$base/labels", s"$base/repmap")
+          .localCheckpoint()
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val siz = lab.groupBy(col("component")).agg(count(lit(1)).as("csize"))
-    lab.join(siz, Seq("component"))
-      .select(col("id").as("doc_id"), col("component"),
-        col("csize").cast("bigint").as("component_size"),
-        (col("id") === col("component")).as("is_canonical"))
-      .orderBy(col("doc_id"))
+    val report = graft.Phases.timed("serve") {
+      lab.join(siz, Seq("component"))
+        .select(col("id").as("doc_id"), col("component"),
+          col("csize").cast("bigint").as("component_size"),
+          (col("id") === col("component")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint() // eager: lab can be freed before the caller reads
+    }
+    graft.operators.Components.freeLocalCheckpoint(lab)
+    report
   }
 
   /** q149: q148's incremental clustering cycle with RETENTION MAINTENANCE
@@ -661,32 +766,8 @@ object TextQueries {
     * to the path store) and superseded rep-map versions are pruned; d2
     * then ingests against the compacted store. Same oracle as q148/q62 —
     * a green hash proves maintenance changed the layout, not one label. */
-  def q149ComponentsCompacted(s: SparkSession, dir: String): DataFrame = {
-    val base = s"/tmp/graft_q149_${ProcessHandle.current().pid()}_" +
-      Integer.toHexString(dir.hashCode)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val docs = Tables.load(s, dir, "documents")
-    def ingest(d: Int): Unit =
-      graft.operators.IncrementalComponents.processDate(s,
-        docs.filter(pmod(col("doc_id"), lit(3L)) === d), docs,
-        s"$base/sigs", s"$base/labels", s"$base/repmap", s"d$d")
-    ingest(0); ingest(1)
-    graft.operators.IncrementalComponents.compactLabels(s, s"$base/labels", "d1")
-    graft.operators.IncrementalComponents.pruneRepmapVersions(s, s"$base/repmap")
-    ingest(2)
-    val lab = graft.operators.IncrementalComponents
-      .currentLabels(s, s"$base/labels", s"$base/repmap")
-      .localCheckpoint()
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val siz = lab.groupBy(col("component")).agg(count(lit(1)).as("csize"))
-    lab.join(siz, Seq("component"))
-      .select(col("id").as("doc_id"), col("component"),
-        col("csize").cast("bigint").as("component_size"),
-        (col("id") === col("component")).as("is_canonical"))
-      .orderBy(col("doc_id"))
-  }
+  def q149ComponentsCompacted(s: SparkSession, dir: String): DataFrame =
+    componentsCycle(s, dir, "q149", compactAfterD1 = true)
 
   /** Banded hyperplane-LSH embedding near-dup at threshold 0.9 — the
     * SUB-QUADRATIC scale path next to q53's blocked exact join (which is
@@ -740,19 +821,19 @@ object TextQueries {
         col("component_size"), col("is_canonical"))
       .orderBy(col("vec_id"))
 
-  /** q95's pipeline with the band-width knob turned for ≈50× corpora —
-    * NOT an oracle query, the ScaleProbe entry for the 50× composite:
-    * `rowsPerBand` is a log₂N knob (README round 6 — at fixture N the
-    * 4-bit setting measured 113.8× growth before the 8-bit fix), and at
-    * N ≈ 100k the fixture's 8-bit bands are undersized the same way
-    * (measured: pigeonhole candidate mass spilled >74 GB before the run
-    * was aborted). 12-bit bands × 16 (192 hyperplanes) keep candidate
-    * mass sub-quadratic at that N with recall ≈0.93 at s=0.9 and ≈1 in
-    * the s ≥ 0.99 regime actual near-dups occupy. */
+  /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
+    * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
+    * is a log₂N knob (README round 6 — at fixture N the 4-bit setting
+    * measured 113.8× growth; the fixed 8-bit default later measured >74 GB
+    * of pigeonhole spill at 50× before the run was aborted). Since round
+    * 12 the law is the DEFAULT — q95 itself derives ⌈log₂N⌉ bits from a
+    * plan-time count ([[graft.operators.Similarity.derivedRowsPerBand]])
+    * and needs no knob at any scale; this entry pins that the explicit
+    * override still composes (12-bit × 16 bands over 192 planes). */
   def q95ScaledBands(s: SparkSession, dir: String): DataFrame =
     graft.operators.Components.dedupClusters(
         Similarity.cosineNearDupBanded(augmentedEmbeddings(s, dir), 0.9,
-            nPlanes = 192, rowsPerBand = 12)
+            nPlanes = 192, rowsPerBand = Some(12))
           .select(col("a_id"), col("b_id")))
       .select(col("id").as("vec_id"), col("component"),
         col("component_size"), col("is_canonical"))
@@ -794,22 +875,26 @@ object TextQueries {
     Warehouse.sweepOrphans(s, "graft_q133_p")
     val emb = Tables.load(s, dir, "embeddings")
     def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
-    graft.operators.IncrementalVectors.initModel(slice(0), base)
-    (0 until 3).foreach { d =>
-      graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalVectors.initModel(slice(0), base)
+      (0 until 3).foreach { d =>
+        graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+      }
     }
     val queries = emb.filter(col("vec_id") < 10)
-    val adc = graft.operators.IncrementalVectors
-      .adcSearch(s, base, queries)
-      .select(lit("adc").as("method"), col("qid"), col("rank"), col("cid"),
-        col("adist").as("score"))
-    val ivf = graft.operators.IncrementalVectors
-      .ivfSearch(s, base, queries)
-      .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
-        col("cosine").as("score"))
     // eager materialization so the tables can be dropped before the
     // caller's action (q128's note: a lazy plan needs the tables alive)
-    val out = adc.unionAll(ivf).localCheckpoint()
+    val out = graft.Phases.timed("serve") {
+      val adc = graft.operators.IncrementalVectors
+        .adcSearch(s, base, queries)
+        .select(lit("adc").as("method"), col("qid"), col("rank"), col("cid"),
+          col("adist").as("score"))
+      val ivf = graft.operators.IncrementalVectors
+        .ivfSearch(s, base, queries)
+        .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
+          col("cosine").as("score"))
+      adc.unionAll(ivf).localCheckpoint()
+    }
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     out.orderBy(col("method"), col("qid"), col("rank"))
   }
@@ -961,15 +1046,21 @@ object TextQueries {
     Warehouse.sweepOrphans(s, "graft_q142_p")
     val emb = Tables.load(s, dir, "embeddings")
     def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
-    graft.operators.IncrementalVectors.initModel(slice(0), base)
-    (0 until 3).foreach { d =>
-      graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalVectors.initModel(slice(0), base)
+      (0 until 3).foreach { d =>
+        graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+      }
     }
-    graft.operators.IncrementalVectors.refitQuantizer(s, base,
-      emb.filter(pmod(col("vec_id"), lit(3L)) >= 1), gen = "refit1")
-    val out = graft.operators.IncrementalVectors
-      .ivfSearch(s, base, emb.filter(col("vec_id") < 10))
-      .localCheckpoint() // eager: the tables drop below (q133's note)
+    graft.Phases.timed("migrate") {
+      graft.operators.IncrementalVectors.refitQuantizer(s, base,
+        emb.filter(pmod(col("vec_id"), lit(3L)) >= 1), gen = "refit1")
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalVectors
+        .ivfSearch(s, base, emb.filter(col("vec_id") < 10))
+        .localCheckpoint() // eager: the tables drop below (q133's note)
+    }
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     out.orderBy(col("qid"), col("rank"))
   }
@@ -995,20 +1086,24 @@ object TextQueries {
     Warehouse.sweepOrphans(s, "graft_q144_p")
     val emb = Tables.load(s, dir, "embeddings")
     def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
-    graft.operators.IncrementalVectors.initModel(slice(0), base)
-    (0 until 3).foreach { d =>
-      graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalVectors.initModel(slice(0), base)
+      (0 until 3).foreach { d =>
+        graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+      }
     }
     val queries = emb.filter(col("vec_id") < 10)
-    val adc = graft.operators.IncrementalVectors
-      .adcSearch(s, base, queries, upTo = Some("d1"))
-      .select(lit("adc").as("method"), col("qid"), col("rank"), col("cid"),
-        col("adist").as("score"))
-    val ivf = graft.operators.IncrementalVectors
-      .ivfSearch(s, base, queries, upTo = Some("d1"))
-      .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
-        col("cosine").as("score"))
-    val out = adc.unionAll(ivf).localCheckpoint() // tables drop below
+    val out = graft.Phases.timed("serve") {
+      val adc = graft.operators.IncrementalVectors
+        .adcSearch(s, base, queries, upTo = Some("d1"))
+        .select(lit("adc").as("method"), col("qid"), col("rank"), col("cid"),
+          col("adist").as("score"))
+      val ivf = graft.operators.IncrementalVectors
+        .ivfSearch(s, base, queries, upTo = Some("d1"))
+        .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
+          col("cosine").as("score"))
+      adc.unionAll(ivf).localCheckpoint() // tables drop below
+    }
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     out.orderBy(col("method"), col("qid"), col("rank"))
   }

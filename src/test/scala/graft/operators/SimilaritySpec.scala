@@ -122,6 +122,22 @@ class SimilaritySpec extends SparkSpec {
     assert(banded == exact, s"banded missed ${(exact -- banded).size} of ${exact.size} pairs")
   }
 
+  test("banded LSH derives bits-per-band by the log2 N law at three corpus sizes") {
+    // fixture scale (sf0.01 augmented ≈ 1.2k): 11 bits
+    assert(Similarity.derivedRowsPerBand(1210L, 128) == 11)
+    // sf0.1 augmented ≈ 12k: 14 bits — the regime where the old fixed
+    // 8-bit default started to go pigeonhole-quadratic
+    assert(Similarity.derivedRowsPerBand(12100L, 128) == 14)
+    // 50x composite ≈ 600k: clamped at 16 bits (beyond it the per-band
+    // match probability for true near-dups decays past the miss budget)
+    assert(Similarity.derivedRowsPerBand(600000L, 128) == 16)
+    // floor clamp: tiny corpora never band below 4 bits
+    assert(Similarity.derivedRowsPerBand(10L, 128) == 4)
+    // exact powers of two: ceil(log2 n), not floor
+    assert(Similarity.derivedRowsPerBand(256L, 128) == 8)
+    assert(Similarity.derivedRowsPerBand(257L, 128) == 9)
+  }
+
   test("cosineNearDupBanded plans equi-joins only (no nested-loop, no cartesian)") {
     val plan = Similarity.cosineNearDupBanded(emb, 0.9)
       .queryExecution.executedPlan.toString

@@ -192,4 +192,70 @@ class StoreMaintenanceSpec extends SparkSpec {
     sameRows(IncrementalSpans.report(docs, store), before,
       "re-running the same compaction must be a no-op")
   }
+
+  private def tableLocation(table: String): String =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+
+  private def plantLease(location: String, pid: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(location, "_maintenance_lease")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+    val out = fs.create(p, false)
+    try out.writeBytes(s"$pid ${System.currentTimeMillis()}")
+    finally out.close()
+  }
+
+  test("an append during a live fold is rejected; the fold's exit releases the lease") {
+    val t = "smx_lease_postings"
+    buildPostings(t)
+    try {
+      // simulate a fold in progress: a lease held by a LIVE pid (our own —
+      // liveness, not identity, is what the guard checks)
+      plantLease(tableLocation(t), ProcessHandle.current().pid())
+      val ex = intercept[IllegalStateException] {
+        IncrementalPostings.appendCountsBucketed(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0), t, "d9")
+      }
+      assert(ex.getMessage.contains("fold in progress"), ex.getMessage)
+      // and a second fold against the same live lease also fails fast
+      val ex2 = intercept[IllegalStateException] {
+        StoreMaintenance.compact(spark, t, "d2", tfMerge)
+      }
+      assert(ex2.getMessage.contains("lease"), ex2.getMessage)
+      StoreMaintenance.releaseLease(spark, tableLocation(t))
+      // a real fold acquires and releases around its work: appends succeed
+      // immediately after it returns
+      StoreMaintenance.compact(spark, t, "d2", tfMerge)
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0), t, "d9")
+      assert(partitionsOf(t).contains("d9"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a stale lease (dead pid) is reclaimed by both the fold and the append") {
+    val t = "smx_stale_postings"
+    buildPostings(t)
+    try {
+      // a provably-dead pid: spawn a trivial process and wait it out
+      val proc = new ProcessBuilder("true").start()
+      proc.waitFor()
+      val deadPid = proc.pid()
+      assert(!ProcessHandle.of(deadPid).map[Boolean](_.isAlive).orElse(false))
+      plantLease(tableLocation(t), deadPid)
+      // the fold takes over the crashed holder's lease and completes
+      val before = IncrementalPostings
+        .reportBucketed(spark, t).localCheckpoint()
+      StoreMaintenance.compact(spark, t, "d2", tfMerge)
+      sameRows(IncrementalPostings.reportBucketed(spark, t), before,
+        "fold after stale-lease takeover must preserve the report")
+      assert(partitionsOf(t) == Set("c_d2"))
+      // an append against a fresh stale lease sweeps it and proceeds
+      plantLease(tableLocation(t), deadPid)
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0), t, "d9")
+      assert(partitionsOf(t).contains("d9"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
