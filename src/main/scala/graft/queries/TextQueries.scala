@@ -423,6 +423,7 @@ object TextQueries {
   def q145IncrementalLangModel(s: SparkSession, dir: String): DataFrame = {
     val store = s"/tmp/graft_q145_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
+    Warehouse.sweepTmpOrphans("graft_q145_") // crashed foreign runs
     // clean slate per (process, sf dir) — the q91/q109 lifecycle
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
@@ -639,6 +640,7 @@ object TextQueries {
   def q91IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val store = s"/tmp/graft_q91_${ProcessHandle.current().pid()}_" +
       s"${Integer.toHexString(dir.hashCode)}/sigstore"
+    Warehouse.sweepTmpOrphans("graft_q91_") // crashed foreign runs
     // clean slate per (process, sf dir): a stale store from an earlier run
     // would pollute the candidate set
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -725,6 +727,7 @@ object TextQueries {
     val base = s"/tmp/graft_${tag}_${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode) + "_" +
       java.lang.Long.toHexString(System.nanoTime())
+    Warehouse.sweepTmpOrphans(s"graft_${tag}_") // crashed foreign runs
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     val lab = try {
@@ -1232,6 +1235,7 @@ object TextQueries {
   def q109IncrementalSpans(s: SparkSession, dir: String): DataFrame = {
     val store = s"/tmp/graft_q109_${ProcessHandle.current().pid()}_" +
       s"${Integer.toHexString(dir.hashCode)}/spanstore"
+    Warehouse.sweepTmpOrphans("graft_q109_") // crashed foreign runs
     // clean slate per (process, sf dir) — a stale store would double-count
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)

@@ -75,4 +75,39 @@ object Warehouse {
         }
         .foreach(st => fs.delete(st.getPath, true))
   }
+
+  // /tmp store names come in two shapes: graft_q<NNN>_p<pid>_<hash> (the
+  // q145 convention) and graft_q<NNN>_<pid>_<hash>[_<nonce>] (q91/q109/
+  // q148/q149)
+  private val TmpPidName = """graft_q\d+_p?(\d+)_.*""".r
+
+  private[graft] def isTmpOrphan(name: String): Boolean = name match {
+    case TmpPidName(pidStr) =>
+      pidStr.toLongOption.exists { pid =>
+        val h = ProcessHandle.of(pid)
+        !h.isPresent || !h.get.isAlive
+      }
+    case _ => false
+  }
+
+  /** [[sweepOrphans]] for the per-process PATH stores under /tmp (the
+    * q91/q109/q145/q148/q149 store dirs): delete every `prefix`-named
+    * directory whose embedded pid is dead. Each query already cleans its
+    * OWN slate (and the q148/q149 nonce names are delete-on-exit), but a
+    * crashed FOREIGN run's directories would otherwise leak until
+    * reboot — the warehouse sweep's gap for path stores. `java.io.File`
+    * deliberately: /tmp is host-local by definition, unlike the store
+    * paths themselves (the readOrEmpty lesson does not apply). Live pids
+    * and unparseable names are never touched. */
+  def sweepTmpOrphans(prefix: String, tmpDir: String = "/tmp"): Unit = {
+    def rmrf(x: java.io.File): Unit = {
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      x.delete(); ()
+    }
+    Option(new java.io.File(tmpDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && isTmpOrphan(f.getName))
+      .foreach(rmrf)
+  }
 }

@@ -65,4 +65,32 @@ class WarehouseSpec extends SparkSpec {
     } finally
       Seq(stale, fresh, unparseable).foreach(p => fs.delete(p, true))
   }
+
+  test("tmp path-store sweep reclaims dead-pid dirs in both name shapes, spares live/unparseable") {
+    val tmp = java.nio.file.Files.createTempDirectory("sweeptmp").toFile
+    val proc = new ProcessBuilder("true").start()
+    proc.waitFor()
+    val dead = proc.pid()
+    val live = ProcessHandle.current().pid()
+    val deadPlain = new java.io.File(tmp, s"graft_q903_${dead}_abc12")
+    val deadP = new java.io.File(tmp, s"graft_q903_p${dead}_abc12")
+    val liveDir = new java.io.File(tmp, s"graft_q903_${live}_abc12_ff1")
+    val alien = new java.io.File(tmp, "graft_q903_notapid")
+    try {
+      Seq(deadPlain, deadP, liveDir, alien).foreach(_.mkdirs())
+      // nested content must go too (the stores are directory trees)
+      new java.io.File(deadPlain, "sigstore/ds=d0").mkdirs()
+      Warehouse.sweepTmpOrphans("graft_q903_", tmp.toString)
+      assert(!deadPlain.exists() && !deadP.exists(),
+        "dead-pid stores (both name shapes) must be reclaimed")
+      assert(liveDir.exists(), "a live pid's store must survive")
+      assert(alien.exists(), "unparseable names are not ours to delete")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
 }
