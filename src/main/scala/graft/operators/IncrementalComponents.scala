@@ -109,6 +109,15 @@ object IncrementalComponents {
     * interruption window. */
   def compactLabels(spark: SparkSession, labelsPath: String,
       upTo: String): Unit = {
+    // same writer/compactor mutual exclusion as the StoreMaintenance
+    // folds: hold the lease for the fold's duration; processDate checks it
+    StoreMaintenance.acquireLease(spark, labelsPath)
+    try compactLabelsBody(spark, labelsPath, upTo)
+    finally StoreMaintenance.releaseLease(spark, labelsPath)
+  }
+
+  private def compactLabelsBody(spark: SparkSession, labelsPath: String,
+      upTo: String): Unit = {
     val base = new org.apache.hadoop.fs.Path(labelsPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val label = s"c_$upTo"
@@ -166,6 +175,9 @@ object IncrementalComponents {
   def processDate(spark: SparkSession, newDocs: DataFrame, allDocs: DataFrame,
       sigStore: String, labelsPath: String, repmapPath: String, date: String,
       threshold: Double = 0.5, idCol: String = "doc_id"): Unit = {
+    // fail fast if a compactLabels fold holds the label store's lease
+    // (appendSignatures below guards the signature store the same way)
+    StoreMaintenance.assertNoActiveFold(spark, labelsPath)
     IncrementalDedup.appendSignatures(newDocs, sigStore, date)
     val allSigs = IncrementalDedup.loadSignatures(spark, sigStore)
       .select(col("id"), col("sig"))

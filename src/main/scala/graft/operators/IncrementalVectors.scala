@@ -180,8 +180,12 @@ object IncrementalVectors {
     * consumed, the documented compaction trade). The map rows land
     * BEFORE the rewrite — a mapping whose children don't exist yet is a
     * harmless superset probe filter, while split rows without a mapping
-    * would silently vanish from searches. Returns the
-    * (hotCell → (childA, childB)) splits applied. */
+    * would silently vanish from searches. Driver-side state is BOUNDED
+    * metadata, like the probed-cell collect: the hot-cell list is
+    * ≤ nCells ints and the collected child→parent map holds two ints per
+    * split ever applied (each split requires a cell past `maxCellRows`,
+    * so the map is ≤ |store|/maxCellRows entries — never data-sized).
+    * Returns the (hotCell → (childA, childB)) splits applied. */
   def splitHotCells(spark: SparkSession, table: String,
       maxCellRows: Long): Seq[(Int, (Int, Int))] = {
     val cellsT = s"${table}_cells"
