@@ -278,7 +278,12 @@ object ScaleProbe {
       "q150_matryoshka" -> SparkEntry.queries("q150_matryoshka_recall"),
       "q151_decontam" -> SparkEntry.queries("q151_decontaminated_eval"),
       "q152_sq8_store" -> SparkEntry.queries("q152_sq8_store"),
-      "q153_two_stage" -> SparkEntry.queries("q153_matryoshka_two_stage"))
+      "q153_two_stage" -> SparkEntry.queries("q153_matryoshka_two_stage"),
+      // round-12 second wave: the SQ8 drift detect (bounded PSI/saturation
+      // arithmetic past one encode scan) and its refit act (store build +
+      // reconstruct-re-encode migration + serve, the q142 shape)
+      "q154_sq8_drift" -> SparkEntry.queries("q154_sq8_code_drift"),
+      "q155_sq8_refit" -> SparkEntry.queries("q155_sq8_refit"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -172,6 +172,8 @@ object SparkEntry {
     "q151_decontaminated_eval" -> (TextQueries.q151DecontaminatedEval _),
     "q152_sq8_store" -> (TextQueries.q152SqStore _),
     "q153_matryoshka_two_stage" -> (TextQueries.q153MatryoshkaTwoStage _),
+    "q154_sq8_code_drift" -> (TextQueries.q154SqCodeDrift _),
+    "q155_sq8_refit" -> (TextQueries.q155SqRefit _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -1572,6 +1574,112 @@ object SparkEntry {
         |  SELECT qid, id AS cid,
         |    CAST(SUM(CAST(ROUND(qx * xh, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
         |  FROM sqrec JOIN sqq ON sqrec.dim = sqq.dim AND qid <> id
+        |  GROUP BY 1, 2),
+        |sqr AS (
+        |  SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rank
+        |  FROM sqdot JOIN sqqn USING (qid) JOIN sqcn ON cid = sqcn.id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+        |FROM sqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // q154: SQ8 code-drift audit — replay the d0-frozen grid and clamped
+    // encode, then per-(date, dim) Laplace-smoothed PSI over each dim's
+    // observed code support plus the saturation fraction (codes at the
+    // 0/255 clamp edges) — the scalar-family drift detect
+    "q154_sq8_code_drift" ->
+      """WITH sqdims AS (
+        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |grid AS (
+        |  SELECT dim, MIN(x) AS mn, MAX(x) - MIN(x) AS span
+        |  FROM sqdims WHERE id % 3 = 0 GROUP BY dim),
+        |sqcode AS (
+        |  SELECT id, sqdims.dim,
+        |    CASE WHEN span = 0 THEN 0
+        |      ELSE GREATEST(0, LEAST(255,
+        |        CAST(FLOOR((x - mn) / span * 255 + 0.5) AS INT)))
+        |      END AS code
+        |  FROM sqdims JOIN grid ON sqdims.dim = grid.dim),
+        |ccnt AS (
+        |  SELECT id % 3 AS dt, dim, code, COUNT(*) AS n
+        |  FROM sqcode GROUP BY 1, 2, 3),
+        |supp AS (SELECT DISTINCT dim, code FROM sqcode),
+        |sdim AS (SELECT dim, COUNT(*) AS sd FROM supp GROUP BY dim),
+        |grid3 AS (
+        |  SELECT d.dt, s.dim, s.code
+        |  FROM (SELECT UNNEST([0, 1, 2]) AS dt) d, supp s),
+        |fullg AS (
+        |  SELECT g.dt, g.dim, g.code, COALESCE(n, 0) AS n
+        |  FROM grid3 g LEFT JOIN ccnt c
+        |    ON g.dt = c.dt AND g.dim = c.dim AND g.code = c.code),
+        |ndt AS (SELECT dt, dim, SUM(n) AS ndv FROM fullg GROUP BY 1, 2),
+        |wp AS (
+        |  SELECT f.dt, f.dim, f.code,
+        |    (f.n + 1)::DOUBLE / (t.ndv + s.sd) AS p
+        |  FROM fullg f JOIN ndt t ON f.dt = t.dt AND f.dim = t.dim
+        |    JOIN sdim s ON f.dim = s.dim),
+        |bq AS (SELECT dim, code, p AS q FROM wp WHERE dt = 0),
+        |perdim AS (
+        |  SELECT dt, wp.dim,
+        |    ROUND(CAST(SUM(CAST(ROUND((p - q) * LN(p / q), 12)
+        |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+        |  FROM wp JOIN bq ON wp.dim = bq.dim AND wp.code = bq.code
+        |  GROUP BY 1, 2),
+        |sat AS (
+        |  SELECT dt, SUM(n) AS n_codes,
+        |    SUM(CASE WHEN code IN (0, 255) THEN n ELSE 0 END) AS nsat
+        |  FROM ccnt GROUP BY dt)
+        |SELECT 'd' || CAST(p.dt AS VARCHAR) AS ds,
+        |  CAST(sat.n_codes AS BIGINT) AS n_codes,
+        |  ROUND(CAST(sat.nsat AS DOUBLE) / sat.n_codes, 6) AS sat_frac,
+        |  ROUND(CAST(SUM(CAST(psi AS DECIMAL(28,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS psi_mean,
+        |  MAX(psi) AS psi_max
+        |FROM perdim p JOIN sat ON p.dt = sat.dt
+        |GROUP BY p.dt, sat.n_codes, sat.nsat ORDER BY ds""".stripMargin,
+
+    // q155: SQ8 refit + migration — the full double-quantization chain:
+    // d0 grid, clamped encode, reconstruction, the %3>=1-trained refit
+    // grid, clamped RE-encode of the reconstruction, second
+    // reconstruction, decimal-summed asymmetric serve
+    "q155_sq8_refit" ->
+      """WITH sqdims AS (
+        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |g0 AS (
+        |  SELECT dim, MIN(x) AS mn, MAX(x) - MIN(x) AS span
+        |  FROM sqdims WHERE id % 3 = 0 GROUP BY dim),
+        |xh0 AS (
+        |  SELECT id, sqdims.dim,
+        |    mn + CAST(CASE WHEN span = 0 THEN 0
+        |      ELSE GREATEST(0, LEAST(255,
+        |        CAST(FLOOR((x - mn) / span * 255 + 0.5) AS INT)))
+        |      END AS DOUBLE) / 255 * span AS xh
+        |  FROM sqdims JOIN g0 ON sqdims.dim = g0.dim),
+        |g1 AS (
+        |  SELECT dim, MIN(x) AS mn, MAX(x) - MIN(x) AS span
+        |  FROM sqdims WHERE id % 3 >= 1 GROUP BY dim),
+        |xh1 AS (
+        |  SELECT id, xh0.dim,
+        |    g1.mn + CAST(CASE WHEN g1.span = 0 THEN 0
+        |      ELSE GREATEST(0, LEAST(255,
+        |        CAST(FLOOR((xh0.xh - g1.mn) / g1.span * 255 + 0.5) AS INT)))
+        |      END AS DOUBLE) / 255 * g1.span AS xh
+        |  FROM xh0 JOIN g1 ON xh0.dim = g1.dim),
+        |sqcn AS (
+        |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)) AS cn
+        |  FROM xh1 GROUP BY id),
+        |sqq AS (SELECT id AS qid, dim, x AS qx FROM sqdims WHERE id < 10),
+        |sqqn AS (
+        |  SELECT qid, sqrt(CAST(SUM(CAST(ROUND(qx * qx, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)) AS qn
+        |  FROM sqq GROUP BY qid),
+        |sqdot AS (
+        |  SELECT qid, id AS cid,
+        |    CAST(SUM(CAST(ROUND(qx * xh, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        |  FROM xh1 JOIN sqq ON xh1.dim = sqq.dim AND qid <> id
         |  GROUP BY 1, 2),
         |sqr AS (
         |  SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS cosine,

@@ -238,6 +238,109 @@ object TextQueries {
     out.orderBy(col("qid"), col("rank"))
   }
 
+  /** q154: SQ8 code-drift audit — the q141 detect for the SCALAR index
+    * family: under the store's frozen d0-trained grid, each ingestion
+    * date's per-dimension CODE distributions are compared against the
+    * init date's by population stability index, alongside the
+    * SQ-specific signal q141 has no analog for — the SATURATION fraction
+    * (codes clamped to 0/255), which is exactly how grid drift
+    * manifests in a scalar quantizer: components outside the trained
+    * range pile up on the edges and reconstruction error grows
+    * invisibly to occupancy-style audits. Output per date: code count,
+    * saturated fraction, and the mean/max per-dimension PSI (Laplace
+    * +1/|support| smoothing over the dim's observed code support;
+    * each ≤256-term sum rounds to 12 and decimal-sums, per-dim PSIs
+    * round to 6 before the mean — oracle replays every step; d0 is
+    * identically zero by construction). PSI > 0.25 or a rising
+    * sat_frac is the [[graft.operators.IncrementalSQ.refitGrid]]
+    * trigger (q155 is the act). Scale shape: everything past the
+    * encode scan is (nDates·nDims·256)-bounded. */
+  def q154SqCodeDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+    val grid = graft.operators.SQ.stats(
+      emb.filter(pmod(col("vec_id"), lit(3L)) === 0))
+    // (date, dim, code) counts — bounded at 3·nDims·256 rows
+    val cnt = graft.operators.SQ.encode(emb, grid)
+      .withColumn("dt", pmod(col("id"), lit(3L)))
+      .groupBy(col("dt"), col("dim"), col("code"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val supp = cnt.select(col("dim"), col("code")).distinct()
+    val sdim = supp.groupBy(col("dim")).agg(count(lit(1)).as("sd"))
+    val grid3 = s.range(3).select(col("id").as("dt")).crossJoin(supp)
+    val full = grid3.join(cnt, Seq("dt", "dim", "code"), "left")
+      .select(col("dt"), col("dim"), col("code"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val nd = full.groupBy(col("dt"), col("dim")).agg(sum(col("n")).as("ndv"))
+    val wp = full.join(nd, Seq("dt", "dim")).join(sdim, "dim")
+      .select(col("dt"), col("dim"), col("code"),
+        ((col("n") + 1).cast("double") / (col("ndv") + col("sd"))).as("p"))
+    val bq = wp.filter(col("dt") === 0)
+      .select(col("dim"), col("code"), col("p").as("q"))
+    val perdim = wp.join(bq, Seq("dim", "code"))
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 12))
+      .groupBy(col("dt"), col("dim"))
+      .agg(round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
+        .as("psi"))
+    val sat = cnt.groupBy(col("dt")).agg(
+      sum(col("n")).as("n_codes"),
+      sum(when(col("code") === 0 || col("code") === 255, col("n"))
+        .otherwise(lit(0L))).as("nsat"))
+    perdim.groupBy(col("dt"))
+      .agg(round(sum(col("psi").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6).as("psi_mean"),
+        max(col("psi")).as("psi_max"))
+      .join(sat, "dt")
+      .select(concat(lit("d"), col("dt")).as("ds"),
+        col("n_codes").cast("bigint").as("n_codes"),
+        round(col("nsat").cast("double") / col("n_codes"), 6).as("sat_frac"),
+        col("psi_mean"), col("psi_max"))
+      .orderBy(col("ds"))
+  }
+
+  /** q155: drift-triggered SQ8 grid REFIT + store migration — the ACT
+    * to q154's detect, and the scalar-family twin of q142: build the
+    * q152 store (d0-frozen grid, three date appends), then refit the
+    * grid on the post-init corpus (vec_id % 3 ≥ 1) and migrate every
+    * stored code through [[graft.operators.IncrementalSQ.refitGrid]]'s
+    * marker-committed reconstruct-re-encode fold — codes are NOT
+    * invertible, so the migration quantizes the OLD reconstruction
+    * under the NEW grid (the documented trade for never re-reading the
+    * corpus; production fleets that dropped the float32 vectors have no
+    * other option). The serve then reads the migrated store. The
+    * oracle replays the ENTIRE double-quantization chain — d0 grid,
+    * clamped encode, reconstruction, the %3≥1-trained refit grid, the
+    * clamped RE-encode of the reconstruction, second reconstruction,
+    * decimal-summed asymmetric serve — so a green hash gates the
+    * compounded-error path bit-for-bit, not just the happy path. */
+  def q155SqRefit(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q155_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_grid", s"${base}_codes")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q155_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalSQ.initGrid(slice(0), base)
+      (0 until 3).foreach { d =>
+        graft.operators.IncrementalSQ.appendDate(slice(d), base, s"d$d")
+      }
+    }
+    graft.Phases.timed("migrate") {
+      graft.operators.IncrementalSQ.refitGrid(s, base,
+        emb.filter(pmod(col("vec_id"), lit(3L)) >= 1), gen = "refit1")
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalSQ
+        .search(s, base, emb.filter(col("vec_id") < 10))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("qid"), col("rank"))
+  }
+
   /** q150: MATRYOSHKA truncation recall audit (Kusupati et al.,
     * "Matryoshka Representation Learning", NeurIPS 2022): serve the q30
     * brute top-3 from only the FIRST 16 of 64 dimensions (the 4×-cheaper
