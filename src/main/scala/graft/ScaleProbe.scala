@@ -283,7 +283,11 @@ object ScaleProbe {
       // arithmetic past one encode scan) and its refit act (store build +
       // reconstruct-re-encode migration + serve, the q142 shape)
       "q154_sq8_drift" -> SparkEntry.queries("q154_sq8_code_drift"),
-      "q155_sq8_refit" -> SparkEntry.queries("q155_sq8_refit"))
+      "q155_sq8_refit" -> SparkEntry.queries("q155_sq8_refit"),
+      // round-12 third wave: the compaction-in-the-middle SQ8 cycle and
+      // the persisted matryoshka index (prefix-probe build + full re-rank)
+      "q156_sq8_compact" -> SparkEntry.queries("q156_sq8_compacted"),
+      "q157_matryoshka" -> SparkEntry.queries("q157_matryoshka_store"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -174,6 +174,8 @@ object SparkEntry {
     "q153_matryoshka_two_stage" -> (TextQueries.q153MatryoshkaTwoStage _),
     "q154_sq8_code_drift" -> (TextQueries.q154SqCodeDrift _),
     "q155_sq8_refit" -> (TextQueries.q155SqRefit _),
+    "q156_sq8_compacted" -> (TextQueries.q156SqStoreCompacted _),
+    "q157_matryoshka_store" -> (TextQueries.q157MatryoshkaStore _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -507,7 +509,7 @@ object SparkEntry {
   /** `candWhere` (a predicate over `a.id`) restricts the candidate set,
     * per [[pqAdcCtesFit]]'s note. */
   private def ivfDetCtesFit(fitWhere: String,
-      candWhere: String = "TRUE"): String =
+      candWhere: String = "TRUE", adim: Int = 64): String =
     s"""vfit AS (
        |  SELECT vec_id, embedding, hk FROM fnvmap
        |  WHERE $fitWhere),
@@ -516,13 +518,13 @@ object SparkEntry {
        |  FROM vfit ORDER BY hk, vec_id LIMIT 16),
        |vcb0 AS (
        |  SELECT cid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS c
-       |  FROM vseeds, UNNEST(generate_series(1, 64)) AS u(i)),
+       |  FROM vseeds, UNNEST(generate_series(1, $adim)) AS u(i)),
        |vsdims AS (
        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-       |  FROM vfit, UNNEST(generate_series(1, 64)) AS u(i)),
+       |  FROM vfit, UNNEST(generate_series(1, $adim)) AS u(i)),
        |vdims AS (
        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)),
+       |  FROM embeddings, UNNEST(generate_series(1, $adim)) AS u(i)),
        |vd0 AS (
        |  SELECT id, cid,
        |    SUM(CAST(ROUND((x - c) * (x - c), 12) AS DECIMAL(28,12))) AS d2
@@ -624,6 +626,45 @@ object SparkEntry {
       |    ROW_NUMBER() OVER (PARTITION BY qid
       |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
       |  FROM bd JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)""".stripMargin
+
+  /** The q152 SQ8-store replay — shared verbatim by q156 (the
+    * compaction-in-the-middle cycle): codes are disjoint per-id state,
+    * so the fold re-bins partitions and the serve is bit-equal. */
+  private val sq8StoreSql =
+    """WITH sqdims AS (
+        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+        |grid AS (
+        |  SELECT dim, MIN(x) AS mn, MAX(x) - MIN(x) AS span
+        |  FROM sqdims WHERE id % 3 = 0 GROUP BY dim),
+        |sqrec AS (
+        |  SELECT id, sqdims.dim,
+        |    mn + CAST(CASE WHEN span = 0 THEN 0
+        |      ELSE GREATEST(0, LEAST(255,
+        |        CAST(FLOOR((x - mn) / span * 255 + 0.5) AS INT)))
+        |      END AS DOUBLE) / 255 * span AS xh
+        |  FROM sqdims JOIN grid ON sqdims.dim = grid.dim),
+        |sqcn AS (
+        |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)) AS cn
+        |  FROM sqrec GROUP BY id),
+        |sqq AS (SELECT id AS qid, dim, x AS qx FROM sqdims WHERE id < 10),
+        |sqqn AS (
+        |  SELECT qid, sqrt(CAST(SUM(CAST(ROUND(qx * qx, 12) AS DECIMAL(28,12)))
+        |    AS DOUBLE)) AS qn
+        |  FROM sqq GROUP BY qid),
+        |sqdot AS (
+        |  SELECT qid, id AS cid,
+        |    CAST(SUM(CAST(ROUND(qx * xh, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        |  FROM sqrec JOIN sqq ON sqrec.dim = sqq.dim AND qid <> id
+        |  GROUP BY 1, 2),
+        |sqr AS (
+        |  SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rank
+        |  FROM sqdot JOIN sqqn USING (qid) JOIN sqcn ON cid = sqcn.id)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+        |FROM sqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   private val knnBruteSql =
     s"""WITH $embNormCte,
@@ -1547,41 +1588,21 @@ object SparkEntry {
     // that freezing makes load-bearing: later dates' components outside
     // the trained range clamp instead of escaping uint8. A green hash
     // gates store-served == from-scratch with the frozen grid.
-    "q152_sq8_store" ->
-      """WITH sqdims AS (
-        |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-        |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
-        |grid AS (
-        |  SELECT dim, MIN(x) AS mn, MAX(x) - MIN(x) AS span
-        |  FROM sqdims WHERE id % 3 = 0 GROUP BY dim),
-        |sqrec AS (
-        |  SELECT id, sqdims.dim,
-        |    mn + CAST(CASE WHEN span = 0 THEN 0
-        |      ELSE GREATEST(0, LEAST(255,
-        |        CAST(FLOOR((x - mn) / span * 255 + 0.5) AS INT)))
-        |      END AS DOUBLE) / 255 * span AS xh
-        |  FROM sqdims JOIN grid ON sqdims.dim = grid.dim),
-        |sqcn AS (
-        |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
-        |    AS DOUBLE)) AS cn
-        |  FROM sqrec GROUP BY id),
-        |sqq AS (SELECT id AS qid, dim, x AS qx FROM sqdims WHERE id < 10),
-        |sqqn AS (
-        |  SELECT qid, sqrt(CAST(SUM(CAST(ROUND(qx * qx, 12) AS DECIMAL(28,12)))
-        |    AS DOUBLE)) AS qn
-        |  FROM sqq GROUP BY qid),
-        |sqdot AS (
-        |  SELECT qid, id AS cid,
-        |    CAST(SUM(CAST(ROUND(qx * xh, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
-        |  FROM sqrec JOIN sqq ON sqrec.dim = sqq.dim AND qid <> id
-        |  GROUP BY 1, 2),
-        |sqr AS (
-        |  SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY qid
-        |      ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rank
-        |  FROM sqdot JOIN sqqn USING (qid) JOIN sqcn ON cid = sqcn.id)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
-        |FROM sqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "q152_sq8_store" -> sq8StoreSql,
+    "q156_sq8_compacted" -> sq8StoreSql,
+
+    // q157: the persisted matryoshka index — the deterministic-IVF
+    // replay with ASSIGNMENT (training, corpus assignment, probe
+    // ranking) restricted to the 16-dim prefix (adim = 16) while the
+    // within-cell re-rank scores full-dimension cosine (the vd/vs CTEs
+    // read the full embedding and the full-dim norms)
+    "q157_matryoshka_store" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${ivfDetCtesFit("vec_id % 3 = 0", adim = 16)}
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+         |FROM vs WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
 
     // q154: SQ8 code-drift audit — replay the d0-frozen grid and clamped
     // encode, then per-(date, dim) Laplace-smoothed PSI over each dim's

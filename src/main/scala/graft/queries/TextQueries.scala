@@ -238,6 +238,76 @@ object TextQueries {
     out.orderBy(col("qid"), col("rank"))
   }
 
+  /** q157: the persisted MATRYOSHKA index (see
+    * [[graft.operators.Matryoshka]]) — q153's two-stage serve as a
+    * STORE: the IVF coarse quantizer trains and probes on the 16-dim
+    * PREFIX (frozen at the d0 ingestion date), posting rows carry the
+    * FULL vector, and the serve re-ranks only the probed lists by exact
+    * full-dimension cosine. Stage 1 pays quarter-dimension arithmetic,
+    * stage 2 full precision, the corpus is assigned once per row ever.
+    * The oracle replays prefix k-means training (hash-least seeds, one
+    * Lloyd update), full-corpus prefix assignment, prefix probe
+    * ranking, and the full-dim re-rank — the whole index bit-for-bit. */
+  def q157MatryoshkaStore(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q157_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_ctr", s"${base}_cells")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q157_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    graft.Phases.timed("build") {
+      graft.operators.Matryoshka.initModel(slice(0), base)
+      (0 until 3).foreach { d =>
+        graft.operators.Matryoshka.appendDate(slice(d), base, s"d$d")
+      }
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.Matryoshka
+        .search(s, base, emb.filter(col("vec_id") < 10))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("qid"), col("rank"))
+  }
+
+  /** q156: q152's SQ8 store cycle with RETENTION MAINTENANCE in the
+    * middle — after d1, the d0+d1 code partitions fold into one
+    * consolidated `c_d1` partition through [[graft.operators
+    * .StoreMaintenance.compact]] (bucket spec read from catalog metadata,
+    * marker-committed crash protocol); d2 then appends against the
+    * compacted store and the serve reads the accumulated codes. Codes
+    * are disjoint per-id state (no additive merge needed), so the fold
+    * is a pure re-bin and the oracle is EXACTLY q152's — a green hash
+    * proves maintenance changed the layout, not one code. The
+    * mid-cycle `maintain` phase lands in the bench phases map. */
+  def q156SqStoreCompacted(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q156_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_grid", s"${base}_codes")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q156_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    def ingest(d: Int): Unit =
+      graft.operators.IncrementalSQ.appendDate(slice(d), base, s"d$d")
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalSQ.initGrid(slice(0), base)
+      ingest(0); ingest(1)
+    }
+    graft.Phases.timed("maintain") {
+      graft.operators.StoreMaintenance.compact(s, s"${base}_codes", "d1")
+    }
+    graft.Phases.timed("build") { ingest(2) }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalSQ
+        .search(s, base, emb.filter(col("vec_id") < 10))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("qid"), col("rank"))
+  }
+
   /** q154: SQ8 code-drift audit — the q141 detect for the SCALAR index
     * family: under the store's frozen d0-trained grid, each ingestion
     * date's per-dimension CODE distributions are compared against the

@@ -152,6 +152,32 @@ class IncrementalSQSpec extends SparkSpec {
     } finally dropStore("isq_refit")
   }
 
+  test("code-store compaction re-bins partitions; serve bit-equal, bucket spec preserved") {
+    dropStore("isq_cmp")
+    try {
+      IncrementalSQ.initGrid(slice(0), "isq_cmp")
+      (0 until 2).foreach(d =>
+        IncrementalSQ.appendDate(slice(d), "isq_cmp", s"d$d"))
+      val before = IncrementalSQ.search(spark, "isq_cmp", queries)
+        .localCheckpoint()
+      StoreMaintenance.compact(spark, "isq_cmp_codes", "d1")
+      val parts = spark.sql("SHOW PARTITIONS isq_cmp_codes").collect()
+        .map(_.getString(0)).toSet
+      assert(parts == Set("ds=c_d1"), s"fold must consolidate: $parts")
+      assert(bitEqual(IncrementalSQ.search(spark, "isq_cmp", queries), before),
+        "compaction must re-bin partitions, not codes")
+      // the bucket spec survives the fold (read from catalog metadata),
+      // so continued ingestion and the zero-exchange serve still hold
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst
+          .TableIdentifier("isq_cmp_codes")).bucketSpec
+      assert(spec.exists(_.bucketColumnNames == Seq("id")), s"spec: $spec")
+      IncrementalSQ.appendDate(slice(2), "isq_cmp", "d2")
+      assert(IncrementalSQ.search(spark, "isq_cmp", queries)
+        .groupBy("qid").count().collect().forall(_.getLong(1) == 3))
+    } finally dropStore("isq_cmp")
+  }
+
   test("streamed micro-batches serve the batch-built store's searches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
