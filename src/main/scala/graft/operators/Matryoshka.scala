@@ -81,9 +81,19 @@ object Matryoshka {
     * exact FULL-dimension cosine. Output (qid, rank, cid, cosine), ties
     * by cid — the [[IncrementalVectors.ivfSearch]] contract with prefix
     * probing. */
+  /** AS-OF restriction — the [[IncrementalVectors]] convention verbatim:
+    * the date partitioning makes time-travel a partition PRUNE.
+    * Consolidated `c_<date>` partitions compare by their effective date;
+    * `r_<gen>` rewrite generations are excluded by any as-of. */
+  private def asOf(store: DataFrame, upTo: Option[String]): DataFrame =
+    upTo.fold(store)(d =>
+      store.filter(!col("ds").startsWith("r_") &&
+        regexp_replace(col("ds"), "^c_", "") <= d))
+
   def search(spark: SparkSession, table: String, queries: DataFrame,
       kNeighbors: Int = 3, nProbe: Int = 6, pDim: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      upTo: Option[String] = None): DataFrame = {
     val centroids = spark.table(s"${table}_ctr")
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     val probes = KMeans.cellDistances(
@@ -96,7 +106,7 @@ object Matryoshka {
     // bucketed scan PRUNE — the ivfSearch rationale, verbatim
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val store = spark.table(s"${table}_cells")
+    val store = asOf(spark.table(s"${table}_cells"), upTo)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       Similarity.norm(col(vecCol)).as("qn"))

@@ -49,6 +49,52 @@ class MatryoshkaSpec extends SparkSpec {
     }
   }
 
+  test("as-of search excludes later dates' postings") {
+    dropStore("mat_asof")
+    try {
+      Matryoshka.initModel(slice(0), "mat_asof")
+      Matryoshka.appendDate(slice(0), "mat_asof", "d0")
+      val atD0 = Matryoshka.search(spark, "mat_asof", queries,
+        upTo = Some("d0")).localCheckpoint()
+      Matryoshka.appendDate(slice(1), "mat_asof", "d1")
+      Matryoshka.appendDate(slice(2), "mat_asof", "d2")
+      assert(bitEqual(
+        Matryoshka.search(spark, "mat_asof", queries, upTo = Some("d0")),
+        atD0), "as-of d0 after d1/d2 appends must equal the d0-era search")
+    } finally dropStore("mat_asof")
+  }
+
+  test("streamed micro-batches serve the batch-built store's searches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("smat").toString
+    val pid = ProcessHandle.current().pid()
+    val sBase = s"graft_smat_stream_$pid"
+    val bBase = s"graft_smat_batch_$pid"
+    Seq(sBase, bBase).foreach(dropStore)
+    try {
+      Matryoshka.initModel(slice(0), sBase)
+      Matryoshka.initModel(slice(0), bBase)
+      (0 until 3).foreach(d =>
+        Matryoshka.appendDate(slice(d), bBase, s"d$d"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingMatryoshka.run(
+        ms.toDF().toDF("vec_id", "embedding"), sBase, s"$tmp/ck")
+      (0 until 3).foreach { d =>
+        ms.addData(slice(d).select("vec_id", "embedding")
+          .as[(Long, Array[Float])].collect().toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val want = Matryoshka.search(spark, bBase, queries).localCheckpoint()
+      val got = Matryoshka.search(spark, sBase, queries)
+      assert(want.count() > 0)
+      assert(bitEqual(got, want),
+        "streamed store must serve the batch store's results bit-equal")
+    } finally Seq(sBase, bBase).foreach(dropStore)
+  }
+
   test("probing every cell degenerates to exact full-dimension brute force") {
     dropStore("mat_all")
     try {
