@@ -87,7 +87,11 @@ object MemProbe {
       // round-12: the compaction-in-the-middle clustering cycle, the
       // shingle-keyed eval purge, and the incremental SQ8 store lifecycle
       "q149_components_compacted", "q151_decontaminated_eval",
-      "q152_sq8_store")
+      "q152_sq8_store",
+      // round-12 third wave: the SQ8 refit migration (double
+      // quantization under the ceiling) and the prefix-probed
+      // matryoshka store (full vectors in cell rows)
+      "q155_sq8_refit", "q157_matryoshka_store")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
