@@ -287,7 +287,12 @@ object ScaleProbe {
       // round-12 third wave: the compaction-in-the-middle SQ8 cycle and
       // the persisted matryoshka index (prefix-probe build + full re-rank)
       "q156_sq8_compact" -> SparkEntry.queries("q156_sq8_compacted"),
-      "q157_matryoshka" -> SparkEntry.queries("q157_matryoshka_store"))
+      "q157_matryoshka" -> SparkEntry.queries("q157_matryoshka_store"),
+      // round-12 fourth wave: store-served BM25 (postings + norms builds,
+      // exchange-free serve) and the hybrid serving stack (both stores +
+      // RRF fusion of two bounded rankings)
+      "q158_bm25_store" -> SparkEntry.queries("q158_bm25_store"),
+      "q159_hybrid_store" -> SparkEntry.queries("q159_hybrid_store_serve"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -176,6 +176,8 @@ object SparkEntry {
     "q155_sq8_refit" -> (TextQueries.q155SqRefit _),
     "q156_sq8_compacted" -> (TextQueries.q156SqStoreCompacted _),
     "q157_matryoshka_store" -> (TextQueries.q157MatryoshkaStore _),
+    "q158_bm25_store" -> (Quality.q158Bm25Store _),
+    "q159_hybrid_store_serve" -> (Quality.q159HybridStoreServe _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -665,6 +667,31 @@ object SparkEntry {
         |  FROM sqdot JOIN sqqn USING (qid) JOIN sqcn ON cid = sqcn.id)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
         |FROM sqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** q74's one-shot BM25 replay — shared verbatim by q158 (the
+    * store-served path): tf and per-doc-length state are additive
+    * across ingestion dates, so the accumulated stores reproduce the
+    * one-shot scores bit-for-bit. */
+  private val bm25Sql =
+    """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        |  WHERE term IN ('data', 'query') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |part AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |        * (tf * (1.2 + 1.0))
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus)
+        |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score, COUNT(*) AS n_hit_terms
+        |FROM part GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   private val knnBruteSql =
     s"""WITH $embNormCte,
@@ -1590,6 +1617,47 @@ object SparkEntry {
     // gates store-served == from-scratch with the frozen grid.
     "q152_sq8_store" -> sq8StoreSql,
     "q156_sq8_compacted" -> sq8StoreSql,
+
+    // q159: hybrid-from-stores — q132's RRF shape with the lexical leg
+    // replayed by q74's BM25 CTEs (the additive store state) and the
+    // dense leg by the prefix-IVF pipeline (the q157 matryoshka store's
+    // serve), fused by the same rounded-decimal RRF arithmetic
+    "q159_hybrid_store_serve" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${ivfDetCtesFit("vec_id % 3 = 0", adim = 16)},
+         |toks AS (
+         |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+         |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  WHERE term IN ('data', 'query') GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+         |part AS (
+         |  SELECT btf.doc_id,
+         |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * (1.2 + 1.0))
+         |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+         |      AS DECIMAL(18,6)) AS s
+         |  FROM btf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+         |        FROM part GROUP BY doc_id
+         |        ORDER BY score DESC, doc_id LIMIT 10)),
+         |vec AS (SELECT cid AS id, rank FROM vs WHERE qid = 0 AND rank <= 10),
+         |fused AS (
+         |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
+         |  FROM lex
+         |  UNION ALL
+         |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
+         |  FROM vec)
+         |SELECT id, CAST(SUM(s) AS DOUBLE) AS rrf_score, COUNT(*) AS n_lists
+         |FROM fused GROUP BY id
+         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
 
     // q157: the persisted matryoshka index — the deterministic-IVF
     // replay with ASSIGNMENT (training, corpus assignment, probe
@@ -2878,26 +2946,11 @@ object SparkEntry {
     // q74: BM25 partials rounded to 6 then summed through DECIMAL (exact,
     // order-independent) — the arithmetic shape mirrors the Spark plan
     // token for token so doubles agree bit-exactly.
-    "q74_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
-        |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
-        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-        |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-        |  WHERE term IN ('data', 'query') GROUP BY 1, 2),
-        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |part AS (
-        |  SELECT tf.doc_id,
-        |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-        |        * (tf * (1.2 + 1.0))
-        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
-        |      AS DECIMAL(18,6)) AS s
-        |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus)
-        |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score, COUNT(*) AS n_hit_terms
-        |FROM part GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q74_bm25" -> bm25Sql,
+    // q158: store-served BM25 — tf and dl state are additive, so the
+    // accumulated postings+norms stores reproduce the one-shot scores
+    // exactly; the oracle IS q74's
+    "q158_bm25_store" -> bm25Sql,
 
     // q75: corpus-trained char-trigram LM; per-occurrence ln rounded to 6,
     // decimal-summed (exact), emitted as double.

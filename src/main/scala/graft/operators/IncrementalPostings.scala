@@ -80,4 +80,49 @@ object IncrementalPostings {
       spark.table(table)
         .groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")),
       k)
+
+  /** Append one date's per-document LENGTHS (doc_id, dl) to the norms
+    * table `t_dl`, bucketed on doc_id — Lucene's norms file,
+    * Spark-shaped: BM25's length normalization needs every document's
+    * token count, and deriving it from the tf store at query time would
+    * be a corpus-sized (doc_id) aggregate against a TERM-bucketed
+    * layout (one full reshuffle per query). Indexed once per date here,
+    * the serve-time merge (Σ dl across dates per doc) runs exchange-free
+    * on the doc-bucketed scan. dl is computed scan-local (token-array
+    * size — no aggregate), and dl ≡ Σ tf of [[appendCountsBucketed]]'s
+    * rows for the same date by construction (same tokenizer). */
+  def appendNorms(docs: DataFrame, table: String, date: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 8): Unit = {
+    StoreMaintenance.assertNoActiveFoldTable(docs.sparkSession, s"${table}_dl")
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(graft.functions.TextFunctions.tokens(col(textCol)),
+          w => length(w) > 0)).cast("bigint").as("dl"))
+      .withColumn("ds", lit(date))
+      .write.mode("append")
+      .partitionBy("ds")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${table}_dl")
+  }
+
+  /** BM25 ranked retrieval SERVED from the accumulated store — the
+    * lexical twin of [[IncrementalVectors.adcSearch]]: query-term tf
+    * rows come off the term-bucketed tf table (the `IN` filter pushes to
+    * the term-sorted scan, so row-group stats skip non-matching data;
+    * the (term, doc_id) merge's distribution is satisfied by the term
+    * bucketing), per-doc lengths off the doc-bucketed norms table (the
+    * (doc_id) merge likewise exchange-free), and [[Search.bm25Score]]
+    * does the rest with aggregate-sized broadcast state. No token scan,
+    * no re-tokenization — the indexing dates paid both, once per doc. */
+  def bm25Bucketed(spark: SparkSession, table: String,
+      queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tf = spark.table(table)
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("doc_id", "term").agg(sum(col("tf")).as("tf"))
+    val dl = spark.table(s"${table}_dl")
+      .groupBy("doc_id").agg(sum(col("dl")).as("dl"))
+    Search.bm25Score(tf, dl, k, k1, b)
+  }
 }

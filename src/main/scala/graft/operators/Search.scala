@@ -39,11 +39,24 @@ object Search {
       .filter(length(col("term")) > 0)
     // per-doc length and corpus stats (1 row, broadcast)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // tf for query terms only — the filter prunes the token stream BEFORE
     // the aggregation, so the tf shuffle carries query-matching rows only
     val tf = toks.filter(col("term").isInCollection(queryTerms))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, k, k1, b)
+  }
+
+  /** The BM25 scoring core over pre-computed state: query-term
+    * (doc_id, term, tf) rows and per-doc lengths (doc_id, dl). Shared by
+    * the one-shot [[bm25]] (which derives both from a token scan) and
+    * the store-served [[IncrementalPostings.bm25Bucketed]] (which reads
+    * both from bucketed tables the indexing dates already paid for —
+    * Lucene's norms file, Spark-shaped). Corpus stats and per-term df
+    * are aggregate-sized and broadcast; per-term partials round to 6 and
+    * decimal-sum (the q74 determinism contract). */
+  private[operators] def bm25Score(tf: DataFrame, dl: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

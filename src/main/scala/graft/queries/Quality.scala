@@ -157,6 +157,94 @@ object Quality {
     * The synthetic corpus keys documents and embeddings by the same row
     * id space, which is what makes the fusion join meaningful here; a
     * real deployment retrieves both lists over the same document key. */
+  /** q158: BM25 SERVED from the persisted postings + norms stores — the
+    * lexical index finally gets the serve-from-store row the vector
+    * families have (see [[graft.operators.IncrementalPostings
+    * .bm25Bucketed]]): three ingestion dates append term-bucketed tf rows
+    * AND doc-bucketed per-doc lengths (the norms table — Lucene's norms
+    * file, Spark-shaped); the q74 query ("data", "query", top-10) is then
+    * answered entirely from the accumulated stores — no token scan at
+    * serve time, both store-side merges exchange-free on their bucket
+    * layouts. tf and dl state are additive, so the oracle is EXACTLY
+    * q74's one-shot SQL — a green hash proves store-served ==
+    * from-scratch BM25. */
+  def q158Bm25Store(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_q158_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(tbl, s"${tbl}_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q158_p")
+    val docs = Tables.load(s, dir, "documents")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, tbl, s"d$d")
+        graft.operators.IncrementalPostings
+          .appendNorms(slice, tbl, s"d$d")
+      }
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalPostings
+        .bm25Bucketed(s, tbl, Seq("data", "query"))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** q159: HYBRID retrieval served entirely FROM STORES — the full
+    * production serving stack as one oracle-gated row: the lexical leg
+    * is q158's store-served BM25 (term-bucketed tf + doc-bucketed norms,
+    * built once per date), the dense leg is the q157 matryoshka store's
+    * prefix-probed full-dim re-rank for query vector 0 (top-10), and
+    * reciprocal-rank fusion (Cormack et al., SIGIR'09) merges the two
+    * bounded rankings. Where q132 rebuilt both retrievers from scratch
+    * inside the query, here every corpus-sized cost was paid at indexing
+    * time — the serve touches query-term postings, probed posting lists,
+    * and two 10-row rankings. The oracle replays q74's BM25, the
+    * prefix-IVF pipeline (train, assign, probe, full-dim re-rank), and
+    * the RRF arithmetic end to end. */
+  def q159HybridStoreServe(s: SparkSession, dir: String): DataFrame = {
+    val lexT = s"graft_q159_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val vecT = s"${lexT}v"
+    val tbls = Seq(lexT, s"${lexT}_dl", s"${vecT}_ctr", s"${vecT}_cells")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q159_p")
+    val docs = Tables.load(s, dir, "documents")
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        val dslice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(dslice, lexT, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(dslice, lexT, s"d$d")
+      }
+      graft.operators.Matryoshka.initModel(
+        emb.filter(pmod(col("vec_id"), lit(3L)) === 0), vecT)
+      (0 until 3).foreach { d =>
+        graft.operators.Matryoshka.appendDate(
+          emb.filter(pmod(col("vec_id"), lit(3L)) === d), vecT, s"d$d")
+      }
+    }
+    val out = graft.Phases.timed("serve") {
+      val rankW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = graft.operators.IncrementalPostings
+        .bm25Bucketed(s, lexT, Seq("data", "query"))
+        // partition-less window is safe: it ranks the 10-row top-k result
+        .withColumn("rank", row_number().over(rankW))
+        .select(col("doc_id").as("id"), col("rank"))
+      val vec = graft.operators.Matryoshka
+        .search(s, vecT, emb.filter(col("vec_id") === 0), kNeighbors = 10)
+        .select(col("cid").as("id"), col("rank"))
+      graft.operators.Search.rrfFuse(Seq(lex, vec)).localCheckpoint()
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("rrf_score").desc, col("id"))
+  }
+
   def q132HybridRrf(s: SparkSession, dir: String): DataFrame = {
     val rankW = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
