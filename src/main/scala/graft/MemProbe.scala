@@ -91,7 +91,9 @@ object MemProbe {
       // round-12 third wave: the SQ8 refit migration (double
       // quantization under the ceiling) and the prefix-probed
       // matryoshka store (full vectors in cell rows)
-      "q155_sq8_refit", "q157_matryoshka_store")
+      "q155_sq8_refit", "q157_matryoshka_store",
+      // round-12 fourth wave: store-served BM25 and the hybrid stack
+      "q158_bm25_store", "q159_hybrid_store_serve")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

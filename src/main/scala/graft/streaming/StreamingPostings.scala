@@ -30,4 +30,29 @@ object StreamingPostings {
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
+
+  /** BUCKETED-store dual feeding the q158 BM25 serve: each micro-batch
+    * appends its tf rows to the term-bucketed table AND its per-doc
+    * lengths to the doc-bucketed norms table — the full lexical-index
+    * state, so [[IncrementalPostings.bm25Bucketed]] answers from a
+    * store that streamed in (streamed == batch, pinned in
+    * StreamingSpec; both are additive state). Retry idempotence is the
+    * family's explicit-drop rule: bucketed `saveAsTable` appends have
+    * no dynamic partition overwrite, so a replayed batch drops its own
+    * `ds=b<id>` partitions from BOTH tables first. */
+  def runBucketed(docs: DataFrame, table: String, checkpoint: String,
+      availableNow: Boolean = false): StreamingQuery = {
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        Seq(table, s"${table}_dl").foreach { t =>
+          if (s.catalog.tableExists(t))
+            s.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='b$id')")
+        }
+        IncrementalPostings.appendCountsBucketed(batch, table, s"b$id")
+        IncrementalPostings.appendNorms(batch, table, s"b$id")
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 }

@@ -244,6 +244,43 @@ class StreamingSpec extends SparkSpec {
       "streamed store report must equal the from-scratch postings build")
   }
 
+  test("streaming bucketed postings+norms: BM25 served from the streamed store equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("sbm25").toString
+    val pid = ProcessHandle.current().pid()
+    val sT = s"graft_sbm25_stream_$pid"
+    val bT = s"graft_sbm25_batch_$pid"
+    val all = Seq(sT, bT).flatMap(t => Seq(t, s"${t}_dl"))
+    all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docs = graft.Tables.load(spark, sf, "documents")
+      (0 until 2).foreach { d =>
+        val slice = docs.filter(col("doc_id") % 2 === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, bT, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, bT, s"d$d")
+      }
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingPostings.runBucketed(
+        ms.toDF().toDF("doc_id", "text"), sT, s"$tmp/ck")
+      (0 until 2).foreach { d =>
+        ms.addData(docs.filter(col("doc_id") % 2 === d)
+          .select("doc_id", "text").as[(Long, String)].collect().toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val want = graft.operators.IncrementalPostings
+        .bm25Bucketed(spark, bT, Seq("data", "query")).localCheckpoint()
+      val got = graft.operators.IncrementalPostings
+        .bm25Bucketed(spark, sT, Seq("data", "query"))
+      assert(want.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "streamed lexical store must serve the batch store's BM25 bit-equal")
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming vector store: streamed micro-batches serve the batch-built store's searches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
