@@ -174,10 +174,19 @@ object IncrementalComponents {
     * structurally. */
   def processDate(spark: SparkSession, newDocs: DataFrame, allDocs: DataFrame,
       sigStore: String, labelsPath: String, repmapPath: String, date: String,
-      threshold: Double = 0.5, idCol: String = "doc_id"): Unit = {
-    // fail fast if a compactLabels fold holds the label store's lease
+      threshold: Double = 0.5, idCol: String = "doc_id"): Unit =
+    // hold an append lease on the label store for the whole step — a
+    // compactLabels fold that starts mid-step backs off against it
     // (appendSignatures below guards the signature store the same way)
-    StoreMaintenance.assertNoActiveFold(spark, labelsPath)
+    StoreMaintenance.withAppendLease(spark, labelsPath) {
+      processDateLocked(spark, newDocs, allDocs, sigStore, labelsPath,
+        repmapPath, date, threshold, idCol)
+    }
+
+  private def processDateLocked(spark: SparkSession, newDocs: DataFrame,
+      allDocs: DataFrame, sigStore: String, labelsPath: String,
+      repmapPath: String, date: String, threshold: Double,
+      idCol: String): Unit = {
     IncrementalDedup.appendSignatures(newDocs, sigStore, date)
     val allSigs = IncrementalDedup.loadSignatures(spark, sigStore)
       .select(col("id"), col("sig"))

@@ -34,12 +34,13 @@ object IncrementalDedup {
     * marker semantics). */
   def appendSignatures(docs: DataFrame, store: String, date: String,
       k: Int = 32, idCol: String = "doc_id"): Unit = {
-    StoreMaintenance.assertNoActiveFold(docs.sparkSession, store)
-    Dedup.minhashSignatures(docs, k, idCol)
-      .withColumn("ds", lit(date))
-      .write.mode("overwrite").partitionBy("ds")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(store)
+    StoreMaintenance.withAppendLease(docs.sparkSession, store) {
+      Dedup.minhashSignatures(docs, k, idCol)
+        .withColumn("ds", lit(date))
+        .write.mode("overwrite").partitionBy("ds")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store)
+    }
   }
 
   /** All signatures accumulated so far. */
@@ -119,13 +120,14 @@ object IncrementalDedup {
   def appendBandsBucketed(docs: DataFrame, table: String, date: String,
       k: Int = 32, rowsPerBand: Int = 2, idCol: String = "doc_id",
       nBuckets: Int = 8): Unit = {
-    StoreMaintenance.assertNoActiveFoldTable(docs.sparkSession, table)
-    Dedup.bandRows(Dedup.minhashSignatures(docs, k, idCol), k, rowsPerBand)
-      .withColumn("ds", lit(date))
-      .write.mode("append")
-      .partitionBy("ds")
-      .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
-      .saveAsTable(table)
+    StoreMaintenance.withAppendLeaseTable(docs.sparkSession, table) {
+      Dedup.bandRows(Dedup.minhashSignatures(docs, k, idCol), k, rowsPerBand)
+        .withColumn("ds", lit(date))
+        .write.mode("append")
+        .partitionBy("ds")
+        .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
+        .saveAsTable(table)
+    }
   }
 
   /** One incremental step against the bucketed store: pairs involving at

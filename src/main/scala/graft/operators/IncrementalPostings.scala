@@ -29,12 +29,13 @@ object IncrementalPostings {
     * rows under that date's partition (idempotent re-run). */
   def appendCounts(docs: DataFrame, store: String, date: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    StoreMaintenance.assertNoActiveFold(docs.sparkSession, store)
-    Search.termFrequencies(docs, idCol, textCol)
-      .withColumn("ds", lit(date))
-      .write.mode("overwrite").partitionBy("ds")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(store)
+    StoreMaintenance.withAppendLease(docs.sparkSession, store) {
+      Search.termFrequencies(docs, idCol, textCol)
+        .withColumn("ds", lit(date))
+        .write.mode("overwrite").partitionBy("ds")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store)
+    }
   }
 
   /** Index report over the accumulated store — same output contract as
@@ -62,13 +63,14 @@ object IncrementalPostings {
   def appendCountsBucketed(docs: DataFrame, table: String, date: String,
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 8): Unit = {
-    StoreMaintenance.assertNoActiveFoldTable(docs.sparkSession, table)
-    Search.termFrequencies(docs, idCol, textCol)
-      .withColumn("ds", lit(date))
-      .write.mode("append")
-      .partitionBy("ds")
-      .bucketBy(nBuckets, "term").sortBy("term")
-      .saveAsTable(table)
+    StoreMaintenance.withAppendLeaseTable(docs.sparkSession, table) {
+      Search.termFrequencies(docs, idCol, textCol)
+        .withColumn("ds", lit(date))
+        .write.mode("append")
+        .partitionBy("ds")
+        .bucketBy(nBuckets, "term").sortBy("term")
+        .saveAsTable(table)
+    }
   }
 
   /** Report over the bucketed store — same output contract as [[report]],
@@ -90,19 +92,26 @@ object IncrementalPostings {
     * the serve-time merge (Σ dl across dates per doc) runs exchange-free
     * on the doc-bucketed scan. dl is computed scan-local (token-array
     * size — no aggregate), and dl ≡ Σ tf of [[appendCountsBucketed]]'s
-    * rows for the same date by construction (same tokenizer). */
+    * rows for the same date by construction (same tokenizer). Documents
+    * that tokenize to ZERO terms are excluded (dl > 0), matching the
+    * one-shot [[Search.bm25]] derivation, which builds dl from the token
+    * stream and so never sees an empty doc — without the filter,
+    * store-served n_docs/avgdl would diverge from the one-shot/oracle on
+    * any corpus containing a whitespace-only document. */
   def appendNorms(docs: DataFrame, table: String, date: String,
       idCol: String = "doc_id", textCol: String = "text",
       nBuckets: Int = 8): Unit = {
-    StoreMaintenance.assertNoActiveFoldTable(docs.sparkSession, s"${table}_dl")
-    docs.select(col(idCol).as("doc_id"),
-        size(filter(graft.functions.TextFunctions.tokens(col(textCol)),
-          w => length(w) > 0)).cast("bigint").as("dl"))
-      .withColumn("ds", lit(date))
-      .write.mode("append")
-      .partitionBy("ds")
-      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${table}_dl")
+    StoreMaintenance.withAppendLeaseTable(docs.sparkSession, s"${table}_dl") {
+      docs.select(col(idCol).as("doc_id"),
+          size(filter(graft.functions.TextFunctions.tokens(col(textCol)),
+            w => length(w) > 0)).cast("bigint").as("dl"))
+        .filter(col("dl") > 0)
+        .withColumn("ds", lit(date))
+        .write.mode("append")
+        .partitionBy("ds")
+        .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${table}_dl")
+    }
   }
 
   /** BM25 ranked retrieval SERVED from the accumulated store — the

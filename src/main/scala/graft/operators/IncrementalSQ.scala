@@ -59,13 +59,14 @@ object IncrementalSQ {
       nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    // fail fast against a concurrent maintenance fold (the family rule)
-    StoreMaintenance.assertNoActiveFoldTable(spark, s"${table}_codes")
-    SQ.encode(emb, spark.table(s"${table}_grid"), idCol, vecCol)
-      .withColumn("ds", lit(date))
-      .write.mode("append").partitionBy("ds")
-      .bucketBy(nBuckets, "id").sortBy("id")
-      .saveAsTable(s"${table}_codes")
+    // hold an append lease for the write's duration (the family rule)
+    StoreMaintenance.withAppendLeaseTable(spark, s"${table}_codes") {
+      SQ.encode(emb, spark.table(s"${table}_grid"), idCol, vecCol)
+        .withColumn("ds", lit(date))
+        .write.mode("append").partitionBy("ds")
+        .bucketBy(nBuckets, "id").sortBy("id")
+        .saveAsTable(s"${table}_codes")
+    }
   }
 
   /** Drop one ingestion date's partition — the re-run/retry guard
@@ -109,13 +110,35 @@ object IncrementalSQ {
     * the new grid in one marker-committed rewrite. Callers that still
     * hold the original corpus should instead re-init a fresh store —
     * reconstruct-re-encode compounds quantization error once, which is
-    * the documented trade for never re-reading the corpus. */
+    * the documented trade for never re-reading the corpus.
+    *
+    * CRASH SAFETY: the old grid is snapshotted DURABLY to `t_grid_prev`
+    * (stamped with `gen`) before the new grid is published, and dropped
+    * only after the rewrite's marker commits — at every crash point the
+    * store either still serves consistently (grid+codes both old) or a
+    * re-run reconstructs the codes against the true old grid from the
+    * persisted snapshot, never against the freshly-published one. A
+    * crashed refit MUST be retried with the SAME `gen` (and the same
+    * `fitDf`) until it completes; starting a different gen while a prev
+    * snapshot from an unfinished refit exists throws. */
   def refitGrid(spark: SparkSession, table: String, fitDf: DataFrame,
       gen: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    val oldGrid = spark.table(s"${table}_grid").localCheckpoint()
+    val prevT = s"${table}_grid_prev"
+    if (spark.catalog.tableExists(prevT)) {
+      // bounded metadata read: the snapshot's gen stamp (1 value)
+      val g = spark.table(prevT).select(col("gen")).limit(1)
+        .collect().headOption.map(_.getString(0))
+      require(g.contains(gen),
+        s"interrupted refit '${g.getOrElse("?")}' on $table must be re-run " +
+          s"to completion (same gen) before starting '$gen'")
+    } else
+      spark.table(s"${table}_grid").withColumn("gen", lit(gen))
+        .write.mode("errorifexists").saveAsTable(prevT)
+    // publish the new grid (idempotent on retry: same fitDf ⇒ same grid)
     SQ.stats(fitDf, idCol, vecCol)
       .write.mode("overwrite").saveAsTable(s"${table}_grid")
+    val oldGrid = spark.table(prevT).drop("gen")
     val newGrid = spark.table(s"${table}_grid")
     StoreMaintenance.rewrite(spark, s"${table}_codes", gen,
       transform = df => {
@@ -129,6 +152,7 @@ object IncrementalSQ {
                   + lit(0.5d)).cast("int"))))
               .cast("int").as("code"))
       })
-    Components.freeLocalCheckpoint(oldGrid)
+    // rewrite committed (marker landed): the old-grid snapshot is garbage
+    spark.sql(s"DROP TABLE IF EXISTS $prevT")
   }
 }

@@ -29,13 +29,14 @@ object IncrementalSpans {
     * under that date's partition (idempotent re-run). */
   def appendCounts(docs: DataFrame, store: String, date: String, n: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    StoreMaintenance.assertNoActiveFold(docs.sparkSession, store)
-    Corpus.spanGrams(docs, n, idCol, textCol)._2
-      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-      .withColumn("ds", lit(date))
-      .write.mode("overwrite").partitionBy("ds")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(store)
+    StoreMaintenance.withAppendLease(docs.sparkSession, store) {
+      Corpus.spanGrams(docs, n, idCol, textCol)._2
+        .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .withColumn("ds", lit(date))
+        .write.mode("overwrite").partitionBy("ds")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store)
+    }
   }
 
   /** Hashes duplicated ANYWHERE in the accumulated store (Σ cnt ≥ 2).

@@ -72,25 +72,27 @@ object IncrementalVectors {
       nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    // fail fast if a maintenance fold holds either store table's lease —
+    // hold an append lease on each store table for its write's duration —
     // an append racing a fold's partition drops would lose rows silently
-    StoreMaintenance.assertNoActiveFoldTable(spark, s"${table}_codes")
-    StoreMaintenance.assertNoActiveFoldTable(spark, s"${table}_cells")
-    PQ.encode(emb, spark.table(s"${table}_cb"), m, idCol, vecCol)
-      .withColumn("ds", lit(date))
-      .write.mode("append").partitionBy("ds")
-      .bucketBy(nBuckets, "id").sortBy("id")
-      .saveAsTable(s"${table}_codes")
-    val cells = KMeans.assign(emb, spark.table(s"${table}_ctr"), idCol, vecCol)
-      .select(col("id"), col("cid").as("cell"))
-    emb.select(col(idCol).as("id"), col(vecCol).as("e"),
-        Similarity.norm(col(vecCol)).as("n"))
-      .join(cells, "id")
-      .select(col("cell"), col("id"), col("e"), col("n"))
-      .withColumn("ds", lit(date))
-      .write.mode("append").partitionBy("ds")
-      .bucketBy(nBuckets, "cell").sortBy("cell")
-      .saveAsTable(s"${table}_cells")
+    StoreMaintenance.withAppendLeaseTable(spark, s"${table}_codes") {
+      PQ.encode(emb, spark.table(s"${table}_cb"), m, idCol, vecCol)
+        .withColumn("ds", lit(date))
+        .write.mode("append").partitionBy("ds")
+        .bucketBy(nBuckets, "id").sortBy("id")
+        .saveAsTable(s"${table}_codes")
+    }
+    StoreMaintenance.withAppendLeaseTable(spark, s"${table}_cells") {
+      val cells = KMeans.assign(emb, spark.table(s"${table}_ctr"), idCol, vecCol)
+        .select(col("id"), col("cid").as("cell"))
+      emb.select(col(idCol).as("id"), col(vecCol).as("e"),
+          Similarity.norm(col(vecCol)).as("n"))
+        .join(cells, "id")
+        .select(col("cell"), col("id"), col("e"), col("n"))
+        .withColumn("ds", lit(date))
+        .write.mode("append").partitionBy("ds")
+        .bucketBy(nBuckets, "cell").sortBy("cell")
+        .saveAsTable(s"${table}_cells")
+    }
   }
 
   /** AS-OF restriction on a per-date store scan — the date partitioning

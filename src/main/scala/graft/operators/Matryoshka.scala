@@ -54,18 +54,19 @@ object Matryoshka {
       pDim: Int = 16, nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    StoreMaintenance.assertNoActiveFoldTable(spark, s"${table}_cells")
-    val cells = KMeans.assign(prefixed(emb, pDim, idCol, vecCol),
-        spark.table(s"${table}_ctr"), idCol, vecCol)
-      .select(col("id"), col("cid").as("cell"))
-    emb.select(col(idCol).as("id"), col(vecCol).as("e"),
-        Similarity.norm(col(vecCol)).as("n"))
-      .join(cells, "id")
-      .select(col("cell"), col("id"), col("e"), col("n"))
-      .withColumn("ds", lit(date))
-      .write.mode("append").partitionBy("ds")
-      .bucketBy(nBuckets, "cell").sortBy("cell")
-      .saveAsTable(s"${table}_cells")
+    StoreMaintenance.withAppendLeaseTable(spark, s"${table}_cells") {
+      val cells = KMeans.assign(prefixed(emb, pDim, idCol, vecCol),
+          spark.table(s"${table}_ctr"), idCol, vecCol)
+        .select(col("id"), col("cid").as("cell"))
+      emb.select(col(idCol).as("id"), col(vecCol).as("e"),
+          Similarity.norm(col(vecCol)).as("n"))
+        .join(cells, "id")
+        .select(col("cell"), col("id"), col("e"), col("n"))
+        .withColumn("ds", lit(date))
+        .write.mode("append").partitionBy("ds")
+        .bucketBy(nBuckets, "cell").sortBy("cell")
+        .saveAsTable(s"${table}_cells")
+    }
   }
 
   /** Drop one ingestion date's partition — the re-run/retry guard. */
@@ -75,12 +76,6 @@ object Matryoshka {
       spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
   }
 
-  /** Two-stage top-k: probe `nProbe` cells by exact PREFIX squared-L2 to
-    * the frozen centroids (the quantizer's own metric), prune the
-    * cell-bucketed scan to the probed cells, then rank candidates by
-    * exact FULL-dimension cosine. Output (qid, rank, cid, cosine), ties
-    * by cid — the [[IncrementalVectors.ivfSearch]] contract with prefix
-    * probing. */
   /** AS-OF restriction — the [[IncrementalVectors]] convention verbatim:
     * the date partitioning makes time-travel a partition PRUNE.
     * Consolidated `c_<date>` partitions compare by their effective date;
@@ -90,6 +85,12 @@ object Matryoshka {
       store.filter(!col("ds").startsWith("r_") &&
         regexp_replace(col("ds"), "^c_", "") <= d))
 
+  /** Two-stage top-k: probe `nProbe` cells by exact PREFIX squared-L2 to
+    * the frozen centroids (the quantizer's own metric), prune the
+    * cell-bucketed scan to the probed cells, then rank candidates by
+    * exact FULL-dimension cosine. Output (qid, rank, cid, cosine), ties
+    * by cid — the [[IncrementalVectors.ivfSearch]] contract with prefix
+    * probing. */
   def search(spark: SparkSession, table: String, queries: DataFrame,
       kNeighbors: Int = 3, nProbe: Int = 6, pDim: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -55,46 +55,92 @@ object StoreMaintenance {
   // daily-append job that overlaps a scheduled fold would race the
   // partition drops (the fold's file listing predates the append — the
   // appended rows land in a partition the fold is about to drop). The
-  // lease below makes that overlap fail FAST on whichever side arrives
-  // second: a fold holds `_maintenance_lease` (pid + timestamp) in the
-  // store root for its duration; appends check it before writing. Best
+  // leases below make that overlap fail FAST on whichever side arrives
+  // second, in BOTH directions: a fold holds the exclusive
+  // `_maintenance_lease` in the store root for its duration; an append
+  // holds a shared `_append_lease_<nonce>` for the duration of ITS write
+  // ([[withAppendLease]]). Each side declares its own lease FIRST and only
+  // then checks for the other, so in every interleaving at least one side
+  // sees the other's file and aborts: a fold that starts after an append's
+  // check now finds the append's lease in its post-acquire listing and
+  // backs off, closing the window where it could drop the partition the
+  // in-flight append is writing. (Two overlapping starts can mutually
+  // abort — fail-fast, a retry succeeds; appends to different dates never
+  // conflict with each other because append leases are shared.) Best
   // effort by design — create-exclusive is atomic on HDFS and local
   // filesystems but only best-effort on eventually-consistent object
   // stores, where the transactional-format commit (the object scaladoc's
-  // deployment note) is the real answer. Staleness mirrors the Warehouse
-  // orphan rule: a lease whose pid is provably dead on this host is
-  // reclaimed; for shared-filesystem deployments (another host's pid is
-  // meaningless here) pass `maxAgeHours` so stillness reclaims it.
+  // deployment note) is the real answer.
+  //
+  // Staleness mirrors the Warehouse orphan rule, hardened for shared
+  // filesystems: the lease embeds (pid, timestamp, hostname, nonce), and
+  // the pid-liveness check applies ONLY when the hostname matches this
+  // host — on HDFS a live fold's lease written from another host must not
+  // be judged dead just because that pid is absent locally. Foreign-host
+  // (or legacy host-less) leases are reclaimed only via the explicit
+  // `maxAgeHours` stillness path.
 
   private[operators] def leaseFile(location: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(location, "_maintenance_lease")
 
+  private val AppendLeasePrefix = "_append_lease_"
+
+  private def localHost: String =
+    scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+      .getOrElse("unknown-host")
+
+  private def leaseContent(): String =
+    s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()} " +
+      s"$localHost ${java.util.UUID.randomUUID()}"
+
+  private case class LeaseHolder(pid: Long, ts: Long, host: String)
+
   private def leaseHolder(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[(Long, Long)] =
+      p: org.apache.hadoop.fs.Path): Option[LeaseHolder] =
     if (!fs.exists(p)) None
     else scala.util.Try {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
       val parts = s.trim.split(" ")
-      (parts(0).toLong, parts(1).toLong)
-    }.toOption.orElse(Some((-1L, 0L))) // unreadable lease: unknown LIVE holder
+      // legacy two-field leases carry no host: treat as foreign (age-only)
+      LeaseHolder(parts(0).toLong, parts(1).toLong,
+        if (parts.length >= 3) parts(2) else "?")
+    }.toOption // unreadable lease ⇒ unknown LIVE holder
+      .orElse(Some(LeaseHolder(-1L, 0L, "?")))
 
-  private def leaseStale(holder: (Long, Long),
+  private def leaseStale(holder: LeaseHolder,
       maxAgeHours: Option[Double]): Boolean = {
-    val (pid, ts) = holder
-    val dead = pid > 0 && {
-      val h = ProcessHandle.of(pid)
+    // pid liveness is only meaningful on the host that wrote the lease
+    val dead = holder.pid > 0 && holder.host == localHost && {
+      val h = ProcessHandle.of(holder.pid)
       !h.isPresent || !h.get().isAlive
     }
     val aged = maxAgeHours.exists(h =>
-      System.currentTimeMillis() - ts > (h * 3600 * 1000).toLong)
+      System.currentTimeMillis() - holder.ts > (h * 3600 * 1000).toLong)
     dead || aged
   }
 
+  private def liveAppendLeases(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, maxAgeHours: Option[Double])
+      : Seq[LeaseHolder] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith(AppendLeasePrefix))
+      .flatMap { st =>
+        leaseHolder(fs, st.getPath) match {
+          case Some(h) if leaseStale(h, maxAgeHours) =>
+            fs.delete(st.getPath, false); None // sweep the crashed append
+          case other => other
+        }
+      }
+
   /** Take the maintenance lease for `location` or throw. A live lease —
     * including one held by THIS process (a concurrent fold in the same
-    * JVM) — rejects; a stale one (dead pid, or older than `maxAgeHours`
-    * when given) is reclaimed. */
+    * JVM) — rejects; a stale one (dead pid on THIS host, or older than
+    * `maxAgeHours` when given) is reclaimed. After acquiring, any live
+    * append lease ([[withAppendLease]]) forces a back-off: the fold
+    * releases its own lease and throws, so it can never drop a partition
+    * an in-flight append is writing. */
   def acquireLease(spark: SparkSession, location: String,
       maxAgeHours: Option[Double] = None): Unit = {
     val p = leaseFile(location)
@@ -103,14 +149,23 @@ object StoreMaintenance {
     leaseHolder(fs, p).foreach { h =>
       if (!leaseStale(h, maxAgeHours))
         throw new IllegalStateException(
-          s"maintenance lease on $location held by live pid ${h._1} — " +
-            "a fold or append is in progress; retry after it completes")
+          s"maintenance lease on $location held by live pid ${h.pid} " +
+            s"on ${h.host} — a fold is in progress; retry after it completes")
       fs.delete(p, false)
     }
     val out = fs.create(p, false) // create-exclusive: lose the race ⇒ throw
-    try out.writeBytes(
-      s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}")
+    try out.writeBytes(leaseContent())
     finally out.close()
+    // declared first, THEN look for writers — any append that our listing
+    // misses necessarily created its lease after ours and will see ours
+    val writers = liveAppendLeases(fs, p.getParent, maxAgeHours)
+    if (writers.nonEmpty) {
+      fs.delete(p, false)
+      throw new IllegalStateException(
+        s"fold backed off: ${writers.size} append(s) in progress on " +
+          s"$location (pid ${writers.head.pid} on ${writers.head.host}) — " +
+          "retry after they complete")
+    }
   }
 
   /** Release a lease this process holds (no-op when absent). */
@@ -122,9 +177,8 @@ object StoreMaintenance {
   }
 
   /** Writer-side guard: throw if a LIVE fold holds `location`'s lease
-    * (sweeping a stale one while here). Incremental-store appends call
-    * this before writing so an append that overlaps a scheduled fold
-    * fails fast instead of racing the partition drops. */
+    * (sweeping a stale one while here). Check-only — for the full
+    * write-duration guard, use [[withAppendLease]]. */
   def assertNoActiveFold(spark: SparkSession, location: String,
       maxAgeHours: Option[Double] = None): Unit = {
     val p = leaseFile(location)
@@ -133,14 +187,47 @@ object StoreMaintenance {
       if (!leaseStale(h, maxAgeHours))
         throw new IllegalStateException(
           s"append rejected: maintenance fold in progress on $location " +
-            s"(lease pid ${h._1}) — retry after the fold completes")
+            s"(lease pid ${h.pid} on ${h.host}) — retry after the fold completes")
       fs.delete(p, false)
     }
   }
 
-  /** [[assertNoActiveFold]] resolved through the catalog — the guard for
-    * table-backed stores (a table that does not exist yet has no lease
-    * to check). */
+  /** Run `body` (an incremental-store append) under a SHARED append lease
+    * on `location`: the lease file is created FIRST, the fold lease is
+    * checked second (abort-and-clean-up if a live fold holds it), and the
+    * append lease is removed when the write finishes. Symmetric with
+    * [[acquireLease]]'s post-acquire writer listing — see the mutual-
+    * exclusion note above for why declare-then-check on both sides leaves
+    * no interleaving where a fold and an append both proceed. */
+  def withAppendLease[T](spark: SparkSession, location: String,
+      maxAgeHours: Option[Double] = None)(body: => T): T = {
+    val dir = new org.apache.hadoop.fs.Path(location)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val mine = new org.apache.hadoop.fs.Path(dir,
+      s"$AppendLeasePrefix${java.util.UUID.randomUUID()}")
+    val out = fs.create(mine, false)
+    try out.writeBytes(leaseContent())
+    finally out.close()
+    try {
+      assertNoActiveFold(spark, location, maxAgeHours)
+      body
+    } finally fs.delete(mine, false)
+  }
+
+  /** [[withAppendLease]] resolved through the catalog — the guard for
+    * table-backed stores. A table that does not exist yet has no location
+    * to lease (and no partitions a fold could drop): the first append
+    * runs unguarded and creates it. */
+  def withAppendLeaseTable[T](spark: SparkSession, table: String)
+      (body: => T): T =
+    if (spark.catalog.tableExists(table))
+      withAppendLease(spark, spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).location.toString)(body)
+    else body
+
+  /** [[assertNoActiveFold]] resolved through the catalog (check-only;
+    * prefer [[withAppendLeaseTable]] for writes). */
   def assertNoActiveFoldTable(spark: SparkSession, table: String): Unit =
     if (spark.catalog.tableExists(table))
       assertNoActiveFold(spark, spark.sessionState.catalog

@@ -60,6 +60,35 @@ class IncrementalPostingsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS tf_store_bkt")
   }
 
+  test("empty documents never enter the norms store: store-served BM25 equals one-shot") {
+    // a whitespace-only and an empty doc, ids disjoint from the corpus
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+      .select("doc_id", "text")
+      .unionByName(spark.range(2).select(
+        (col("id") + 900000000L).as("doc_id"),
+        when(col("id") === 0, lit("   ")).otherwise(lit("")).as("text")))
+    val t = "tf_store_emptydoc"
+    Seq(t, s"${t}_dl").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      (0 until 2).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(2L)) === d)
+        IncrementalPostings.appendCountsBucketed(slice, t, s"d$d")
+        IncrementalPostings.appendNorms(slice, t, s"d$d")
+      }
+      assert(spark.table(s"${t}_dl")
+        .filter(col("doc_id") >= 900000000L).isEmpty,
+        "zero-token docs must be excluded from the norms store (dl > 0)")
+      val served = IncrementalPostings
+        .bm25Bucketed(spark, t, Seq("data", "query"))
+      val oneShot = Search.bm25(docs, Seq("data", "query"))
+      assert(served.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(served).isEmpty,
+        "store-served BM25 must equal the one-shot scores on a corpus " +
+          "containing empty documents (n_docs/avgdl parity)")
+    } finally Seq(t, s"${t}_dl")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("re-appending a date is idempotent (dynamic partition overwrite)") {
     val tmp = java.nio.file.Files.createTempDirectory("ipost2").toString
     val store = s"$tmp/tfstore"

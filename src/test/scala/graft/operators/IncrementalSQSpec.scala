@@ -15,7 +15,7 @@ class IncrementalSQSpec extends SparkSpec {
   private def queries = emb.filter(col("vec_id") < 10)
 
   private def dropStore(base: String): Unit =
-    Seq("_grid", "_codes").foreach(sfx =>
+    Seq("_grid", "_grid_prev", "_codes").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   private def bitEqual(a: DataFrame, b: DataFrame): Boolean =
@@ -150,6 +150,46 @@ class IncrementalSQSpec extends SparkSpec {
       assert(served.groupBy("qid").count().collect()
         .forall(_.getLong(1) == 3))
     } finally dropStore("isq_refit")
+  }
+
+  test("refitGrid crashed after the grid publish resumes from the durable prev snapshot") {
+    dropStore("isq_crash")
+    dropStore("isq_crashref")
+    try {
+      def build(base: String): Unit = {
+        IncrementalSQ.initGrid(slice(0), base)
+        (0 until 3).foreach(d =>
+          IncrementalSQ.appendDate(slice(d), base, s"d$d"))
+      }
+      build("isq_crash"); build("isq_crashref")
+      val fit = emb.withColumn("embedding",
+        transform(col("embedding"), x => x * lit(2.0f)))
+      // the reference: the same refit, uninterrupted
+      IncrementalSQ.refitGrid(spark, "isq_crashref", fit, gen = "g1")
+      // the crash window ADVICE r12 flags: prev snapshotted, NEW grid
+      // published, process dies before the code rewrite ever starts —
+      // the store now holds new grid + old codes
+      spark.table("isq_crash_grid").withColumn("gen", lit("g1"))
+        .write.mode("errorifexists").saveAsTable("isq_crash_grid_prev")
+      SQ.stats(fit, "vec_id", "embedding")
+        .write.mode("overwrite").saveAsTable("isq_crash_grid")
+      // a DIFFERENT gen must refuse while the interrupted refit is pending
+      intercept[IllegalArgumentException] {
+        IncrementalSQ.refitGrid(spark, "isq_crash", fit, gen = "g2")
+      }
+      // resuming with the same gen reconstructs against the TRUE old grid
+      // (the durable snapshot), not the freshly-published one
+      IncrementalSQ.refitGrid(spark, "isq_crash", fit, gen = "g1")
+      assert(!spark.catalog.tableExists("isq_crash_grid_prev"),
+        "a completed refit cleans up its prev snapshot")
+      assert(bitEqual(
+        spark.table("isq_crash_codes").select("id", "dim", "code"),
+        spark.table("isq_crashref_codes").select("id", "dim", "code")),
+        "crash-resumed codes must be bit-equal to an uninterrupted refit")
+      assert(bitEqual(
+        IncrementalSQ.search(spark, "isq_crash", queries),
+        IncrementalSQ.search(spark, "isq_crashref", queries)))
+    } finally { dropStore("isq_crash"); dropStore("isq_crashref") }
   }
 
   test("code-store compaction re-bins partitions; serve bit-equal, bucket spec preserved") {

@@ -198,12 +198,15 @@ class StoreMaintenanceSpec extends SparkSpec {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .location.toString
 
-  private def plantLease(location: String, pid: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(location, "_maintenance_lease")
+  private def plantLease(location: String, pid: Long,
+      host: String = java.net.InetAddress.getLocalHost.getHostName,
+      ts: Long = System.currentTimeMillis(),
+      name: String = "_maintenance_lease"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(location, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, false)
     val out = fs.create(p, false)
-    try out.writeBytes(s"$pid ${System.currentTimeMillis()}")
+    try out.writeBytes(s"$pid $ts $host test-nonce")
     finally out.close()
   }
 
@@ -256,6 +259,83 @@ class StoreMaintenanceSpec extends SparkSpec {
       IncrementalPostings.appendCountsBucketed(
         docs.filter(pmod(col("doc_id"), lit(3L)) === 0), t, "d9")
       assert(partitionsOf(t).contains("d9"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a foreign-host lease is never pid-reclaimed; only stillness reclaims it") {
+    val t = "smx_foreign_postings"
+    buildPostings(t)
+    try {
+      val proc = new ProcessBuilder("true").start()
+      proc.waitFor()
+      val deadPid = proc.pid() // dead HERE — meaningless on another host
+      // a lease written from another host, one hour old
+      plantLease(tableLocation(t), deadPid, host = "some-other-host",
+        ts = System.currentTimeMillis() - 3600 * 1000L)
+      // pid-liveness must NOT apply across hosts: the lease holds
+      val ex = intercept[IllegalStateException] {
+        StoreMaintenance.assertNoActiveFold(spark, tableLocation(t))
+      }
+      assert(ex.getMessage.contains("some-other-host"), ex.getMessage)
+      intercept[IllegalStateException] {
+        StoreMaintenance.compact(spark, t, "d2", tfMerge)
+      }
+      // the explicit stillness rule is the only reclaim path for it
+      StoreMaintenance.assertNoActiveFold(spark, tableLocation(t),
+        maxAgeHours = Some(0.5))
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0), t, "d9")
+      assert(partitionsOf(t).contains("d9"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a fold backs off against a live append lease; a stale one is swept") {
+    val t = "smx_appendlease_postings"
+    buildPostings(t)
+    try {
+      // a live append in progress (our own pid): the fold must back off
+      // AND leave no fold lease behind
+      plantLease(tableLocation(t), ProcessHandle.current().pid(),
+        name = "_append_lease_test")
+      val ex = intercept[IllegalStateException] {
+        StoreMaintenance.compact(spark, t, "d2", tfMerge)
+      }
+      assert(ex.getMessage.contains("backed off"), ex.getMessage)
+      val foldLease = new org.apache.hadoop.fs.Path(
+        tableLocation(t), "_maintenance_lease")
+      val fs = foldLease.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(foldLease),
+        "a backed-off fold must release its own lease")
+      fs.delete(new org.apache.hadoop.fs.Path(
+        tableLocation(t), "_append_lease_test"), false)
+      // a crashed append's lease (dead pid, this host) is swept by the fold
+      val proc = new ProcessBuilder("true").start()
+      proc.waitFor()
+      plantLease(tableLocation(t), proc.pid(), name = "_append_lease_dead")
+      val before = IncrementalPostings
+        .reportBucketed(spark, t).localCheckpoint()
+      StoreMaintenance.compact(spark, t, "d2", tfMerge)
+      sameRows(IncrementalPostings.reportBucketed(spark, t), before,
+        "fold after stale append-lease sweep must preserve the report")
+      assert(partitionsOf(t) == Set("c_d2"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("appends hold a shared lease: concurrent appends never block each other") {
+    val t = "smx_shared_postings"
+    buildPostings(t)
+    try {
+      // another append's live shared lease must NOT reject ours
+      plantLease(tableLocation(t), ProcessHandle.current().pid(),
+        name = "_append_lease_other")
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0), t, "d9")
+      assert(partitionsOf(t).contains("d9"))
+      // and our append removed only ITS OWN lease on exit
+      val fs = new org.apache.hadoop.fs.Path(tableLocation(t))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        tableLocation(t), "_append_lease_other")))
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
