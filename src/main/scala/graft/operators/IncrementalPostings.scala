@@ -114,6 +114,26 @@ object IncrementalPostings {
     }
   }
 
+  /** Compaction merge for the norms table `t_dl`: per-doc lengths are
+    * additive across dates, so the fold sums them to one row per doc —
+    * and STRIPS `dl = 0` rows while at it. MIGRATION: norms tables
+    * written before [[appendNorms]] gained its `dl > 0` append filter
+    * may still hold dl=0 rows (whitespace-only documents), which
+    * silently inflate the store-served n_docs and deflate avgdl away
+    * from the one-shot [[Search.bm25]] derivation; folding with this
+    * merge (e.g. [[compactNorms]]) removes them from existing stores.
+    * Emits the table's exact column set minus `ds`, per
+    * [[StoreMaintenance.compact]]'s transform contract. */
+  val normsMerge: DataFrame => DataFrame =
+    _.groupBy("doc_id").agg(sum(col("dl")).as("dl"))
+      .filter(col("dl") > 0)
+
+  /** [[StoreMaintenance.compact]] applied to the norms table with
+    * [[normsMerge]] — the retention pass for `t_dl`, and the one-off
+    * cleanup path for pre-`dl > 0` stores (see the merge's scaladoc). */
+  def compactNorms(spark: SparkSession, table: String, upTo: String): Unit =
+    StoreMaintenance.compact(spark, s"${table}_dl", upTo, normsMerge)
+
   /** BM25 ranked retrieval SERVED from the accumulated store — the
     * lexical twin of [[IncrementalVectors.adcSearch]]: query-term tf
     * rows come off the term-bucketed tf table (the `IN` filter pushes to

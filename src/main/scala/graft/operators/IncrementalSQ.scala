@@ -52,15 +52,35 @@ object IncrementalSQ {
     SQ.stats(initial, idCol, vecCol)
       .write.mode("overwrite").saveAsTable(s"${table}_grid")
 
+  /** Refuse any append or serve while an interrupted [[refitGrid]] is
+    * pending (`t_grid_prev` exists): in that window the NEW grid is
+    * already published but the codes are still OLD-grid — an append would
+    * encode under the new grid and then be bit-corrupted by the mandated
+    * same-gen refit resume (which reconstructs ALL rows via the old-grid
+    * snapshot), and a search would score old codes against the new grid.
+    * Fail closed; the documented recovery is re-running `refitGrid` with
+    * the same gen to completion. */
+  private def requireNoPendingRefit(spark: SparkSession, table: String,
+      action: String): Unit =
+    if (spark.catalog.tableExists(s"${table}_grid_prev"))
+      throw new IllegalStateException(
+        s"$action rejected: an interrupted grid refit is pending on $table " +
+          s"(${table}_grid_prev exists) — re-run refitGrid with the same " +
+          "gen to completion first")
+
   /** Encode one date's vectors against the frozen grid and append to the
     * id-bucketed code table. The encode join is scan-local (grid
-    * broadcast); the expensive work happens here once per row, ever. */
+    * broadcast); the expensive work happens here once per row, ever.
+    * Refuses while a refit is pending (see [[requireNoPendingRefit]]). */
   def appendDate(emb: DataFrame, table: String, date: String,
       nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    // hold an append lease for the write's duration (the family rule)
+    // hold an append lease for the write's duration (the family rule);
+    // the pending-refit check sits INSIDE the lease so it cannot race a
+    // refit that starts between check and write
     StoreMaintenance.withAppendLeaseTable(spark, s"${table}_codes") {
+      requireNoPendingRefit(spark, table, "append")
       SQ.encode(emb, spark.table(s"${table}_grid"), idCol, vecCol)
         .withColumn("ds", lit(date))
         .write.mode("append").partitionBy("ds")
@@ -94,6 +114,7 @@ object IncrementalSQ {
   def search(spark: SparkSession, table: String, queries: DataFrame,
       kNeighbors: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding", upTo: Option[String] = None): DataFrame = {
+    requireNoPendingRefit(spark, table, "search")
     val grid = spark.table(s"${table}_grid")
     val codes = asOf(spark.table(s"${table}_codes"), upTo)
       .select(col("id"), col("dim"), col("code"))
@@ -125,16 +146,29 @@ object IncrementalSQ {
       gen: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val prevT = s"${table}_grid_prev"
+    def snapshot(): Unit =
+      spark.table(s"${table}_grid").withColumn("gen", lit(gen))
+        .write.mode("errorifexists").saveAsTable(prevT)
     if (spark.catalog.tableExists(prevT)) {
       // bounded metadata read: the snapshot's gen stamp (1 value)
       val g = spark.table(prevT).select(col("gen")).limit(1)
         .collect().headOption.map(_.getString(0))
-      require(g.contains(gen),
-        s"interrupted refit '${g.getOrElse("?")}' on $table must be re-run " +
-          s"to completion (same gen) before starting '$gen'")
-    } else
-      spark.table(s"${table}_grid").withColumn("gen", lit(gen))
-        .write.mode("errorifexists").saveAsTable(prevT)
+      g match {
+        case Some(prev) =>
+          require(prev == gen,
+            s"interrupted refit '$prev' on $table must be re-run " +
+              s"to completion (same gen) before starting '$gen'")
+        case None =>
+          // a ZERO-ROW snapshot: the snapshot write crashed after
+          // registering the table but before any rows landed — the grid
+          // publish is sequenced AFTER the snapshot, so the live grid is
+          // still the old one; drop the partial and re-snapshot (the
+          // round-13 require() would otherwise reject every gen,
+          // including the one its own message says to retry with)
+          spark.sql(s"DROP TABLE IF EXISTS $prevT")
+          snapshot()
+      }
+    } else snapshot()
     // publish the new grid (idempotent on retry: same fitDf ⇒ same grid)
     SQ.stats(fitDf, idCol, vecCol)
       .write.mode("overwrite").saveAsTable(s"${table}_grid")

@@ -68,13 +68,33 @@ object IncrementalVectors {
     * to the cell-bucketed postings table. The expensive work (M·K
     * subspace distances + k-cell assignment per vector) happens here
     * once per row, ever — queries never re-encode. */
+  /** Refuse appends while an interrupted [[refitQuantizer]] is pending
+    * (`t_ctr_next` exists). A mid-refit append is not bit-corrupted the
+    * way the [[IncrementalSQ]] one is (vectors live inline, so the
+    * resumed rewrite reassigns them correctly under the new centroids) —
+    * but it breaks the serve-side consistency rule [[liveCentroids]]
+    * relies on: after the cell rewrite commits, a fresh date partition
+    * would make the store look "not yet rewritten" again, flipping serves
+    * back to the OLD centroids over NEW assignments. Fail closed; resume
+    * the refit (same gen) to completion, then append. */
+  private def requireNoPendingRefit(spark: SparkSession, table: String):
+      Unit =
+    if (spark.catalog.tableExists(s"${table}_ctr_next"))
+      throw new IllegalStateException(
+        s"append rejected: an interrupted quantizer refit is pending on " +
+          s"$table (${table}_ctr_next exists) — re-run refitQuantizer with " +
+          "the same gen to completion first")
+
   def appendDate(emb: DataFrame, table: String, date: String, m: Int = 8,
       nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
     // hold an append lease on each store table for its write's duration —
     // an append racing a fold's partition drops would lose rows silently
+    // (the pending-refit check sits inside the lease: it cannot race a
+    // refit that stages between check and write)
     StoreMaintenance.withAppendLeaseTable(spark, s"${table}_codes") {
+      requireNoPendingRefit(spark, table)
       PQ.encode(emb, spark.table(s"${table}_cb"), m, idCol, vecCol)
         .withColumn("ds", lit(date))
         .write.mode("append").partitionBy("ds")
@@ -82,6 +102,7 @@ object IncrementalVectors {
         .saveAsTable(s"${table}_codes")
     }
     StoreMaintenance.withAppendLeaseTable(spark, s"${table}_cells") {
+      requireNoPendingRefit(spark, table)
       val cells = KMeans.assign(emb, spark.table(s"${table}_ctr"), idCol, vecCol)
         .select(col("id"), col("cid").as("cell"))
       emb.select(col(idCol).as("id"), col(vecCol).as("e"),
@@ -251,16 +272,49 @@ object IncrementalVectors {
     * closed-form ranking, gated (q142) against the full from-scratch
     * deterministic-IVF replay with the new fit slice. `gen` labels the
     * rewrite generation — fresh per pass, per [[StoreMaintenance
-    * .rewrite]]'s contract. */
+    * .rewrite]]'s contract.
+    *
+    * CRASH SAFETY (round 14): the new centroids are STAGED to a durable
+    * gen-stamped `t_ctr_next` table; the live model table `t_ctr` is
+    * overwritten only AFTER the cell rewrite's marker commits — the
+    * [[IncrementalSQ.refitGrid]] snapshot discipline with the roles
+    * flipped (here the OLD model must stay live, because the cells it
+    * describes stay live until the rewrite lands). At every crash point
+    * the store serves consistently: before the rewrite commits,
+    * `t_ctr` + the untouched cells are both old (a crash-window
+    * [[ivfSearch]] serves the PRE-refit ranking bit-equal); after it
+    * commits, [[liveCentroids]] resolves the staged table against the
+    * fully-rewritten store. A crashed refit MUST be retried with the
+    * SAME `gen` (and the same `fitDf`) until it completes; a different
+    * gen while a staged fit is pending throws. Appends are refused for
+    * the pending window ([[requireNoPendingRefit]]). */
   def refitQuantizer(spark: SparkSession, table: String, fitDf: DataFrame,
       gen: String, nCells: Int = 16, iterations: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val (_, centroids, release) =
-      KMeans.fitCentroidsManaged(fitDf, nCells, iterations, idCol, vecCol)
-    centroids.write.mode("overwrite").saveAsTable(s"${table}_ctr")
-    release() // the write above was the last action over the fit's plans
-    spark.sql(s"DROP TABLE IF EXISTS ${table}_map")
-    val ctr = spark.table(s"${table}_ctr")
+    val nextT = s"${table}_ctr_next"
+    def stage(): Unit = {
+      val (_, centroids, release) =
+        KMeans.fitCentroidsManaged(fitDf, nCells, iterations, idCol, vecCol)
+      centroids.withColumn("gen", lit(gen))
+        .write.mode("errorifexists").saveAsTable(nextT)
+      release() // the write above was the last action over the fit's plans
+    }
+    if (spark.catalog.tableExists(nextT)) {
+      // bounded metadata read: the staged fit's gen stamp (1 value)
+      val g = spark.table(nextT).select(col("gen")).limit(1)
+        .collect().headOption.map(_.getString(0))
+      g match {
+        case Some(prev) =>
+          require(prev == gen,
+            s"interrupted refit '$prev' on $table must be re-run " +
+              s"to completion (same gen) before starting '$gen'")
+        // a ZERO-ROW staging table: the fit write crashed before any rows
+        // landed, so the rewrite (sequenced after) never started — drop
+        // the partial and re-stage
+        case None => spark.sql(s"DROP TABLE IF EXISTS $nextT"); stage()
+      }
+    } else stage()
+    val ctr = spark.table(nextT).drop("gen")
     StoreMaintenance.rewrite(spark, s"${table}_cells", gen,
       transform = df => {
         val re = KMeans.assign(df.select(col("id"), col("e")), ctr,
@@ -269,6 +323,19 @@ object IncrementalVectors {
         df.drop("cell").join(re, "id")
           .select(col("new_cell").as("cell"), col("id"), col("e"), col("n"))
       })
+    // rewrite committed (marker landed): every posting row now carries a
+    // new-quantizer cell id. The [[splitHotCells]] parent→child map is
+    // dropped only NOW — its parents are old-quantizer cells, and keeping
+    // it live through the pending window is what lets a stage-crash serve
+    // the pre-refit ranking bit-equal on a previously-split store (after
+    // the rewrite its entries point at cells with no rows — a harmless
+    // superset probe filter until this drop lands)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_map")
+    // publish the staged centroids as the live model, then drop the
+    // staging table — idempotent on a resume that crashed mid-swap
+    spark.table(nextT).drop("gen")
+      .write.mode("overwrite").saveAsTable(s"${table}_ctr")
+    spark.sql(s"DROP TABLE IF EXISTS $nextT")
   }
 
   /** ADC top-k over the accumulated code store — [[PQ.adcTopK]]'s output
@@ -318,10 +385,38 @@ object IncrementalVectors {
     * per query batch, not per row, and treat it like an action, not a
     * plan constructor (the [[Similarity.knnIvfDeterministic]] guard's
     * contract). */
+  /** The centroids consistent with the CURRENT state of the cell store.
+    * Normally the live model table `t_ctr`; while a [[refitQuantizer]] is
+    * pending (`t_ctr_next` exists), the staged centroids are
+    * authoritative IFF the cell rewrite already committed — every
+    * partition folded into the staged gen's `r_<gen>` label — because
+    * from that point the postings carry new-quantizer cell ids while
+    * `t_ctr` still holds the old model until the swap lands. Probing the
+    * store with the model its rows were actually assigned under is what
+    * makes a crash anywhere in the refit serve a CONSISTENT ranking (pre-
+    * refit before the commit, post-refit after), never a mixed one. Two
+    * bounded metadata reads (gen stamp + partition list), only paid while
+    * a refit is pending. */
+  private def liveCentroids(spark: SparkSession, table: String): DataFrame = {
+    val nextT = s"${table}_ctr_next"
+    if (!spark.catalog.tableExists(nextT)) spark.table(s"${table}_ctr")
+    else {
+      val g = spark.table(nextT).select(col("gen")).limit(1)
+        .collect().headOption.map(_.getString(0))
+      val parts = spark.sql(s"SHOW PARTITIONS ${table}_cells").collect()
+        .map(_.getString(0).stripPrefix("ds=")).toSeq
+      g match {
+        case Some(gen) if parts.nonEmpty && parts.forall(_ == s"r_$gen") =>
+          spark.table(nextT).drop("gen")
+        case _ => spark.table(s"${table}_ctr")
+      }
+    }
+  }
+
   def ivfSearch(spark: SparkSession, table: String, queries: DataFrame,
       kNeighbors: Int = 3, nProbe: Int = 6, idCol: String = "vec_id",
       vecCol: String = "embedding", upTo: Option[String] = None): DataFrame = {
-    val centroids = spark.table(s"${table}_ctr")
+    val centroids = liveCentroids(spark, table)
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     val parentProbes = KMeans.cellDistances(
         KMeans.dimRows(queries, idCol, vecCol), centroids)

@@ -77,23 +77,57 @@ object StoreMaintenance {
   // the pid-liveness check applies ONLY when the hostname matches this
   // host — on HDFS a live fold's lease written from another host must not
   // be judged dead just because that pid is absent locally. Foreign-host
-  // (or legacy host-less) leases are reclaimed only via the explicit
-  // `maxAgeHours` stillness path.
+  // (or legacy host-less) leases are reclaimed only via the `maxAgeHours`
+  // stillness path, which every production entry point now plumbs with a
+  // [[DefaultLeaseMaxAgeHours]] default — a crashed foreign-host fold is
+  // recoverable without manual lease surgery, while a LIVE foreign fold
+  // (hours, not days) is never at risk.
+  //
+  // Read hardening (round 14): a lease read in the window between the
+  // create-exclusive claim and the content write used to parse as a
+  // host-less holder with ts=0, which the stillness rule judged aged —
+  // i.e. the sweep could DELETE a live in-flight lease. The content now
+  // carries a leading format marker and a field count, so a partial read
+  // can never parse as a valid-but-ancient holder: anything unparseable is
+  // an UNKNOWN holder aged by the lease FILE's mtime (fresh in the write
+  // window ⇒ live; a genuinely abandoned corrupt lease still ages out
+  // instead of wedging the store forever). Sweeps re-read the lease
+  // immediately before deleting and only delete content they judged —
+  // a lease replaced between judgment and delete survives. Both are
+  // best-effort narrowings of windows a plain filesystem cannot close
+  // (the transactional-format commit remains the object-store answer).
+
+  /** Default staleness horizon for lease reclamation: a lease older than
+    * this is treated as abandoned even when its holder cannot be probed
+    * (foreign host, unreadable content). Folds and appends are
+    * minutes-long operations; 24 h is orders of magnitude past any live
+    * hold while still bounding how long a crashed foreign-host fold can
+    * block a store. Pass `None` to disable age-based reclaim entirely, or
+    * a smaller value where faster takeover is safe. */
+  val DefaultLeaseMaxAgeHours: Double = 24.0
+
+  private def defaultAge: Option[Double] = Some(DefaultLeaseMaxAgeHours)
 
   private[operators] def leaseFile(location: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(location, "_maintenance_lease")
 
   private val AppendLeasePrefix = "_append_lease_"
+  private val LeaseFormatMarker = "v2"
 
   private def localHost: String =
     scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
       .getOrElse("unknown-host")
 
   private def leaseContent(): String =
-    s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()} " +
-      s"$localHost ${java.util.UUID.randomUUID()}"
+    s"$LeaseFormatMarker ${ProcessHandle.current().pid()} " +
+      s"${System.currentTimeMillis()} $localHost ${java.util.UUID.randomUUID()}"
 
-  private case class LeaseHolder(pid: Long, ts: Long, host: String)
+  /** `readable` = the content parsed as a complete lease record; an
+    * unreadable holder is never pid-probed and its `ts` is the lease
+    * file's mtime (see the read-hardening note above). `raw` is the exact
+    * content the judgment was made on — sweeps compare it before delete. */
+  private case class LeaseHolder(pid: Long, ts: Long, host: String,
+      raw: String, readable: Boolean)
 
   private def leaseHolder(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[LeaseHolder] =
@@ -102,16 +136,29 @@ object StoreMaintenance {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
       val parts = s.trim.split(" ")
-      // legacy two-field leases carry no host: treat as foreign (age-only)
-      LeaseHolder(parts(0).toLong, parts(1).toLong,
-        if (parts.length >= 3) parts(2) else "?")
-    }.toOption // unreadable lease ⇒ unknown LIVE holder
-      .orElse(Some(LeaseHolder(-1L, 0L, "?")))
+      if (parts.headOption.contains(LeaseFormatMarker)) {
+        // current format: exactly "v2 pid ts host nonce" — a truncated
+        // write has the marker but not the count, and falls to unreadable
+        require(parts.length == 5)
+        LeaseHolder(parts(1).toLong, parts(2).toLong, parts(3), s,
+          readable = true)
+      } else {
+        // legacy formats: "pid ts" (host-less ⇒ foreign, age-only) and
+        // "pid ts host nonce"
+        LeaseHolder(parts(0).toLong, parts(1).toLong,
+          if (parts.length >= 3) parts(2) else "?", s, readable = true)
+      }
+    }.toOption
+      .orElse(scala.util.Try { // unreadable ⇒ unknown holder, aged by mtime
+        LeaseHolder(-1L, fs.getFileStatus(p).getModificationTime, "?",
+          raw = "", readable = false)
+      }.toOption)
 
   private def leaseStale(holder: LeaseHolder,
       maxAgeHours: Option[Double]): Boolean = {
-    // pid liveness is only meaningful on the host that wrote the lease
-    val dead = holder.pid > 0 && holder.host == localHost && {
+    // pid liveness is only meaningful on the host that wrote the lease,
+    // and only for a fully-readable record
+    val dead = holder.readable && holder.pid > 0 && holder.host == localHost && {
       val h = ProcessHandle.of(holder.pid)
       !h.isPresent || !h.get().isAlive
     }
@@ -119,6 +166,19 @@ object StoreMaintenance {
       System.currentTimeMillis() - holder.ts > (h * 3600 * 1000).toLong)
     dead || aged
   }
+
+  /** Delete `p` only if its content still is what we judged stale — a
+    * lease released and re-acquired between judgment and delete must not
+    * have its NEW holder's claim destroyed. Returns whether the sweep
+    * happened (false ⇒ treat the lease as live). */
+  private def sweepIfUnchanged(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, judged: LeaseHolder): Boolean =
+    leaseHolder(fs, p) match {
+      case None => true // already gone
+      case Some(now) if now.raw == judged.raw && now.readable == judged.readable =>
+        fs.delete(p, false); true
+      case _ => false // replaced since judgment ⇒ a new live holder
+    }
 
   private def liveAppendLeases(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, maxAgeHours: Option[Double])
@@ -128,8 +188,9 @@ object StoreMaintenance {
       .filter(_.getPath.getName.startsWith(AppendLeasePrefix))
       .flatMap { st =>
         leaseHolder(fs, st.getPath) match {
-          case Some(h) if leaseStale(h, maxAgeHours) =>
-            fs.delete(st.getPath, false); None // sweep the crashed append
+          case Some(h) if leaseStale(h, maxAgeHours)
+              && sweepIfUnchanged(fs, st.getPath, h) =>
+            None // swept the crashed append
           case other => other
         }
       }
@@ -142,16 +203,15 @@ object StoreMaintenance {
     * releases its own lease and throws, so it can never drop a partition
     * an in-flight append is writing. */
   def acquireLease(spark: SparkSession, location: String,
-      maxAgeHours: Option[Double] = None): Unit = {
+      maxAgeHours: Option[Double] = defaultAge): Unit = {
     val p = leaseFile(location)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
     leaseHolder(fs, p).foreach { h =>
-      if (!leaseStale(h, maxAgeHours))
+      if (!leaseStale(h, maxAgeHours) || !sweepIfUnchanged(fs, p, h))
         throw new IllegalStateException(
           s"maintenance lease on $location held by live pid ${h.pid} " +
             s"on ${h.host} — a fold is in progress; retry after it completes")
-      fs.delete(p, false)
     }
     val out = fs.create(p, false) // create-exclusive: lose the race ⇒ throw
     try out.writeBytes(leaseContent())
@@ -180,15 +240,14 @@ object StoreMaintenance {
     * (sweeping a stale one while here). Check-only — for the full
     * write-duration guard, use [[withAppendLease]]. */
   def assertNoActiveFold(spark: SparkSession, location: String,
-      maxAgeHours: Option[Double] = None): Unit = {
+      maxAgeHours: Option[Double] = defaultAge): Unit = {
     val p = leaseFile(location)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     leaseHolder(fs, p).foreach { h =>
-      if (!leaseStale(h, maxAgeHours))
+      if (!leaseStale(h, maxAgeHours) || !sweepIfUnchanged(fs, p, h))
         throw new IllegalStateException(
           s"append rejected: maintenance fold in progress on $location " +
             s"(lease pid ${h.pid} on ${h.host}) — retry after the fold completes")
-      fs.delete(p, false)
     }
   }
 
@@ -200,7 +259,7 @@ object StoreMaintenance {
     * exclusion note above for why declare-then-check on both sides leaves
     * no interleaving where a fold and an append both proceed. */
   def withAppendLease[T](spark: SparkSession, location: String,
-      maxAgeHours: Option[Double] = None)(body: => T): T = {
+      maxAgeHours: Option[Double] = defaultAge)(body: => T): T = {
     val dir = new org.apache.hadoop.fs.Path(location)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) fs.mkdirs(dir)
@@ -219,19 +278,22 @@ object StoreMaintenance {
     * table-backed stores. A table that does not exist yet has no location
     * to lease (and no partitions a fold could drop): the first append
     * runs unguarded and creates it. */
-  def withAppendLeaseTable[T](spark: SparkSession, table: String)
-      (body: => T): T =
+  def withAppendLeaseTable[T](spark: SparkSession, table: String,
+      maxAgeHours: Option[Double] = defaultAge)(body: => T): T =
     if (spark.catalog.tableExists(table))
       withAppendLease(spark, spark.sessionState.catalog
-        .getTableMetadata(TableIdentifier(table)).location.toString)(body)
+        .getTableMetadata(TableIdentifier(table)).location.toString,
+        maxAgeHours)(body)
     else body
 
   /** [[assertNoActiveFold]] resolved through the catalog (check-only;
     * prefer [[withAppendLeaseTable]] for writes). */
-  def assertNoActiveFoldTable(spark: SparkSession, table: String): Unit =
+  def assertNoActiveFoldTable(spark: SparkSession, table: String,
+      maxAgeHours: Option[Double] = defaultAge): Unit =
     if (spark.catalog.tableExists(table))
       assertNoActiveFold(spark, spark.sessionState.catalog
-        .getTableMetadata(TableIdentifier(table)).location.toString)
+        .getTableMetadata(TableIdentifier(table)).location.toString,
+        maxAgeHours)
 
   /** The table's `ds` partition values (bounded catalog metadata). */
   private def partitions(spark: SparkSession, table: String): Seq[String] =
@@ -258,12 +320,13 @@ object StoreMaintenance {
     * emit the table's exact column set (minus `ds`). */
   def compact(spark: SparkSession, table: String, upTo: String,
       merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
-        = identity): Unit =
+        = identity,
+      maxAgeHours: Option[Double] = defaultAge): Unit =
     // a single foldable partition is a no-win rename — require 2 (which
     // also keeps the partial-label rule sound: a fold only STARTS with
     // ≥2 olds, so an unmarked label next to 0/1 olds is a prior commit)
     foldTable(spark, table, s"c_$upTo",
-      ds => effectiveDate(ds) <= upTo, minOlds = 2, merge)
+      ds => effectiveDate(ds) <= upTo, minOlds = 2, merge, maxAgeHours)
 
   /** Rewrite EVERY row of a per-date store through `transform`, folding
     * all partitions into one `r_<gen>` generation partition — the
@@ -278,17 +341,18 @@ object StoreMaintenance {
     * ingestion date is no longer possible afterwards, exactly as with a
     * date-horizon compact. */
   def rewrite(spark: SparkSession, table: String, gen: String,
-      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
-      : Unit =
-    foldTable(spark, table, s"r_$gen", _ => true, minOlds = 1, transform)
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      maxAgeHours: Option[Double] = defaultAge): Unit =
+    foldTable(spark, table, s"r_$gen", _ => true, minOlds = 1, transform,
+      maxAgeHours)
 
   /** Shared fold machinery: append the transformed union of the selected
     * old partitions as `label`, commit with a marker, then drop the olds
     * (see the object scaladoc for the crash-window analysis). */
   private def foldTable(spark: SparkSession, table: String, label: String,
       foldable: String => Boolean, minOlds: Int,
-      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
-      : Unit = {
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      maxAgeHours: Option[Double] = defaultAge): Unit = {
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(TableIdentifier(table))
     require(meta.partitionColumnNames == Seq("ds"),
@@ -303,8 +367,8 @@ object StoreMaintenance {
 
     // hold the maintenance lease for the whole fold (appends fail fast
     // against it); released on any in-process exit — a hard crash leaves
-    // it for the dead-pid staleness sweep
-    acquireLease(spark, meta.location.toString)
+    // it for the dead-pid / stale-by-age sweep
+    acquireLease(spark, meta.location.toString, maxAgeHours)
     try foldBody(spark, table, label, minOlds, transform, fs, marker, olds _)
     finally releaseLease(spark, meta.location.toString)
   }
@@ -363,21 +427,44 @@ object StoreMaintenance {
     * listing). */
   def compactPath(spark: SparkSession, store: String, upTo: String,
       merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
-        = identity): Unit = {
+        = identity,
+      maxAgeHours: Option[Double] = defaultAge): Unit =
+    // 0/1 olds is a no-win rename: an existing label dir next to <2 olds
+    // is a prior COMPLETED fold, so minOlds = 2 keeps the partial rule
+    // sound (the table-store compact's reasoning, verbatim)
+    foldPath(spark, store, s"c_$upTo",
+      ds => effectiveDate(ds) <= upTo, minOlds = 2, merge, maxAgeHours)
+
+  /** [[rewrite]] for the PATH-based per-date stores: rewrite EVERY row
+    * through `transform`, folding all `ds` partitions into one `r_<gen>`
+    * generation partition — same marker protocol and staging-rename as
+    * [[compactPath]], same fresh-gen and consumed-history contract as
+    * [[rewrite]]. This is the deletion-propagation primitive for path
+    * stores (a tombstone pass must touch an arbitrary subset of rows, so
+    * it has to rewrite the partitions holding them). */
+  def rewritePath(spark: SparkSession, store: String, gen: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      maxAgeHours: Option[Double] = defaultAge): Unit =
+    foldPath(spark, store, s"r_$gen", _ => true, minOlds = 1, transform,
+      maxAgeHours)
+
+  private def foldPath(spark: SparkSession, store: String, label: String,
+      foldable: String => Boolean, minOlds: Int,
+      merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      maxAgeHours: Option[Double]): Unit = {
     val root = new org.apache.hadoop.fs.Path(store)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    acquireLease(spark, store)
-    try compactPathBody(spark, store, upTo, merge, root, fs)
+    acquireLease(spark, store, maxAgeHours)
+    try foldPathBody(spark, label, foldable, minOlds, merge, root, fs)
     finally releaseLease(spark, store)
   }
 
-  private def compactPathBody(spark: SparkSession, store: String,
-      upTo: String,
+  private def foldPathBody(spark: SparkSession, label: String,
+      foldable: String => Boolean, minOlds: Int,
       merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       root: org.apache.hadoop.fs.Path,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val label = s"c_$upTo"
     val labelDir = new org.apache.hadoop.fs.Path(root, s"ds=$label")
     val marker = new org.apache.hadoop.fs.Path(root, s"_compact_${label}_done")
     val staging = new org.apache.hadoop.fs.Path(
@@ -387,14 +474,16 @@ object StoreMaintenance {
       .filter(_.isDirectory).map(_.getPath)
       .filter { p =>
         val ds = p.getName.stripPrefix("ds=")
-        p.getName.startsWith("ds=") && ds != label && effectiveDate(ds) <= upTo
+        p.getName.startsWith("ds=") && ds != label && foldable(ds)
       }.toSeq
 
     if (!fs.exists(marker)) {
       val old = olds()
-      // 0/1 olds: an existing label dir is a prior COMPLETED fold — keep it
-      if (old.size <= 1) { fs.delete(staging, true); return }
-      // ≥2 olds, no marker: a label dir can only be an uncommitted partial
+      // below the threshold: an existing label dir is a prior COMPLETED
+      // fold — keep it (a fold only STARTS at the threshold)
+      if (old.size < minOlds) { fs.delete(staging, true); return }
+      // at/above the threshold, no marker: a label dir can only be an
+      // uncommitted partial write from a crashed fold
       if (fs.exists(labelDir)) fs.delete(labelDir, true)
       fs.delete(staging, true)
       merge(spark.read.parquet(old.map(_.toString): _*))
@@ -408,5 +497,22 @@ object StoreMaintenance {
     olds().foreach(fs.delete(_, true))
     fs.delete(marker, false)
     ()
+  }
+
+  /** Anti-join transform for DELETION PROPAGATION (tombstone passes): drops
+    * every row whose `keyCol` appears in `tombstones` (whose FIRST column
+    * is read as the key set). Feed it to [[rewrite]] / [[rewritePath]] to
+    * physically remove a document's rows from a per-date store — an
+    * opt-out or takedown must make the rows GONE from the files, not
+    * masked at read time. The tombstone set is takedown-list-sized
+    * (bounded, not corpus-sized), so the anti-join broadcasts; the
+    * rewrite itself is one distributed read + one bucketed write of the
+    * store — the unavoidable price of physical deletion in immutable
+    * files, paid without re-reading the source corpus. */
+  def tombstone(tombstones: org.apache.spark.sql.DataFrame, keyCol: String)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val keys = tombstones
+      .select(col(tombstones.columns.head).as(keyCol)).distinct()
+    df => df.join(broadcast(keys), Seq(keyCol), "left_anti")
   }
 }

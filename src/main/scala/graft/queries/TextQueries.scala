@@ -387,7 +387,9 @@ object TextQueries {
   def q155SqRefit(s: SparkSession, dir: String): DataFrame = {
     val base = s"graft_q155_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
-    val tbls = Seq(s"${base}_grid", s"${base}_codes")
+    // _grid_prev: a crashed rep's pending-refit snapshot must not wedge
+    // the next rep (appendDate/search fail closed while it exists)
+    val tbls = Seq(s"${base}_grid", s"${base}_grid_prev", s"${base}_codes")
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     Warehouse.sweepOrphans(s, "graft_q155_p")
     val emb = Tables.load(s, dir, "embeddings")
@@ -1216,8 +1218,10 @@ object TextQueries {
   def q142QuantizerRefit(s: SparkSession, dir: String): DataFrame = {
     val base = s"graft_q142_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
-    val tbls = Seq(s"${base}_cb", s"${base}_ctr", s"${base}_codes",
-      s"${base}_cells", s"${base}_map")
+    // _ctr_next: a crashed rep's staged refit must not wedge the next rep
+    // (appendDate fails closed while it exists)
+    val tbls = Seq(s"${base}_cb", s"${base}_ctr", s"${base}_ctr_next",
+      s"${base}_codes", s"${base}_cells", s"${base}_map")
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     Warehouse.sweepOrphans(s, "graft_q142_p")
     val emb = Tables.load(s, dir, "embeddings")

@@ -89,6 +89,38 @@ class IncrementalPostingsSpec extends SparkSpec {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("compactNorms strips legacy dl=0 rows from a pre-filter store") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+      .select("doc_id", "text")
+    val t = "tf_store_norms_mig"
+    Seq(t, s"${t}_dl").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      (0 until 2).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(2L)) === d)
+        IncrementalPostings.appendCountsBucketed(slice, t, s"d$d")
+        IncrementalPostings.appendNorms(slice, t, s"d$d")
+      }
+      val want = IncrementalPostings
+        .bm25Bucketed(spark, t, Seq("data", "query")).localCheckpoint()
+      // a norms table written BEFORE appendNorms gained its dl > 0 filter:
+      // inject a whitespace-only doc's dl=0 row the way the old code did
+      spark.range(1).select((col("id") + 900000000L).as("doc_id"),
+          lit(0L).as("dl"), lit("d9").as("ds"))
+        .write.mode("append").partitionBy("ds")
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable(s"${t}_dl")
+      assert(spark.table(s"${t}_dl").filter(col("dl") === 0).count() == 1)
+      // the documented migration: one compactNorms pass drops the rows
+      IncrementalPostings.compactNorms(spark, t, "d9")
+      assert(spark.table(s"${t}_dl").filter(col("dl") === 0).isEmpty,
+        "the fold's normsMerge must strip dl=0 rows")
+      val served = IncrementalPostings
+        .bm25Bucketed(spark, t, Seq("data", "query"))
+      assert(served.exceptAll(want).isEmpty && want.exceptAll(served).isEmpty,
+        "store-served BM25 must re-converge after the migration fold")
+    } finally Seq(t, s"${t}_dl")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("re-appending a date is idempotent (dynamic partition overwrite)") {
     val tmp = java.nio.file.Files.createTempDirectory("ipost2").toString
     val store = s"$tmp/tfstore"

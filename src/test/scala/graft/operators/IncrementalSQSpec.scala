@@ -192,6 +192,83 @@ class IncrementalSQSpec extends SparkSpec {
     } finally { dropStore("isq_crash"); dropStore("isq_crashref") }
   }
 
+  test("appends and serves fail closed while a refit is pending; resume + late append equal the uninterrupted run") {
+    dropStore("isq_pend"); dropStore("isq_pendref")
+    try {
+      def build(base: String): Unit = {
+        IncrementalSQ.initGrid(slice(0), base)
+        (0 until 2).foreach(d =>
+          IncrementalSQ.appendDate(slice(d), base, s"d$d"))
+      }
+      build("isq_pend"); build("isq_pendref")
+      val fit = emb.withColumn("embedding",
+        transform(col("embedding"), x => x * lit(2.0f)))
+      // manufacture the crash window: prev snapshotted, NEW grid published,
+      // process dies before the code rewrite ever starts
+      spark.table("isq_pend_grid").withColumn("gen", lit("g1"))
+        .write.mode("errorifexists").saveAsTable("isq_pend_grid_prev")
+      SQ.stats(fit, "vec_id", "embedding")
+        .write.mode("overwrite").saveAsTable("isq_pend_grid")
+      // an append here would encode under the new grid and then be
+      // bit-corrupted by the mandated same-gen resume (which reconstructs
+      // ALL rows via the old-grid snapshot) — it must refuse
+      val exA = intercept[IllegalStateException] {
+        IncrementalSQ.appendDate(slice(2), "isq_pend", "d2")
+      }
+      assert(exA.getMessage.contains("refit is pending"), exA.getMessage)
+      // a search here would score OLD codes against the NEW grid — refuse
+      val exS = intercept[IllegalStateException] {
+        IncrementalSQ.search(spark, "isq_pend", queries)
+      }
+      assert(exS.getMessage.contains("refit is pending"), exS.getMessage)
+      // resume (same gen) unblocks the store; the late append then equals
+      // the same sequence run uninterrupted — and, for the late date,
+      // a direct from-scratch encode under the new grid
+      IncrementalSQ.refitGrid(spark, "isq_pend", fit, gen = "g1")
+      IncrementalSQ.appendDate(slice(2), "isq_pend", "d2")
+      IncrementalSQ.refitGrid(spark, "isq_pendref", fit, gen = "g1")
+      IncrementalSQ.appendDate(slice(2), "isq_pendref", "d2")
+      assert(bitEqual(
+        spark.table("isq_pend_codes").select("id", "dim", "code"),
+        spark.table("isq_pendref_codes").select("id", "dim", "code")),
+        "resumed refit + late append must equal the uninterrupted run")
+      assert(bitEqual(
+        spark.table("isq_pend_codes").filter(col("ds") === "d2")
+          .select("id", "dim", "code"),
+        SQ.encode(slice(2), SQ.stats(fit, "vec_id", "embedding"))),
+        "the late append must be a from-scratch encode under the new fit")
+      assert(bitEqual(
+        IncrementalSQ.search(spark, "isq_pend", queries),
+        IncrementalSQ.search(spark, "isq_pendref", queries)))
+    } finally { dropStore("isq_pend"); dropStore("isq_pendref") }
+  }
+
+  test("an empty prev snapshot (crashed before rows landed) is dropped and re-made, not wedged") {
+    dropStore("isq_esnap"); dropStore("isq_esnapref")
+    try {
+      def build(base: String): Unit = {
+        IncrementalSQ.initGrid(slice(0), base)
+        (0 until 2).foreach(d =>
+          IncrementalSQ.appendDate(slice(d), base, s"d$d"))
+      }
+      build("isq_esnap"); build("isq_esnapref")
+      // the ADVICE r13 wedge: the snapshot write registered the table but
+      // crashed before any rows landed — the gen probe reads None and the
+      // old require() rejected EVERY gen, including the retry it asks for
+      spark.table("isq_esnap_grid").withColumn("gen", lit("g1")).limit(0)
+        .write.mode("errorifexists").saveAsTable("isq_esnap_grid_prev")
+      val fit = emb.withColumn("embedding",
+        transform(col("embedding"), x => x * lit(2.0f)))
+      IncrementalSQ.refitGrid(spark, "isq_esnap", fit, gen = "g1")
+      assert(!spark.catalog.tableExists("isq_esnap_grid_prev"))
+      IncrementalSQ.refitGrid(spark, "isq_esnapref", fit, gen = "g1")
+      assert(bitEqual(
+        spark.table("isq_esnap_codes").select("id", "dim", "code"),
+        spark.table("isq_esnapref_codes").select("id", "dim", "code")),
+        "recovery from an empty snapshot must equal a clean refit")
+    } finally { dropStore("isq_esnap"); dropStore("isq_esnapref") }
+  }
+
   test("code-store compaction re-bins partitions; serve bit-equal, bucket spec preserved") {
     dropStore("isq_cmp")
     try {

@@ -12,7 +12,8 @@ class IncrementalVectorsSpec extends SparkSpec {
   private def queries = emb.filter(col("vec_id") < 10)
 
   private def dropStore(base: String): Unit =
-    Seq("_cb", "_ctr", "_codes", "_cells", "_map", "_cells_splitting")
+    Seq("_cb", "_ctr", "_ctr_next", "_codes", "_cells", "_map",
+      "_cells_splitting")
       .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
@@ -118,6 +119,100 @@ class IncrementalVectorsSpec extends SparkSpec {
       assert(parts == Seq("ds=r_t1"),
         s"expected a single folded generation partition, got $parts")
     } finally { dropStore("ivs_refit"); dropStore("ivs_fresh") }
+  }
+
+  test("a refit crash before the rewrite serves the PRE-refit ranking; resume + late append equal the uninterrupted run") {
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    dropStore("ivs_crash"); dropStore("ivs_crashref")
+    try {
+      def build(base: String): Unit = {
+        IncrementalVectors.initModel(slice(0), base)
+        (0 until 2).foreach(d =>
+          IncrementalVectors.appendDate(slice(d), base, s"d$d"))
+      }
+      build("ivs_crash"); build("ivs_crashref")
+      val ivfBefore = IncrementalVectors.ivfSearch(spark, "ivs_crash", queries)
+        .localCheckpoint()
+      val newFit = emb.filter(pmod(col("vec_id"), lit(3L)) >= 1)
+      // manufacture the stage-crash window: centroids staged to _ctr_next,
+      // process dies before the cell rewrite ever starts — the live model
+      // and the cells are BOTH still old
+      val (_, staged, release) = KMeans.fitCentroidsManaged(
+        newFit, 16, 2, "vec_id", "embedding")
+      staged.withColumn("gen", lit("g1"))
+        .write.mode("errorifexists").saveAsTable("ivs_crash_ctr_next")
+      release()
+      // the round-13 flaw: publishing centroids FIRST made this window
+      // probe new centroids over old assignments — with staging, the
+      // crash-window serve is the pre-refit ranking, bit-equal
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_crash", queries),
+        ivfBefore, "a stage-crash serve must be the pre-refit ranking")
+      // appends are refused for the pending window (they would flip the
+      // post-commit centroid resolution back to the old model)
+      val ex = intercept[IllegalStateException] {
+        IncrementalVectors.appendDate(slice(2), "ivs_crash", "d2")
+      }
+      assert(ex.getMessage.contains("refit is pending"), ex.getMessage)
+      // a DIFFERENT gen must refuse while the staged fit is pending
+      intercept[IllegalArgumentException] {
+        IncrementalVectors.refitQuantizer(spark, "ivs_crash", newFit, "g2")
+      }
+      // resume (same gen), then the late append lands — reference is the
+      // same refit + append run uninterrupted
+      IncrementalVectors.refitQuantizer(spark, "ivs_crash", newFit, "g1")
+      assert(!spark.catalog.tableExists("ivs_crash_ctr_next"),
+        "a completed refit cleans up its staging table")
+      IncrementalVectors.appendDate(slice(2), "ivs_crash", "d2")
+      IncrementalVectors.refitQuantizer(spark, "ivs_crashref", newFit, "g1")
+      IncrementalVectors.appendDate(slice(2), "ivs_crashref", "d2")
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_crash", queries),
+        IncrementalVectors.ivfSearch(spark, "ivs_crashref", queries),
+        "crash-resumed refit + late append must equal the uninterrupted run")
+    } finally { dropStore("ivs_crash"); dropStore("ivs_crashref") }
+  }
+
+  test("a refit crash after the rewrite commit serves the POST-refit ranking (staged centroids resolved)") {
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    dropStore("ivs_mid"); dropStore("ivs_midref")
+    try {
+      def build(base: String): Unit = {
+        IncrementalVectors.initModel(slice(0), base)
+        (0 until 2).foreach(d =>
+          IncrementalVectors.appendDate(slice(d), base, s"d$d"))
+      }
+      build("ivs_mid"); build("ivs_midref")
+      val newFit = emb.filter(pmod(col("vec_id"), lit(3L)) >= 1)
+      // reference: the same refit, uninterrupted
+      IncrementalVectors.refitQuantizer(spark, "ivs_midref", newFit, "g1")
+      val want = IncrementalVectors.ivfSearch(spark, "ivs_midref", queries)
+        .localCheckpoint()
+      // manufacture the post-commit window: staged fit + the cell rewrite
+      // completed, process dies before the t_ctr swap — the postings carry
+      // NEW cell ids while the live model table still holds the OLD one
+      val (_, staged, release) = KMeans.fitCentroidsManaged(
+        newFit, 16, 2, "vec_id", "embedding")
+      staged.withColumn("gen", lit("g1"))
+        .write.mode("errorifexists").saveAsTable("ivs_mid_ctr_next")
+      release()
+      val ctr = spark.table("ivs_mid_ctr_next").drop("gen")
+      StoreMaintenance.rewrite(spark, "ivs_mid_cells", "g1",
+        transform = df => {
+          val re = KMeans.assign(df.select(col("id"), col("e")), ctr,
+              idCol = "id", vecCol = "e")
+            .select(col("id"), col("cid").as("new_cell"))
+          df.drop("cell").join(re, "id")
+            .select(col("new_cell").as("cell"), col("id"), col("e"), col("n"))
+        })
+      // the serve must probe the STAGED centroids (the model the rows were
+      // actually assigned under), not the stale live table
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_mid", queries), want,
+        "a post-commit crash-window serve must be the post-refit ranking")
+      // resume completes the swap; the serve is unchanged
+      IncrementalVectors.refitQuantizer(spark, "ivs_mid", newFit, "g1")
+      assert(!spark.catalog.tableExists("ivs_mid_ctr_next"))
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_mid", queries), want,
+        "the completed resume must serve the same post-refit ranking")
+    } finally { dropStore("ivs_mid"); dropStore("ivs_midref") }
   }
 
   test("hot-cell split: skew shrinks, searches stay bit-equal, ingestion continues") {

@@ -321,6 +321,58 @@ class StoreMaintenanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("a stale-by-age foreign lease is reclaimed through the public compact and append paths") {
+    val t = "smx_aged_postings"
+    buildPostings(t)
+    try {
+      // a crashed fold on ANOTHER host, 25 h ago — past the documented
+      // 24 h default horizon, so no manual lease surgery is needed: the
+      // next fold (plain defaults, no explicit maxAgeHours) takes over
+      def plantAged(): Unit = plantLease(tableLocation(t), 12345L,
+        host = "some-other-host",
+        ts = System.currentTimeMillis() - (25 * 3600 * 1000L))
+      plantAged()
+      val before = IncrementalPostings.reportBucketed(spark, t)
+        .localCheckpoint()
+      StoreMaintenance.compact(spark, t, "d2", tfMerge)
+      sameRows(IncrementalPostings.reportBucketed(spark, t), before,
+        "fold after an age-based foreign-lease reclaim must preserve the report")
+      assert(partitionsOf(t) == Set("c_d2"))
+      // the append path reclaims by age too
+      plantAged()
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0), t, "d9")
+      assert(partitionsOf(t).contains("d9"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("an unreadable lease is a live unknown holder until its FILE ages") {
+    val t = "smx_unread_postings"
+    buildPostings(t)
+    try {
+      // an empty lease file — the create-to-write window, or a corrupt
+      // write. The round-13 parser judged it (pid=-1, ts=0), which the
+      // stillness rule aged INSTANTLY: a live in-flight lease could be
+      // swept. Now an unreadable lease ages by the file's mtime.
+      val p = new org.apache.hadoop.fs.Path(
+        tableLocation(t), "_maintenance_lease")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(p, false).close()
+      // fresh mtime ⇒ LIVE unknown holder, even under the default horizon
+      intercept[IllegalStateException] {
+        StoreMaintenance.assertNoActiveFold(spark, tableLocation(t))
+      }
+      intercept[IllegalStateException] {
+        StoreMaintenance.compact(spark, t, "d2", tfMerge)
+      }
+      // a genuinely abandoned unreadable lease still ages out instead of
+      // wedging the store forever
+      fs.setTimes(p, System.currentTimeMillis() - (25 * 3600 * 1000L), -1)
+      StoreMaintenance.compact(spark, t, "d2", tfMerge)
+      assert(partitionsOf(t) == Set("c_d2"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("appends hold a shared lease: concurrent appends never block each other") {
     val t = "smx_shared_postings"
     buildPostings(t)
