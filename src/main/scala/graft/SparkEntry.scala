@@ -178,6 +178,9 @@ object SparkEntry {
     "q157_matryoshka_store" -> (TextQueries.q157MatryoshkaStore _),
     "q158_bm25_store" -> (Quality.q158Bm25Store _),
     "q159_hybrid_store_serve" -> (Quality.q159HybridStoreServe _),
+    "q160_bm25_tombstone" -> (Quality.q160Bm25Tombstone _),
+    "q161_vector_tombstone" -> (TextQueries.q161VectorTombstone _),
+    "q162_components_tombstone" -> (TextQueries.q162ComponentsTombstone _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -209,10 +212,12 @@ object SparkEntry {
       |ORDER BY nw.doc_id""".stripMargin
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
-    * shared by the q21/q22 pair oracles and q62's clustering oracle. */
-  private val ngramPairCtes =
-    """toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    * shared by the q21/q22 pair oracles and q62's clustering oracle.
+    * `docSrc` parameterizes the document source so q162's tombstone
+    * oracle can run the identical pipeline over the surviving corpus. */
+  private def ngramPairCtesFrom(docSrc: String) =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM $docSrc),
       |sh AS (
       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
       |  FROM toks, UNNEST(generate_series(1, len(t)-2)) AS u(i) WHERE len(t) >= 3),
@@ -220,6 +225,8 @@ object SparkEntry {
       |pairs AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val ngramPairCtes = ngramPairCtesFrom("documents")
 
   /** Shared by q21 (exact all-pairs Jaccard) and q22 (MinHash+LSH): the LSH
     * path verifies candidates with the same exact Jaccard, so a green hash
@@ -671,11 +678,13 @@ object SparkEntry {
   /** q74's one-shot BM25 replay — shared verbatim by q158 (the
     * store-served path): tf and per-doc-length state are additive
     * across ingestion dates, so the accumulated stores reproduce the
-    * one-shot scores bit-for-bit. */
-  private val bm25Sql =
-    """WITH toks AS (
-        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
-        |  FROM documents),
+    * one-shot scores bit-for-bit. `where` restricts the corpus — q160's
+    * tombstone oracle scores the surviving documents only (n_docs,
+    * avgdl, df all re-derive from the remaining rows). */
+  private def bm25SqlWhere(where: String) =
+    s"""WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+        |  FROM documents WHERE $where),
         |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
         |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
@@ -692,6 +701,8 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score, COUNT(*) AS n_hit_terms
         |FROM part GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  private val bm25Sql = bm25SqlWhere("TRUE")
 
   private val knnBruteSql =
     s"""WITH $embNormCte,
@@ -1439,6 +1450,21 @@ object SparkEntry {
     // q149: the compaction-in-the-middle cycle must still equal the
     // from-scratch clustering — maintenance re-bins partitions, never rows
     "q149_components_compacted" -> dedupComponentsSql,
+    // q162: deletion propagation through the clustering store — after the
+    // tombstone pass (signatures + edges dropped, components recomputed
+    // over the remaining edges), the labels must equal q62's recursive
+    // closure over the SURVIVING corpus — bridge splits included
+    "q162_components_tombstone" ->
+      s"""WITH RECURSIVE keepdocs AS (
+        |  SELECT * FROM documents WHERE doc_id % 7 <> 3),
+        |${ngramPairCtesFrom("keepdocs")},
+        |$componentClosureCtes,
+        |siz AS (SELECT component, COUNT(*) AS csize FROM lab GROUP BY component)
+        |SELECT l.id AS doc_id, l.component,
+        |  CAST(s.csize AS BIGINT) AS component_size,
+        |  l.id = l.component AS is_canonical
+        |FROM lab l JOIN siz s USING (component)
+        |ORDER BY doc_id""".stripMargin,
     "q81_pagerank"      -> pageRankSql,
 
     "q68_session_window" ->
@@ -1992,6 +2018,24 @@ object SparkEntry {
          |$fnvMapCte,
          |${pqAdcCtesFit("vec_id % 3 = 0", "codes.id % 3 <= 1")},
          |${ivfDetCtesFit("vec_id % 3 = 0", "a.id % 3 <= 1")}
+         |SELECT method, qid, rank, cid, score FROM (
+         |  SELECT 'adc' AS method, qid, CAST(rank AS BIGINT) AS rank,
+         |    cand AS cid, ROUND(CAST(ad AS DOUBLE), 6) AS score
+         |  FROM pqr WHERE rank <= 3
+         |  UNION ALL
+         |  SELECT 'ivf', qid, CAST(rank AS BIGINT), cid, cosine
+         |  FROM vs WHERE rank <= 3)
+         |ORDER BY method, qid, rank""".stripMargin,
+
+    // q161: deletion propagation through the vector store — the q144
+    // candWhere machinery with the candidate set restricted to the ids
+    // surviving the tombstone rewrite (vec_id % 7 <> 3); models stay
+    // frozen on the original d0 fit (artifacts, not per-doc state)
+    "q161_vector_tombstone" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${pqAdcCtesFit("vec_id % 3 = 0", "codes.id % 7 <> 3")},
+         |${ivfDetCtesFit("vec_id % 3 = 0", "a.id % 7 <> 3")}
          |SELECT method, qid, rank, cid, score FROM (
          |  SELECT 'adc' AS method, qid, CAST(rank AS BIGINT) AS rank,
          |    cand AS cid, ROUND(CAST(ad AS DOUBLE), 6) AS score
@@ -2951,6 +2995,12 @@ object SparkEntry {
     // accumulated postings+norms stores reproduce the one-shot scores
     // exactly; the oracle IS q74's
     "q158_bm25_store" -> bm25Sql,
+
+    // q160: deletion propagation through the lexical store — after the
+    // tombstone rewrite removes doc_id % 7 = 3 from both tables, the
+    // serve must equal q74's one-shot SQL over the SURVIVING corpus
+    // (store-after-delete == from-scratch-minus-docs)
+    "q160_bm25_tombstone" -> bm25SqlWhere("doc_id % 7 <> 3"),
 
     // q75: corpus-trained char-trigram LM; per-occurrence ln rounded to 6,
     // decimal-summed (exact), emitted as double.

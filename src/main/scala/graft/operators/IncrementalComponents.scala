@@ -161,6 +161,59 @@ object IncrementalComponents {
     }
   }
 
+  /** DELETION PROPAGATION for the clustering store family — the hardest
+    * tombstone pass, because component membership is a FUNCTION of the
+    * verified edge set: removing a doc can SPLIT a component (the doc may
+    * have been its only bridge), so label rows cannot simply be dropped.
+    * Requires the store to have been built with the EDGE STORE
+    * ([[processDate]]'s `edgesPath`); with it the pass is edge-sized,
+    * never corpus-sized:
+    *
+    *   1. the tombstoned docs' signature rows are dropped (they can never
+    *      pair again — [[IncrementalDedup.deleteSignatures]]);
+    *   2. every edge touching a tombstone is dropped (one
+    *      marker-committed [[StoreMaintenance.rewritePath]]);
+    *   3. components are recomputed over the REMAINING edges — the same
+    *      closed-form propagation the daily step runs, O(|edges|);
+    *   4. the label store is rewritten from that map, and the repmap
+    *      version history (whose canons may BE deleted docs) is cleared —
+    *      the rewritten labels are already canonical.
+    *
+    * The result equals a from-scratch clustering of the corpus minus the
+    * deleted docs (oracle-gated as q162), and the docs are GONE from
+    * every table, not masked. A crashed pass is resumed by re-running
+    * with the SAME `gen` to completion (each rewrite is marker-committed,
+    * the recompute idempotent); serves between a crash and its resume may
+    * see the pre-delete labels — the pass is not done until it returns. */
+  def deleteDocs(spark: SparkSession, tombstones: DataFrame,
+      sigStore: String, labelsPath: String, repmapPath: String,
+      edgesPath: String, gen: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(edgesPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"deletion propagation needs the edge store ($edgesPath missing): " +
+        "build the store with processDate(edgesPath = Some(...)) — " +
+        "without the edges, deletion requires re-clustering the corpus")
+    IncrementalDedup.deleteSignatures(spark, sigStore, tombstones, gen)
+    StoreMaintenance.rewritePath(spark, edgesPath, gen,
+      transform = df => StoreMaintenance.tombstone(tombstones, "a_id")(
+        StoreMaintenance.tombstone(tombstones, "b_id")(df)))
+    val remaining = readOrEmpty(spark, edgesPath,
+      "a_id BIGINT, b_id BIGINT, ds STRING").select(col("a_id"), col("b_id"))
+    if (remaining.isEmpty)
+      // no edges survive: no doc is clustered — the label store clears
+      fs.delete(new org.apache.hadoop.fs.Path(labelsPath), true)
+    else {
+      val newmap = Components.connected(remaining)
+      StoreMaintenance.rewritePath(spark, labelsPath, gen,
+        transform = _ => newmap
+          .select(col("id"), col("component").as("rep0")))
+      Components.freeLocalCheckpoint(newmap)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(repmapPath), true)
+    ()
+  }
+
   /** Ingest one date: append signatures, discover + verify this date's new
     * pairs, contract, propagate, and update the label store. `newDocs`
     * must be exactly the date's slice of `allDocs`. Candidate estimation
@@ -174,19 +227,20 @@ object IncrementalComponents {
     * structurally. */
   def processDate(spark: SparkSession, newDocs: DataFrame, allDocs: DataFrame,
       sigStore: String, labelsPath: String, repmapPath: String, date: String,
-      threshold: Double = 0.5, idCol: String = "doc_id"): Unit =
+      threshold: Double = 0.5, idCol: String = "doc_id",
+      edgesPath: Option[String] = None): Unit =
     // hold an append lease on the label store for the whole step — a
     // compactLabels fold that starts mid-step backs off against it
     // (appendSignatures below guards the signature store the same way)
     StoreMaintenance.withAppendLease(spark, labelsPath) {
       processDateLocked(spark, newDocs, allDocs, sigStore, labelsPath,
-        repmapPath, date, threshold, idCol)
+        repmapPath, date, threshold, idCol, edgesPath)
     }
 
   private def processDateLocked(spark: SparkSession, newDocs: DataFrame,
       allDocs: DataFrame, sigStore: String, labelsPath: String,
       repmapPath: String, date: String, threshold: Double,
-      idCol: String): Unit = {
+      idCol: String, edgesPath: Option[String]): Unit = {
     IncrementalDedup.appendSignatures(newDocs, sigStore, date)
     val allSigs = IncrementalDedup.loadSignatures(spark, sigStore)
       .select(col("id"), col("sig"))
@@ -204,6 +258,15 @@ object IncrementalComponents {
     // the propagation loop reuses the edge set across rounds
     val edges = Dedup.verifyPairs(touched, cand, threshold, idCol)
       .select(col("a_id"), col("b_id")).localCheckpoint()
+    // optionally persist THIS date's verified edges (the deletion-
+    // propagation prerequisite — see [[deleteDocs]]): edges are computed
+    // here anyway, and pair-keyed disjoint state appends like labels.
+    // Written before the label updates and dynamically overwritten per
+    // date, so a re-run of the date replaces its own rows (idempotent).
+    edgesPath.foreach(p =>
+      edges.withColumn("ds", lit(date))
+        .write.mode("overwrite").partitionBy("ds")
+        .option("partitionOverwriteMode", "dynamic").parquet(p))
     if (!edges.isEmpty) {
       val cur = currentLabels(spark, labelsPath, repmapPath).localCheckpoint()
       def mapped(side: String): DataFrame = cur

@@ -141,6 +141,27 @@ object IncrementalDedup {
     scoreCandidates(bandCandidates(newDay, store), k, threshold)
   }
 
+  /** DELETION PROPAGATION for the BUCKETED band store: physically remove
+    * the tombstoned docs' band rows in one marker-committed rewrite — a
+    * deleted doc can never again surface as a candidate pair, because its
+    * signature rows are GONE from the files, not masked. Band rows are
+    * doc-keyed disjoint state, so the store afterwards is bit-equal to
+    * one built over the corpus minus the deleted docs. `tombstones`'
+    * first column is the doc id set; `gen` per
+    * [[StoreMaintenance.rewrite]]'s fresh-gen contract. */
+  def deleteDocs(spark: SparkSession, table: String,
+      tombstones: DataFrame, gen: String): Unit =
+    StoreMaintenance.rewrite(spark, table, gen,
+      StoreMaintenance.tombstone(tombstones, "id"))
+
+  /** [[deleteDocs]] for the PATH-based signature store
+    * ([[appendSignatures]]' layout) — same contract via
+    * [[StoreMaintenance.rewritePath]]. */
+  def deleteSignatures(spark: SparkSession, store: String,
+      tombstones: DataFrame, gen: String): Unit =
+    StoreMaintenance.rewritePath(spark, store, gen,
+      StoreMaintenance.tombstone(tombstones, "id"))
+
   /** One incremental step: signatures for `newDocs` are computed once,
     * persisted under `date`, and paired against everything in the store
     * (prior dates AND this one). `k` is used for both the signature

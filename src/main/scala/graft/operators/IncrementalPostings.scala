@@ -134,6 +134,27 @@ object IncrementalPostings {
   def compactNorms(spark: SparkSession, table: String, upTo: String): Unit =
     StoreMaintenance.compact(spark, s"${table}_dl", upTo, normsMerge)
 
+  /** DELETION PROPAGATION (tombstone pass) for the lexical store family —
+    * the opt-out/takedown operator: physically remove the tombstoned
+    * docs' rows from the term-bucketed tf table AND the doc-bucketed
+    * norms table, one marker-committed [[StoreMaintenance.rewrite]] each.
+    * tf and dl rows are doc-keyed additive state, so deletion is a
+    * recompute-free row DROP — the store afterwards is bit-equal to one
+    * built over the corpus minus the deleted docs (oracle-gated as q160):
+    * n_docs, avgdl, df, and every score re-derive from the remaining
+    * rows at serve time with no model to unlearn. `tombstones`' first
+    * column is the doc_id set (takedown-list-sized, broadcast);
+    * `gen` labels the rewrite generation (fresh per pass, re-run the
+    * SAME gen to resume a crashed pass). */
+  def deleteDocs(spark: SparkSession, table: String,
+      tombstones: DataFrame, gen: String): Unit = {
+    StoreMaintenance.rewrite(spark, table, gen,
+      StoreMaintenance.tombstone(tombstones, "doc_id"))
+    if (spark.catalog.tableExists(s"${table}_dl"))
+      StoreMaintenance.rewrite(spark, s"${table}_dl", gen,
+        StoreMaintenance.tombstone(tombstones, "doc_id"))
+  }
+
   /** BM25 ranked retrieval SERVED from the accumulated store — the
     * lexical twin of [[IncrementalVectors.adcSearch]]: query-term tf
     * rows come off the term-bucketed tf table (the `IN` filter pushes to

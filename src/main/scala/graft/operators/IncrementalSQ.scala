@@ -121,6 +121,20 @@ object IncrementalSQ {
     SQ.search(queries, SQ.reconstruct(codes, grid), kNeighbors, idCol, vecCol)
   }
 
+  /** DELETION PROPAGATION: physically remove the tombstoned ids' code
+    * rows in one marker-committed rewrite. Codes are id-keyed disjoint
+    * state, so the store afterwards is bit-equal to one that never
+    * ingested those vectors; the frozen grid is a model ARTIFACT, not
+    * per-doc state — deletion removes the vectors' rows, [[refitGrid]]
+    * is the (separate) lever if their influence on the grid itself must
+    * go. Refuses while a refit is pending, like every other mutation. */
+  def deleteIds(spark: SparkSession, table: String,
+      tombstones: DataFrame, gen: String): Unit = {
+    requireNoPendingRefit(spark, table, "delete")
+    StoreMaintenance.rewrite(spark, s"${table}_codes", gen,
+      StoreMaintenance.tombstone(tombstones, "id"))
+  }
+
   /** Refit the grid on `fitDf` and MIGRATE the code store — the "act" to
     * drift detection, the [[IncrementalVectors.refitQuantizer]] shape for
     * the scalar family. Codes are NOT invertible to exact vectors, so

@@ -39,6 +39,31 @@ object IncrementalSpans {
     }
   }
 
+  /** DELETION PROPAGATION for the span-count store. Unlike the doc-keyed
+    * stores, (h, cnt) rows carry no doc ids — a doc's contribution can
+    * only be SUBTRACTED, so the pass needs the deleted documents' TEXTS
+    * (`deletedDocs` — a takedown request has the document in hand): their
+    * window-hash counts are recomputed with the same tokenizer/hash the
+    * appends used and subtracted from the folded store in one
+    * marker-committed [[StoreMaintenance.rewritePath]]; rows that reach
+    * zero are dropped. Counts are additive, so the store afterwards is
+    * bit-equal to one built over the corpus minus the deleted docs —
+    * including the case where a hash was duplicated ONLY via the deleted
+    * doc (its count drops below 2 and the span stops reporting as dup).
+    * `n` must match the store's window width. */
+  def deleteDocs(deletedDocs: DataFrame, store: String, gen: String,
+      n: Int = 8, idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val del = Corpus.spanGrams(deletedDocs, n, idCol, textCol)._2
+      .groupBy(col("h")).agg(count(lit(1)).as("dcnt"))
+    StoreMaintenance.rewritePath(deletedDocs.sparkSession, store, gen,
+      transform = df => df
+        .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+        .join(del, Seq("h"), "left")
+        .select(col("h"),
+          (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt"))
+        .filter(col("cnt") > 0))
+  }
+
   /** Hashes duplicated ANYWHERE in the accumulated store (Σ cnt ≥ 2).
     * Corpus-sized — keep it distributed, never broadcast it. */
   def dupHashes(spark: SparkSession, store: String): DataFrame =

@@ -146,6 +146,23 @@ object IncrementalVectors {
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
     }
 
+  /** DELETION PROPAGATION: physically remove the tombstoned ids' rows
+    * from BOTH store tables (PQ codes and IVF postings), one
+    * marker-committed rewrite each. Rows are id-keyed disjoint state, so
+    * both serves afterwards are bit-equal to a store that never ingested
+    * those vectors (oracle-gated as q161); the frozen codebook/centroids
+    * are model artifacts — [[refitQuantizer]] is the separate lever if
+    * the deleted vectors' influence on the models must go too. Refuses
+    * while a refit is pending, like appends. */
+  def deleteIds(spark: SparkSession, table: String,
+      tombstones: DataFrame, gen: String): Unit = {
+    requireNoPendingRefit(spark, table)
+    StoreMaintenance.rewrite(spark, s"${table}_codes", gen,
+      StoreMaintenance.tombstone(tombstones, "id"))
+    StoreMaintenance.rewrite(spark, s"${table}_cells", gen,
+      StoreMaintenance.tombstone(tombstones, "id"))
+  }
+
   /** Cell-occupancy audit over a (cell, …) postings frame: one row per
     * cell with its vector count, corpus fraction, and the store-wide
     * max/mean occupancy ratio (`skew` — 1.0 means perfectly balanced

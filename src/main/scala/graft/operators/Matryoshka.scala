@@ -76,6 +76,15 @@ object Matryoshka {
       spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
   }
 
+  /** DELETION PROPAGATION — the [[IncrementalVectors.deleteIds]] contract
+    * for the matryoshka store's single cell table: one marker-committed
+    * rewrite drops the tombstoned ids' posting rows; the frozen prefix
+    * quantizer is a model artifact and stays. */
+  def deleteIds(spark: SparkSession, table: String,
+      tombstones: DataFrame, gen: String): Unit =
+    StoreMaintenance.rewrite(spark, s"${table}_cells", gen,
+      StoreMaintenance.tombstone(tombstones, "id"))
+
   /** AS-OF restriction — the [[IncrementalVectors]] convention verbatim:
     * the date partitioning makes time-travel a partition PRUNE.
     * Consolidated `c_<date>` partitions compare by their effective date;

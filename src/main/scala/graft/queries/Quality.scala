@@ -193,6 +193,46 @@ object Quality {
     out.orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** q160: DELETION PROPAGATION through the lexical serving store — the
+    * opt-out/takedown pass as an oracle-gated row: q158's postings +
+    * norms stores are built over three ingestion dates on the FULL
+    * corpus, then [[graft.operators.IncrementalPostings.deleteDocs]]
+    * physically removes every doc with doc_id % 7 = 3 (a deterministic
+    * stand-in for a takedown list) from BOTH tables in marker-committed
+    * rewrites, and the q74 query is served from the post-delete stores.
+    * The oracle is q74's one-shot SQL over the corpus MINUS the
+    * tombstones — a green hash proves store-after-delete equals
+    * from-scratch-minus-docs (n_docs, avgdl, df all re-derived), i.e.
+    * the documents are gone from the index, not masked. */
+  def q160Bm25Tombstone(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_q160_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(tbl, s"${tbl}_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q160_p")
+    val docs = Tables.load(s, dir, "documents")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, tbl, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, tbl, s"d$d")
+      }
+    }
+    graft.Phases.timed("maintain") {
+      graft.operators.IncrementalPostings.deleteDocs(s, tbl,
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id"),
+        gen = "del1")
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalPostings
+        .bm25Bucketed(s, tbl, Seq("data", "query"))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** q159: HYBRID retrieval served entirely FROM STORES — the full
     * production serving stack as one oracle-gated row: the lexical leg
     * is q158's store-served BM25 (term-bucketed tf + doc-bucketed norms,

@@ -1288,6 +1288,106 @@ object TextQueries {
     out.orderBy(col("method"), col("qid"), col("rank"))
   }
 
+  /** q161: DELETION PROPAGATION through the vector serving store — the
+    * q160 takedown pass for the ANN family: the q133 store (d0-frozen
+    * codebook + quantizer, three date appends over the full corpus) has
+    * every vector with vec_id % 7 = 3 physically removed from BOTH
+    * tables by [[graft.operators.IncrementalVectors.deleteIds]]
+    * (marker-committed rewrites), then serves ADC and IVF top-3. The
+    * oracle replays the frozen-model pipelines with the CANDIDATE set
+    * restricted to the surviving ids (the q144 candWhere machinery) —
+    * a green hash proves store-after-delete == from-scratch-minus-docs
+    * at the candidate level. The frozen models keep their original fit
+    * (they are artifacts, not per-doc state); refit is the separate
+    * lever when the deleted vectors' influence on the models must go. */
+  def q161VectorTombstone(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q161_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_cb", s"${base}_ctr", s"${base}_ctr_next",
+      s"${base}_codes", s"${base}_cells", s"${base}_map")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q161_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalVectors.initModel(slice(0), base)
+      (0 until 3).foreach { d =>
+        graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
+      }
+    }
+    graft.Phases.timed("maintain") {
+      graft.operators.IncrementalVectors.deleteIds(s, base,
+        emb.filter(pmod(col("vec_id"), lit(7L)) === 3).select("vec_id"),
+        gen = "del1")
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = graft.Phases.timed("serve") {
+      val adc = graft.operators.IncrementalVectors
+        .adcSearch(s, base, queries)
+        .select(lit("adc").as("method"), col("qid"), col("rank"), col("cid"),
+          col("adist").as("score"))
+      val ivf = graft.operators.IncrementalVectors
+        .ivfSearch(s, base, queries)
+        .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
+          col("cosine").as("score"))
+      adc.unionAll(ivf).localCheckpoint() // tables drop below
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("method"), col("qid"), col("rank"))
+  }
+
+  /** q162: DELETION PROPAGATION through the clustering store — the
+    * hardest takedown, because removing a doc can SPLIT a component (it
+    * may have been the only bridge between two halves): the q148 cycle
+    * runs with the EDGE STORE enabled (verified pairs persisted per
+    * date), then [[graft.operators.IncrementalComponents.deleteDocs]]
+    * removes every doc with doc_id % 7 = 3 — signature rows dropped,
+    * edges touching a tombstone dropped, components RECOMPUTED over the
+    * remaining edges (edge-sized, never corpus-sized), labels rewritten,
+    * repmap history cleared. The report is gated against q62's
+    * recursive-closure oracle over the corpus MINUS the tombstones —
+    * a green hash proves the post-delete store equals re-clustering the
+    * surviving corpus from scratch, splits included. */
+  def q162ComponentsTombstone(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_q162_${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    Warehouse.sweepTmpOrphans("graft_q162_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val lab = try {
+      val docs = Tables.load(s, dir, "documents")
+      def ingest(d: Int): Unit =
+        graft.operators.IncrementalComponents.processDate(s,
+          docs.filter(pmod(col("doc_id"), lit(3L)) === d), docs,
+          s"$base/sigs", s"$base/labels", s"$base/repmap", s"d$d",
+          edgesPath = Some(s"$base/edges"))
+      graft.Phases.timed("build") { (0 until 3).foreach(ingest) }
+      graft.Phases.timed("maintain") {
+        graft.operators.IncrementalComponents.deleteDocs(s,
+          docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id"),
+          s"$base/sigs", s"$base/labels", s"$base/repmap", s"$base/edges",
+          gen = "del1")
+      }
+      graft.Phases.timed("serve") {
+        graft.operators.IncrementalComponents
+          .currentLabels(s, s"$base/labels", s"$base/repmap")
+          .localCheckpoint()
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val siz = lab.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    val report = graft.Phases.timed("serve") {
+      lab.join(siz, Seq("component"))
+        .select(col("id").as("doc_id"), col("component"),
+          col("csize").cast("bigint").as("component_size"),
+          (col("id") === col("component")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint() // eager: lab can be freed before the caller reads
+    }
+    graft.operators.Components.freeLocalCheckpoint(lab)
+    report
+  }
+
   /** Training-shard export manifest (q143) — the pipeline's last mile:
     * the q49 packed sequences assigned to a fixed shard count the way a
     * distributed trainer's loader consumes them. Shard assignment is a
