@@ -263,10 +263,7 @@ object IncrementalComponents {
     // here anyway, and pair-keyed disjoint state appends like labels.
     // Written before the label updates and dynamically overwritten per
     // date, so a re-run of the date replaces its own rows (idempotent).
-    edgesPath.foreach(p =>
-      edges.withColumn("ds", lit(date))
-        .write.mode("overwrite").partitionBy("ds")
-        .option("partitionOverwriteMode", "dynamic").parquet(p))
+    edgesPath.foreach(p => IncrementalStore.appendPath(edges, p, date))
     if (!edges.isEmpty) {
       val cur = currentLabels(spark, labelsPath, repmapPath).localCheckpoint()
       def mapped(side: String): DataFrame = cur

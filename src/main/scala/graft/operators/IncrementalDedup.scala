@@ -33,15 +33,9 @@ object IncrementalDedup {
     * only this date's partition (idempotent re-run, like the split engine's
     * marker semantics). */
   def appendSignatures(docs: DataFrame, store: String, date: String,
-      k: Int = 32, idCol: String = "doc_id"): Unit = {
-    StoreMaintenance.withAppendLease(docs.sparkSession, store) {
-      Dedup.minhashSignatures(docs, k, idCol)
-        .withColumn("ds", lit(date))
-        .write.mode("overwrite").partitionBy("ds")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store)
-    }
-  }
+      k: Int = 32, idCol: String = "doc_id"): Unit =
+    IncrementalStore.appendPath(
+      Dedup.minhashSignatures(docs, k, idCol), store, date)
 
   /** All signatures accumulated so far. */
   def loadSignatures(spark: SparkSession, store: String): DataFrame =
@@ -119,16 +113,10 @@ object IncrementalDedup {
     * size it as |store at horizon| · rowBytes / targetPartitionBytes. */
   def appendBandsBucketed(docs: DataFrame, table: String, date: String,
       k: Int = 32, rowsPerBand: Int = 2, idCol: String = "doc_id",
-      nBuckets: Int = 8): Unit = {
-    StoreMaintenance.withAppendLeaseTable(docs.sparkSession, table) {
-      Dedup.bandRows(Dedup.minhashSignatures(docs, k, idCol), k, rowsPerBand)
-        .withColumn("ds", lit(date))
-        .write.mode("append")
-        .partitionBy("ds")
-        .bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
-        .saveAsTable(table)
-    }
-  }
+      nBuckets: Int = 8): Unit =
+    IncrementalStore.appendBucketed(
+      Dedup.bandRows(Dedup.minhashSignatures(docs, k, idCol), k, rowsPerBand),
+      table, date, Seq("band", "bh"), nBuckets)
 
   /** One incremental step against the bucketed store: pairs involving at
     * least one `date` document, scored by signature-estimated Jaccard —

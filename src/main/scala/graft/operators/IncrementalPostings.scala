@@ -28,15 +28,9 @@ object IncrementalPostings {
   /** Tokenize one date's documents and append their (term, doc_id, tf)
     * rows under that date's partition (idempotent re-run). */
   def appendCounts(docs: DataFrame, store: String, date: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    StoreMaintenance.withAppendLease(docs.sparkSession, store) {
-      Search.termFrequencies(docs, idCol, textCol)
-        .withColumn("ds", lit(date))
-        .write.mode("overwrite").partitionBy("ds")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store)
-    }
-  }
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    IncrementalStore.appendPath(
+      Search.termFrequencies(docs, idCol, textCol), store, date)
 
   /** Index report over the accumulated store — same output contract as
     * [[Search.postings]] over the union of every ingested date. */
@@ -62,16 +56,10 @@ object IncrementalPostings {
     * size it as |store at horizon| · rowBytes / targetPartitionBytes. */
   def appendCountsBucketed(docs: DataFrame, table: String, date: String,
       idCol: String = "doc_id", textCol: String = "text",
-      nBuckets: Int = 8): Unit = {
-    StoreMaintenance.withAppendLeaseTable(docs.sparkSession, table) {
-      Search.termFrequencies(docs, idCol, textCol)
-        .withColumn("ds", lit(date))
-        .write.mode("append")
-        .partitionBy("ds")
-        .bucketBy(nBuckets, "term").sortBy("term")
-        .saveAsTable(table)
-    }
-  }
+      nBuckets: Int = 8): Unit =
+    IncrementalStore.appendBucketed(
+      Search.termFrequencies(docs, idCol, textCol),
+      table, date, Seq("term"), nBuckets)
 
   /** Report over the bucketed store — same output contract as [[report]],
     * but every keyed stage reuses the bucket layout: the only exchange in
@@ -100,19 +88,13 @@ object IncrementalPostings {
     * any corpus containing a whitespace-only document. */
   def appendNorms(docs: DataFrame, table: String, date: String,
       idCol: String = "doc_id", textCol: String = "text",
-      nBuckets: Int = 8): Unit = {
-    StoreMaintenance.withAppendLeaseTable(docs.sparkSession, s"${table}_dl") {
+      nBuckets: Int = 8): Unit =
+    IncrementalStore.appendBucketed(
       docs.select(col(idCol).as("doc_id"),
           size(filter(graft.functions.TextFunctions.tokens(col(textCol)),
             w => length(w) > 0)).cast("bigint").as("dl"))
-        .filter(col("dl") > 0)
-        .withColumn("ds", lit(date))
-        .write.mode("append")
-        .partitionBy("ds")
-        .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(s"${table}_dl")
-    }
-  }
+        .filter(col("dl") > 0),
+      s"${table}_dl", date, Seq("doc_id"), nBuckets)
 
   /** Compaction merge for the norms table `t_dl`: per-doc lengths are
     * additive across dates, so the fold sums them to one row per doc —

@@ -76,36 +76,17 @@ object IncrementalSQ {
       nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    // hold an append lease for the write's duration (the family rule);
-    // the pending-refit check sits INSIDE the lease so it cannot race a
-    // refit that starts between check and write
-    StoreMaintenance.withAppendLeaseTable(spark, s"${table}_codes") {
-      requireNoPendingRefit(spark, table, "append")
-      SQ.encode(emb, spark.table(s"${table}_grid"), idCol, vecCol)
-        .withColumn("ds", lit(date))
-        .write.mode("append").partitionBy("ds")
-        .bucketBy(nBuckets, "id").sortBy("id")
-        .saveAsTable(s"${table}_codes")
-    }
+    // the pending-refit check runs INSIDE the lease (the guard hook) so
+    // it cannot race a refit that starts between check and write
+    IncrementalStore.appendBucketed(
+      SQ.encode(emb, spark.table(s"${table}_grid"), idCol, vecCol),
+      s"${table}_codes", date, Seq("id"), nBuckets,
+      guard = requireNoPendingRefit(_, table, "append"))
   }
 
-  /** Drop one ingestion date's partition — the re-run/retry guard
-    * (bounded metadata DDL, no data motion). */
-  def dropDate(spark: SparkSession, table: String, date: String): Unit = {
-    val t = s"${table}_codes"
-    if (spark.catalog.tableExists(t))
-      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
-  }
-
-  /** AS-OF restriction — the [[IncrementalVectors]] convention: the date
-    * partitioning makes time-travel a partition PRUNE. Consolidated
-    * `c_<date>` partitions compare by their effective date; `r_<gen>`
-    * rewrite generations are excluded by any as-of (a rewrite consumes
-    * per-date history by documented design). */
-  private def asOf(store: DataFrame, upTo: Option[String]): DataFrame =
-    upTo.fold(store)(d =>
-      store.filter(!col("ds").startsWith("r_") &&
-        regexp_replace(col("ds"), "^c_", "") <= d))
+  /** Drop one ingestion date's partition — the re-run/retry guard. */
+  def dropDate(spark: SparkSession, table: String, date: String): Unit =
+    IncrementalStore.dropDate(spark, Seq(s"${table}_codes"), date)
 
   /** Asymmetric top-k serve from the accumulated store: [[SQ.search]]'s
     * output contract (qid, rank, cid, cosine) with the reconstruction fed
@@ -116,7 +97,7 @@ object IncrementalSQ {
       vecCol: String = "embedding", upTo: Option[String] = None): DataFrame = {
     requireNoPendingRefit(spark, table, "search")
     val grid = spark.table(s"${table}_grid")
-    val codes = asOf(spark.table(s"${table}_codes"), upTo)
+    val codes = IncrementalStore.asOf(spark.table(s"${table}_codes"), upTo)
       .select(col("id"), col("dim"), col("code"))
     SQ.search(queries, SQ.reconstruct(codes, grid), kNeighbors, idCol, vecCol)
   }

@@ -28,16 +28,11 @@ object IncrementalSpans {
   /** Hash one date's documents and append their per-hash window counts
     * under that date's partition (idempotent re-run). */
   def appendCounts(docs: DataFrame, store: String, date: String, n: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    StoreMaintenance.withAppendLease(docs.sparkSession, store) {
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    IncrementalStore.appendPath(
       Corpus.spanGrams(docs, n, idCol, textCol)._2
-        .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
-        .withColumn("ds", lit(date))
-        .write.mode("overwrite").partitionBy("ds")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(store)
-    }
-  }
+        .groupBy(col("h")).agg(count(lit(1)).as("cnt")),
+      store, date)
 
   /** DELETION PROPAGATION for the span-count store. Unlike the doc-keyed
     * stores, (h, cnt) rows carry no doc ids — a doc's contribution can

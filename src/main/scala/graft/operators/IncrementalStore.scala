@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE maintenance-facing contract shared by every incremental
+  * per-date store family (dedup bands/signatures, postings tf + norms,
+  * span counts, PQ/IVF vectors, SQ8 codes, matryoshka postings, cluster
+  * labels). Round 13 proved the risk of repeating it per family: one
+  * rule change (append leases) touched eight files with near-identical
+  * edits, and a ninth family would silently miss the next rule. The
+  * shared surface is now HERE — a family module owns its schema, its
+  * models, and its serve plans, and delegates the store mechanics:
+  *
+  *  - **append**: one ingestion date's rows land under a `ds=<date>`
+  *    partition, under a SHARED append lease so a concurrent
+  *    [[StoreMaintenance]] fold fails fast in both directions.
+  *    [[appendBucketed]] (table stores — bucket spec fixed for the
+  *    table's life, one shuffle per row ever, paid at write time) and
+  *    [[appendPath]] (plain-parquet path stores — dynamic partition
+  *    overwrite makes a re-run of the same date idempotent).
+  *  - **as-of** ([[asOf]]): the date partitioning makes time-travel a
+  *    partition PRUNE — consolidated `c_<date>` partitions compare by
+  *    their effective date, `r_<gen>` rewrite generations are excluded
+  *    (a rewrite consumes per-date history by documented design).
+  *  - **re-run guard** ([[dropDate]]): bucketed `saveAsTable` appends
+  *    cannot dynamic-overwrite, so a retry/replay drops its own date
+  *    partition first (the streaming duals call it per micro-batch).
+  *  - **retention / rewrite / deletion**: [[StoreMaintenance.compact]],
+  *    [[StoreMaintenance.rewrite]] and [[StoreMaintenance.tombstone]]
+  *    (and their `*Path` twins) — marker-committed, crash-resumable.
+  *
+  * Appends hold the lease for exactly the write's duration; `guard`
+  * runs INSIDE the lease (families use it for state checks that must
+  * not race a concurrent mutation — e.g. the pending-refit refusals). */
+object IncrementalStore {
+
+  /** Append one date's rows to a bucketed per-date TABLE store: shared
+    * append lease, `ds=<date>` partition, bucket-and-sort on
+    * `bucketCols` (the layout that lets every keyed serve stage read the
+    * store exchange-free). `nBuckets` must stay constant for the
+    * table's life. */
+  def appendBucketed(df: DataFrame, table: String, date: String,
+      bucketCols: Seq[String], nBuckets: Int = 8,
+      guard: SparkSession => Unit = _ => ()): Unit =
+    StoreMaintenance.withAppendLeaseTable(df.sparkSession, table) {
+      guard(df.sparkSession)
+      df.withColumn("ds", lit(date))
+        .write.mode("append").partitionBy("ds")
+        .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .saveAsTable(table)
+    }
+
+  /** Append one date's rows to a plain-parquet PATH store: shared append
+    * lease, dynamic partition overwrite — a re-run of the same date
+    * replaces only its own partition (idempotent retries, the split
+    * engine's marker semantics). */
+  def appendPath(df: DataFrame, store: String, date: String,
+      guard: SparkSession => Unit = _ => ()): Unit =
+    StoreMaintenance.withAppendLease(df.sparkSession, store) {
+      guard(df.sparkSession)
+      df.withColumn("ds", lit(date))
+        .write.mode("overwrite").partitionBy("ds")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store)
+    }
+
+  /** AS-OF restriction on a per-date store scan — a partition prune, not
+    * a rebuild: later dates' files are never listed. */
+  def asOf(store: DataFrame, upTo: Option[String]): DataFrame =
+    upTo.fold(store)(d =>
+      store.filter(!col("ds").startsWith("r_") &&
+        regexp_replace(col("ds"), "^c_", "") <= d))
+
+  /** Drop one ingestion date's partition from each existing table — the
+    * re-run/retry guard (bounded metadata DDL, no data motion). */
+  def dropDate(spark: SparkSession, tables: Seq[String], date: String): Unit =
+    tables.foreach { t =>
+      if (spark.catalog.tableExists(t))
+        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
+    }
+}

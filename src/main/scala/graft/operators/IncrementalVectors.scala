@@ -89,31 +89,22 @@ object IncrementalVectors {
       nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    // hold an append lease on each store table for its write's duration —
-    // an append racing a fold's partition drops would lose rows silently
-    // (the pending-refit check sits inside the lease: it cannot race a
-    // refit that stages between check and write)
-    StoreMaintenance.withAppendLeaseTable(spark, s"${table}_codes") {
-      requireNoPendingRefit(spark, table)
-      PQ.encode(emb, spark.table(s"${table}_cb"), m, idCol, vecCol)
-        .withColumn("ds", lit(date))
-        .write.mode("append").partitionBy("ds")
-        .bucketBy(nBuckets, "id").sortBy("id")
-        .saveAsTable(s"${table}_codes")
-    }
-    StoreMaintenance.withAppendLeaseTable(spark, s"${table}_cells") {
-      requireNoPendingRefit(spark, table)
-      val cells = KMeans.assign(emb, spark.table(s"${table}_ctr"), idCol, vecCol)
-        .select(col("id"), col("cid").as("cell"))
+    // each write holds its own append lease (the family rule — an append
+    // racing a fold's partition drops would lose rows silently); the
+    // pending-refit check runs inside each lease via the guard hook
+    IncrementalStore.appendBucketed(
+      PQ.encode(emb, spark.table(s"${table}_cb"), m, idCol, vecCol),
+      s"${table}_codes", date, Seq("id"), nBuckets,
+      guard = requireNoPendingRefit(_, table))
+    val cells = KMeans.assign(emb, spark.table(s"${table}_ctr"), idCol, vecCol)
+      .select(col("id"), col("cid").as("cell"))
+    IncrementalStore.appendBucketed(
       emb.select(col(idCol).as("id"), col(vecCol).as("e"),
           Similarity.norm(col(vecCol)).as("n"))
         .join(cells, "id")
-        .select(col("cell"), col("id"), col("e"), col("n"))
-        .withColumn("ds", lit(date))
-        .write.mode("append").partitionBy("ds")
-        .bucketBy(nBuckets, "cell").sortBy("cell")
-        .saveAsTable(s"${table}_cells")
-    }
+        .select(col("cell"), col("id"), col("e"), col("n")),
+      s"${table}_cells", date, Seq("cell"), nBuckets,
+      guard = requireNoPendingRefit(_, table))
   }
 
   /** AS-OF restriction on a per-date store scan — the date partitioning
@@ -127,9 +118,7 @@ object IncrementalVectors {
     * documented design, so time-travel across one is impossible, not
     * silently wrong. */
   private def asOf(store: DataFrame, upTo: Option[String]): DataFrame =
-    upTo.fold(store)(d =>
-      store.filter(!col("ds").startsWith("r_") &&
-        regexp_replace(col("ds"), "^c_", "") <= d))
+    IncrementalStore.asOf(store, upTo)
 
   /** Drop one ingestion date's partitions from BOTH store tables — the
     * re-run/retry guard the append-only contract asks the caller to hold
@@ -141,10 +130,8 @@ object IncrementalVectors {
     * `saveAsTable` bucketed appends do not support). Bounded metadata
     * DDL: two ALTER TABLE statements, no data motion. */
   def dropDate(spark: SparkSession, table: String, date: String): Unit =
-    Seq(s"${table}_codes", s"${table}_cells").foreach { t =>
-      if (spark.catalog.tableExists(t))
-        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
-    }
+    IncrementalStore.dropDate(spark,
+      Seq(s"${table}_codes", s"${table}_cells"), date)
 
   /** DELETION PROPAGATION: physically remove the tombstoned ids' rows
     * from BOTH store tables (PQ codes and IVF postings), one

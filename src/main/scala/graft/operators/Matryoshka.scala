@@ -54,27 +54,20 @@ object Matryoshka {
       pDim: Int = 16, nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    StoreMaintenance.withAppendLeaseTable(spark, s"${table}_cells") {
-      val cells = KMeans.assign(prefixed(emb, pDim, idCol, vecCol),
-          spark.table(s"${table}_ctr"), idCol, vecCol)
-        .select(col("id"), col("cid").as("cell"))
+    val cells = KMeans.assign(prefixed(emb, pDim, idCol, vecCol),
+        spark.table(s"${table}_ctr"), idCol, vecCol)
+      .select(col("id"), col("cid").as("cell"))
+    IncrementalStore.appendBucketed(
       emb.select(col(idCol).as("id"), col(vecCol).as("e"),
           Similarity.norm(col(vecCol)).as("n"))
         .join(cells, "id")
-        .select(col("cell"), col("id"), col("e"), col("n"))
-        .withColumn("ds", lit(date))
-        .write.mode("append").partitionBy("ds")
-        .bucketBy(nBuckets, "cell").sortBy("cell")
-        .saveAsTable(s"${table}_cells")
-    }
+        .select(col("cell"), col("id"), col("e"), col("n")),
+      s"${table}_cells", date, Seq("cell"), nBuckets)
   }
 
   /** Drop one ingestion date's partition — the re-run/retry guard. */
-  def dropDate(spark: SparkSession, table: String, date: String): Unit = {
-    val t = s"${table}_cells"
-    if (spark.catalog.tableExists(t))
-      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
-  }
+  def dropDate(spark: SparkSession, table: String, date: String): Unit =
+    IncrementalStore.dropDate(spark, Seq(s"${table}_cells"), date)
 
   /** DELETION PROPAGATION — the [[IncrementalVectors.deleteIds]] contract
     * for the matryoshka store's single cell table: one marker-committed
@@ -90,9 +83,7 @@ object Matryoshka {
     * Consolidated `c_<date>` partitions compare by their effective date;
     * `r_<gen>` rewrite generations are excluded by any as-of. */
   private def asOf(store: DataFrame, upTo: Option[String]): DataFrame =
-    upTo.fold(store)(d =>
-      store.filter(!col("ds").startsWith("r_") &&
-        regexp_replace(col("ds"), "^c_", "") <= d))
+    IncrementalStore.asOf(store, upTo)
 
   /** Two-stage top-k: probe `nProbe` cells by exact PREFIX squared-L2 to
     * the frozen centroids (the quantizer's own metric), prune the
