@@ -292,7 +292,14 @@ object ScaleProbe {
       // exchange-free serve) and the hybrid serving stack (both stores +
       // RRF fusion of two bounded rankings)
       "q158_bm25_store" -> SparkEntry.queries("q158_bm25_store"),
-      "q159_hybrid_store" -> SparkEntry.queries("q159_hybrid_store_serve"))
+      "q159_hybrid_store" -> SparkEntry.queries("q159_hybrid_store_serve"),
+      // round-14 additions: deletion propagation — each tombstone rewrite
+      // is one distributed read + bucketed write of its store (the
+      // unavoidable physical-deletion cost), and the clustering delete is
+      // edge-sized past the signature rewrite
+      "q160_bm25_tomb" -> SparkEntry.queries("q160_bm25_tombstone"),
+      "q161_vector_tomb" -> SparkEntry.queries("q161_vector_tombstone"),
+      "q162_comp_tomb" -> SparkEntry.queries("q162_components_tombstone"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -293,6 +293,22 @@ object Similarity {
     * pointless (≤16 buckets), above 16 bits the per-band match
     * probability for a true s ≥ 0.99 near-dup (p^r at p ≈ 0.991) decays
     * enough that the default 8 bands' miss bound leaves the 1e-7 regime.
+    *
+    * COST PAST THE CLAMP (the documented bound for the r=16 ceiling,
+    * which N ≥ 2^16 ≈ 65k rows reaches): with r frozen at 16 the
+    * candidate mass re-enters a quadratic regime with coefficient
+    * b/2^17 — mass ≈ b·N²/131072 pairs, each verified with one
+    * vecDim-term dot product. Concretely at b = 8 (128 planes):
+    * N = 200k → ~2.4e9 plane-dot candidates ≈ minutes (the measured
+    * 100× composite row); N = 1M → ~6e10 ≈ an hour of a single node,
+    * still bounded per-task (the band join hashes, never broadcasts);
+    * N ≥ ~5M → the quadratic term dominates any linear budget and the
+    * escape hatch is TWO-LEVEL banding (band on 16 bits, then re-band
+    * candidates on a second independent 16-bit signature — mass falls
+    * by another 2^17 at the price of one more pass), or routing to the
+    * capped/blocked paths. The spec pins the clamp (r = 16 for every
+    * N ≥ 2^16, never higher) so a future "fix" cannot silently turn
+    * the law super-exponential in band count or sub-linear in recall.
     * Public so the spec pins the derived width at known corpus sizes. */
   def derivedRowsPerBand(n: Long, nPlanes: Int): Int = {
     val ceilLog2 =

@@ -138,6 +138,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.derivedRowsPerBand(257L, 128) == 9)
   }
 
+  test("the 16-bit clamp holds at every corpus size past 2^16 (the documented quadratic re-entry)") {
+    // past the ceiling the law FREEZES at r=16 and the candidate mass
+    // re-enters a quadratic regime with coefficient b/2^17 (scaladoc'd
+    // cost bound on derivedRowsPerBand) — pin that no N ever derives a
+    // wider band (recall decay) or narrower one (mass explosion)
+    for (n <- Seq(1L << 16, 200000L, 1L << 20, 1L << 24, 1L << 30,
+        Long.MaxValue))
+      assert(Similarity.derivedRowsPerBand(n, 128) == 16,
+        s"r must clamp at 16 for n=$n")
+    // the nPlanes/2 cap binds before the log law when planes are scarce:
+    // at least 2 bands must exist for the miss bound to mean anything
+    assert(Similarity.derivedRowsPerBand(1L << 20, 16) == 8)
+    assert(Similarity.derivedRowsPerBand(1L << 20, 8) == 4)
+  }
+
   test("cosineNearDupBanded plans equi-joins only (no nested-loop, no cartesian)") {
     val plan = Similarity.cosineNearDupBanded(emb, 0.9)
       .queryExecution.executedPlan.toString
