@@ -181,18 +181,22 @@ object SparkEntry {
     "q160_bm25_tombstone" -> (Quality.q160Bm25Tombstone _),
     "q161_vector_tombstone" -> (TextQueries.q161VectorTombstone _),
     "q162_components_tombstone" -> (TextQueries.q162ComponentsTombstone _),
+    "q163_span_tombstone" -> (TextQueries.q163SpanTombstone _),
+    "q164_sq8_tombstone" -> (TextQueries.q164Sq8Tombstone _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
     * groups FNV hashes — shared by q101 (batch) and q109 (incremental
     * count store, whose additive state must converge to the same report
-    * over the full corpus). */
-  private val repeatedSpansSql =
-    """WITH t AS (
+    * over the full corpus). `docSrc` parameterizes the corpus so q163's
+    * tombstone oracle replays the identical pipeline over the surviving
+    * documents (the subtracted store must equal it bit-for-bit). */
+  private def repeatedSpansSqlFrom(docSrc: String) =
+    s"""WITH t AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(trim(text), '\s+'),
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
       |      x -> len(x) > 0) AS toks
-      |  FROM documents),
+      |  FROM $docSrc),
       |nw AS (
       |  SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_windows, toks FROM t),
       |g AS (
@@ -210,6 +214,8 @@ object SparkEntry {
       |  ROUND(COALESCE(ndup, 0) / GREATEST(n_windows, 1), 6) AS dup_ratio
       |FROM nw LEFT JOIN pd USING (doc_id)
       |ORDER BY nw.doc_id""".stripMargin
+
+  private val repeatedSpansSql = repeatedSpansSqlFrom("documents")
 
   /** CTE chain producing the exact word-3-gram Jaccard candidate pairs —
     * shared by the q21/q22 pair oracles and q62's clustering oracle.
@@ -638,9 +644,12 @@ object SparkEntry {
 
   /** The q152 SQ8-store replay — shared verbatim by q156 (the
     * compaction-in-the-middle cycle): codes are disjoint per-id state,
-    * so the fold re-bins partitions and the serve is bit-equal. */
-  private val sq8StoreSql =
-    """WITH sqdims AS (
+    * so the fold re-bins partitions and the serve is bit-equal.
+    * `candWhere` (a predicate over the reconstructed ids) restricts the
+    * STORE side — q164's tombstone oracle serves only the surviving
+    * codes while the grid stays frozen on the original d0 fit. */
+  private def sq8StoreSqlCand(candWhere: String) =
+    s"""WITH sqdims AS (
         |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
         |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
         |grid AS (
@@ -652,7 +661,8 @@ object SparkEntry {
         |      ELSE GREATEST(0, LEAST(255,
         |        CAST(FLOOR((x - mn) / span * 255 + 0.5) AS INT)))
         |      END AS DOUBLE) / 255 * span AS xh
-        |  FROM sqdims JOIN grid ON sqdims.dim = grid.dim),
+        |  FROM sqdims JOIN grid ON sqdims.dim = grid.dim
+        |  WHERE $candWhere),
         |sqcn AS (
         |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
         |    AS DOUBLE)) AS cn
@@ -674,6 +684,8 @@ object SparkEntry {
         |  FROM sqdot JOIN sqqn USING (qid) JOIN sqcn ON cid = sqcn.id)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
         |FROM sqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  private val sq8StoreSql = sq8StoreSqlCand("TRUE")
 
   /** q74's one-shot BM25 replay — shared verbatim by q158 (the
     * store-served path): tf and per-doc-length state are additive
@@ -1643,6 +1655,9 @@ object SparkEntry {
     // gates store-served == from-scratch with the frozen grid.
     "q152_sq8_store" -> sq8StoreSql,
     "q156_sq8_compacted" -> sq8StoreSql,
+    // q164: deletion propagation through the SQ8 store — the serve reads
+    // only the surviving codes; the grid keeps its original d0 fit
+    "q164_sq8_tombstone" -> sq8StoreSqlCand("id % 7 <> 3"),
 
     // q159: hybrid-from-stores — q132's RRF shape with the lexical leg
     // replayed by q74's BM25 CTEs (the additive store state) and the
@@ -2538,6 +2553,14 @@ object SparkEntry {
     // full-corpus report replays q101's oracle verbatim (counts are
     // additive state, so the split into dates cannot matter).
     "q109_incremental_spans" -> repeatedSpansSql,
+    // q163: deletion propagation through the span store — the subtracted
+    // counts must equal the span pipeline over the surviving corpus,
+    // including windows whose dup status flips when a deleted doc's
+    // contribution leaves
+    "q163_span_tombstone" ->
+      s"""WITH keepdocs AS (
+        |  SELECT * FROM documents WHERE doc_id % 7 <> 3),
+        |${repeatedSpansSqlFrom("keepdocs").stripPrefix("WITH ")}""".stripMargin,
 
     // q102: q101's duplicated-window grouping (strings where the engine
     // groups FNV hashes), then Lee et al.'s removal pass replayed with

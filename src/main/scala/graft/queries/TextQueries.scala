@@ -1411,6 +1411,85 @@ object TextQueries {
     report
   }
 
+  /** q163: DELETION PROPAGATION through the span-count store — the one
+    * family where a tombstone cannot be a row drop, because (h, cnt)
+    * rows carry no doc ids: the pass re-hashes the DELETED documents'
+    * windows (a takedown has the document in hand) and SUBTRACTS their
+    * counts in one marker-committed fold, dropping rows that reach
+    * zero. Builds the q109 store over three dates on the full corpus,
+    * deletes doc_id % 7 = 3, then reports the surviving docs against
+    * the post-delete store. The oracle is q101's span pipeline over
+    * the surviving corpus — a green hash proves the subtraction is
+    * exact, INCLUDING the sign-flip case: a window duplicated only via
+    * a deleted doc drops below 2 and stops reporting as dup. */
+  def q163SpanTombstone(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_q163_${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(System.nanoTime())
+    Warehouse.sweepTmpOrphans("graft_q163_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val store = s"$base/spans"
+    val out = try {
+      val docs = Tables.load(s, dir, "documents")
+      graft.Phases.timed("build") {
+        (0 until 3).foreach { d =>
+          graft.operators.IncrementalSpans.appendCounts(
+            docs.filter(pmod(col("doc_id"), lit(3L)) === d), store, s"d$d")
+        }
+      }
+      graft.Phases.timed("maintain") {
+        graft.operators.IncrementalSpans.deleteDocs(
+          docs.filter(pmod(col("doc_id"), lit(7L)) === 3), store,
+          gen = "del1")
+      }
+      graft.Phases.timed("serve") {
+        graft.operators.IncrementalSpans.report(
+            docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3), store)
+          .localCheckpoint() // eager: the store dir is deleted below
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    out.orderBy(col("doc_id"))
+  }
+
+  /** q164: DELETION PROPAGATION through the SQ8 store — the scalar
+    * family's q161: the q152 store (d0-frozen grid, three date appends
+    * over the full corpus) has every vector with vec_id % 7 = 3
+    * removed by [[graft.operators.IncrementalSQ.deleteIds]] (one
+    * marker-committed rewrite of the id-bucketed code table), then the
+    * asymmetric serve reads the surviving codes. The oracle replays the
+    * frozen-grid encode/reconstruct chain with the STORE side
+    * restricted to surviving ids while the grid keeps its original d0
+    * fit — store-after-delete == from-scratch-minus-docs under the
+    * frozen model, the q161 contract. */
+  def q164Sq8Tombstone(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q164_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_grid", s"${base}_grid_prev", s"${base}_codes")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q164_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalSQ.initGrid(slice(0), base)
+      (0 until 3).foreach { d =>
+        graft.operators.IncrementalSQ.appendDate(slice(d), base, s"d$d")
+      }
+    }
+    graft.Phases.timed("maintain") {
+      graft.operators.IncrementalSQ.deleteIds(s, base,
+        emb.filter(pmod(col("vec_id"), lit(7L)) === 3).select("vec_id"),
+        gen = "del1")
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalSQ
+        .search(s, base, emb.filter(col("vec_id") < 10))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("qid"), col("rank"))
+  }
+
   /** Training-shard export manifest (q143) — the pipeline's last mile:
     * the q49 packed sequences assigned to a fixed shard count the way a
     * distributed trainer's loader consumes them. Shard assignment is a
