@@ -183,6 +183,7 @@ object SparkEntry {
     "q162_components_tombstone" -> (TextQueries.q162ComponentsTombstone _),
     "q163_span_tombstone" -> (TextQueries.q163SpanTombstone _),
     "q164_sq8_tombstone" -> (TextQueries.q164Sq8Tombstone _),
+    "q165_hybrid_tombstone" -> (Quality.q165HybridTombstone _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -686,6 +687,47 @@ object SparkEntry {
         |FROM sqr WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
   private val sq8StoreSql = sq8StoreSqlCand("TRUE")
+
+  /** The q159 hybrid-from-stores replay, parameterized for q165's
+    * takedown variant: `docWhere` restricts the lexical corpus (BM25's
+    * n_docs/avgdl/df re-derive from survivors), `candWhere` the dense
+    * leg's candidate set (the [[ivfDetCtesFit]] contract). */
+  private def hybridStoreSql(docWhere: String, candWhere: String): String =
+    s"""WITH $embNormCte,
+       |$fnvMapCte,
+       |${ivfDetCtesFit("vec_id % 3 = 0", candWhere, adim = 16)},
+       |toks AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents WHERE $docWhere),
+       |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |  WHERE term IN ('data', 'query') GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+       |part AS (
+       |  SELECT btf.doc_id,
+       |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |        * (tf * (1.2 + 1.0))
+       |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS s
+       |  FROM btf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus),
+       |lex AS (
+       |  SELECT doc_id AS id,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+       |        FROM part GROUP BY doc_id
+       |        ORDER BY score DESC, doc_id LIMIT 10)),
+       |vec AS (SELECT cid AS id, rank FROM vs WHERE qid = 0 AND rank <= 10),
+       |fused AS (
+       |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
+       |  FROM lex
+       |  UNION ALL
+       |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
+       |  FROM vec)
+       |SELECT id, CAST(SUM(s) AS DOUBLE) AS rrf_score, COUNT(*) AS n_lists
+       |FROM fused GROUP BY id
+       |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin
 
   /** q74's one-shot BM25 replay — shared verbatim by q158 (the
     * store-served path): tf and per-doc-length state are additive
@@ -1663,42 +1705,15 @@ object SparkEntry {
     // replayed by q74's BM25 CTEs (the additive store state) and the
     // dense leg by the prefix-IVF pipeline (the q157 matryoshka store's
     // serve), fused by the same rounded-decimal RRF arithmetic
-    "q159_hybrid_store_serve" ->
-      s"""WITH $embNormCte,
-         |$fnvMapCte,
-         |${ivfDetCtesFit("vec_id % 3 = 0", adim = 16)},
-         |toks AS (
-         |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
-         |  FROM documents),
-         |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-         |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-         |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-         |  WHERE term IN ('data', 'query') GROUP BY 1, 2),
-         |dfreq AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
-         |part AS (
-         |  SELECT btf.doc_id,
-         |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |        * (tf * (1.2 + 1.0))
-         |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
-         |      AS DECIMAL(18,6)) AS s
-         |  FROM btf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus),
-         |lex AS (
-         |  SELECT doc_id AS id,
-         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
-         |  FROM (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
-         |        FROM part GROUP BY doc_id
-         |        ORDER BY score DESC, doc_id LIMIT 10)),
-         |vec AS (SELECT cid AS id, rank FROM vs WHERE qid = 0 AND rank <= 10),
-         |fused AS (
-         |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
-         |  FROM lex
-         |  UNION ALL
-         |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
-         |  FROM vec)
-         |SELECT id, CAST(SUM(s) AS DOUBLE) AS rrf_score, COUNT(*) AS n_lists
-         |FROM fused GROUP BY id
-         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin,
+    "q159_hybrid_store_serve" -> hybridStoreSql("TRUE", "TRUE"),
+
+    // q165: the SERVING STACK honors a takedown — both retrieval legs
+    // restricted to the surviving corpus after tombstone rewrites of the
+    // lexical (tf + norms) and matryoshka stores; fusion arithmetic
+    // unchanged. A doc can never be retrieved through ANY leg after its
+    // deletion propagates.
+    "q165_hybrid_tombstone" ->
+      hybridStoreSql("doc_id % 7 <> 3", "a.id % 7 <> 3"),
 
     // q157: the persisted matryoshka index — the deterministic-IVF
     // replay with ASSIGNMENT (training, corpus assignment, probe

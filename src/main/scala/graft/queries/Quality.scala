@@ -285,6 +285,66 @@ object Quality {
     out.orderBy(col("rrf_score").desc, col("id"))
   }
 
+  /** q165: the SERVING STACK honors a takedown — the capstone deletion
+    * row: q159's hybrid stack (store-served BM25 + the matryoshka
+    * store's prefix-probed full-dim top-10, RRF-fused) is built over
+    * three dates on the full corpus, then BOTH legs get their tombstone
+    * rewrites ([[graft.operators.IncrementalPostings.deleteDocs]] on
+    * tf + norms, [[graft.operators.Matryoshka.deleteIds]] on the cell
+    * store) and the fused serve runs on the survivors. The oracle
+    * replays q159's SQL with the lexical corpus AND the dense candidate
+    * set restricted — a green hash proves a deleted document can never
+    * be retrieved through ANY leg of the stack, and that the fusion
+    * arithmetic over the re-ranked survivors matches from-scratch-minus-
+    * docs end to end. */
+  def q165HybridTombstone(s: SparkSession, dir: String): DataFrame = {
+    val lexT = s"graft_q165_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val vecT = s"${lexT}v"
+    val tbls = Seq(lexT, s"${lexT}_dl", s"${vecT}_ctr", s"${vecT}_cells")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q165_p")
+    val docs = Tables.load(s, dir, "documents")
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        val dslice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(dslice, lexT, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(dslice, lexT, s"d$d")
+      }
+      graft.operators.Matryoshka.initModel(
+        emb.filter(pmod(col("vec_id"), lit(3L)) === 0), vecT)
+      (0 until 3).foreach { d =>
+        graft.operators.Matryoshka.appendDate(
+          emb.filter(pmod(col("vec_id"), lit(3L)) === d), vecT, s"d$d")
+      }
+    }
+    graft.Phases.timed("maintain") {
+      graft.operators.IncrementalPostings.deleteDocs(s, lexT,
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id"),
+        gen = "del1")
+      graft.operators.Matryoshka.deleteIds(s, vecT,
+        emb.filter(pmod(col("vec_id"), lit(7L)) === 3).select("vec_id"),
+        gen = "del1")
+    }
+    val out = graft.Phases.timed("serve") {
+      val rankW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = graft.operators.IncrementalPostings
+        .bm25Bucketed(s, lexT, Seq("data", "query"))
+        // partition-less window is safe: it ranks the 10-row top-k result
+        .withColumn("rank", row_number().over(rankW))
+        .select(col("doc_id").as("id"), col("rank"))
+      val vec = graft.operators.Matryoshka
+        .search(s, vecT, emb.filter(col("vec_id") === 0), kNeighbors = 10)
+        .select(col("cid").as("id"), col("rank"))
+      graft.operators.Search.rrfFuse(Seq(lex, vec)).localCheckpoint()
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("rrf_score").desc, col("id"))
+  }
+
   def q132HybridRrf(s: SparkSession, dir: String): DataFrame = {
     val rankW = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
