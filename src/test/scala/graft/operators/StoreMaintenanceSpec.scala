@@ -193,6 +193,41 @@ class StoreMaintenanceSpec extends SparkSpec {
       "re-running the same compaction must be a no-op")
   }
 
+  test("rewritePath folds every partition through the transform; an unmarked partial is discarded, not double-counted") {
+    val tmp = java.nio.file.Files.createTempDirectory("smx-rewrite").toString
+    val store = s"$tmp/spanstore"
+    (0 until 3).foreach { d =>
+      IncrementalSpans.appendCounts(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d), store, s"d$d")
+    }
+    val totalBefore = spark.read.parquet(store)
+      .agg(sum(col("cnt"))).head().getLong(0)
+    // crash simulation: an UNCOMMITTED partial generation dir (a crashed
+    // rewrite died after writing some rows, before its marker) — the old
+    // partitions are intact and authoritative, the partial must be
+    // discarded, never merged or double-counted
+    spark.read.parquet(s"$store/ds=d0")
+      .write.mode("overwrite").parquet(s"$store/ds=r_g1")
+    val merge: DataFrame => DataFrame =
+      _.groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+    StoreMaintenance.rewritePath(spark, store, "g1", merge)
+    val dirs = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("ds=r_g1"),
+      s"every date must fold into the generation dir (got $dirs)")
+    assert(spark.read.parquet(store).agg(sum(col("cnt"))).head().getLong(0)
+      == totalBefore,
+      "the redone fold must carry exactly the old partitions' mass")
+    // re-running a COMPLETED generation is a no-op (0 foldable olds)
+    StoreMaintenance.rewritePath(spark, store, "g1", merge)
+    assert(spark.read.parquet(store).agg(sum(col("cnt"))).head().getLong(0)
+      == totalBefore, "a repeated completed gen must be a no-op")
+    // and the fold lease was released
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(StoreMaintenance.leaseFile(store)))
+  }
+
   private def tableLocation(table: String): String =
     spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
