@@ -184,6 +184,7 @@ object SparkEntry {
     "q163_span_tombstone" -> (TextQueries.q163SpanTombstone _),
     "q164_sq8_tombstone" -> (TextQueries.q164Sq8Tombstone _),
     "q165_hybrid_tombstone" -> (Quality.q165HybridTombstone _),
+    "q166_nb_unlearn" -> (TextQueries.q166NbUnlearn _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -846,9 +847,13 @@ object SparkEntry {
 
   /** The q134 prediction statement — shared verbatim by q145 (the
     * incremental model store accumulates the same additive training
-    * state, so its predictions replay against the identical SQL). */
-  private def nbLangArgmaxSql: String =
-    s"""WITH $nbLangCtes,
+    * state, so its predictions replay against the identical SQL).
+    * `docSrc` parameterizes the corpus: q166's unlearning oracle trains
+    * AND scores over the surviving documents only (the decremented
+    * model must be bit-equal to a from-scratch train without them). */
+  private def nbLangArgmaxSqlFrom(docSrc: String,
+      prelude: String = ""): String =
+    s"""WITH $prelude${nbLangCtesFrom(docSrc)},
        |best AS (
        |  SELECT doc_id, cand AS pred_lang, score,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -857,8 +862,10 @@ object SparkEntry {
        |SELECT b.doc_id, d.lang, b.pred_lang,
        |  CAST(b.score AS DOUBLE) AS score,
        |  (b.pred_lang = d.lang) AS is_correct
-       |FROM best b JOIN documents d USING (doc_id)
+       |FROM best b JOIN $docSrc d USING (doc_id)
        |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin
+
+  private def nbLangArgmaxSql: String = nbLangArgmaxSqlFrom("documents")
 
   /** Shared CTE chain for the q134/q138/q139 NB language-ID oracles:
     * trigram extraction (q75's lower(trim) code-point replay), the 50%
@@ -867,9 +874,11 @@ object SparkEntry {
     * `dl` (doc_id, cand, score) — per-term lns rounded to 6 and
     * DECIMAL-summed, so argmax (q134) and the top-2 margin (q138/q139)
     * replay bit-for-bit. */
-  private def nbLangCtes: String =
+  private def nbLangCtes: String = nbLangCtesFrom("documents")
+
+  private def nbLangCtesFrom(docSrc: String): String =
     s"""t AS (
-       |  SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+       |  SELECT doc_id, lang, lower(trim(text)) AS t FROM $docSrc
        |  WHERE length(trim(text)) >= 3),
        |tri AS (
        |  SELECT doc_id, lang, substr(t, i, 3) AS tri
@@ -881,7 +890,7 @@ object SparkEntry {
        |      CAST(CASE WHEN fnv >= 9223372036854775808::HUGEINT
        |        THEN fnv - 18446744073709551616::HUGEINT ELSE fnv END AS BIGINT) AS fp
        |    FROM (SELECT doc_id, ${fnvSql("CAST(doc_id AS VARCHAR)")} AS fnv
-       |          FROM documents))
+       |          FROM $docSrc))
        |  WHERE ((fp % 100) + 100) % 100 < 50),
        |m AS (
        |  SELECT tri.lang AS cand, tri.tri, COUNT(*) AS c
@@ -889,7 +898,7 @@ object SparkEntry {
        |ls AS (SELECT cand, CAST(SUM(c) AS BIGINT) AS nl FROM m GROUP BY 1),
        |pr AS (
        |  SELECT d.lang AS cand, COUNT(*) AS ndl
-       |  FROM documents d JOIN trainids USING (doc_id) GROUP BY 1),
+       |  FROM $docSrc d JOIN trainids USING (doc_id) GROUP BY 1),
        |tot AS (
        |  SELECT (SELECT COUNT(*) FROM trainids) AS nd,
        |         (SELECT COUNT(DISTINCT tri) FROM m) AS v),
@@ -3057,6 +3066,13 @@ object SparkEntry {
     // gate against q134's own oracle — the incremental==from-scratch
     // convention (q109/q120/q133)
     "q145_incremental_lang_model" -> nbLangArgmaxSql,
+
+    // q166: exact unlearning of the NB model — the decremented counts
+    // must equal a from-scratch train over the surviving corpus
+    // (vocabulary and candidate set shrink included), scored over the
+    // survivors
+    "q166_nb_unlearn" -> nbLangArgmaxSqlFrom("keepdocs",
+      prelude = "keepdocs AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),\n"),
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

@@ -57,4 +57,49 @@ object IncrementalLangModel {
       .groupBy(col("cand"), col("tri")).agg(sum(col("c")).as("c")),
     spark.read.parquet(s"$store/prior")
       .groupBy(col("cand")).agg(sum(col("ndl")).as("ndl")))
+
+  /** DELETION PROPAGATION = EXACT UNLEARNING for the counting model: NB
+    * training state is a pure sum over training documents, so removing a
+    * doc is an exact DECREMENT — the post-delete model is bit-equal to
+    * one trained from scratch without it (no approximation; counting
+    * models are the one family where a takedown can reach the MODEL
+    * itself, not just the store rows — gradient models need refit, see
+    * [[IncrementalVectors.refitQuantizer]]'s contract). The pass
+    * recomputes the deleted docs' trigram counts and priors with the
+    * exact append-side expressions and subtracts them in two
+    * marker-committed [[StoreMaintenance.rewritePath]] folds; rows that
+    * reach zero are dropped, so the derived vocabulary V and the
+    * candidate-language set shrink exactly as a from-scratch train over
+    * the survivors would (oracle-gated as q166). Only tombstones inside
+    * the 50% content-addressed train split affect the state — holdout
+    * docs never entered it. Needs the deleted documents' text+label (a
+    * takedown has the document in hand); re-run a crashed pass with the
+    * SAME `gen`. */
+  def deleteDocs(deletedDocs: DataFrame, store: String, gen: String,
+      idCol: String = "doc_id", langCol: String = "lang",
+      textCol: String = "text"): Unit = {
+    val spark = deletedDocs.sparkSession
+    val isTrain =
+      pmod(Fnv64.fnv64(col(idCol).cast("string")), lit(100L)) < 50
+    val del = deletedDocs.filter(isTrain)
+    val delTri = del.select(col(langCol).as("cand"),
+        CharNgramRows.charNgramRows(col(textCol), 3).as("tri"))
+      .groupBy(col("cand"), col("tri")).agg(count(lit(1)).as("dc"))
+    StoreMaintenance.rewritePath(spark, s"$store/tri", gen,
+      transform = df => df
+        .groupBy(col("cand"), col("tri")).agg(sum(col("c")).as("c"))
+        .join(delTri, Seq("cand", "tri"), "left")
+        .select(col("cand"), col("tri"),
+          (col("c") - coalesce(col("dc"), lit(0L))).as("c"))
+        .filter(col("c") > 0))
+    val delPrior = del.groupBy(col(langCol).as("cand"))
+      .agg(count(lit(1)).as("dndl"))
+    StoreMaintenance.rewritePath(spark, s"$store/prior", gen,
+      transform = df => df
+        .groupBy(col("cand")).agg(sum(col("ndl")).as("ndl"))
+        .join(delPrior, Seq("cand"), "left")
+        .select(col("cand"),
+          (col("ndl") - coalesce(col("dndl"), lit(0L))).as("ndl"))
+        .filter(col("ndl") > 0))
+  }
 }

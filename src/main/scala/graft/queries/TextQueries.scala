@@ -616,6 +616,46 @@ object TextQueries {
       priors.agg(sum(col("ndl")).as("nd"))))
   }
 
+  /** q166: EXACT UNLEARNING of the incremental NB language model — the
+    * takedown reaching the MODEL itself: q145's store is built over
+    * three dates on the full corpus, then
+    * [[graft.operators.IncrementalLangModel.deleteDocs]] DECREMENTS the
+    * doc_id % 7 = 3 training docs' trigram counts and priors (counting
+    * models unlearn exactly — the post-delete sums are bit-equal to a
+    * from-scratch train over the survivors, including the vocabulary V
+    * and candidate set shrinking when counts reach zero), and the
+    * surviving docs are scored against the unlearned model. The oracle
+    * replays q134's full train+score pipeline over the surviving corpus
+    * only — a green hash proves the decrement IS retraining, with none
+    * of the retraining cost (two vocabulary-sized folds). */
+  def q166NbUnlearn(s: SparkSession, dir: String): DataFrame = {
+    val store = s"/tmp/graft_q166_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    Warehouse.sweepTmpOrphans("graft_q166_") // crashed foreign runs
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        graft.operators.IncrementalLangModel.appendCounts(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === d), store, s"d$d")
+      }
+    }
+    graft.Phases.timed("maintain") {
+      graft.operators.IncrementalLangModel.deleteDocs(
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3), store, gen = "del1")
+    }
+    val kept = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3)
+    val out = graft.Phases.timed("serve") {
+      val (model, priors) = graft.operators.IncrementalLangModel.model(s, store)
+      nbArgmax(kept, nbScoresAgainst(kept, model, priors,
+        priors.agg(sum(col("ndl")).as("nd")))).localCheckpoint()
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    out.orderBy(col("doc_id"))
+  }
+
   /** The doc × candidate-language NB score frame behind q134/q138/q139:
     * (doc_id, cand, score) with score the EXACT decimal
     * round₆(ln ndl/nd) + Σ tf·round₆(ln smoothed-likelihood) — see
