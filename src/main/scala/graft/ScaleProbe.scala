@@ -299,7 +299,10 @@ object ScaleProbe {
       // edge-sized past the signature rewrite
       "q160_bm25_tomb" -> SparkEntry.queries("q160_bm25_tombstone"),
       "q161_vector_tomb" -> SparkEntry.queries("q161_vector_tombstone"),
-      "q162_comp_tomb" -> SparkEntry.queries("q162_components_tombstone"))
+      "q162_comp_tomb" -> SparkEntry.queries("q162_components_tombstone"),
+      "q163_span_tomb" -> SparkEntry.queries("q163_span_tombstone"),
+      "q165_hybrid_tomb" -> SparkEntry.queries("q165_hybrid_tombstone"),
+      "q166_nb_unlearn" -> SparkEntry.queries("q166_nb_unlearn"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -48,6 +48,17 @@ class TombstoneSpec extends SparkSpec {
       sameRows(IncrementalPostings.bm25Bucketed(spark, t, Seq("data", "query")),
         IncrementalPostings.bm25Bucketed(spark, ref, Seq("data", "query")),
         "post-delete serve must equal a store that never ingested the docs")
+      // the delete fold must preserve the bucket layout: a lost spec
+      // would silently turn every serve into a full store reshuffle —
+      // the report still plans with zero hash exchanges on the store
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = IncrementalPostings.reportBucketed(spark, t)
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+          s"post-delete store must not reshuffle:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally Seq(t, s"${t}_dl", ref, s"${ref}_dl")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
