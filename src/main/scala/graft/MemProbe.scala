@@ -93,7 +93,13 @@ object MemProbe {
       // matryoshka store (full vectors in cell rows)
       "q155_sq8_refit", "q157_matryoshka_store",
       // round-12 fourth wave: store-served BM25 and the hybrid stack
-      "q158_bm25_store", "q159_hybrid_store_serve")
+      "q158_bm25_store", "q159_hybrid_store_serve",
+      // round-14: deletion propagation under the ceiling — the tombstone
+      // rewrites (one distributed read + bucketed write per store), the
+      // edge-store re-cluster, the span subtract, and NB unlearning
+      "q160_bm25_tombstone", "q161_vector_tombstone",
+      "q162_components_tombstone", "q163_span_tombstone",
+      "q165_hybrid_tombstone", "q166_nb_unlearn")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
