@@ -185,6 +185,8 @@ object SparkEntry {
     "q164_sq8_tombstone" -> (TextQueries.q164Sq8Tombstone _),
     "q165_hybrid_tombstone" -> (Quality.q165HybridTombstone _),
     "q166_nb_unlearn" -> (TextQueries.q166NbUnlearn _),
+    "q167_filtered_ann" -> (TextQueries.q167FilteredAnn _),
+    "q168_filtered_hybrid" -> (TextQueries.q168FilteredHybrid _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -508,12 +510,19 @@ object SparkEntry {
 
   /** q133/q136 — the persisted vector store's searches: both models
     * frozen at the initial ingestion date (vec_id % 3 = 0), union-corpus
-    * encode, ADC ∪ deterministic-IVF top-3, tagged by method. */
-  private def vectorStoreSql: String =
+    * encode, ADC ∪ deterministic-IVF top-3, tagged by method. q167
+    * passes the two per-pipeline candidate predicates (`adcCandWhere`
+    * over `codes.id`, `ivfCandWhere` over `a.id`) to replay the
+    * FILTERED serves — candidates restricted BEFORE ranking, exactly
+    * where the engine's allow-list semi-join sits. */
+  private def vectorStoreSql: String = vectorStoreSqlCand("TRUE", "TRUE")
+
+  private def vectorStoreSqlCand(adcCandWhere: String,
+      ivfCandWhere: String): String =
     s"""WITH $embNormCte,
        |$fnvMapCte,
-       |${pqAdcCtesFit("vec_id % 3 = 0")},
-       |${ivfDetCtesFit("vec_id % 3 = 0")}
+       |${pqAdcCtesFit("vec_id % 3 = 0", adcCandWhere)},
+       |${ivfDetCtesFit("vec_id % 3 = 0", ivfCandWhere)}
        |SELECT method, qid, rank, cid, score FROM (
        |  SELECT 'adc' AS method, qid, CAST(rank AS BIGINT) AS rank,
        |    cand AS cid, ROUND(CAST(ad AS DOUBLE), 6) AS score
@@ -729,6 +738,53 @@ object SparkEntry {
        |SELECT id, CAST(SUM(s) AS DOUBLE) AS rrf_score, COUNT(*) AS n_lists
        |FROM fused GROUP BY id
        |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin
+
+  /** q168 — the tenant-scoped serving stack: both hybrid legs
+    * restricted to lang='en' documents. The lexical leg keeps
+    * CORPUS-wide statistics (dl/corpus/dfreq CTEs over all documents)
+    * and restricts only the scored candidates (the `part` WHERE —
+    * exactly where the engine's allow-list semi-join sits); the dense
+    * leg is the q133 store's full-dimension IVF ranking with the same
+    * allow-list via [[ivfDetCtesFit]]'s candWhere. */
+  private def hybridFilteredSql: String = {
+    val allow = "IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+    s"""WITH $embNormCte,
+       |$fnvMapCte,
+       |${ivfDetCtesFit("vec_id % 3 = 0", s"a.id $allow")},
+       |toks AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tok AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |  WHERE term IN ('data', 'query') GROUP BY 1, 2),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+       |part AS (
+       |  SELECT btf.doc_id,
+       |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+       |        * (tf * (1.2 + 1.0))
+       |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+       |      AS DECIMAL(18,6)) AS s
+       |  FROM btf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN corpus
+       |  WHERE btf.doc_id $allow),
+       |lex AS (
+       |  SELECT doc_id AS id,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM (SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score
+       |        FROM part GROUP BY doc_id
+       |        ORDER BY score DESC, doc_id LIMIT 10)),
+       |vec AS (SELECT cid AS id, rank FROM vs WHERE qid = 0 AND rank <= 10),
+       |fused AS (
+       |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
+       |  FROM lex
+       |  UNION ALL
+       |  SELECT id, CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS s
+       |  FROM vec)
+       |SELECT id, CAST(SUM(s) AS DOUBLE) AS rrf_score, COUNT(*) AS n_lists
+       |FROM fused GROUP BY id
+       |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin
+  }
 
   /** q74's one-shot BM25 replay — shared verbatim by q158 (the
     * store-served path): tf and per-doc-length state are additive
@@ -3073,6 +3129,21 @@ object SparkEntry {
     // survivors
     "q166_nb_unlearn" -> nbLangArgmaxSqlFrom("keepdocs",
       prelude = "keepdocs AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),\n"),
+
+    // q167: FILTERED vector search — the q133/q136 serves with the
+    // candidate set restricted to even-label vectors (a metadata
+    // predicate), applied BEFORE ranking exactly where the engine's
+    // allow-list semi-join sits; models stay frozen on the d0 fit
+    "q167_filtered_ann" -> vectorStoreSqlCand(
+      "codes.id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)",
+      "a.id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)"),
+
+    // q168: FILTERED HYBRID retrieval — both legs restricted to
+    // lang='en' documents; BM25 statistics stay corpus-wide (the
+    // filter restricts who can be retrieved, not what the corpus is),
+    // the dense leg is the store's 64-dim IVF ranking with the same
+    // doc allow-list, RRF on top (q159's fusion convention)
+    "q168_filtered_hybrid" -> hybridFilteredSql,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

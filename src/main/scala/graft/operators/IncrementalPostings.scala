@@ -148,13 +148,15 @@ object IncrementalPostings {
     * no re-tokenization — the indexing dates paid both, once per doc. */
   def bm25Bucketed(spark: SparkSession, table: String,
       queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, allowed: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val tf = spark.table(table)
       .filter(col("term").isInCollection(queryTerms))
       .groupBy("doc_id", "term").agg(sum(col("tf")).as("tf"))
     val dl = spark.table(s"${table}_dl")
       .groupBy("doc_id").agg(sum(col("dl")).as("dl"))
-    Search.bm25Score(tf, dl, k, k1, b)
+    // `allowed` = filtered retrieval with CORPUS-wide statistics — see
+    // [[Search.bm25Score]]'s contract note
+    Search.bm25Score(tf, dl, k, k1, b, allowed)
   }
 }

@@ -94,10 +94,12 @@ object IncrementalSQ {
     * re-encodes. Queries must be a bounded set (broadcast). */
   def search(spark: SparkSession, table: String, queries: DataFrame,
       kNeighbors: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding", upTo: Option[String] = None): DataFrame = {
+      vecCol: String = "embedding", upTo: Option[String] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
     requireNoPendingRefit(spark, table, "search")
     val grid = spark.table(s"${table}_grid")
-    val codes = IncrementalStore.asOf(spark.table(s"${table}_codes"), upTo)
+    val codes = IncrementalStore.allowFilter(
+        IncrementalStore.asOf(spark.table(s"${table}_codes"), upTo), allowed)
       .select(col("id"), col("dim"), col("code"))
     SQ.search(queries, SQ.reconstruct(codes, grid), kNeighbors, idCol, vecCol)
   }

@@ -80,4 +80,20 @@ object IncrementalStore {
       if (spark.catalog.tableExists(t))
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
     }
+
+  /** FILTERED-serve restriction shared by the index families' searches:
+    * semi-join the store rows' `idCol` against `allowed`'s FIRST column
+    * (an id allow-list, typically a pushed-down predicate over a
+    * doc-keyed metadata table) BEFORE any scoring/ranking, so a filtered
+    * top-k is exact over the filtered corpus rather than a post-filtered
+    * — and possibly short — unfiltered top-k. A selective allow-list
+    * broadcasts (preserving the stores' exchange-free serve plans); for
+    * very broad filters at cluster scale, bucket the metadata table by
+    * id to the store's spec so the semi-join co-locates shuffle-free. */
+  def allowFilter(store: DataFrame, allowed: Option[DataFrame],
+      idCol: String = "id"): DataFrame =
+    allowed.fold(store) { a =>
+      store.join(a.select(col(a.columns.head).as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+    }
 }

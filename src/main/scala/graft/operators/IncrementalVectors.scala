@@ -120,6 +120,9 @@ object IncrementalVectors {
   private def asOf(store: DataFrame, upTo: Option[String]): DataFrame =
     IncrementalStore.asOf(store, upTo)
 
+  private def allowFilter(store: DataFrame, allowed: Option[DataFrame])
+      : DataFrame = IncrementalStore.allowFilter(store, allowed)
+
   /** Drop one ingestion date's partitions from BOTH store tables — the
     * re-run/retry guard the append-only contract asks the caller to hold
     * ("a re-run of a failed date drops that date's partition first").
@@ -348,15 +351,27 @@ object IncrementalVectors {
     * (broadcast, |Q|·M·K rows), and the code scan aggregates straight to
     * (qid, id) sums — the id-bucketed layout satisfies the aggregate's
     * distribution, so the store never reshuffles (the only exchanges in
-    * the plan are on query-bounded frames). */
+    * the plan are on query-bounded frames).
+    *
+    * `allowed` is FILTERED vector search (the metadata-restricted serve
+    * every production vector index offers): its FIRST column is read as
+    * an id allow-list and semi-joined against the code rows BEFORE
+    * scoring, so the top-k is exact over the filtered corpus — never a
+    * post-filtered (and thus possibly short) unfiltered top-k. The
+    * predicate itself evaluates at the metadata table's scan (pushed
+    * down there, not here); a selective allow-list broadcasts and the
+    * exchange-free store aggregate is preserved. For very broad filters
+    * at cluster scale, bucket the metadata table by id to the store's
+    * spec so the semi-join co-locates without reshuffling either side. */
   def adcSearch(spark: SparkSession, table: String, queries: DataFrame,
       topK: Int = 3, m: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding", upTo: Option[String] = None): DataFrame = {
+      vecCol: String = "embedding", upTo: Option[String] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val cb = spark.table(s"${table}_cb")
     val dim = PQ.vecDim(queries, vecCol)
     val qd = PQ.subDistances(queries, cb, dim / m, idCol, vecCol)
       .select(col("id").as("qid"), col("m"), col("cid"), col("d2"))
-    val codes = asOf(spark.table(s"${table}_codes"), upTo)
+    val codes = allowFilter(asOf(spark.table(s"${table}_codes"), upTo), allowed)
     val adist = codes.join(broadcast(qd),
         qd("m") === codes("m") && qd("cid") === codes("code") &&
           qd("qid") =!= codes("id"))
@@ -419,7 +434,8 @@ object IncrementalVectors {
 
   def ivfSearch(spark: SparkSession, table: String, queries: DataFrame,
       kNeighbors: Int = 3, nProbe: Int = 6, idCol: String = "vec_id",
-      vecCol: String = "embedding", upTo: Option[String] = None): DataFrame = {
+      vecCol: String = "embedding", upTo: Option[String] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val centroids = liveCentroids(spark, table)
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     val parentProbes = KMeans.cellDistances(
@@ -443,8 +459,11 @@ object IncrementalVectors {
     // never skip unprobed buckets at the source
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val store = asOf(spark.table(s"${table}_cells"), upTo)
-      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    // filtered serve ([[IncrementalStore.allowFilter]]): the allow-list
+    // restricts the CANDIDATES after the bucket prune but before any dot
+    // product is paid — probe economics and the filter compose
+    val store = allowFilter(asOf(spark.table(s"${table}_cells"), upTo)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*)), allowed)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       Similarity.norm(col(vecCol)).as("qn"))
     val scored = broadcast(probes.join(q, "qid")).join(store,

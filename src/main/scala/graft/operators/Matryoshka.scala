@@ -94,7 +94,8 @@ object Matryoshka {
   def search(spark: SparkSession, table: String, queries: DataFrame,
       kNeighbors: Int = 3, nProbe: Int = 6, pDim: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      upTo: Option[String] = None): DataFrame = {
+      upTo: Option[String] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val centroids = spark.table(s"${table}_ctr")
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     val probes = KMeans.cellDistances(
@@ -107,8 +108,11 @@ object Matryoshka {
     // bucketed scan PRUNE — the ivfSearch rationale, verbatim
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val store = asOf(spark.table(s"${table}_cells"), upTo)
-      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    // filtered serve ([[IncrementalStore.allowFilter]]): candidates are
+    // restricted after the bucket prune, before the full-dim re-rank
+    val store = IncrementalStore.allowFilter(
+      asOf(spark.table(s"${table}_cells"), upTo)
+        .filter(col("cell").isin(probedCells.map(Int.box): _*)), allowed)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       Similarity.norm(col(vecCol)).as("qn"))
     val scored = broadcast(probes.join(q, "qid")).join(store,

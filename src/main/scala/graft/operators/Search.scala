@@ -54,8 +54,17 @@ object Search {
     * Lucene's norms file, Spark-shaped). Corpus stats and per-term df
     * are aggregate-sized and broadcast; per-term partials round to 6 and
     * decimal-sum (the q74 determinism contract). */
+  /** `allowed` is FILTERED retrieval (tenant/language/category-scoped
+    * search): corpus statistics — n_docs, avgdl, df — stay CORPUS-wide
+    * (the filter restricts WHO can be retrieved, not what the corpus
+    * is: a document's BM25 score is a function of itself and the corpus
+    * stats, never of the other candidates), and the allow-list
+    * semi-joins the query-term tf rows before scoring, so the top-k is
+    * exact over the filtered corpus. Scope the STORE itself (or the
+    * `docs` input) instead when per-tenant statistics are wanted. */
   private[operators] def bm25Score(tf: DataFrame, dl: DataFrame, k: Int,
-      k1: Double, b: Double): DataFrame = {
+      k1: Double, b: Double,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
@@ -64,7 +73,7 @@ object Search {
       idf * (col("tf") * (lit(k1) + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
       6)
-    tf.join(dl, "doc_id")
+    IncrementalStore.allowFilter(tf, allowed, "doc_id").join(dl, "doc_id")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(corpus))
       .select(col("doc_id"), partial.cast("decimal(18,6)").as("s"))

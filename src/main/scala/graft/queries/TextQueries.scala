@@ -1138,7 +1138,12 @@ object TextQueries {
     * (same frozen-at-d0 models, same corpus, same queries); the store
     * outlives the process deliberately and the next process's dead-pid
     * sweep reclaims it. */
-  def q136VectorServe(s: SparkSession, dir: String): DataFrame = {
+  /** The q136/q167 SHARED memoized store: the q133-shaped vector store
+    * (models frozen at d0, three date appends over the full corpus)
+    * built once per (process, sf dir) and KEPT — the first caller pays
+    * the build, every later serve-only row reads it for free. Returns
+    * the store's base table name. */
+  private def memoVectorStore(s: SparkSession, dir: String): String = {
     val base = s"graft_q136_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
     val tbls = Seq("_cb", "_ctr", "_codes", "_cells", "_map").map(base + _)
@@ -1156,6 +1161,12 @@ object TextQueries {
         graft.operators.IncrementalVectors.appendDate(slice(d), base, s"d$d")
       }
     }
+    base
+  }
+
+  def q136VectorServe(s: SparkSession, dir: String): DataFrame = {
+    val base = memoVectorStore(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     val adc = graft.operators.IncrementalVectors
       .adcSearch(s, base, queries)
@@ -1166,6 +1177,98 @@ object TextQueries {
       .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
         col("cosine").as("score"))
     adc.unionAll(ivf).orderBy(col("method"), col("qid"), col("rank"))
+  }
+
+  /** q167: FILTERED vector search — the metadata-restricted serve every
+    * production vector index offers (category/tenant/language filters):
+    * both q133 searches run over the [[memoVectorStore]] with the
+    * candidate set restricted to vectors whose `label` is even, via
+    * [[graft.operators.IncrementalStore.allowFilter]] — the allow-list
+    * is computed at the metadata scan (predicate pushed down THERE) and
+    * semi-joined against the candidates BEFORE scoring, so the top-k is
+    * exact over the filtered corpus, never a post-filtered (and possibly
+    * short) unfiltered top-k. Serve economics compose: IVF still
+    * bucket-prunes to probed cells, ADC's id-bucketed aggregate stays
+    * exchange-free under the broadcast semi-join (plan-pinned in
+    * IncrementalVectorsSpec). The oracle replays both frozen-model
+    * pipelines with the candidates restricted by an IN-subquery over
+    * the same metadata predicate. */
+  def q167FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val base = memoVectorStore(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val allowed = Some(emb.filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id")))
+    val adc = graft.operators.IncrementalVectors
+      .adcSearch(s, base, queries, allowed = allowed)
+      .select(lit("adc").as("method"), col("qid"), col("rank"), col("cid"),
+        col("adist").as("score"))
+    val ivf = graft.operators.IncrementalVectors
+      .ivfSearch(s, base, queries, allowed = allowed)
+      .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
+        col("cosine").as("score"))
+    adc.unionAll(ivf).orderBy(col("method"), col("qid"), col("rank"))
+  }
+
+  /** The q168 SHARED memoized LEXICAL store: q158's postings+norms
+    * store (three ingestion dates over the full corpus) built once per
+    * (process, sf dir) and KEPT — the filtered-serving row pays serve
+    * cost only after the first build (the [[memoVectorStore]]
+    * precedent). */
+  private def memoLexStore(s: SparkSession, dir: String): String = {
+    val base = s"graft_q168lex_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    Warehouse.sweepOrphans(s, "graft_q168lex_p")
+    val built = Seq(base, s"${base}_dl").forall(s.catalog.tableExists)
+    if (!built) {
+      Seq(base, s"${base}_dl").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      val docs = Tables.load(s, dir, "documents")
+      (0 until 3).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, base, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, base, s"d$d")
+      }
+    }
+    base
+  }
+
+  /** q168: FILTERED HYBRID retrieval — the tenant/language-scoped
+    * serving stack: both legs of the store-served hybrid restricted to
+    * English documents ("search within a language" — the filter every
+    * production retrieval API exposes). The lexical leg serves BM25
+    * from the memoized postings+norms store with the allow-list
+    * semi-joined BEFORE scoring while n_docs/avgdl/df stay CORPUS-wide
+    * ([[graft.operators.Search.bm25Score]]'s filtered contract — a
+    * doc's score depends on itself and the corpus, not on the other
+    * candidates); the dense leg is the q133 store's IVF ranking with
+    * the same doc allow-list restricting candidates after the bucket
+    * prune, before any dot product — the cross-table shape (vector
+    * candidates filtered by their DOCUMENT's metadata) that makes
+    * filtered retrieval a join problem, solved here with one
+    * pushed-down metadata scan + broadcast semi-join per leg.
+    * Reciprocal-rank fusion on top, the q159 convention. The oracle
+    * replays both filtered legs and the fusion end to end. */
+  def q168FilteredHybrid(s: SparkSession, dir: String): DataFrame = {
+    val vecBase = memoVectorStore(s, dir)
+    val lexBase = memoLexStore(s, dir)
+    val docs = Tables.load(s, dir, "documents")
+    val emb = Tables.load(s, dir, "embeddings")
+    val allowedDocs = docs.filter(col("lang") === "en").select("doc_id")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = graft.operators.IncrementalPostings
+      .bm25Bucketed(s, lexBase, Seq("data", "query"),
+        allowed = Some(allowedDocs))
+      // partition-less window is safe: it ranks the 10-row top-k result
+      .withColumn("rank", row_number().over(rankW))
+      .select(col("doc_id").as("id"), col("rank"))
+    val vec = graft.operators.IncrementalVectors
+      .ivfSearch(s, vecBase, emb.filter(col("vec_id") === 0),
+        kNeighbors = 10, allowed = Some(allowedDocs))
+      .select(col("cid").as("id"), col("rank"))
+    graft.operators.Search.rrfFuse(Seq(lex, vec))
+      .orderBy(col("rrf_score").desc, col("id"))
   }
 
   /** IVF cell-occupancy audit (q137) — the skew lens on the q133/q136

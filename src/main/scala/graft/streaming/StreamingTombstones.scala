@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming dual of the DELETION-PROPAGATION pass (q160–q166) — the
+  * shape a production takedown pipeline actually has: opt-out /
+  * copyright-removal REQUESTS arrive continuously (a queue, not a cron
+  * job), and each micro-batch physically removes its ids from every
+  * registered store family while the serving stack stays online. Every
+  * other mutation path in the store contract already had a streaming
+  * dual (ingestion: StreamingVectors/SQ/Matryoshka/Postings/Components/
+  * Spans/Dedup); this one completes the symmetry for the destructive
+  * direction.
+  *
+  * The caller wires one delete callback per family — the SAME tombstone
+  * entry points the batch pass uses ([[graft.operators
+  * .IncrementalPostings.deleteDocs]], [[graft.operators.Matryoshka
+  * .deleteIds]], …) — so the removal semantics (marker-committed
+  * rewrite, rows GONE not masked, lease exclusion against concurrent
+  * folds) are inherited, not re-implemented.
+  *
+  * RETRY IDEMPOTENCE is two layers deep, and both matter for
+  * at-least-once delivery: (a) a replayed micro-batch re-runs its
+  * rewrites under the SAME generation `b<batchId>`, and a completed
+  * rewrite at that gen is a documented no-op ([[graft.operators
+  * .StoreMaintenance.rewrite]]: the partitions are already folded into
+  * its label); (b) even a tombstone id delivered again in a LATER batch
+  * is harmless — the anti-join of already-deleted rows removes nothing.
+  * A crash BETWEEN families (batch applied to family 1, not yet to
+  * family 2) heals the same way: the replay no-ops family 1 and
+  * completes family 2.
+  *
+  * An EMPTY micro-batch is skipped outright — a tombstone rewrite's
+  * cost is one distributed read + bucketed write of the store, which an
+  * empty request batch must not pay (the empty-batch guard is the
+  * difference between "idle stream costs nothing" and "idle stream
+  * rewrites every store once per trigger"). */
+object StreamingTombstones {
+
+  /** Attach the takedown sink to a streaming Dataset of tombstone ids
+    * (FIRST column = the id; extra columns — request time, reason —
+    * ride along and are ignored by the anti-join). `deletes` is one
+    * `(tombstones, gen) => Unit` per store family, each typically a
+    * partially-applied family tombstone entry point. */
+  def run(requests: DataFrame, checkpoint: String,
+      deletes: Seq[(DataFrame, String) => Unit],
+      availableNow: Boolean = false): StreamingQuery = {
+    val w = requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // the guard and the N rewrites re-read the batch: pin it once
+        // (takedown-list-sized, bounded by contract)
+        val ids = batch.localCheckpoint()
+        if (!ids.isEmpty) deletes.foreach(_(ids, s"b$id"))
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+}

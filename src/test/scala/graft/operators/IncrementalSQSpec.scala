@@ -87,6 +87,24 @@ class IncrementalSQSpec extends SparkSpec {
     } finally dropStore("isq_asof")
   }
 
+  test("filtered serve equals a store that never ingested the excluded vectors") {
+    Seq("isq_filt", "isq_fonly").foreach(dropStore)
+    try {
+      // same fit slice ⇒ bit-identical frozen grid in both stores
+      IncrementalSQ.initGrid(slice(0), "isq_filt")
+      IncrementalSQ.appendDate(emb, "isq_filt", "all")
+      IncrementalSQ.initGrid(slice(0), "isq_fonly")
+      IncrementalSQ.appendDate(emb.filter(col("vec_id") % 2 === 0),
+        "isq_fonly", "all")
+      val allowDf = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+      assert(bitEqual(
+        IncrementalSQ.search(spark, "isq_filt", queries,
+          allowed = Some(allowDf)),
+        IncrementalSQ.search(spark, "isq_fonly", queries)),
+        "allow-list candidates must score exactly like an allowed-only store")
+    } finally Seq("isq_filt", "isq_fonly").foreach(dropStore)
+  }
+
   test("serve aggregates never reshuffle the id-bucketed code store") {
     dropStore("isq_plan")
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")

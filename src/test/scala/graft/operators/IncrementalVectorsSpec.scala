@@ -52,6 +52,62 @@ class IncrementalVectorsSpec extends SparkSpec {
     } finally dropStore("ivs_full")
   }
 
+  test("filtered serve == a store that never ingested the excluded vectors; ADC stays exchange-free") {
+    dropStore("ivs_filt"); dropStore("ivs_only")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      val allowDf = emb.filter(pmod(col("label"), lit(2)) === 0)
+        .select("vec_id")
+      // same fit corpus ⇒ bit-identical frozen models in both stores;
+      // only the ingested rows differ
+      IncrementalVectors.initModel(emb, "ivs_filt")
+      IncrementalVectors.appendDate(emb, "ivs_filt", "all")
+      IncrementalVectors.initModel(emb, "ivs_only")
+      IncrementalVectors.appendDate(
+        emb.filter(pmod(col("label"), lit(2)) === 0), "ivs_only", "all")
+      // the filtered-serve contract: restricting candidates at serve time
+      // equals a store that never held the excluded vectors at all
+      sameRows(
+        IncrementalVectors.adcSearch(spark, "ivs_filt", queries,
+          allowed = Some(allowDf)),
+        IncrementalVectors.adcSearch(spark, "ivs_only", queries),
+        "filtered ADC must equal serving an allowed-only store")
+      sameRows(
+        IncrementalVectors.ivfSearch(spark, "ivs_filt", queries,
+          allowed = Some(allowDf)),
+        IncrementalVectors.ivfSearch(spark, "ivs_only", queries),
+        "filtered IVF must equal serving an allowed-only store")
+      // an all-ids allow-list is the unfiltered serve, bit-equal
+      sameRows(
+        IncrementalVectors.ivfSearch(spark, "ivs_filt", queries,
+          allowed = Some(emb.select("vec_id"))),
+        IncrementalVectors.ivfSearch(spark, "ivs_filt", queries),
+        "an allow-everything filter must be a no-op")
+      // plan: the broadcast semi-join must not cost the ADC serve its
+      // exchange-free store aggregate (AQE off for a collectible tree)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def hasStoreScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case s: FileSourceScanExec
+          if s.tableIdentifier.exists(_.table.endsWith("_codes")) => s
+        }.nonEmpty
+      val adc = IncrementalVectors.adcSearch(spark, "ivs_filt", queries,
+        allowed = Some(allowDf))
+      val reshuffled = adc.queryExecution.executedPlan
+        .collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if hasStoreScan(a) => a
+        }
+        .exists(_.collect { case e: ShuffleExchangeLike => e }
+          .exists(hasStoreScan))
+      assert(!reshuffled,
+        s"filtered ADC must keep the code store off the wire:\n${
+          adc.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      dropStore("ivs_filt"); dropStore("ivs_only")
+    }
+  }
+
   test("as-of search equals a store that never saw the later date; prune is partition-level") {
     def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
     dropStore("ivs_asof"); dropStore("ivs_trunc")

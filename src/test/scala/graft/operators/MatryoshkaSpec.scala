@@ -49,6 +49,24 @@ class MatryoshkaSpec extends SparkSpec {
     }
   }
 
+  test("filtered serve equals a store that never ingested the excluded vectors") {
+    Seq("mat_filt", "mat_fonly").foreach(dropStore)
+    try {
+      // same fit slice ⇒ identical frozen prefix quantizer in both stores
+      Matryoshka.initModel(slice(0), "mat_filt")
+      Matryoshka.appendDate(emb, "mat_filt", "all")
+      Matryoshka.initModel(slice(0), "mat_fonly")
+      Matryoshka.appendDate(emb.filter(col("vec_id") % 2 === 0),
+        "mat_fonly", "all")
+      val allowDf = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+      assert(bitEqual(
+        Matryoshka.search(spark, "mat_filt", queries,
+          allowed = Some(allowDf)),
+        Matryoshka.search(spark, "mat_fonly", queries)),
+        "allow-list candidates must re-rank exactly like an allowed-only store")
+    } finally Seq("mat_filt", "mat_fonly").foreach(dropStore)
+  }
+
   test("as-of search excludes later dates' postings") {
     dropStore("mat_asof")
     try {

@@ -392,4 +392,64 @@ class StreamingSpec extends SparkSpec {
       assert(healed == want, "a replayed batch must restore the lost merges")
     }
   }
+
+  test("streaming takedowns: streamed deletes == from-scratch-minus-docs; re-delivered ids no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("stomb").toString
+    val pid = ProcessHandle.current().pid()
+    val sT = s"graft_stomb_stream_$pid"
+    val bT = s"graft_stomb_batch_$pid"
+    val all = Seq(sT, bT).flatMap(t => Seq(t, s"${t}_dl"))
+    all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docs = graft.Tables.load(spark, sf, "documents")
+      // the store under takedown: full corpus, two ingestion dates
+      (0 until 2).foreach { d =>
+        val slice = docs.filter(col("doc_id") % 2 === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, sT, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, sT, s"d$d")
+      }
+      // the from-scratch-minus-docs reference: survivors only
+      val keep = docs.filter(col("doc_id") % 7 =!= 3)
+      (0 until 2).foreach { d =>
+        val slice = keep.filter(col("doc_id") % 2 === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, bT, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, bT, s"d$d")
+      }
+      val gone = docs.filter(col("doc_id") % 7 === 3)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[Long]
+      val q = StreamingTombstones.run(ms.toDF().toDF("doc_id"), s"$tmp/ck",
+        deletes = Seq((ids, gen) => graft.operators.IncrementalPostings
+          .deleteDocs(spark, sT, ids, gen)))
+      val (half1, half2) = gone.splitAt(gone.size / 2)
+      ms.addData(half1); q.processAllAvailable()
+      ms.addData(half2); q.processAllAvailable()
+      // an id delivered AGAIN (at-least-once upstream) must be harmless
+      ms.addData(half1.take(2)); q.processAllAvailable()
+      // and an empty trigger must not pay a rewrite (guard: no exception,
+      // store unchanged — covered by the equality below)
+      ms.addData(Seq.empty[Long]); q.processAllAvailable()
+      q.stop()
+      val got = graft.operators.IncrementalPostings
+        .bm25Bucketed(spark, sT, Seq("data", "query"))
+      val want = graft.operators.IncrementalPostings
+        .bm25Bucketed(spark, bT, Seq("data", "query"))
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "streamed takedowns must serve from-scratch-minus-docs BM25")
+      // retention: the rows are GONE from both tables, not masked
+      val goneDf = gone.toDF("doc_id")
+      assert(spark.table(sT).join(goneDf, "doc_id").isEmpty &&
+        spark.table(s"${sT}_dl").join(goneDf, "doc_id").isEmpty,
+        "tombstoned rows must be physically absent from the store tables")
+    } finally {
+      all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }
