@@ -302,7 +302,14 @@ object ScaleProbe {
       "q162_comp_tomb" -> SparkEntry.queries("q162_components_tombstone"),
       "q163_span_tomb" -> SparkEntry.queries("q163_span_tombstone"),
       "q165_hybrid_tomb" -> SparkEntry.queries("q165_hybrid_tombstone"),
-      "q166_nb_unlearn" -> SparkEntry.queries("q166_nb_unlearn"))
+      "q166_nb_unlearn" -> SparkEntry.queries("q166_nb_unlearn"),
+      // round-14 second wave: FILTERED serving — the warm-up pass pays the
+      // memoized store builds, so the timed rows are the filtered-serve
+      // latencies themselves (the q136-serve methodology): allow-list
+      // metadata scan + broadcast semi-join on top of the bucket-pruned /
+      // exchange-free store serves
+      "q167_filtered_ann" -> SparkEntry.queries("q167_filtered_ann"),
+      "q168_filtered_hyb" -> SparkEntry.queries("q168_filtered_hybrid"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -39,7 +39,13 @@ import org.apache.spark.sql.functions._
   * the split engine's commit-point JSON (written LAST, after the data it
   * vouches for). A production deployment on an eventually-consistent
   * object store would swap this for a transactional table format's
-  * commit; the protocol is the same.
+  * commit; the protocol is the same. Resumption is ORDERED, not merely
+  * possible: a `_fold_pending_<label>` sentinel (see the fold-pending
+  * note below) makes every other fold and every append fail fast until
+  * the crashed fold is re-run to completion under its own label, so an
+  * orphaned half-committed generation can never be folded as ordinary
+  * data (double count) and a post-marker resume can never drop a date
+  * appended after the crash (data loss).
   *
   * Scale shape: one distributed read + one distributed bucketed write of
   * the folded span (kept partitions are NEVER rewritten), plus bounded
@@ -113,6 +119,61 @@ object StoreMaintenance {
 
   private val AppendLeasePrefix = "_append_lease_"
   private val LeaseFormatMarker = "v2"
+
+  // ---- fold-pending sentinel (crash-ORDERING, on top of the leases) ------
+  //
+  // The leases exclude LIVE overlap; the marker makes one fold's own
+  // crash resumable. Neither orders a crashed fold against the NEXT
+  // mutation: a fold that dies between publishing its label partition and
+  // its marker (or between the marker and finishing the old-partition
+  // drops) leaves its stale lease to the dead-pid/age sweep, after which
+  //   (a) a DIFFERENT-label fold would read the orphaned label partition
+  //       as an ordinary old and fold it TOGETHER with the very
+  //       partitions it duplicates — every row double-counted into a
+  //       committed generation, silently; and
+  //   (b) an append could land a fresh date partition that the crashed
+  //       fold's own same-gen resume (marker already present ⇒ skip to
+  //       the drop phase) would DROP without ever folding — data loss
+  //       through the documented recovery path.
+  // The `_fold_pending_<label>` sentinel closes both: created before the
+  // fold's first effect and removed only after its last, it makes
+  // "resume the crashed fold with the SAME label first" an ENFORCED
+  // contract (the SQ-refit `_grid_prev` discipline, generalized) — any
+  // other fold and any append fail fast with the crashed label in the
+  // message, and the same-label re-run heals every crash point and
+  // clears the sentinel.
+
+  private val FoldPendingPrefix = "_fold_pending_"
+
+  private[operators] def pendingFile(location: String,
+      label: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(location, s"$FoldPendingPrefix$label")
+
+  /** Labels of folds that started on this store and have not finished. */
+  private def pendingFolds(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(FoldPendingPrefix))
+      .map(_.stripPrefix(FoldPendingPrefix)).toSeq
+
+  /** Run one fold under the pending sentinel: refuse while a DIFFERENT
+    * label's fold is unfinished; plant this label's sentinel before the
+    * first effect; clear it only after `body` returns (an exception or a
+    * crash leaves it, forcing the same-label resume). Caller holds the
+    * maintenance lease, so sentinel creation cannot race another fold. */
+  private def withPendingSentinel(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, label: String)(body: => Unit): Unit = {
+    val others = pendingFolds(fs, root).filterNot(_ == label)
+    if (others.nonEmpty) throw new IllegalStateException(
+      s"fold '$label' rejected: crashed/unfinished fold '${others.head}' on " +
+        s"$root must be re-run to completion (same label) first — folding " +
+        "around its orphaned generation partition would double-count rows")
+    val pending = pendingFile(root.toString, label)
+    fs.create(pending, true).close()
+    body
+    fs.delete(pending, false)
+  }
 
   private def localHost: String =
     scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
@@ -249,6 +310,15 @@ object StoreMaintenance {
           s"append rejected: maintenance fold in progress on $location " +
             s"(lease pid ${h.pid} on ${h.host}) — retry after the fold completes")
     }
+    // a CRASHED fold (stale lease swept above, sentinel left) must be
+    // resumed before appends: its same-label resume skips straight to the
+    // old-partition drops when the marker already landed, and a date
+    // appended in between would be dropped WITHOUT ever being folded
+    val pend = pendingFolds(fs, new org.apache.hadoop.fs.Path(location))
+    if (pend.nonEmpty) throw new IllegalStateException(
+      s"append rejected: crashed/unfinished fold '${pend.head}' on " +
+        s"$location must be re-run to completion (same label) before " +
+        "appends resume — its drop phase would discard rows appended now")
   }
 
   /** Run `body` (an incremental-store append) under a SHARED append lease
@@ -369,8 +439,10 @@ object StoreMaintenance {
     // against it); released on any in-process exit — a hard crash leaves
     // it for the dead-pid / stale-by-age sweep
     acquireLease(spark, meta.location.toString, maxAgeHours)
-    try foldBody(spark, table, label, minOlds, transform, fs, marker, olds _)
-    finally releaseLease(spark, meta.location.toString)
+    try withPendingSentinel(fs,
+        new org.apache.hadoop.fs.Path(meta.location), label) {
+      foldBody(spark, table, label, minOlds, transform, fs, marker, olds _)
+    } finally releaseLease(spark, meta.location.toString)
   }
 
   private def foldBody(spark: SparkSession, table: String, label: String,
@@ -456,8 +528,9 @@ object StoreMaintenance {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     acquireLease(spark, store, maxAgeHours)
-    try foldPathBody(spark, label, foldable, minOlds, merge, root, fs)
-    finally releaseLease(spark, store)
+    try withPendingSentinel(fs, root, label) {
+      foldPathBody(spark, label, foldable, minOlds, merge, root, fs)
+    } finally releaseLease(spark, store)
   }
 
   private def foldPathBody(spark: SparkSession, label: String,

@@ -42,17 +42,32 @@ object StreamingTombstones {
     * (FIRST column = the id; extra columns — request time, reason —
     * ride along and are ignored by the anti-join). `deletes` is one
     * `(tombstones, gen) => Unit` per store family, each typically a
-    * partially-applied family tombstone entry point. */
+    * partially-applied family tombstone entry point.
+    *
+    * The generation is `b<batchId>_<checkpoint hash>`, NOT the bare
+    * batch id: rewrite generations must be fresh per logical mutation
+    * (the [[graft.operators.StoreMaintenance.rewrite]] contract — a
+    * re-run at an already-consumed gen is a no-op), and bare batch ids
+    * collide the moment a SECOND stream points at the same store — both
+    * start at batch 0, the first folds the whole store into its `r_b0`
+    * generation, and the second's `r_b0` rewrite would no-op, silently
+    * SKIPPING its deletions (a data-retention violation with no error).
+    * The checkpoint hash is stable across restarts of the SAME stream,
+    * so crash-replay idempotence (same batch ⇒ same gen ⇒ no-op) is
+    * untouched; distinct streams get distinct gens and compose as
+    * ordinary sequential rewrites instead of aliasing. */
   def run(requests: DataFrame, checkpoint: String,
       deletes: Seq[(DataFrame, String) => Unit],
       availableNow: Boolean = false): StreamingQuery = {
+    val nonce = f"${scala.util.hashing.MurmurHash3.stringHash(
+      new org.apache.hadoop.fs.Path(checkpoint).toUri.toString)}%08x"
     val w = requests.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // the guard and the N rewrites re-read the batch: pin it once
         // (takedown-list-sized, bounded by contract)
         val ids = batch.localCheckpoint()
-        if (!ids.isEmpty) deletes.foreach(_(ids, s"b$id"))
+        if (!ids.isEmpty) deletes.foreach(_(ids, s"b${id}_$nonce"))
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

@@ -110,6 +110,52 @@ class StoreMaintenanceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS smx_crash")
   }
 
+  test("a crashed fold blocks different-label folds AND appends until its same-label resume") {
+    buildPostings("smx_pend")
+    try {
+      val before = IncrementalPostings.reportBucketed(spark, "smx_pend")
+        .localCheckpoint()
+      val loc = tableLocation("smx_pend")
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // crash simulation at the WORST point: the c_d1 fold published its
+      // label partition but died before its marker — pending sentinel
+      // left, stale lease already swept. The orphaned c_d1 rows duplicate
+      // d0/d1, which are still present and authoritative.
+      spark.table("smx_pend").filter(col("ds").isin("d0", "d1")).drop("ds")
+        .withColumn("ds", lit("c_d1"))
+        .write.mode("append").partitionBy("ds")
+        .bucketBy(8, "term").sortBy("term").saveAsTable("smx_pend")
+      fs.create(StoreMaintenance.pendingFile(loc, "c_d1"), true).close()
+      // a DIFFERENT-label fold must refuse: it would read the orphaned
+      // c_d1 partition as an ordinary old and double-count every row
+      val exF = intercept[IllegalStateException] {
+        StoreMaintenance.rewrite(spark, "smx_pend", "g9", identity)
+      }
+      assert(exF.getMessage.contains("c_d1"), exF.getMessage)
+      // an append must refuse: if the crashed fold had already landed its
+      // marker, its resume skips to the drop phase and would DROP the
+      // appended date without folding it
+      val exA = intercept[IllegalStateException] {
+        IncrementalPostings.appendCountsBucketed(
+          docs.filter(col("doc_id") % 3 === 0), "smx_pend", "d9")
+      }
+      assert(exA.getMessage.contains("c_d1"), exA.getMessage)
+      // the SAME-label resume heals: partial discarded, refolded, sentinel
+      // cleared — report bit-equal, no loss, no double count
+      StoreMaintenance.compact(spark, "smx_pend", "d1", merge = tfMerge)
+      assert(!fs.exists(StoreMaintenance.pendingFile(loc, "c_d1")),
+        "a completed fold must clear its pending sentinel")
+      sameRows(IncrementalPostings.reportBucketed(spark, "smx_pend"), before,
+        "resume must serve exactly the pre-crash rows")
+      // and both blocked operations now proceed
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(col("doc_id") % 3 === 0), "smx_pend", "d9")
+      StoreMaintenance.compact(spark, "smx_pend", "d9", merge = tfMerge)
+      assert(partitionsOf("smx_pend") == Set("c_d9"))
+    } finally spark.sql("DROP TABLE IF EXISTS smx_pend")
+  }
+
   test("vector store compaction: both searches bit-equal, bucket pruning intact") {
     def dropStore(base: String): Unit =
       Seq("_cb", "_ctr", "_codes", "_cells")

@@ -452,4 +452,55 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("two tombstone streams on one store compose: batch-id gens must not alias") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("stomb2").toString
+    val pid = ProcessHandle.current().pid()
+    val sT = s"graft_stomb2_stream_$pid"
+    val bT = s"graft_stomb2_batch_$pid"
+    val all = Seq(sT, bT).flatMap(t => Seq(t, s"${t}_dl"))
+    all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docs = graft.Tables.load(spark, sf, "documents")
+      graft.operators.IncrementalPostings.appendCountsBucketed(docs, sT, "d0")
+      graft.operators.IncrementalPostings.appendNorms(docs, sT, "d0")
+      val keep = docs.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 5)
+      graft.operators.IncrementalPostings.appendCountsBucketed(keep, bT, "d0")
+      graft.operators.IncrementalPostings.appendNorms(keep, bT, "d0")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def ids(m: Long) = docs.filter(col("doc_id") % 7 === m)
+        .select("doc_id").as[Long].collect().toSeq
+      val del = Seq((t: org.apache.spark.sql.DataFrame, gen: String) =>
+        graft.operators.IncrementalPostings.deleteDocs(spark, sT, t, gen))
+      // two INDEPENDENT request streams (own checkpoints) target the same
+      // store — e.g. per-jurisdiction takedown queues. Both start at
+      // batch 0: with bare-batch-id generations the second stream's
+      // rewrite would alias the first's consumed `r_b0` gen and no-op,
+      // silently skipping its deletions. The checkpoint-hash nonce in
+      // the gen is what this pins.
+      val msA = MemoryStream[Long]
+      val qA = StreamingTombstones.run(msA.toDF().toDF("doc_id"),
+        s"$tmp/ckA", deletes = del)
+      msA.addData(ids(3)); qA.processAllAvailable(); qA.stop()
+      val msB = MemoryStream[Long]
+      val qB = StreamingTombstones.run(msB.toDF().toDF("doc_id"),
+        s"$tmp/ckB", deletes = del)
+      msB.addData(ids(5)); qB.processAllAvailable(); qB.stop()
+      val got = graft.operators.IncrementalPostings
+        .bm25Bucketed(spark, sT, Seq("data", "query"))
+      val want = graft.operators.IncrementalPostings
+        .bm25Bucketed(spark, bT, Seq("data", "query"))
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "both streams' takedowns must land — batch-id gens aliased")
+      assert(spark.table(sT)
+        .join(ids(5).toDF("doc_id"), "doc_id").isEmpty,
+        "the second stream's ids must be physically gone")
+    } finally {
+      all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }
