@@ -187,6 +187,8 @@ object SparkEntry {
     "q166_nb_unlearn" -> (TextQueries.q166NbUnlearn _),
     "q167_filtered_ann" -> (TextQueries.q167FilteredAnn _),
     "q168_filtered_hybrid" -> (TextQueries.q168FilteredHybrid _),
+    "q169_maxsim_brute" -> (TextQueries.q169MaxSimBrute _),
+    "q170_maxsim_pruned" -> (TextQueries.q170MaxSimPruned _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -436,6 +438,67 @@ object SparkEntry {
        |$knnLshCtes
        |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
        |FROM ls WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Late-interaction (MaxSim) CTEs through the per-token cosines
+    * `mcos` — token grouping (8 consecutive vec_ids = one doc), every
+    * (query token × foreign token) dot via the UNNEST zip, cosine
+    * rounded to 6. Shared by q169 (brute) and q170 (token-top-C
+    * nomination + exact re-rank). Requires [[embNormCte]] in the same
+    * statement. */
+  private val maxSimCtes =
+    """mtok AS (
+      |  SELECT vec_id // 8 AS doc, CAST(vec_id % 8 AS INT) AS pos,
+      |    vec_id, embedding
+      |  FROM embeddings),
+      |mdots AS (
+      |  SELECT qdoc, qpos, qvid, cdoc, cpos, cvid, SUM(qx*cx) AS dot FROM (
+      |    SELECT q.doc AS qdoc, q.pos AS qpos, q.vec_id AS qvid,
+      |      c.doc AS cdoc, c.pos AS cpos, c.vec_id AS cvid,
+      |      CAST(UNNEST(q.embedding) AS DOUBLE) AS qx,
+      |      CAST(UNNEST(c.embedding) AS DOUBLE) AS cx
+      |    FROM mtok q JOIN mtok c ON c.doc <> q.doc
+      |    WHERE q.doc < 3)
+      |  GROUP BY 1, 2, 3, 4, 5, 6),
+      |mcos AS (
+      |  SELECT qdoc, qpos, cdoc, cpos,
+      |    ROUND(dot / (nq.nrm * nc.nrm), 6) AS cos
+      |  FROM mdots JOIN n nq ON qvid = nq.vec_id
+      |             JOIN n nc ON cvid = nc.vec_id)""".stripMargin
+
+  /** MaxSim ranking tail over a (qdoc, qpos, cdoc, cos) frame: per-token
+    * max (of rounded cosines), decimal sum, (score DESC, cdoc) rank. */
+  private def maxSimRankSql(from: String): String =
+    s"""mm AS (
+       |  SELECT qdoc, cdoc, qpos, MAX(cos) AS mx FROM $from GROUP BY 1, 2, 3),
+       |msc AS (
+       |  SELECT qdoc, cdoc,
+       |    CAST(SUM(CAST(mx AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM mm GROUP BY 1, 2)
+       |SELECT qdoc, CAST(rank AS BIGINT) AS rank, cdoc, score FROM (
+       |  SELECT qdoc, cdoc, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qdoc
+       |      ORDER BY score DESC, cdoc) AS rank
+       |  FROM msc) WHERE rank <= 10 ORDER BY qdoc, rank""".stripMargin
+
+  private def maxSimBruteSql: String =
+    s"""WITH $embNormCte,
+       |$maxSimCtes,
+       |${maxSimRankSql("mcos")}""".stripMargin
+
+  private def maxSimPrunedSql: String =
+    s"""WITH $embNormCte,
+       |$maxSimCtes,
+       |mtopc AS (
+       |  SELECT qdoc, qpos, cdoc FROM (
+       |    SELECT qdoc, qpos, cdoc,
+       |      ROW_NUMBER() OVER (PARTITION BY qdoc, qpos
+       |        ORDER BY cos DESC, cdoc, cpos) AS r
+       |    FROM mcos) WHERE r <= 16),
+       |mcand AS (SELECT DISTINCT qdoc, cdoc FROM mtopc),
+       |mgath AS (
+       |  SELECT m.qdoc, m.qpos, m.cdoc, m.cos
+       |  FROM mcos m JOIN mcand USING (qdoc, cdoc)),
+       |${maxSimRankSql("mgath")}""".stripMargin
 
   /** FNV(vec_id) signed-BIGINT hash map over embeddings (q56's HUGEINT
     * reinterpretation) — the shared seed/sample machinery under the PQ
@@ -3144,6 +3207,17 @@ object SparkEntry {
     // the dense leg is the store's 64-dim IVF ranking with the same
     // doc allow-list, RRF on top (q159's fusion convention)
     "q168_filtered_hybrid" -> hybridFilteredSql,
+
+    // q169: LATE-INTERACTION (MaxSim) retrieval, exact — per-token max
+    // cosine summed per doc (ColBERT scoring); full pipeline replay:
+    // token grouping, every cosine, per-token max, decimal sum, ranking
+    "q169_maxsim_brute" -> maxSimBruteSql,
+
+    // q170: the two-stage serving shape — token-level top-16 nomination
+    // (total order: cos DESC, cdoc, cpos), candidate-doc union, exact
+    // MaxSim re-rank on the gathered docs only; the oracle replays the
+    // PRUNING semantics, not just the final scores
+    "q170_maxsim_pruned" -> maxSimPrunedSql,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

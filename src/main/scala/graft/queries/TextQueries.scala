@@ -1271,6 +1271,37 @@ object TextQueries {
       .orderBy(col("rrf_score").desc, col("id"))
   }
 
+  /** q169: LATE-INTERACTION retrieval, exact — MaxSim over per-token
+    * embeddings ([[graft.operators.LateInteraction]]): vectors group
+    * into docs of 8 consecutive ids, queries are the first 3 docs, and
+    * each is ranked against the rest by Σ per-query-token max cosine.
+    * The audit baseline for q170's two-stage serving path (the q30/q31
+    * relationship, multi-vector edition). Oracle replays the token
+    * grouping, every cosine, the per-token max, the decimal MaxSim sum,
+    * and the (score DESC, cdoc) ranking. */
+  def q169MaxSimBrute(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.operators.LateInteraction
+      .tokenView(Tables.load(s, dir, "embeddings"))
+    graft.operators.LateInteraction
+      .maxSimBrute(tok, tok.filter(col("doc") < 3))
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
+  /** q170: the deployed late-interaction SERVING shape — token-level
+    * top-16 nominations (bounded-state TopK plan; the stage a token
+    * ANN index fills at 100 TB) → candidate-doc gather → EXACT MaxSim
+    * re-rank on |Q|·C docs only. The oracle replays nomination
+    * (ROW_NUMBER over the total cosine order), the candidate union,
+    * and the re-rank bit-for-bit, so the gate covers the pruning
+    * semantics, not just the final scores. */
+  def q170MaxSimPruned(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.operators.LateInteraction
+      .tokenView(Tables.load(s, dir, "embeddings"))
+    graft.operators.LateInteraction
+      .maxSimPruned(tok, tok.filter(col("doc") < 3))
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
   /** IVF cell-occupancy audit (q137) — the skew lens on the q133/q136
     * store's inverted lists: per quantizer cell, its vector count,
     * corpus fraction, and the store-wide max/mean ratio (see
