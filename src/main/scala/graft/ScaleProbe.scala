@@ -309,7 +309,12 @@ object ScaleProbe {
       // metadata scan + broadcast semi-join on top of the bucket-pruned /
       // exchange-free store serves
       "q167_filtered_ann" -> SparkEntry.queries("q167_filtered_ann"),
-      "q168_filtered_hyb" -> SparkEntry.queries("q168_filtered_hybrid"))
+      "q168_filtered_hyb" -> SparkEntry.queries("q168_filtered_hybrid"),
+      // round-14 third wave: late-interaction retrieval — queries are a
+      // fixed broadcast set, so brute is one linear token scan and the
+      // two-stage path adds the bounded TopK nomination + a |Q|·C gather
+      "q169_maxsim_brute" -> SparkEntry.queries("q169_maxsim_brute"),
+      "q170_maxsim_pruned" -> SparkEntry.queries("q170_maxsim_pruned"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan

@@ -189,6 +189,7 @@ object SparkEntry {
     "q168_filtered_hybrid" -> (TextQueries.q168FilteredHybrid _),
     "q169_maxsim_brute" -> (TextQueries.q169MaxSimBrute _),
     "q170_maxsim_pruned" -> (TextQueries.q170MaxSimPruned _),
+    "q171_maxsim_store" -> (TextQueries.q171MaxSimStore _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -485,6 +486,25 @@ object SparkEntry {
        |$maxSimCtes,
        |${maxSimRankSql("mcos")}""".stripMargin
 
+  /** q171 — STORE-SERVED late interaction: nomination per query TOKEN
+    * through the q133 persisted vector store's deterministic IVF
+    * (frozen-at-d0 models, nProbe 6, top-8 per token), doc-level
+    * candidate union (own doc excluded), exact MaxSim re-rank. The
+    * oracle replays the whole stack: the IVF pipeline for 24 token
+    * queries, the nomination cut, the doc mapping, and the re-rank. */
+  private def maxSimStoreSql: String =
+    s"""WITH $embNormCte,
+       |$fnvMapCte,
+       |${ivfDetCtesFit("vec_id % 3 = 0", qWhere = "id < 24")},
+       |mnomc AS (
+       |  SELECT DISTINCT qid // 8 AS qdoc, cid // 8 AS cdoc
+       |  FROM vs WHERE rank <= 8 AND qid // 8 <> cid // 8),
+       |$maxSimCtes,
+       |mgath AS (
+       |  SELECT m.qdoc, m.qpos, m.cdoc, m.cos
+       |  FROM mcos m JOIN mnomc USING (qdoc, cdoc)),
+       |${maxSimRankSql("mgath")}""".stripMargin
+
   private def maxSimPrunedSql: String =
     s"""WITH $embNormCte,
        |$maxSimCtes,
@@ -596,9 +616,12 @@ object SparkEntry {
        |ORDER BY method, qid, rank""".stripMargin
 
   /** `candWhere` (a predicate over `a.id`) restricts the candidate set,
-    * per [[pqAdcCtesFit]]'s note. */
+    * per [[pqAdcCtesFit]]'s note. `qWhere` (a predicate over `id`)
+    * selects the QUERY vectors — default the q133 convention (the first
+    * 10 ids); q171 probes per query TOKEN (the first 24). */
   private def ivfDetCtesFit(fitWhere: String,
-      candWhere: String = "TRUE", adim: Int = 64): String =
+      candWhere: String = "TRUE", adim: Int = 64,
+      qWhere: String = "id < 10"): String =
     s"""vfit AS (
        |  SELECT vec_id, embedding, hk FROM fnvmap
        |  WHERE $fitWhere),
@@ -641,7 +664,7 @@ object SparkEntry {
        |  SELECT id AS qid, cid FROM (
        |    SELECT id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-       |    FROM vd1 WHERE id < 10) WHERE rn <= 6),
+       |    FROM vd1 WHERE $qWhere) WHERE rn <= 6),
        |vcand AS (
        |  SELECT p.qid, a.id AS cid
        |  FROM vprobes p JOIN va1 a ON a.cid = p.cid AND a.id <> p.qid
@@ -3218,6 +3241,11 @@ object SparkEntry {
     // MaxSim re-rank on the gathered docs only; the oracle replays the
     // PRUNING semantics, not just the final scores
     "q170_maxsim_pruned" -> maxSimPrunedSql,
+
+    // q171: STORE-SERVED late interaction — per-token nomination through
+    // the q133 persisted IVF store (frozen d0 models, full replay of the
+    // deterministic IVF for 24 token queries), doc union, exact re-rank
+    "q171_maxsim_store" -> maxSimStoreSql,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

@@ -84,13 +84,35 @@ object LateInteraction {
       k: Int = 10): DataFrame =
     rankMaxSim(scoredPairs(tokens, qSide(queryDocs)), k)
 
+  /** Exact MaxSim re-rank over an externally nominated (qdoc, cdoc)
+    * candidate set — the second stage shared by every late-interaction
+    * serving path: [[maxSimPruned]] nominates by exact token top-C, the
+    * store-served q171 path nominates through the persisted IVF index
+    * ([[IncrementalVectors.ivfSearch]] per query token), and a filtered
+    * deployment composes [[IncrementalStore.allowFilter]] into `cand`.
+    * The re-rank recomputes every retained cosine exactly — nomination
+    * can only LOSE candidates, never mis-score one. `cand` is
+    * |Q|·C-bounded by contract (broadcast). */
+  def rerank(tokens: DataFrame, queryDocs: DataFrame, cand: DataFrame,
+      k: Int = 10): DataFrame = {
+    val q = qSide(queryDocs)
+    val gathered = tokens.join(
+        broadcast(cand.select(col("cdoc").as("doc")).distinct()), Seq("doc"))
+      .join(broadcast(q), col("doc") =!= col("qdoc"))
+      .select(col("qdoc"), col("qpos"), col("doc").as("cdoc"),
+        col("pos").as("cpos"), cosine.as("cos"))
+      // keep only (qdoc, cdoc) pairs the nominations produced — a doc
+      // nominated for query A must not enter query B's re-rank
+      .join(broadcast(cand.select("qdoc", "cdoc")), Seq("qdoc", "cdoc"),
+        "left_semi")
+    rankMaxSim(gathered, k)
+  }
+
   /** Two-stage late-interaction serving (the deployed ColBERT shape):
     * per QUERY TOKEN, the top-`cPerToken` corpus tokens by cosine
     * (total order: cos DESC, cdoc, cpos) nominate their documents; the
-    * union of nominated docs is gathered and re-ranked by EXACT MaxSim.
-    * Docs ranked by both stages carry identical scores to brute (the
-    * re-rank recomputes, never approximates) — pruning can only lose
-    * candidates, never mis-score one. */
+    * union of nominated docs is gathered and re-ranked by EXACT MaxSim
+    * ([[rerank]]). */
   def maxSimPruned(tokens: DataFrame, queryDocs: DataFrame, k: Int = 10,
       cPerToken: Int = 16): DataFrame = {
     val q = qSide(queryDocs)
@@ -99,15 +121,7 @@ object LateInteraction {
       Seq(("cos", false), ("cdoc", true), ("cpos", true)), cPerToken)
     // |Q|·C nominations → a broadcast-sized candidate-doc set; the
     // gather joins the token table once, broadcast side bounded
-    val cand = topC.select(col("qdoc"), col("cdoc")).distinct()
-    val gathered = tokens.join(
-        broadcast(cand.select(col("cdoc").as("doc")).distinct()), Seq("doc"))
-      .join(broadcast(q), col("doc") =!= col("qdoc"))
-      .select(col("qdoc"), col("qpos"), col("doc").as("cdoc"),
-        col("pos").as("cpos"), cosine.as("cos"))
-      // keep only (qdoc, cdoc) pairs the stage-1 nominations produced —
-      // a doc nominated for query A must not enter query B's re-rank
-      .join(broadcast(cand), Seq("qdoc", "cdoc"), "left_semi")
-    rankMaxSim(gathered, k)
+    rerank(tokens, queryDocs,
+      topC.select(col("qdoc"), col("cdoc")).distinct(), k)
   }
 }

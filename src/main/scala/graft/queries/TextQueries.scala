@@ -1302,6 +1302,31 @@ object TextQueries {
       .orderBy(col("qdoc"), col("rank"))
   }
 
+  /** q171: STORE-SERVED late interaction — the q170 serving shape with
+    * its nomination stage filled by the PERSISTED index, as deployed:
+    * each of the 24 query tokens probes the [[memoVectorStore]]'s IVF
+    * lists ([[graft.operators.IncrementalVectors.ivfSearch]], frozen
+    * d0 models, top-8 per token), nominated vectors map to their docs
+    * (own doc excluded), and [[graft.operators.LateInteraction.rerank]]
+    * recomputes exact MaxSim over the gathered candidates. Everything
+    * corpus-sized was paid at indexing time; the serve is 24 bucket-
+    * pruned probes + a |Q|·C re-rank. Oracle replays the deterministic
+    * IVF for all 24 token queries, the nomination cut, the doc union,
+    * and the re-rank bit-for-bit. */
+  def q171MaxSimStore(s: SparkSession, dir: String): DataFrame = {
+    val base = memoVectorStore(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+    val tok = graft.operators.LateInteraction.tokenView(emb)
+    val nom = graft.operators.IncrementalVectors
+      .ivfSearch(s, base, emb.filter(col("vec_id") < 24), kNeighbors = 8)
+    val cand = nom.select(expr("qid div 8").as("qdoc"),
+        expr("cid div 8").as("cdoc"))
+      .filter(col("qdoc") =!= col("cdoc")).distinct()
+    graft.operators.LateInteraction
+      .rerank(tok, tok.filter(col("doc") < 3), cand)
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
   /** IVF cell-occupancy audit (q137) — the skew lens on the q133/q136
     * store's inverted lists: per quantizer cell, its vector count,
     * corpus fraction, and the store-wide max/mean ratio (see

@@ -54,6 +54,16 @@ class LateInteractionSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("rerank under an all-pairs nomination equals brute (external-nominator contract)") {
+    val cand = queries.select(col("doc").as("qdoc")).distinct()
+      .crossJoin(tok.select(col("doc").as("cdoc")).distinct())
+      .filter(col("qdoc") =!= col("cdoc"))
+    assert(bitEqual(
+      LateInteraction.rerank(tok, queries, cand),
+      LateInteraction.maxSimBrute(tok, queries)),
+      "a nominate-everything external stage must reproduce the exact ranking")
+  }
+
   test("a query's own document never appears among its candidates") {
     val got = LateInteraction.maxSimBrute(tok, queries)
     assert(got.filter(col("qdoc") === col("cdoc")).isEmpty)
