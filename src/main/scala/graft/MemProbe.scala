@@ -99,7 +99,12 @@ object MemProbe {
       // edge-store re-cluster, the span subtract, and NB unlearning
       "q160_bm25_tombstone", "q161_vector_tombstone",
       "q162_components_tombstone", "q163_span_tombstone",
-      "q165_hybrid_tombstone", "q166_nb_unlearn")
+      "q165_hybrid_tombstone", "q166_nb_unlearn",
+      // round-14 late waves: filtered serving (allow-list semi-joins
+      // over the store serves) and the late-interaction family (token
+      // cosine aggregates; brute is the worst case under the ceiling)
+      "q167_filtered_ann", "q168_filtered_hybrid",
+      "q169_maxsim_brute", "q170_maxsim_pruned", "q171_maxsim_store")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

@@ -314,7 +314,8 @@ object ScaleProbe {
       // fixed broadcast set, so brute is one linear token scan and the
       // two-stage path adds the bounded TopK nomination + a |Q|·C gather
       "q169_maxsim_brute" -> SparkEntry.queries("q169_maxsim_brute"),
-      "q170_maxsim_pruned" -> SparkEntry.queries("q170_maxsim_pruned"))
+      "q170_maxsim_pruned" -> SparkEntry.queries("q170_maxsim_pruned"),
+      "q171_maxsim_store" -> SparkEntry.queries("q171_maxsim_store"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
