@@ -190,6 +190,7 @@ object SparkEntry {
     "q169_maxsim_brute" -> (TextQueries.q169MaxSimBrute _),
     "q170_maxsim_pruned" -> (TextQueries.q170MaxSimPruned _),
     "q171_maxsim_store" -> (TextQueries.q171MaxSimStore _),
+    "q172_maxsim_filtered" -> (TextQueries.q172MaxSimFiltered _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -492,10 +493,15 @@ object SparkEntry {
     * candidate union (own doc excluded), exact MaxSim re-rank. The
     * oracle replays the whole stack: the IVF pipeline for 24 token
     * queries, the nomination cut, the doc mapping, and the re-rank. */
-  private def maxSimStoreSql: String =
+  private def maxSimStoreSql: String = maxSimStoreSqlCand("TRUE")
+
+  /** `candWhere` over `a.id` restricts the nomination candidates — q172
+    * replays the FILTERED store-served late interaction with it (the
+    * q167 allow-list convention, applied before the per-token rank). */
+  private def maxSimStoreSqlCand(candWhere: String): String =
     s"""WITH $embNormCte,
        |$fnvMapCte,
-       |${ivfDetCtesFit("vec_id % 3 = 0", qWhere = "id < 24")},
+       |${ivfDetCtesFit("vec_id % 3 = 0", candWhere, qWhere = "id < 24")},
        |mnomc AS (
        |  SELECT DISTINCT qid // 8 AS qdoc, cid // 8 AS cdoc
        |  FROM vs WHERE rank <= 8 AND qid // 8 <> cid // 8),
@@ -3246,6 +3252,12 @@ object SparkEntry {
     // the q133 persisted IVF store (frozen d0 models, full replay of the
     // deterministic IVF for 24 token queries), doc union, exact re-rank
     "q171_maxsim_store" -> maxSimStoreSql,
+
+    // q172: FILTERED late interaction from stores — the q171 stack with
+    // the candidate set restricted to even-index documents at the
+    // nomination stage (allow-list BEFORE the per-token rank, the q167
+    // filtered-exact convention), re-rank restricted by construction
+    "q172_maxsim_filtered" -> maxSimStoreSqlCand("(a.id // 8) % 2 = 0"),
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

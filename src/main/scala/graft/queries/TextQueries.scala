@@ -1327,6 +1327,32 @@ object TextQueries {
       .orderBy(col("qdoc"), col("rank"))
   }
 
+  /** q172: FILTERED late interaction served from stores — the full
+    * composition: multi-vector MaxSim scoring, nomination through the
+    * persisted IVF index, and a metadata allow-list (even-index docs)
+    * applied BEFORE the per-token rank via [[graft.operators
+    * .IncrementalStore.allowFilter]] (the q167 filtered-exact
+    * convention — a token's top-8 ranks only allowed candidates, so
+    * selective filters can never starve the re-rank the way
+    * post-filtering an unfiltered top-8 would). The re-rank is
+    * restricted by construction: `cand` only ever holds allowed docs. */
+  def q172MaxSimFiltered(s: SparkSession, dir: String): DataFrame = {
+    val base = memoVectorStore(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+    val tok = graft.operators.LateInteraction.tokenView(emb)
+    val allowedVecs = emb.filter(expr("(vec_id div 8) % 2 = 0"))
+      .select("vec_id")
+    val nom = graft.operators.IncrementalVectors
+      .ivfSearch(s, base, emb.filter(col("vec_id") < 24), kNeighbors = 8,
+        allowed = Some(allowedVecs))
+    val cand = nom.select(expr("qid div 8").as("qdoc"),
+        expr("cid div 8").as("cdoc"))
+      .filter(col("qdoc") =!= col("cdoc")).distinct()
+    graft.operators.LateInteraction
+      .rerank(tok, tok.filter(col("doc") < 3), cand)
+      .orderBy(col("qdoc"), col("rank"))
+  }
+
   /** IVF cell-occupancy audit (q137) — the skew lens on the q133/q136
     * store's inverted lists: per quantizer cell, its vector count,
     * corpus fraction, and the store-wide max/mean ratio (see
