@@ -191,6 +191,7 @@ object SparkEntry {
     "q170_maxsim_pruned" -> (TextQueries.q170MaxSimPruned _),
     "q171_maxsim_store" -> (TextQueries.q171MaxSimStore _),
     "q172_maxsim_filtered" -> (TextQueries.q172MaxSimFiltered _),
+    "q173_maxsim_tombstone" -> (TextQueries.q173MaxSimTombstone _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3258,6 +3259,12 @@ object SparkEntry {
     // nomination stage (allow-list BEFORE the per-token rank, the q167
     // filtered-exact convention), re-rank restricted by construction
     "q172_maxsim_filtered" -> maxSimStoreSqlCand("(a.id // 8) % 2 = 0"),
+
+    // q173: late-interaction serve AFTER TAKEDOWN — from-scratch-minus-
+    // docs replay: the frozen-model IVF pipeline with the deleted docs'
+    // vectors excluded from the candidates, then the exact re-rank (the
+    // engine serves both stages from the physically rewritten store)
+    "q173_maxsim_tombstone" -> maxSimStoreSqlCand("(a.id // 8) % 7 <> 3"),
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

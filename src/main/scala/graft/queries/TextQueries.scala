@@ -1353,6 +1353,55 @@ object TextQueries {
       .orderBy(col("qdoc"), col("rank"))
   }
 
+  /** q173: LATE-INTERACTION SERVE AFTER TAKEDOWN — the q165 capstone
+    * extended to the newest serving path: a fresh vector store (fit
+    * frozen on the vec_id%3=0 slice, full-corpus ingest) has every
+    * token vector of the doc%7=3 documents PHYSICALLY deleted
+    * ([[graft.operators.IncrementalVectors.deleteIds]], marker-committed
+    * rewrites of codes + cells), then serves the q171 stack with BOTH
+    * stages reading only survivors: nomination probes the post-delete
+    * IVF lists, and the exact re-rank gathers token vectors FROM THE
+    * STORE's cell rows (`e`/`n` inline — the store is the survivor
+    * set; no raw-corpus re-read, no masking). The oracle replays
+    * from-scratch-minus-docs: the frozen-model IVF pipeline with
+    * deleted candidates excluded, then the re-rank — a taken-down
+    * document can never be retrieved or even SCORED through the
+    * late-interaction path. */
+  def q173MaxSimTombstone(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q173_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq("_cb", "_ctr", "_codes", "_cells", "_map").map(base + _)
+    Warehouse.sweepOrphans(s, "graft_q173_p")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalVectors.initModel(
+        emb.filter(pmod(col("vec_id"), lit(3L)) === 0), base)
+      graft.operators.IncrementalVectors.appendDate(emb, base, "d0")
+    }
+    graft.Phases.timed("maintain") {
+      graft.operators.IncrementalVectors.deleteIds(s, base,
+        emb.filter(expr("(vec_id div 8) % 7 = 3")).select("vec_id"),
+        gen = "del1")
+    }
+    val out = graft.Phases.timed("serve") {
+      val storeTok = s.table(s"${base}_cells")
+        .select(expr("id div 8").as("doc"),
+          pmod(col("id"), lit(8)).cast("int").as("pos"),
+          col("e").as("emb"), col("n").as("nrm"))
+      val nom = graft.operators.IncrementalVectors
+        .ivfSearch(s, base, emb.filter(col("vec_id") < 24), kNeighbors = 8)
+      val cand = nom.select(expr("qid div 8").as("qdoc"),
+          expr("cid div 8").as("cdoc"))
+        .filter(col("qdoc") =!= col("cdoc")).distinct()
+      graft.operators.LateInteraction
+        .rerank(storeTok, storeTok.filter(col("doc") < 3), cand)
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("qdoc"), col("rank"))
+  }
+
   /** IVF cell-occupancy audit (q137) — the skew lens on the q133/q136
     * store's inverted lists: per quantizer cell, its vector count,
     * corpus fraction, and the store-wide max/mean ratio (see
