@@ -1313,17 +1313,26 @@ object TextQueries {
     * pruned probes + a |Q|·C re-rank. Oracle replays the deterministic
     * IVF for all 24 token queries, the nomination cut, the doc union,
     * and the re-rank bit-for-bit. */
-  def q171MaxSimStore(s: SparkSession, dir: String): DataFrame = {
-    val base = memoVectorStore(s, dir)
-    val emb = Tables.load(s, dir, "embeddings")
-    val tok = graft.operators.LateInteraction.tokenView(emb)
+  /** The q171/q172/q173 shared serving stack: per-token IVF nomination
+    * against `base` (top-8, optional allow-list), doc-level candidate
+    * union (own doc excluded), exact MaxSim re-rank over `tokens`. */
+  private def maxSimStoreServe(s: SparkSession, base: String,
+      queries: DataFrame, tokens: DataFrame,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val nom = graft.operators.IncrementalVectors
-      .ivfSearch(s, base, emb.filter(col("vec_id") < 24), kNeighbors = 8)
+      .ivfSearch(s, base, queries, kNeighbors = 8, allowed = allowed)
     val cand = nom.select(expr("qid div 8").as("qdoc"),
         expr("cid div 8").as("cdoc"))
       .filter(col("qdoc") =!= col("cdoc")).distinct()
     graft.operators.LateInteraction
-      .rerank(tok, tok.filter(col("doc") < 3), cand)
+      .rerank(tokens, tokens.filter(col("doc") < 3), cand)
+  }
+
+  def q171MaxSimStore(s: SparkSession, dir: String): DataFrame = {
+    val base = memoVectorStore(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+    val tok = graft.operators.LateInteraction.tokenView(emb)
+    maxSimStoreServe(s, base, emb.filter(col("vec_id") < 24), tok)
       .orderBy(col("qdoc"), col("rank"))
   }
 
@@ -1342,14 +1351,8 @@ object TextQueries {
     val tok = graft.operators.LateInteraction.tokenView(emb)
     val allowedVecs = emb.filter(expr("(vec_id div 8) % 2 = 0"))
       .select("vec_id")
-    val nom = graft.operators.IncrementalVectors
-      .ivfSearch(s, base, emb.filter(col("vec_id") < 24), kNeighbors = 8,
+    maxSimStoreServe(s, base, emb.filter(col("vec_id") < 24), tok,
         allowed = Some(allowedVecs))
-    val cand = nom.select(expr("qid div 8").as("qdoc"),
-        expr("cid div 8").as("cdoc"))
-      .filter(col("qdoc") =!= col("cdoc")).distinct()
-    graft.operators.LateInteraction
-      .rerank(tok, tok.filter(col("doc") < 3), cand)
       .orderBy(col("qdoc"), col("rank"))
   }
 
@@ -1389,13 +1392,7 @@ object TextQueries {
         .select(expr("id div 8").as("doc"),
           pmod(col("id"), lit(8)).cast("int").as("pos"),
           col("e").as("emb"), col("n").as("nrm"))
-      val nom = graft.operators.IncrementalVectors
-        .ivfSearch(s, base, emb.filter(col("vec_id") < 24), kNeighbors = 8)
-      val cand = nom.select(expr("qid div 8").as("qdoc"),
-          expr("cid div 8").as("cdoc"))
-        .filter(col("qdoc") =!= col("cdoc")).distinct()
-      graft.operators.LateInteraction
-        .rerank(storeTok, storeTok.filter(col("doc") < 3), cand)
+      maxSimStoreServe(s, base, emb.filter(col("vec_id") < 24), storeTok)
         .localCheckpoint() // eager: tables dropped before the caller's action
     }
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
