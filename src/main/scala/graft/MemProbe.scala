@@ -104,7 +104,8 @@ object MemProbe {
       // over the store serves) and the late-interaction family (token
       // cosine aggregates; brute is the worst case under the ceiling)
       "q167_filtered_ann", "q168_filtered_hybrid",
-      "q169_maxsim_brute", "q170_maxsim_pruned", "q171_maxsim_store")
+      "q169_maxsim_brute", "q170_maxsim_pruned", "q171_maxsim_store",
+      "q172_maxsim_filtered", "q173_maxsim_tombstone")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

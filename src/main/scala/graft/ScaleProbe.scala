@@ -315,7 +315,9 @@ object ScaleProbe {
       // two-stage path adds the bounded TopK nomination + a |Q|·C gather
       "q169_maxsim_brute" -> SparkEntry.queries("q169_maxsim_brute"),
       "q170_maxsim_pruned" -> SparkEntry.queries("q170_maxsim_pruned"),
-      "q171_maxsim_store" -> SparkEntry.queries("q171_maxsim_store"))
+      "q171_maxsim_store" -> SparkEntry.queries("q171_maxsim_store"),
+      "q172_maxsim_filt" -> SparkEntry.queries("q172_maxsim_filtered"),
+      "q173_maxsim_tomb" -> SparkEntry.queries("q173_maxsim_tombstone"))
     val probes = if (args.nonEmpty) allProbes.filter(p => args.contains(p._1)) else allProbes
 
     // noop-write action (same methodology as Bench: executes the full plan
