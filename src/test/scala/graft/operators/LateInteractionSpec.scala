@@ -64,6 +64,30 @@ class LateInteractionSpec extends SparkSpec {
       "a nominate-everything external stage must reproduce the exact ranking")
   }
 
+  test("MaxSim plans never shuffle the token table through a join: all joins broadcast") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // brute, pruned, and an external-nominator rerank: the corpus-sized
+      // token scan must only ever meet broadcast sides — a sort-merge
+      // join would re-sort/shuffle the whole token table per serve
+      val cand = queries.select(col("doc").as("qdoc")).distinct()
+        .crossJoin(tok.select(col("doc").as("cdoc")).distinct().limit(5))
+        .filter(col("qdoc") =!= col("cdoc"))
+      Seq(
+        LateInteraction.maxSimBrute(tok, queries),
+        LateInteraction.maxSimPruned(tok, queries),
+        LateInteraction.rerank(tok, queries, cand)).foreach { df =>
+        val smj = df.queryExecution.executedPlan
+          .collect { case s: SortMergeJoinExec => s }
+        assert(smj.isEmpty,
+          s"expected broadcast-only joins, found sort-merge:\n${
+            df.queryExecution.executedPlan}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("a query's own document never appears among its candidates") {
     val got = LateInteraction.maxSimBrute(tok, queries)
     assert(got.filter(col("qdoc") === col("cdoc")).isEmpty)
