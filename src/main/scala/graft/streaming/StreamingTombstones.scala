@@ -56,11 +56,21 @@ object StreamingTombstones {
     * so crash-replay idempotence (same batch ⇒ same gen ⇒ no-op) is
     * untouched; distinct streams get distinct gens and compose as
     * ordinary sequential rewrites instead of aliasing. */
+  /** 64-bit FNV-1a of the checkpoint URI (the repo's hash convention):
+    * deterministic across JVMs, and wide enough that two streams'
+    * (batchId, nonce) generation labels aliasing is negligible. */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    h
+  }
+
   def run(requests: DataFrame, checkpoint: String,
       deletes: Seq[(DataFrame, String) => Unit],
       availableNow: Boolean = false): StreamingQuery = {
-    val nonce = f"${scala.util.hashing.MurmurHash3.stringHash(
-      new org.apache.hadoop.fs.Path(checkpoint).toUri.toString)}%08x"
+    val nonce = f"${fnv64(
+      new org.apache.hadoop.fs.Path(checkpoint).toUri.toString)}%016x"
     val w = requests.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
