@@ -195,9 +195,10 @@ object IncrementalComponents {
         "build the store with processDate(edgesPath = Some(...)) — " +
         "without the edges, deletion requires re-clustering the corpus")
     IncrementalDedup.deleteSignatures(spark, sigStore, tombstones, gen)
-    StoreMaintenance.rewritePath(spark, edgesPath, gen,
-      transform = df => StoreMaintenance.tombstone(tombstones, "a_id")(
-        StoreMaintenance.tombstone(tombstones, "b_id")(df)))
+    IncrementalStore.propagateDeletes(spark, gen, Seq(
+      IncrementalStore.DeleteTarget(edgesPath, path = true,
+        transform = df => StoreMaintenance.tombstone(tombstones, "a_id")(
+          StoreMaintenance.tombstone(tombstones, "b_id")(df)))))
     val remaining = readOrEmpty(spark, edgesPath,
       "a_id BIGINT, b_id BIGINT, ds STRING").select(col("a_id"), col("b_id"))
     if (remaining.isEmpty)

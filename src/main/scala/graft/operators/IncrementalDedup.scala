@@ -124,7 +124,7 @@ object IncrementalDedup {
     * candidate join is exchange-free (both sides bucket-aligned). */
   def newPairsBucketed(spark: SparkSession, table: String, date: String,
       threshold: Double = 0.5, k: Int = 32): DataFrame = {
-    val store = spark.table(table)
+    val store = IncrementalStore.consistentScan(spark, table)
     val newDay = store.filter(col("ds") === date)
     scoreCandidates(bandCandidates(newDay, store), k, threshold)
   }
@@ -138,17 +138,18 @@ object IncrementalDedup {
     * first column is the doc id set; `gen` per
     * [[StoreMaintenance.rewrite]]'s fresh-gen contract. */
   def deleteDocs(spark: SparkSession, table: String,
-      tombstones: DataFrame, gen: String): Unit =
-    StoreMaintenance.rewrite(spark, table, gen,
-      StoreMaintenance.tombstone(tombstones, "id"))
+      tombstones: DataFrame, gen: String, large: Boolean = false): Unit =
+    IncrementalStore.propagateDeletes(spark, gen, Seq(
+      IncrementalStore.keyTarget(table, "id", tombstones, large)))
 
   /** [[deleteDocs]] for the PATH-based signature store
     * ([[appendSignatures]]' layout) — same contract via
     * [[StoreMaintenance.rewritePath]]. */
   def deleteSignatures(spark: SparkSession, store: String,
-      tombstones: DataFrame, gen: String): Unit =
-    StoreMaintenance.rewritePath(spark, store, gen,
-      StoreMaintenance.tombstone(tombstones, "id"))
+      tombstones: DataFrame, gen: String, large: Boolean = false): Unit =
+    IncrementalStore.propagateDeletes(spark, gen, Seq(
+      IncrementalStore.keyTarget(store, "id", tombstones, large,
+        path = true)))
 
   /** One incremental step: signatures for `newDocs` are computed once,
     * persisted under `date`, and paired against everything in the store

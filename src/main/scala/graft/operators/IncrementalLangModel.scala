@@ -85,21 +85,22 @@ object IncrementalLangModel {
     val delTri = del.select(col(langCol).as("cand"),
         CharNgramRows.charNgramRows(col(textCol), 3).as("tri"))
       .groupBy(col("cand"), col("tri")).agg(count(lit(1)).as("dc"))
-    StoreMaintenance.rewritePath(spark, s"$store/tri", gen,
-      transform = df => df
-        .groupBy(col("cand"), col("tri")).agg(sum(col("c")).as("c"))
-        .join(delTri, Seq("cand", "tri"), "left")
-        .select(col("cand"), col("tri"),
-          (col("c") - coalesce(col("dc"), lit(0L))).as("c"))
-        .filter(col("c") > 0))
     val delPrior = del.groupBy(col(langCol).as("cand"))
       .agg(count(lit(1)).as("dndl"))
-    StoreMaintenance.rewritePath(spark, s"$store/prior", gen,
-      transform = df => df
-        .groupBy(col("cand")).agg(sum(col("ndl")).as("ndl"))
-        .join(delPrior, Seq("cand"), "left")
-        .select(col("cand"),
-          (col("ndl") - coalesce(col("dndl"), lit(0L))).as("ndl"))
-        .filter(col("ndl") > 0))
+    IncrementalStore.propagateDeletes(spark, gen, Seq(
+      IncrementalStore.DeleteTarget(s"$store/tri", path = true,
+        transform = df => df
+          .groupBy(col("cand"), col("tri")).agg(sum(col("c")).as("c"))
+          .join(delTri, Seq("cand", "tri"), "left")
+          .select(col("cand"), col("tri"),
+            (col("c") - coalesce(col("dc"), lit(0L))).as("c"))
+          .filter(col("c") > 0)),
+      IncrementalStore.DeleteTarget(s"$store/prior", path = true,
+        transform = df => df
+          .groupBy(col("cand")).agg(sum(col("ndl")).as("ndl"))
+          .join(delPrior, Seq("cand"), "left")
+          .select(col("cand"),
+            (col("ndl") - coalesce(col("dndl"), lit(0L))).as("ndl"))
+          .filter(col("ndl") > 0))))
   }
 }

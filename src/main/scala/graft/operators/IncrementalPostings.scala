@@ -67,7 +67,7 @@ object IncrementalPostings {
     * contract), never a hashpartitioning of the store. */
   def reportBucketed(spark: SparkSession, table: String, k: Int = 3): DataFrame =
     Search.postingsFromTf(
-      spark.table(table)
+      IncrementalStore.consistentScan(spark, table)
         .groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")),
       k)
 
@@ -125,17 +125,20 @@ object IncrementalPostings {
     * built over the corpus minus the deleted docs (oracle-gated as q160):
     * n_docs, avgdl, df, and every score re-derive from the remaining
     * rows at serve time with no model to unlearn. `tombstones`' first
-    * column is the doc_id set (takedown-list-sized, broadcast);
-    * `gen` labels the rewrite generation (fresh per pass, re-run the
-    * SAME gen to resume a crashed pass). */
+    * column is the doc_id set; `gen` labels the rewrite generation
+    * (fresh per pass, re-run the SAME gen to resume a crashed pass).
+    * `large` = the key set is CORPUS-scale (a whole-source takedown):
+    * the anti-join shuffles instead of broadcasting
+    * ([[StoreMaintenance.tombstoneLarge]]) — the doc-bucketed norms side
+    * is already co-located on the key; the term-bucketed tf side pays
+    * one hash exchange on doc_id, the bounded price of deleting against
+    * the serving layout (oracle-gated as q177). */
   def deleteDocs(spark: SparkSession, table: String,
-      tombstones: DataFrame, gen: String): Unit = {
-    StoreMaintenance.rewrite(spark, table, gen,
-      StoreMaintenance.tombstone(tombstones, "doc_id"))
-    if (spark.catalog.tableExists(s"${table}_dl"))
-      StoreMaintenance.rewrite(spark, s"${table}_dl", gen,
-        StoreMaintenance.tombstone(tombstones, "doc_id"))
-  }
+      tombstones: DataFrame, gen: String, large: Boolean = false): Unit =
+    IncrementalStore.propagateDeletes(spark, gen, Seq(
+      IncrementalStore.keyTarget(table, "doc_id", tombstones, large),
+      IncrementalStore.keyTarget(s"${table}_dl", "doc_id", tombstones,
+        large, optional = true)))
 
   /** BM25 ranked retrieval SERVED from the accumulated store — the
     * lexical twin of [[IncrementalVectors.adcSearch]]: query-term tf
@@ -150,10 +153,10 @@ object IncrementalPostings {
       queryTerms: Seq[String], k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75, allowed: Option[DataFrame] = None): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val tf = spark.table(table)
+    val tf = IncrementalStore.consistentScan(spark, table)
       .filter(col("term").isInCollection(queryTerms))
       .groupBy("doc_id", "term").agg(sum(col("tf")).as("tf"))
-    val dl = spark.table(s"${table}_dl")
+    val dl = IncrementalStore.consistentScan(spark, s"${table}_dl")
       .groupBy("doc_id").agg(sum(col("dl")).as("dl"))
     // `allowed` = filtered retrieval with CORPUS-wide statistics — see
     // [[Search.bm25Score]]'s contract note

@@ -99,7 +99,9 @@ object IncrementalSQ {
     requireNoPendingRefit(spark, table, "search")
     val grid = spark.table(s"${table}_grid")
     val codes = IncrementalStore.allowFilter(
-        IncrementalStore.asOf(spark.table(s"${table}_codes"), upTo), allowed)
+        IncrementalStore.asOf(
+          IncrementalStore.consistentScan(spark, s"${table}_codes"), upTo),
+        allowed)
       .select(col("id"), col("dim"), col("code"))
     SQ.search(queries, SQ.reconstruct(codes, grid), kNeighbors, idCol, vecCol)
   }
@@ -112,11 +114,10 @@ object IncrementalSQ {
     * is the (separate) lever if their influence on the grid itself must
     * go. Refuses while a refit is pending, like every other mutation. */
   def deleteIds(spark: SparkSession, table: String,
-      tombstones: DataFrame, gen: String): Unit = {
-    requireNoPendingRefit(spark, table, "delete")
-    StoreMaintenance.rewrite(spark, s"${table}_codes", gen,
-      StoreMaintenance.tombstone(tombstones, "id"))
-  }
+      tombstones: DataFrame, gen: String, large: Boolean = false): Unit =
+    IncrementalStore.propagateDeletes(spark, gen, Seq(
+        IncrementalStore.keyTarget(s"${table}_codes", "id", tombstones, large)),
+      guard = requireNoPendingRefit(_, table, "delete"))
 
   /** Refit the grid on `fitDf` and MIGRATE the code store — the "act" to
     * drift detection, the [[IncrementalVectors.refitQuantizer]] shape for
@@ -171,7 +172,7 @@ object IncrementalSQ {
       .write.mode("overwrite").saveAsTable(s"${table}_grid")
     val oldGrid = spark.table(prevT).drop("gen")
     val newGrid = spark.table(s"${table}_grid")
-    StoreMaintenance.rewrite(spark, s"${table}_codes", gen,
+    try StoreMaintenance.rewrite(spark, s"${table}_codes", gen,
       transform = df => {
         val xh = SQ.reconstruct(df.select(col("id"), col("dim"),
           col("code")), oldGrid)
@@ -183,6 +184,23 @@ object IncrementalSQ {
                   + lit(0.5d)).cast("int"))))
               .cast("int").as("code"))
       })
+    catch {
+      // an abort BEFORE the fold's first effect (no pending sentinel —
+      // e.g. lease contention with a live append) left the codes
+      // untouched: RESTORE the old grid from its snapshot and unstage,
+      // so the contention loser doesn't wedge the store behind a
+      // mandatory same-gen resume. A restore crash re-enters the normal
+      // pending path (grid_prev still present ⇒ same-gen resume). Any
+      // post-sentinel failure keeps the snapshot — resume is mandatory.
+      case e: Throwable =>
+        if (StoreMaintenance.rewriteNeverStarted(spark, s"${table}_codes",
+            gen)) {
+          spark.table(prevT).drop("gen")
+            .write.mode("overwrite").saveAsTable(s"${table}_grid")
+          spark.sql(s"DROP TABLE IF EXISTS $prevT")
+        }
+        throw e
+    }
     // rewrite committed (marker landed): the old-grid snapshot is garbage
     spark.sql(s"DROP TABLE IF EXISTS $prevT")
   }

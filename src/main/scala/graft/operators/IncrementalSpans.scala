@@ -50,13 +50,13 @@ object IncrementalSpans {
       n: Int = 8, idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val del = Corpus.spanGrams(deletedDocs, n, idCol, textCol)._2
       .groupBy(col("h")).agg(count(lit(1)).as("dcnt"))
-    StoreMaintenance.rewritePath(deletedDocs.sparkSession, store, gen,
-      transform = df => df
+    IncrementalStore.propagateDeletes(deletedDocs.sparkSession, gen, Seq(
+      IncrementalStore.DeleteTarget(store, path = true, transform = df => df
         .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
         .join(del, Seq("h"), "left")
         .select(col("h"),
           (col("cnt") - coalesce(col("dcnt"), lit(0L))).as("cnt"))
-        .filter(col("cnt") > 0))
+        .filter(col("cnt") > 0))))
   }
 
   /** Hashes duplicated ANYWHERE in the accumulated store (Σ cnt ≥ 2).

@@ -73,6 +73,13 @@ object IncrementalStore {
       store.filter(!col("ds").startsWith("r_") &&
         regexp_replace(col("ds"), "^c_", "") <= d))
 
+  /** The serve-side TABLE scan: [[StoreMaintenance.consistentTable]] —
+    * a crashed (or live) fold's half-committed window can never
+    * double-read folded rows or mix generations. Every family's serve
+    * reads its tables through this. */
+  def consistentScan(spark: SparkSession, table: String): DataFrame =
+    StoreMaintenance.consistentTable(spark, table)
+
   /** Drop one ingestion date's partition from each existing table — the
     * re-run/retry guard (bounded metadata DDL, no data motion). */
   def dropDate(spark: SparkSession, tables: Seq[String], date: String): Unit =
@@ -80,6 +87,51 @@ object IncrementalStore {
       if (spark.catalog.tableExists(t))
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
     }
+
+  /** One backing store a family's DELETION PROPAGATION must rewrite:
+    * the store name (table, or filesystem path when `path`), the row
+    * transform (usually a tombstone anti-join on the family's key
+    * column — [[keyTarget]]; the additive families pass their own
+    * count-subtract transforms), and whether the store may be absent
+    * (the postings family's optional norms table). */
+  final case class DeleteTarget(store: String,
+      transform: DataFrame => DataFrame,
+      path: Boolean = false, optional: Boolean = false)
+
+  /** [[DeleteTarget]] for the common case — physically drop every row
+    * whose `keyCol` is tombstoned. `large` selects the non-broadcast
+    * anti-join ([[StoreMaintenance.tombstoneLarge]]) for corpus-scale
+    * key sets (whole-source takedowns); the default broadcasts
+    * (takedown lists). */
+  def keyTarget(store: String, keyCol: String, tombstones: DataFrame,
+      large: Boolean = false, path: Boolean = false,
+      optional: Boolean = false): DeleteTarget =
+    DeleteTarget(store,
+      if (large) StoreMaintenance.tombstoneLarge(tombstones, keyCol)
+      else StoreMaintenance.tombstone(tombstones, keyCol),
+      path, optional)
+
+  /** THE shared deletion-propagation shape: run `guard` (the families'
+    * pending-refit refusals — state checks that must precede any
+    * mutation), then one marker-committed rewrite per backing store.
+    * Round 13 proved (with append leases) that a rule repeated per
+    * family silently misses the N+1th family; the delete rule now lives
+    * here — a family declares its targets (key column or custom
+    * transform per store) and inherits the rewrite protocol, the crash
+    * ordering (fold-pending sentinel), and every future rule. Families
+    * with derived state (the components' labels) recompute it AFTER the
+    * propagation, from the post-delete stores. */
+  def propagateDeletes(spark: SparkSession, gen: String,
+      targets: Seq[DeleteTarget],
+      guard: SparkSession => Unit = _ => ()): Unit = {
+    guard(spark)
+    targets.foreach { t =>
+      if (t.path)
+        StoreMaintenance.rewritePath(spark, t.store, gen, t.transform)
+      else if (!t.optional || spark.catalog.tableExists(t.store))
+        StoreMaintenance.rewrite(spark, t.store, gen, t.transform)
+    }
+  }
 
   /** FILTERED-serve restriction shared by the index families' searches:
     * semi-join the store rows' `idCol` against `allowed`'s FIRST column

@@ -91,7 +91,12 @@ object IncrementalVectors {
     val spark = emb.sparkSession
     // each write holds its own append lease (the family rule — an append
     // racing a fold's partition drops would lose rows silently); the
-    // pending-refit check runs inside each lease via the guard hook
+    // pending-refit check runs inside each lease via the guard hook.
+    // NOT atomic across the two tables: a failure between the codes and
+    // cells writes (e.g. a refit staging in that window makes the second
+    // guard throw) leaves the date HALF-appended — codes only. Recovery
+    // is the standard re-run contract: [[dropDate]] (drops the date from
+    // both tables, the half-written one included), then retry the append
     IncrementalStore.appendBucketed(
       PQ.encode(emb, spark.table(s"${table}_cb"), m, idCol, vecCol),
       s"${table}_codes", date, Seq("id"), nBuckets,
@@ -145,13 +150,11 @@ object IncrementalVectors {
     * the deleted vectors' influence on the models must go too. Refuses
     * while a refit is pending, like appends. */
   def deleteIds(spark: SparkSession, table: String,
-      tombstones: DataFrame, gen: String): Unit = {
-    requireNoPendingRefit(spark, table)
-    StoreMaintenance.rewrite(spark, s"${table}_codes", gen,
-      StoreMaintenance.tombstone(tombstones, "id"))
-    StoreMaintenance.rewrite(spark, s"${table}_cells", gen,
-      StoreMaintenance.tombstone(tombstones, "id"))
-  }
+      tombstones: DataFrame, gen: String, large: Boolean = false): Unit =
+    IncrementalStore.propagateDeletes(spark, gen, Seq(
+        IncrementalStore.keyTarget(s"${table}_codes", "id", tombstones, large),
+        IncrementalStore.keyTarget(s"${table}_cells", "id", tombstones, large)),
+      guard = requireNoPendingRefit(_, table))
 
   /** Cell-occupancy audit over a (cell, …) postings frame: one row per
     * cell with its vector count, corpus fraction, and the store-wide
@@ -322,7 +325,7 @@ object IncrementalVectors {
       }
     } else stage()
     val ctr = spark.table(nextT).drop("gen")
-    StoreMaintenance.rewrite(spark, s"${table}_cells", gen,
+    try StoreMaintenance.rewrite(spark, s"${table}_cells", gen,
       transform = df => {
         val re = KMeans.assign(df.select(col("id"), col("e")), ctr,
             idCol = "id", vecCol = "e")
@@ -330,6 +333,18 @@ object IncrementalVectors {
         df.drop("cell").join(re, "id")
           .select(col("new_cell").as("cell"), col("id"), col("e"), col("n"))
       })
+    catch {
+      // an abort BEFORE the fold's first effect (its pending sentinel
+      // never landed — e.g. lease contention with a live append) leaves
+      // no rewrite state: UNSTAGE so the contention loser doesn't wedge
+      // every append/serve behind a mandatory same-gen resume. Any later
+      // failure keeps the staging table — the sentinel is down and the
+      // same-gen resume is the documented recovery.
+      case e: Throwable =>
+        if (StoreMaintenance.rewriteNeverStarted(spark, s"${table}_cells", gen))
+          spark.sql(s"DROP TABLE IF EXISTS $nextT")
+        throw e
+    }
     // rewrite committed (marker landed): every posting row now carries a
     // new-quantizer cell id. The [[splitHotCells]] parent→child map is
     // dropped only NOW — its parents are old-quantizer cells, and keeping
@@ -371,7 +386,8 @@ object IncrementalVectors {
     val dim = PQ.vecDim(queries, vecCol)
     val qd = PQ.subDistances(queries, cb, dim / m, idCol, vecCol)
       .select(col("id").as("qid"), col("m"), col("cid"), col("d2"))
-    val codes = allowFilter(asOf(spark.table(s"${table}_codes"), upTo), allowed)
+    val codes = allowFilter(asOf(
+      IncrementalStore.consistentScan(spark, s"${table}_codes"), upTo), allowed)
     val adist = codes.join(broadcast(qd),
         qd("m") === codes("m") && qd("cid") === codes("code") &&
           qd("qid") =!= codes("id"))
@@ -407,26 +423,39 @@ object IncrementalVectors {
   /** The centroids consistent with the CURRENT state of the cell store.
     * Normally the live model table `t_ctr`; while a [[refitQuantizer]] is
     * pending (`t_ctr_next` exists), the staged centroids are
-    * authoritative IFF the cell rewrite already committed — every
-    * partition folded into the staged gen's `r_<gen>` label — because
-    * from that point the postings carry new-quantizer cell ids while
-    * `t_ctr` still holds the old model until the swap lands. Probing the
-    * store with the model its rows were actually assigned under is what
-    * makes a crash anywhere in the refit serve a CONSISTENT ranking (pre-
-    * refit before the commit, post-refit after), never a mixed one. Two
-    * bounded metadata reads (gen stamp + partition list), only paid while
-    * a refit is pending. */
+    * authoritative IFF the cell rewrite already COMMITTED — its `r_<gen>`
+    * marker is down, or every partition is already folded into the label
+    * (the marker-cleared, swap-not-yet-landed tail) — because from the
+    * marker onward the AUTHORITATIVE postings carry new-quantizer cell
+    * ids while `t_ctr` still holds the old model until the swap lands.
+    * The serve scan itself resolves the same commit point
+    * ([[IncrementalStore.consistentScan]] — in the marker-to-drops window
+    * it reads ONLY the label partition, never the pending-delete olds),
+    * so probing the store with the model its authoritative rows were
+    * assigned under makes a crash ANYWHERE in the refit serve a
+    * CONSISTENT ranking (pre-refit before the marker, post-refit after),
+    * never a mixed one. Bounded metadata reads (gen stamp, marker probe,
+    * partition list), only paid while a refit is pending. */
   private def liveCentroids(spark: SparkSession, table: String): DataFrame = {
     val nextT = s"${table}_ctr_next"
     if (!spark.catalog.tableExists(nextT)) spark.table(s"${table}_ctr")
     else {
       val g = spark.table(nextT).select(col("gen")).limit(1)
         .collect().headOption.map(_.getString(0))
-      val parts = spark.sql(s"SHOW PARTITIONS ${table}_cells").collect()
-        .map(_.getString(0).stripPrefix("ds=")).toSeq
       g match {
-        case Some(gen) if parts.nonEmpty && parts.forall(_ == s"r_$gen") =>
-          spark.table(nextT).drop("gen")
+        case Some(gen) =>
+          val root = new org.apache.hadoop.fs.Path(
+            spark.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_cells"))
+              .location)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val parts = spark.sql(s"SHOW PARTITIONS ${table}_cells").collect()
+            .map(_.getString(0).stripPrefix("ds=")).toSeq
+          val committed =
+            StoreMaintenance.foldCommitted(fs, root, s"r_$gen") ||
+              (parts.nonEmpty && parts.forall(_ == s"r_$gen"))
+          if (committed) spark.table(nextT).drop("gen")
+          else spark.table(s"${table}_ctr")
         case _ => spark.table(s"${table}_ctr")
       }
     }
@@ -462,7 +491,8 @@ object IncrementalVectors {
     // filtered serve ([[IncrementalStore.allowFilter]]): the allow-list
     // restricts the CANDIDATES after the bucket prune but before any dot
     // product is paid — probe economics and the filter compose
-    val store = allowFilter(asOf(spark.table(s"${table}_cells"), upTo)
+    val store = allowFilter(asOf(
+        IncrementalStore.consistentScan(spark, s"${table}_cells"), upTo)
       .filter(col("cell").isin(probedCells.map(Int.box): _*)), allowed)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       Similarity.norm(col(vecCol)).as("qn"))

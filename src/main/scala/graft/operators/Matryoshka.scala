@@ -74,9 +74,9 @@ object Matryoshka {
     * rewrite drops the tombstoned ids' posting rows; the frozen prefix
     * quantizer is a model artifact and stays. */
   def deleteIds(spark: SparkSession, table: String,
-      tombstones: DataFrame, gen: String): Unit =
-    StoreMaintenance.rewrite(spark, s"${table}_cells", gen,
-      StoreMaintenance.tombstone(tombstones, "id"))
+      tombstones: DataFrame, gen: String, large: Boolean = false): Unit =
+    IncrementalStore.propagateDeletes(spark, gen, Seq(
+      IncrementalStore.keyTarget(s"${table}_cells", "id", tombstones, large)))
 
   /** AS-OF restriction — the [[IncrementalVectors]] convention verbatim:
     * the date partitioning makes time-travel a partition PRUNE.
@@ -111,7 +111,7 @@ object Matryoshka {
     // filtered serve ([[IncrementalStore.allowFilter]]): candidates are
     // restricted after the bucket prune, before the full-dim re-rank
     val store = IncrementalStore.allowFilter(
-      asOf(spark.table(s"${table}_cells"), upTo)
+      asOf(IncrementalStore.consistentScan(spark, s"${table}_cells"), upTo)
         .filter(col("cell").isin(probedCells.map(Int.box): _*)), allowed)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       Similarity.norm(col(vecCol)).as("qn"))

@@ -269,10 +269,15 @@ object StoreMaintenance {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
     leaseHolder(fs, p).foreach { h =>
-      if (!leaseStale(h, maxAgeHours) || !sweepIfUnchanged(fs, p, h))
+      if (!leaseStale(h, maxAgeHours) || !sweepIfUnchanged(fs, p, h)) {
+        // a sweep can fail because a NEW holder replaced the lease between
+        // judgment and delete — re-read so the message names the holder
+        // that actually blocks us, not the stale one we judged
+        val now = leaseHolder(fs, p).getOrElse(h)
         throw new IllegalStateException(
-          s"maintenance lease on $location held by live pid ${h.pid} " +
-            s"on ${h.host} — a fold is in progress; retry after it completes")
+          s"maintenance lease on $location held by live pid ${now.pid} " +
+            s"on ${now.host} — a fold is in progress; retry after it completes")
+      }
     }
     val out = fs.create(p, false) // create-exclusive: lose the race ⇒ throw
     try out.writeBytes(leaseContent())
@@ -305,10 +310,13 @@ object StoreMaintenance {
     val p = leaseFile(location)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     leaseHolder(fs, p).foreach { h =>
-      if (!leaseStale(h, maxAgeHours) || !sweepIfUnchanged(fs, p, h))
+      if (!leaseStale(h, maxAgeHours) || !sweepIfUnchanged(fs, p, h)) {
+        // re-read for the message: the blocker may be a REPLACEMENT holder
+        val now = leaseHolder(fs, p).getOrElse(h)
         throw new IllegalStateException(
           s"append rejected: maintenance fold in progress on $location " +
-            s"(lease pid ${h.pid} on ${h.host}) — retry after the fold completes")
+            s"(lease pid ${now.pid} on ${now.host}) — retry after the fold completes")
+      }
     }
     // a CRASHED fold (stale lease swept above, sentinel left) must be
     // resumed before appends: its same-label resume skips straight to the
@@ -346,15 +354,41 @@ object StoreMaintenance {
 
   /** [[withAppendLease]] resolved through the catalog — the guard for
     * table-backed stores. A table that does not exist yet has no location
-    * to lease (and no partitions a fold could drop): the first append
-    * runs unguarded and creates it. */
+    * to lease and no partitions a fold could drop — but two concurrent
+    * FIRST appends would still race the catalog's table creation, so the
+    * init append runs under the EXCLUSIVE lease machinery on a sibling of
+    * the would-be warehouse path (never the path itself: a managed-table
+    * create refuses a non-empty location). The loser fails fast and its
+    * retry takes the normal shared path; a crashed init's lease ages out
+    * by the standard dead-pid/stillness rules. */
   def withAppendLeaseTable[T](spark: SparkSession, table: String,
       maxAgeHours: Option[Double] = defaultAge)(body: => T): T =
     if (spark.catalog.tableExists(table))
       withAppendLease(spark, spark.sessionState.catalog
         .getTableMetadata(TableIdentifier(table)).location.toString,
         maxAgeHours)(body)
-    else body
+    else {
+      val initLoc = spark.sessionState.catalog
+        .defaultTablePath(TableIdentifier(table)).toString + "_init_lease"
+      acquireLease(spark, initLoc, maxAgeHours)
+      try {
+        // the table may have been created between our exists-check and
+        // our claim — the creator already released the init lease, so
+        // take the normal shared path over the now-real location
+        if (spark.catalog.tableExists(table))
+          withAppendLease(spark, spark.sessionState.catalog
+            .getTableMetadata(TableIdentifier(table)).location.toString,
+            maxAgeHours)(body)
+        else body
+      } finally {
+        releaseLease(spark, initLoc)
+        // drop the (now-empty) sibling dir — warehouse hygiene
+        val d = new org.apache.hadoop.fs.Path(initLoc)
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
+        ()
+      }
+    }
 
   /** [[assertNoActiveFold]] resolved through the catalog (check-only;
     * prefer [[withAppendLeaseTable]] for writes). */
@@ -370,6 +404,73 @@ object StoreMaintenance {
     spark.sql(s"SHOW PARTITIONS $table").collect()
       .map(_.getString(0).stripPrefix("ds="))
       .toSeq
+
+  // ---- reader-side fold consistency ---------------------------------------
+  //
+  // The leases exclude live writer/fold overlap and the sentinel orders a
+  // crashed fold against the next MUTATION — but neither protects a READER:
+  // in the window between a fold publishing its label partition and the
+  // old-partition drops completing (live, or arbitrarily long after a
+  // crash), the table holds BOTH the olds and the label — a plain scan
+  // double-reads every folded row (and under a refit's staged model serves
+  // a ranking that is neither pre- nor post-refit). The marker disambiguates
+  // every state, so a reader can always resolve the authoritative set:
+  //   - no pending sentinel            ⇒ the table is quiescent, scan all;
+  //   - sentinel + marker ABSENT       ⇒ the label partition is an
+  //     uncommitted partial write — the olds are the truth, exclude it;
+  //   - sentinel + marker PRESENT      ⇒ the fold committed — the label
+  //     (plus, for a horizon compact, the partitions past its horizon) is
+  //     the truth; the undropped olds are pending-delete duplicates.
+
+  /** Has `label`'s fold committed on the store rooted at `root`? (Bounded
+    * metadata: one file-existence probe.) */
+  private[operators] def foldCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, label: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(root, s"_compact_${label}_done"))
+
+  /** Did `gen`'s rewrite on `table` take its FIRST durable effect? True
+    * iff its fold-pending sentinel never landed (or the table itself does
+    * not exist). The refit families use this after a rewrite abort to
+    * tell "nothing happened — safe to unstage the new model" (lease
+    * contention with a live append) from "the fold has state — the
+    * same-gen resume is mandatory". */
+  private[operators] def rewriteNeverStarted(spark: SparkSession,
+      table: String, gen: String): Boolean = {
+    if (!spark.catalog.tableExists(table)) true
+    else {
+      val root = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).location)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(pendingFile(root.toString, s"r_$gen"))
+    }
+  }
+
+  /** The AUTHORITATIVE rows of a per-date TABLE store — `spark.table`
+    * hardened against the fold crash/drop windows above. Every serve path
+    * reads stores through this (via [[IncrementalStore.consistentScan]]),
+    * so a crash at ANY point of a compact/rewrite/tombstone/refit pass
+    * leaves serves consistent (pre-fold before the marker, post-fold
+    * after), never double-reading half-dropped history. Cost when no fold
+    * is pending — the steady state — is one directory listing. */
+  def consistentTable(spark: SparkSession, table: String)
+      : org.apache.spark.sql.DataFrame = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.table(table)
+    pendingFolds(fs, root).headOption.fold(df) { label =>
+      if (!foldCommitted(fs, root, label)) df.filter(col("ds") =!= label)
+      else if (label.startsWith("r_")) df.filter(col("ds") === label)
+      else {
+        // horizon compact: the label plus everything PAST the horizon
+        // (exactly the complement of foldTable's foldable set)
+        val horizon = effectiveDate(label)
+        df.filter(col("ds") === label ||
+          regexp_replace(col("ds"), "^c_", "") > horizon)
+      }
+    }
+  }
 
   /** Fold every partition with effective date ≤ `upTo` into one
     * consolidated `c_<upTo>` partition. Idempotent and crash-resumable
@@ -587,5 +688,26 @@ object StoreMaintenance {
     val keys = tombstones
       .select(col(tombstones.columns.head).as(keyCol)).distinct()
     df => df.join(broadcast(keys), Seq(keyCol), "left_anti")
+  }
+
+  /** [[tombstone]] for MASS deletions — a whole-source/domain takedown
+    * whose key set is CORPUS-scale (10⁸+ ids), where the broadcast
+    * variant would OOM the driver and every executor. The anti-join is
+    * forced to a shuffled hash join (never broadcast, never a sort of
+    * the store side): both sides hash-partition on the key, so per-task
+    * build state is |tombstones|/shuffle-partitions — bounded by sizing
+    * partitions, like any shuffle. The per-date stores are bucketed on
+    * their delete key (postings on doc_id, codes/cells on id), so at
+    * cluster scale the store side's distribution is already satisfied
+    * and only the tombstone set moves. Same output as [[tombstone]] by
+    * construction (spec-pinned); callers choose by key-set size —
+    * takedown LISTS broadcast, takedown SOURCES shuffle. */
+  def tombstoneLarge(tombstones: org.apache.spark.sql.DataFrame,
+      keyCol: String)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val keys = tombstones
+      .select(col(tombstones.columns.head).as(keyCol)).distinct()
+      .hint("shuffle_hash")
+    df => df.join(keys, Seq(keyCol), "left_anti")
   }
 }

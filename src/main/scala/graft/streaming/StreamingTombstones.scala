@@ -31,6 +31,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * family 2) heals the same way: the replay no-ops family 1 and
   * completes family 2.
   *
+  * CAVEAT — layer (b) holds only for the ANTI-JOIN families (rows
+  * keyed by the tombstoned id). The SUBTRACT families
+  * ([[graft.operators.IncrementalSpans.deleteDocs]],
+  * [[graft.operators.IncrementalLangModel.deleteDocs]] — additive counts
+  * with no per-doc rows) would subtract a re-delivered document TWICE:
+  * for those, the upstream queue must deliver each takedown exactly once
+  * ACROSS batches (same-batch crash replay stays safe through the gen
+  * no-op, layer (a)). Wire subtract-family deletes only behind an
+  * exactly-once request log, or dedup requests against a processed-ids
+  * table first.
+  *
   * An EMPTY micro-batch is skipped outright — a tombstone rewrite's
   * cost is one distributed read + bucketed write of the store, which an
   * empty request batch must not pay (the empty-batch guard is the
@@ -75,9 +86,13 @@ object StreamingTombstones {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // the guard and the N rewrites re-read the batch: pin it once
-        // (takedown-list-sized, bounded by contract)
+        // (takedown-list-sized, bounded by contract)...
         val ids = batch.localCheckpoint()
-        if (!ids.isEmpty) deletes.foreach(_(ids, s"b${id}_$nonce"))
+        try if (!ids.isEmpty) deletes.foreach(_(ids, s"b${id}_$nonce"))
+        // ...and FREE it once the batch's rewrites committed — a
+        // long-running stream must not accumulate one pinned snapshot
+        // per micro-batch until the ContextCleaner happens to GC it
+        finally graft.operators.Components.freeLocalCheckpoint(ids)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

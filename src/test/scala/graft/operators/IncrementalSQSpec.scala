@@ -287,6 +287,37 @@ class IncrementalSQSpec extends SparkSpec {
     } finally { dropStore("isq_esnap"); dropStore("isq_esnapref") }
   }
 
+  test("a refit aborted before any rewrite state RESTORES the grid and unstages — no wedge") {
+    dropStore("isq_ab")
+    try {
+      IncrementalSQ.initGrid(slice(0), "isq_ab")
+      (0 until 2).foreach(d =>
+        IncrementalSQ.appendDate(slice(d), "isq_ab", s"d$d"))
+      val preGrid = spark.table("isq_ab_grid").localCheckpoint()
+      val pre = IncrementalSQ.search(spark, "isq_ab", queries)
+        .localCheckpoint()
+      val codesLoc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("isq_ab_codes"))
+        .location.toString
+      // a live lease on the code store: the refit publishes the new grid,
+      // then its rewrite aborts before the pending sentinel lands
+      StoreMaintenance.acquireLease(spark, codesLoc)
+      try intercept[IllegalStateException] {
+        IncrementalSQ.refitGrid(spark, "isq_ab",
+          emb.filter(pmod(col("vec_id"), lit(3L)) >= 1), "g9")
+      } finally StoreMaintenance.releaseLease(spark, codesLoc)
+      // the published-new-grid effect is ROLLED BACK from the snapshot
+      // and the snapshot dropped: grid, serves, and appends all as before
+      assert(!spark.catalog.tableExists("isq_ab_grid_prev"),
+        "an abort with no rewrite state must drop the prev snapshot")
+      assert(bitEqual(spark.table("isq_ab_grid"), preGrid),
+        "the live grid must be restored to the pre-refit fit")
+      assert(bitEqual(IncrementalSQ.search(spark, "isq_ab", queries), pre),
+        "the aborted refit must leave serves untouched")
+      IncrementalSQ.appendDate(slice(2), "isq_ab", "d2")
+    } finally dropStore("isq_ab")
+  }
+
   test("code-store compaction re-bins partitions; serve bit-equal, bucket spec preserved") {
     dropStore("isq_cmp")
     try {

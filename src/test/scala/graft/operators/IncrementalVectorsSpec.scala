@@ -271,6 +271,101 @@ class IncrementalVectorsSpec extends SparkSpec {
     } finally { dropStore("ivs_mid"); dropStore("ivs_midref") }
   }
 
+  test("a refit aborted before any rewrite state UNSTAGES — lease contention never wedges the store") {
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    dropStore("ivs_ab")
+    try {
+      IncrementalVectors.initModel(slice(0), "ivs_ab")
+      (0 until 2).foreach(d =>
+        IncrementalVectors.appendDate(slice(d), "ivs_ab", s"d$d"))
+      val pre = IncrementalVectors.ivfSearch(spark, "ivs_ab", queries)
+        .localCheckpoint()
+      val cellsLoc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ivs_ab_cells"))
+        .location.toString
+      // a live lease on the cell store: the refit's rewrite aborts before
+      // its pending sentinel ever lands
+      StoreMaintenance.acquireLease(spark, cellsLoc)
+      try intercept[IllegalStateException] {
+        IncrementalVectors.refitQuantizer(spark, "ivs_ab",
+          emb.filter(pmod(col("vec_id"), lit(3L)) >= 1), "g9")
+      } finally StoreMaintenance.releaseLease(spark, cellsLoc)
+      // the loser UNSTAGED: no pending refit, serves unchanged, appends
+      // proceed — previously g9's ctr_next wedged everything until a
+      // same-gen re-run
+      assert(!spark.catalog.tableExists("ivs_ab_ctr_next"),
+        "an abort with no rewrite state must unstage the fit")
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_ab", queries), pre,
+        "the aborted refit must leave serves untouched")
+      IncrementalVectors.appendDate(slice(2), "ivs_ab", "d2")
+    } finally dropStore("ivs_ab")
+  }
+
+  test("the rewrite's OWN crash windows serve consistently: pre-marker the PRE-refit ranking, marker-to-drops the POST-refit one") {
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    dropStore("ivs_win"); dropStore("ivs_winref")
+    try {
+      def build(base: String): Unit = {
+        IncrementalVectors.initModel(slice(0), base)
+        (0 until 2).foreach(d =>
+          IncrementalVectors.appendDate(slice(d), base, s"d$d"))
+      }
+      build("ivs_win"); build("ivs_winref")
+      val pre = IncrementalVectors.ivfSearch(spark, "ivs_win", queries)
+        .localCheckpoint()
+      val newFit = emb.filter(pmod(col("vec_id"), lit(3L)) >= 1)
+      IncrementalVectors.refitQuantizer(spark, "ivs_winref", newFit, "g1")
+      val post = IncrementalVectors.ivfSearch(spark, "ivs_winref", queries)
+        .localCheckpoint()
+      // stage the fit (the refit's first durable effect)
+      val (_, staged, release) = KMeans.fitCentroidsManaged(
+        newFit, 16, 2, "vec_id", "embedding")
+      staged.withColumn("gen", lit("g1"))
+        .write.mode("errorifexists").saveAsTable("ivs_win_ctr_next")
+      release()
+      val ctr = spark.table("ivs_win_ctr_next").drop("gen")
+      val folded = spark.table("ivs_win_cells").drop("ds")
+      val re = KMeans.assign(folded.select(col("id"), col("e")), ctr,
+          idCol = "id", vecCol = "e")
+        .select(col("id"), col("cid").as("new_cell"))
+      val rewritten = folded.drop("cell").join(re, "id")
+        .select(col("new_cell").as("cell"), col("id"), col("e"), col("n"))
+        .localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("ivs_win_cells"))
+          .location)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def putLabel(rows: org.apache.spark.sql.DataFrame): Unit =
+        rows.withColumn("ds", lit("r_g1"))
+          .write.mode("append").partitionBy("ds")
+          .bucketBy(8, "cell").sortBy("cell").saveAsTable("ivs_win_cells")
+      // CRASH WINDOW 1 — sentinel down, label PARTIAL, no marker: the
+      // olds are authoritative; the serve must be the pre-refit ranking
+      // (previously the scan read olds + the partial label TOGETHER)
+      fs.create(new org.apache.hadoop.fs.Path(root,
+        "_fold_pending_r_g1"), true).close()
+      putLabel(rewritten.limit(50))
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_win", queries), pre,
+        "pre-marker crash window must serve the PRE-refit ranking")
+      // CRASH WINDOW 2 — label complete, marker down, olds NOT yet
+      // dropped: the label is authoritative; the serve must be the
+      // post-refit ranking over ONLY the rewritten rows
+      spark.sql(
+        "ALTER TABLE ivs_win_cells DROP IF EXISTS PARTITION (ds='r_g1')")
+      putLabel(rewritten)
+      fs.create(new org.apache.hadoop.fs.Path(root,
+        "_compact_r_g1_done"), true).close()
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_win", queries), post,
+        "marker-to-drops crash window must serve the POST-refit ranking")
+      // the same-gen resume heals: drops finish, model swaps, serve holds
+      IncrementalVectors.refitQuantizer(spark, "ivs_win", newFit, "g1")
+      assert(!spark.catalog.tableExists("ivs_win_ctr_next"))
+      sameRows(IncrementalVectors.ivfSearch(spark, "ivs_win", queries), post,
+        "the completed resume must serve the same post-refit ranking")
+    } finally { dropStore("ivs_win"); dropStore("ivs_winref") }
+  }
+
   test("hot-cell split: skew shrinks, searches stay bit-equal, ingestion continues") {
     // plant a hot cell: 24 near-duplicates of vector 0 at distinct
     // magnitudes — they all quantize to vector 0's cell (making it the

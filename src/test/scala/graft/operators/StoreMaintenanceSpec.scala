@@ -291,6 +291,95 @@ class StoreMaintenanceSpec extends SparkSpec {
     finally out.close()
   }
 
+  test("consistentTable: readers resolve every fold crash window (partial label invisible, committed label exclusive, horizon olds excluded)") {
+    val t = "smx_consist"
+    buildPostings(t)
+    try {
+      val full = spark.table(t).drop("ds").localCheckpoint()
+      val root = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def putLabel(rows: DataFrame, label: String): Unit =
+        rows.withColumn("ds", lit(label))
+          .write.mode("append").partitionBy("ds")
+          .bucketBy(8, "term").sortBy("term").saveAsTable(t)
+      // quiescent: the plain scan
+      sameRows(StoreMaintenance.consistentTable(spark, t).drop("ds"), full,
+        "quiescent store must read in full")
+      // PRE-marker rewrite crash: sentinel down, label partial, olds
+      // intact — the partial generation must be invisible
+      fs.create(new org.apache.hadoop.fs.Path(root,
+        "_fold_pending_r_g1"), true).close()
+      putLabel(full.limit(100), "r_g1")
+      sameRows(StoreMaintenance.consistentTable(spark, t).drop("ds"), full,
+        "an uncommitted partial generation must be invisible")
+      // POST-marker: label complete, olds pending drop — the label is
+      // exclusive truth (a plain scan double-reads here)
+      spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='r_g1')")
+      putLabel(full, "r_g1")
+      fs.create(new org.apache.hadoop.fs.Path(root,
+        "_compact_r_g1_done"), true).close()
+      assert(spark.table(t).count() == 2 * full.count(),
+        "the hazard: a plain scan double-reads the window")
+      sameRows(StoreMaintenance.consistentTable(spark, t).drop("ds"), full,
+        "a committed generation must be read exclusively")
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        "_compact_r_g1_done"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        "_fold_pending_r_g1"), false)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+    // horizon-compact flavor: c_d1 committed, d0/d1 pending drop, d2 live
+    val t2 = "smx_consist_c"
+    buildPostings(t2)
+    try {
+      val full = spark.table(t2).drop("ds").localCheckpoint()
+      val folded = spark.table(t2)
+        .filter(col("ds").isin("d0", "d1")).drop("ds")
+      val root = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t2)).location)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(root,
+        "_fold_pending_c_d1"), true).close()
+      folded.withColumn("ds", lit("c_d1"))
+        .write.mode("append").partitionBy("ds")
+        .bucketBy(8, "term").sortBy("term").saveAsTable(t2)
+      fs.create(new org.apache.hadoop.fs.Path(root,
+        "_compact_c_d1_done"), true).close()
+      // truth = c_d1 content + the untouched d2, never the folded olds
+      sameRows(StoreMaintenance.consistentTable(spark, t2).drop("ds"), full,
+        "horizon fold: consolidated label + past-horizon dates only")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
+  }
+
+  test("the FIRST append to a brand-new table is serialized by the init lease") {
+    val t = "smx_first"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val initLoc = spark.sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .toString + "_init_lease"
+    // a concurrent first append's claim: ours must fail fast, creating
+    // nothing (previously both would race the catalog's table creation)
+    StoreMaintenance.acquireLease(spark, initLoc)
+    try {
+      val ex = intercept[IllegalStateException] {
+        IncrementalPostings.appendCountsBucketed(docs.limit(5), t, "d0")
+      }
+      assert(ex.getMessage.contains("lease"), ex.getMessage)
+      assert(!spark.catalog.tableExists(t),
+        "the losing first append must not have created the table")
+    } finally StoreMaintenance.releaseLease(spark, initLoc)
+    try {
+      // with the winner gone, init proceeds; a second append then takes
+      // the normal shared path over the real table location
+      IncrementalPostings.appendCountsBucketed(docs.limit(5), t, "d0")
+      assert(spark.catalog.tableExists(t))
+      IncrementalPostings.appendCountsBucketed(docs.limit(5), t, "d1")
+      assert(spark.table(t).select("ds").distinct().count() == 2)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("an append during a live fold is rejected; the fold's exit releases the lease") {
     val t = "smx_lease_postings"
     buildPostings(t)

@@ -252,4 +252,45 @@ class TombstoneSpec extends SparkSpec {
     assert(last == Map(2L -> 2L, 5L -> 2L),
       s"doc 1 must become an unclustered singleton, got $last")
   }
+
+  test("mass-deletion path (large=true): same rows and serve as the broadcast path, and the anti-join never broadcasts") {
+    val t = "tmb_large"; val ref = "tmb_large_ref"
+    Seq(t, s"${t}_dl", ref, s"${ref}_dl")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    try {
+      // a whole-source takedown: every doc of a 25%-of-corpus source set
+      val pulled = docs
+        .filter(col("source").isInCollection(Seq("src0", "src1", "src2",
+          "src3", "src4")))
+        .select("doc_id")
+      (0 until 2).foreach { d =>
+        def slice(src: DataFrame) =
+          src.filter(pmod(col("doc_id"), lit(2L)) === d)
+        IncrementalPostings.appendCountsBucketed(slice(docs), t, s"d$d")
+        IncrementalPostings.appendNorms(slice(docs), t, s"d$d")
+        IncrementalPostings.appendCountsBucketed(slice(docs), ref, s"d$d")
+        IncrementalPostings.appendNorms(slice(docs), ref, s"d$d")
+      }
+      // the non-broadcast plan shape is the point: pin it on the
+      // transform itself before running the pass
+      val plan = StoreMaintenance.tombstoneLarge(pulled, "doc_id")(
+        spark.table(t).drop("ds")).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastExchange"),
+        s"tombstoneLarge must never broadcast the key set:\n${plan.take(2000)}")
+      IncrementalPostings.deleteDocs(spark, t, pulled, gen = "big1",
+        large = true)
+      IncrementalPostings.deleteDocs(spark, ref, pulled, gen = "big1")
+      // bit-identical to the broadcast path, table by table
+      sameRows(spark.table(t).drop("ds"), spark.table(ref).drop("ds"),
+        "tf rows: large path must equal the broadcast path")
+      sameRows(spark.table(s"${t}_dl").drop("ds"),
+        spark.table(s"${ref}_dl").drop("ds"),
+        "norms rows: large path must equal the broadcast path")
+      sameRows(IncrementalPostings.bm25Bucketed(spark, t, Seq("data", "query")),
+        IncrementalPostings.bm25Bucketed(spark, ref, Seq("data", "query")),
+        "post-takedown serve must match")
+    } finally Seq(t, s"${t}_dl", ref, s"${ref}_dl")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
 }

@@ -453,6 +453,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming NB unlearn: labels stream in, takedowns stream in — model equals from-scratch over survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("snbu").toString
+    val sStore = s"$tmp/stream"; val bStore = s"$tmp/batch"
+    try {
+      val docs = graft.Tables.load(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, String, String)].collect().toSeq
+      // LABELS STREAM IN: two micro-batches append counts (the q145
+      // additive-model contract through foreachBatch)
+      val msDocs = MemoryStream[(Long, String, String)]
+      val qIn = msDocs.toDF().toDF("doc_id", "lang", "text").writeStream
+        .option("checkpointLocation", s"$tmp/ckIn")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.operators.IncrementalLangModel.appendCounts(b, sStore, s"b$id")
+        }.start()
+      val (h1, h2) = rows(docs).partition(_._1 % 2 == 0)
+      msDocs.addData(h1); qIn.processAllAvailable()
+      msDocs.addData(h2); qIn.processAllAvailable()
+      qIn.stop()
+      // TAKEDOWNS STREAM IN: full documents ride along (the subtract
+      // family needs text+label); exactly-once across batches per the
+      // StreamingTombstones subtract-family contract
+      val gone = docs.filter(col("doc_id") % 7 === 3)
+      val msTomb = MemoryStream[(Long, String, String)]
+      val qT = StreamingTombstones.run(
+        msTomb.toDF().toDF("doc_id", "lang", "text"), s"$tmp/ckT",
+        deletes = Seq((b, gen) => graft.operators.IncrementalLangModel
+          .deleteDocs(b, sStore, gen)))
+      val (g1, g2) = rows(gone).splitAt(rows(gone).size / 2)
+      msTomb.addData(g1); qT.processAllAvailable()
+      msTomb.addData(g2); qT.processAllAvailable()
+      msTomb.addData(Seq.empty[(Long, String, String)])
+      qT.processAllAvailable()
+      qT.stop()
+      // reference: ONE from-scratch count pass over the survivors — a
+      // green equality proves streamed ingest + streamed unlearn IS the
+      // retrained model (the q166 exactness, micro-batch edition)
+      graft.operators.IncrementalLangModel.appendCounts(
+        docs.filter(col("doc_id") % 7 =!= 3), bStore, "d0")
+      val (sTri, sPri) = graft.operators.IncrementalLangModel.model(spark, sStore)
+      val (bTri, bPri) = graft.operators.IncrementalLangModel.model(spark, bStore)
+      assert(sTri.count() > 0 && sPri.count() > 0)
+      assert(sTri.exceptAll(bTri).isEmpty && bTri.exceptAll(sTri).isEmpty,
+        "streamed trigram counts must equal the survivor retrain")
+      assert(sPri.exceptAll(bPri).isEmpty && bPri.exceptAll(sPri).isEmpty,
+        "streamed priors must equal the survivor retrain")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("two tombstone streams on one store compose: batch-id gens must not alias") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
