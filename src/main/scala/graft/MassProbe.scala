@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only candidate-MASS probe for the banded-LSH hierarchy: counts the
+  * candidate pairs the single-level and two-level schemes emit on the
+  * N×-replicated embedding corpus (both at the r = 16 clamp the scaled
+  * corpus derives), plus the verified-pair count — the direct measurement
+  * of the 2^r/b mass cut [[graft.operators.Similarity.twoLevelEngaged]]'s
+  * scaladoc claims, and the evidence row README's two-level section
+  * carries. Forced engagement on both sides: the auto law would not
+  * engage below 2^21 rows, which is the point — this measures what
+  * engagement BUYS at the scale where single-level's pigeonhole mass is
+  * already the dominant term.
+  *
+  * Usage: SPARK_GRAFT_SCALE=100 runMain graft.MassProbe
+  */
+object MassProbe {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "100").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val big = ScaleProbe.ensureScaledTables(spark, n, Some(Set("embeddings")))
+    val emb = Tables.load(spark, big, "embeddings")
+    val rows = emb.count()
+    val r = graft.operators.Similarity.derivedRowsPerBand(rows, 128)
+    println(s"MassProbe: N=$rows (${n}x), derived r=$r, b=${128 / r}")
+    def timedCount(label: String, engaged: Boolean): Long = {
+      val t0 = System.nanoTime()
+      val c = graft.operators.Similarity
+        .bandedCandidatePairs(emb, 128, r, engaged).count()
+      println(f"$label%-14s candidates=$c%12d  (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      c
+    }
+    val c1 = timedCount("single-level", engaged = false)
+    val c2 = timedCount("two-level", engaged = true)
+    println(f"mass cut: ${c1.toDouble / c2}%.1fx fewer candidate pairs")
+    spark.stop()
+  }
+}

@@ -105,7 +105,14 @@ object MemProbe {
       // cosine aggregates; brute is the worst case under the ceiling)
       "q167_filtered_ann", "q168_filtered_hybrid",
       "q169_maxsim_brute", "q170_maxsim_pruned", "q171_maxsim_store",
-      "q172_maxsim_filtered", "q173_maxsim_tombstone")
+      "q172_maxsim_filtered", "q173_maxsim_tombstone",
+      // round-15: the SQ8 tombstone rewrite (the r14 roster gap), the
+      // two-level banded dedup (b² composite-key explode under the
+      // ceiling), the PLAID compressed re-rank, and the whole-source
+      // mass takedown (the NON-broadcast anti-join — the row that proves
+      // a corpus-scale tombstone set completes under the 4 GiB ceiling)
+      "q164_sq8_tombstone", "q174_neardup_two_level", "q175_maxsim_plaid",
+      "q177_source_takedown")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

@@ -192,6 +192,10 @@ object SparkEntry {
     "q171_maxsim_store" -> (TextQueries.q171MaxSimStore _),
     "q172_maxsim_filtered" -> (TextQueries.q172MaxSimFiltered _),
     "q173_maxsim_tombstone" -> (TextQueries.q173MaxSimTombstone _),
+    "q174_neardup_two_level" -> (TextQueries.q174NearDupTwoLevel _),
+    "q175_maxsim_plaid" -> (TextQueries.q175MaxSimPlaid _),
+    "q176_maxsim_plaid_recall" -> (TextQueries.q176MaxSimPlaidRecall _),
+    "q177_source_takedown" -> (Quality.q177SourceTakedown _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -527,6 +531,87 @@ object SparkEntry {
        |  FROM mcos m JOIN mcand USING (qdoc, cdoc)),
        |${maxSimRankSql("mgath")}""".stripMargin
 
+  /** The MaxSim ranking tail in CTE form (prefix `p` disambiguates
+    * multiple rankings in one statement) — [[maxSimRankSql]]'s arithmetic
+    * verbatim, ending at `<p>rk` (qdoc, cdoc, rank) instead of a final
+    * SELECT. q176 ranks the float re-rank and the PLAID re-rank side by
+    * side with it. */
+  private def maxSimRankCtes(from: String, p: String): String =
+    s"""${p}mm AS (
+       |  SELECT qdoc, cdoc, qpos, MAX(cos) AS mx FROM $from GROUP BY 1, 2, 3),
+       |${p}msc AS (
+       |  SELECT qdoc, cdoc,
+       |    CAST(SUM(CAST(mx AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM ${p}mm GROUP BY 1, 2),
+       |${p}rk AS (
+       |  SELECT qdoc, cdoc,
+       |    ROW_NUMBER() OVER (PARTITION BY qdoc
+       |      ORDER BY score DESC, cdoc) AS rank
+       |  FROM ${p}msc)""".stripMargin
+
+  /** PLAID (q175/q176) CTEs through the per-token cosines `pcos` OVER
+    * RECONSTRUCTIONS: the q171 per-token IVF nomination (`mnomc`), the
+    * d0-frozen SQ8 grid + saturated encode + reconstruction
+    * ([[sqRecCtes]]), exact query-token components against reconstructed
+    * candidate-token components (round-12 DECIMAL dots and candidate
+    * norms — the q152 convention; query norms stay the float-corpus
+    * `n`). Requires [[embNormCte]] and [[fnvMapCte]] in the same
+    * statement. */
+  private def maxSimPlaidCtes: String =
+    s"""${ivfDetCtesFit("vec_id % 3 = 0", "TRUE", qWhere = "id < 24")},
+       |mnomc AS (
+       |  SELECT DISTINCT qid // 8 AS qdoc, cid // 8 AS cdoc
+       |  FROM vs WHERE rank <= 8 AND qid // 8 <> cid // 8),
+       |${sqRecCtes("TRUE")},
+       |ptokq AS (
+       |  SELECT vec_id // 8 AS qdoc, CAST(vec_id % 8 AS INT) AS qpos,
+       |    vec_id AS qvid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS qx
+       |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+       |  WHERE vec_id < 24),
+       |prtok AS (
+       |  SELECT id // 8 AS cdoc, CAST(id % 8 AS INT) AS cpos, dim, xh
+       |  FROM sqrec),
+       |pcn AS (
+       |  SELECT cdoc, cpos,
+       |    sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
+       |      AS DOUBLE)) AS cn
+       |  FROM prtok JOIN (SELECT DISTINCT cdoc FROM mnomc) USING (cdoc)
+       |  GROUP BY 1, 2),
+       |pdot AS (
+       |  SELECT q.qdoc, q.qpos, q.qvid, r.cdoc, r.cpos,
+       |    CAST(SUM(CAST(ROUND(qx * xh, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |  FROM ptokq q JOIN prtok r USING (dim)
+       |    JOIN mnomc m ON m.qdoc = q.qdoc AND m.cdoc = r.cdoc
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |pcos AS (
+       |  SELECT qdoc, qpos, cdoc, ROUND(dot / (nq.nrm * pcn.cn), 6) AS cos
+       |  FROM pdot JOIN n nq ON qvid = nq.vec_id
+       |    JOIN pcn USING (cdoc, cpos))""".stripMargin
+
+  private def maxSimPlaidSql: String =
+    s"""WITH $embNormCte,
+       |$fnvMapCte,
+       |$maxSimPlaidCtes,
+       |${maxSimRankSql("pcos")}""".stripMargin
+
+  private def maxSimPlaidRecallSql: String =
+    s"""WITH $embNormCte,
+       |$fnvMapCte,
+       |$maxSimPlaidCtes,
+       |$maxSimCtes,
+       |mgath AS (
+       |  SELECT m.qdoc, m.qpos, m.cdoc, m.cos
+       |  FROM mcos m JOIN mnomc USING (qdoc, cdoc)),
+       |${maxSimRankCtes("mgath", "e")},
+       |${maxSimRankCtes("pcos", "p")},
+       |ex AS (SELECT qdoc, cdoc FROM erk WHERE rank <= 10),
+       |pl AS (SELECT qdoc, cdoc FROM prk WHERE rank <= 10)
+       |SELECT ex.qdoc, CAST(COUNT(pl.cdoc) AS BIGINT) AS n_hit,
+       |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  ROUND(CAST(COUNT(pl.cdoc) AS DOUBLE) / COUNT(*), 6) AS recall10
+       |FROM ex LEFT JOIN pl ON ex.qdoc = pl.qdoc AND ex.cdoc = pl.cdoc
+       |GROUP BY ex.qdoc ORDER BY ex.qdoc""".stripMargin
+
   /** FNV(vec_id) signed-BIGINT hash map over embeddings (q56's HUGEINT
     * reinterpretation) — the shared seed/sample machinery under the PQ
     * codebook (hash-least seeds), the deterministic-IVF fit sample, and
@@ -752,8 +837,14 @@ object SparkEntry {
     * `candWhere` (a predicate over the reconstructed ids) restricts the
     * STORE side — q164's tombstone oracle serves only the surviving
     * codes while the grid stays frozen on the original d0 fit. */
-  private def sq8StoreSqlCand(candWhere: String) =
-    s"""WITH sqdims AS (
+  /** The SQ8 grid-train / encode / reconstruct CTEs through `sqrec`
+    * (id, dim, xh) — grid frozen on the id % 3 = 0 slice, saturated
+    * encode over the full corpus, reconstruction. Shared by the
+    * single-vector store serves (q152/q156/q164) and the PLAID
+    * late-interaction rows (q175/q176), which re-rank over these same
+    * reconstructions. `candWhere` restricts the reconstructed ids. */
+  private def sqRecCtes(candWhere: String) =
+    s"""sqdims AS (
         |  SELECT vec_id AS id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
         |  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
         |grid AS (
@@ -766,7 +857,10 @@ object SparkEntry {
         |        CAST(FLOOR((x - mn) / span * 255 + 0.5) AS INT)))
         |      END AS DOUBLE) / 255 * span AS xh
         |  FROM sqdims JOIN grid ON sqdims.dim = grid.dim
-        |  WHERE $candWhere),
+        |  WHERE $candWhere)""".stripMargin
+
+  private def sq8StoreSqlCand(candWhere: String) =
+    s"""WITH ${sqRecCtes(candWhere)},
         |sqcn AS (
         |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
         |    AS DOUBLE)) AS cn
@@ -3265,6 +3359,29 @@ object SparkEntry {
     // vectors excluded from the candidates, then the exact re-rank (the
     // engine serves both stages from the physically rewritten store)
     "q173_maxsim_tombstone" -> maxSimStoreSqlCand("(a.id // 8) % 7 <> 3"),
+
+    // q174: TWO-LEVEL banded LSH near-dup (forced engagement) — the
+    // oracle is q93's exact all-pairs gate over the same augmented
+    // table, so a green hash is a recall = 1.0 gate for the hierarchical
+    // candidate scheme (the second signature level loses no true pair)
+    "q174_neardup_two_level" -> cosineNearDupSql(0.9, "aug", q93AugCte),
+
+    // q175: PLAID — compressed late-interaction serving: q171's
+    // nomination, exact query tokens re-ranked against SQ8-reconstructed
+    // candidate tokens (d0-frozen grid, saturated encode, round-12
+    // decimal dots/norms — the q152 asymmetric-serve convention)
+    "q175_maxsim_plaid" -> maxSimPlaidSql,
+
+    // q176: PLAID recall audit — per-query overlap@10 of the compressed
+    // re-rank against the float re-rank, same nomination on both sides
+    // (the q150 recall-audit shape for the late-interaction family)
+    "q176_maxsim_plaid_recall" -> maxSimPlaidRecallSql,
+
+    // q177: whole-source MASS takedown through the non-broadcast
+    // tombstone path — same contract as q160: BM25 over the survivors
+    // (five sources pulled; n_docs/avgdl/df re-derive from what remains)
+    "q177_source_takedown" -> bm25SqlWhere(
+      "source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')"),
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

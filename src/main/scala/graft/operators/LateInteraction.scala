@@ -108,6 +108,56 @@ object LateInteraction {
     rankMaxSim(gathered, k)
   }
 
+  /** [[rerank]] over a COMPRESSED token store — the PLAID shape
+    * (Santhanam et al., "PLAID: An Efficient Engine for Late Interaction
+    * Retrieval", CIKM'22): a serving fleet at token-vector scale cannot
+    * hold float32 token embeddings, so the exact re-rank gathers
+    * SQ8-RECONSTRUCTED candidate token components (`recon` — the
+    * [[SQ.reconstruct]] row form `(id, dim, xh)`, ids grouped into docs
+    * of `tokensPerDoc` consecutive ids) while queries stay exact — the
+    * [[IncrementalSQ.search]] asymmetric-serve convention applied to the
+    * multi-vector family. Determinism follows the SQ side for everything
+    * reconstructed (per-term round-12 DECIMAL sums for dots and
+    * candidate norms) and the MaxSim contract for the rest (cosine
+    * rounded to 6, per-query-token max over rounded values, DECIMAL
+    * MaxSim sum, ties by cdoc).
+    *
+    * Scale shape: `cand` is |Q|·C-bounded by contract (broadcast, as in
+    * [[rerank]]); the gather semi-joins the code-store scan down to the
+    * nominated docs' token rows BEFORE any arithmetic; every aggregate
+    * past the gather is candidate-bounded. The store-sized work — encode
+    * — was paid at ingestion, once per row ever. */
+  def rerankReconstructed(recon: DataFrame, queryDocs: DataFrame,
+      cand: DataFrame, k: Int = 10, tokensPerDoc: Int = 8): DataFrame = {
+    // exact query tokens in (dim)-keyed row form — the asymmetric side
+    val q = queryDocs.select(col("doc").as("qdoc"), col("pos").as("qpos"),
+        col("nrm").as("qn"), posexplode(col("emb")).as(Seq("dim", "qx")))
+      .select(col("qdoc"), col("qpos"), col("qn"), col("dim"),
+        col("qx").cast("double").as("qx"))
+    val rtok = recon.select(
+      expr(s"id div $tokensPerDoc").as("cdoc"),
+      pmod(col("id"), lit(tokensPerDoc)).cast("int").as("cpos"),
+      col("dim"), col("xh"))
+    val gathered = rtok.join(
+      broadcast(cand.select(col("cdoc")).distinct()), Seq("cdoc"))
+    // reconstructed candidate-token norms — the SQ decimal convention
+    val cn = gathered.groupBy(col("cdoc"), col("cpos"))
+      .agg(sqrt(sum(round(col("xh") * col("xh"), 12).cast("decimal(28,12)"))
+        .cast("double")).as("cn"))
+    val dots = gathered.join(broadcast(q), Seq("dim"))
+      .filter(col("qdoc") =!= col("cdoc"))
+      .groupBy(col("qdoc"), col("qpos"), col("qn"), col("cdoc"), col("cpos"))
+      .agg(sum(round(col("qx") * col("xh"), 12).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+    val scored = dots.join(broadcast(cn), Seq("cdoc", "cpos"))
+      // a doc nominated for query A must not enter query B's re-rank
+      .join(broadcast(cand.select("qdoc", "cdoc")), Seq("qdoc", "cdoc"),
+        "left_semi")
+      .select(col("qdoc"), col("qpos"), col("cdoc"),
+        round(col("dot") / (col("qn") * col("cn")), 6).as("cos"))
+    rankMaxSim(scored, k)
+  }
+
   /** Two-stage late-interaction serving (the deployed ColBERT shape):
     * per QUERY TOKEN, the top-`cPerToken` corpus tokens by cosine
     * (total order: cos DESC, cdoc, cpos) nominate their documents; the

@@ -303,9 +303,8 @@ object Similarity {
     * 100× composite row); N = 1M → ~6e10 ≈ an hour of a single node,
     * still bounded per-task (the band join hashes, never broadcasts);
     * N ≥ ~5M → the quadratic term dominates any linear budget and the
-    * escape hatch is TWO-LEVEL banding (band on 16 bits, then re-band
-    * candidates on a second independent 16-bit signature — mass falls
-    * by another 2^17 at the price of one more pass), or routing to the
+    * escape hatch is TWO-LEVEL banding ([[twoLevelEngaged]] — implemented
+    * since round 15, auto-engaging at N ≥ 2^21), or routing to the
     * capped/blocked paths. The spec pins the clamp (r = 16 for every
     * N ≥ 2^16, never higher) so a future "fix" cannot silently turn
     * the law super-exponential in band count or sub-linear in recall.
@@ -316,6 +315,42 @@ object Similarity {
       else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
     math.max(4, math.min(16, math.min(ceilLog2, nPlanes / 2)))
   }
+
+  /** The two-level engagement law for [[cosineNearDupBanded]] — the
+    * escape hatch past the r = 16 clamp. Single-level banding's candidate
+    * mass on unstructured vectors is pigeonhole-bounded below by
+    * b·N²/2^(r+1); once r freezes at 16 (N ≥ 2^16) that mass is quadratic
+    * with coefficient b/2^17 and the only lever left is a SECOND,
+    * independent signature: a pair becomes a candidate iff it collides in
+    * some level-1 band AND some level-2 band (planes nPlanes..2·nPlanes−1,
+    * same width law), so the mass drops to b²·N²/2^(2r+1) — a 2^r/b ≈
+    * 8192× cut at (r=16, b=8) — while a true s ≥ 0.99 near-dup's miss
+    * bound only doubles (miss ≤ 2·(1−p^r)^b ≈ 2e-7; each level is the
+    * single-level 8-band pigeonhole). The price is the key explode: b²
+    * composite (band1, bh1, band2, bh2) keys per row instead of b — a
+    * LINEAR term (64·N small rows at the defaults) that only pays for
+    * itself once the quadratic term it removes is bigger, i.e. when
+    * b·N²/2^(r+1) pair verifications ≫ b²·N exploded rows, which at
+    * (r=16, b=8) crosses around N ≈ 2^20. Auto-engagement therefore fires
+    * at N ≥ 2^21 (margin above the crossover, far above every local probe
+    * scale, well under the ~5M-row wall where single-level stops being
+    * affordable at all):
+    *
+    *  - `twoLevel = Some(x)` — caller override, always honored;
+    *  - `twoLevel = None` with an EXPLICIT `rowsPerBand` — never engages
+    *    (an explicit width override opts out of the self-sizing law, and
+    *    auto-engagement would silently re-price the caller's plan);
+    *  - `twoLevel = None`, `rowsPerBand = None` — engages iff
+    *    N ≥ [[TwoLevelMinRows]].
+    *
+    * Public (with [[TwoLevelMinRows]]) so the spec pins the engagement
+    * boundary the way it pins [[derivedRowsPerBand]]'s clamp. */
+  def twoLevelEngaged(n: Long, rowsPerBand: Option[Int],
+      twoLevel: Option[Boolean]): Boolean =
+    twoLevel.getOrElse(rowsPerBand.isEmpty && n >= TwoLevelMinRows)
+
+  /** Auto-engagement threshold for two-level banding: 2^21 rows. */
+  val TwoLevelMinRows: Long = 1L << 21
 
   /** Banded hyperplane-LSH near-dup: sign-bit signatures over `nPlanes`
     * deterministic hyperplanes, banded `r` bits per band; pairs
@@ -340,38 +375,33 @@ object Similarity {
     * probability (0.13)⁸ ≈ 1e-7. Unused tail planes (when r ∤ nPlanes)
     * are simply not banded. At LOW thresholds (≈0.4, angle ≈ 66°) no
     * banding is simultaneously high-recall and sub-quadratic — use
-    * [[cosineNearDupBlocked]] there. */
+    * [[cosineNearDupBlocked]] there.
+    *
+    * TWO-LEVEL banding ([[twoLevelEngaged]] — the escape hatch past the
+    * r = 16 clamp): when engaged, candidates must additionally collide in
+    * some band of a SECOND independent signature (planes
+    * nPlanes..2·nPlanes−1, same width law) — mass b²·N²/2^(2r+1) instead
+    * of b·N²/2^(r+1), recall miss bound doubled to ≈ 2e-7. Below the
+    * clamp the output is bit-equal to single-level by the recall gates'
+    * standard (both are exact-verified supersets of the same true pairs
+    * whenever every true pair collides — spec-pinned on clustered
+    * vectors, oracle-gated as q174 with forced engagement). */
   def cosineNearDupBanded(embeddings: DataFrame, threshold: Double = 0.9,
       nPlanes: Int = 128, rowsPerBand: Option[Int] = None,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      twoLevel: Option[Boolean] = None): DataFrame = {
     // one count() of the input at plan time — the price of a self-sizing
     // default (a column-pruned scan; callers on a hot path that already
-    // know N pass the override)
-    val r = rowsPerBand.getOrElse(
-      derivedRowsPerBand(embeddings.count(), nPlanes))
+    // know N pass the override, which also opts out of auto two-level)
+    lazy val n = embeddings.count()
+    val r = rowsPerBand.getOrElse(derivedRowsPerBand(n, nPlanes))
     require(r >= 1 && r <= nPlanes, s"rowsPerBand $r out of range")
-    val nBands = nPlanes / r
-    val maxDim = 1024
-    val planes: Seq[Column] = (0 until nPlanes).map { p =>
-      typedlit(Array.tabulate(maxDim)(i => hyperplaneWeight(p, i)))
-    }
-    def bit(vec: Column, p: Int): Column =
-      when(graft.functions.VectorExpressions.dotF(vec, planes(p)) > 0, 1).otherwise(0)
-    def bandHash(vec: Column, b: Int): Column =
-      (0 until r).map(j => bit(vec, b * r + j) * (1 << j))
-        .reduce(_ + _)
-    val bands = embeddings.select(col(idCol).as("id"),
-        posexplode(array((0 until nBands).map(b => bandHash(col(vecCol), b)): _*))
-          .as(Seq("band", "bh")))
-      // shuffle_hash: same exchange-reuse rationale as minhashLsh — the two
-      // identical band subtrees (each 32 plane dot products over the full
-      // scan) collapse into ONE exchange instead of AQE broadcasting a side
-      // and recomputing the signature scan per side
-      .hint("shuffle_hash")
-    val candidates = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    // [[twoLevelEngaged]] inlined so the lazy count is only forced when
+    // the decision actually needs N (both knobs at their None defaults —
+    // in which case the width derivation above already paid it)
+    val engaged = twoLevel.getOrElse(rowsPerBand.isEmpty && n >= TwoLevelMinRows)
+    val candidates =
+      bandedCandidatePairs(embeddings, nPlanes, r, engaged, idCol, vecCol)
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("e"),
       norm(col(vecCol)).as("n"))
     candidates
@@ -380,6 +410,66 @@ object Similarity {
       .withColumn("cosine", round(dot(col("ae"), col("be")) / (col("an") * col("bn")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** Candidate (a_id, b_id) pairs for [[cosineNearDupBanded]] — factored
+    * so the scale probes can measure candidate MASS (the quantity the
+    * two-level law exists to cut) without paying verification.
+    * Single-level: pairs sharing any (band, bandHash). Two-level: pairs
+    * sharing any (band1, bh1) AND any (band2, bh2) — implemented as one
+    * equi-join on the composite key (the ∃i ∧ ∃j product space, b² keys
+    * per row), never as a filter over the level-1 candidate stream, which
+    * would materialize exactly the quadratic mass the second level exists
+    * to avoid. */
+  private[graft] def bandedCandidatePairs(embeddings: DataFrame,
+      nPlanes: Int, r: Int, engaged: Boolean,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nBands = nPlanes / r
+    val maxDim = 1024
+    // level l plane p = hyperplaneWeight(l·nPlanes + p, ·): level 0 is the
+    // single-level signature UNCHANGED (below the engagement point the two
+    // modes see identical level-1 collisions); level 1 is independent
+    def plane(l: Int, p: Int): Column =
+      typedlit(Array.tabulate(maxDim)(i => hyperplaneWeight(l * nPlanes + p, i)))
+    def bit(vec: Column, l: Int, p: Int): Column =
+      when(graft.functions.VectorExpressions.dotF(vec, plane(l, p)) > 0, 1)
+        .otherwise(0)
+    def bandHash(vec: Column, l: Int, b: Int): Column =
+      (0 until r).map(j => bit(vec, l, b * r + j) * (1 << j)).reduce(_ + _)
+    def hashArr(l: Int): Column =
+      array((0 until nBands).map(b => bandHash(col(vecCol), l, b)): _*)
+    if (!engaged) {
+      val bands = embeddings.select(col(idCol).as("id"),
+          posexplode(hashArr(0)).as(Seq("band", "bh")))
+        // shuffle_hash: same exchange-reuse rationale as minhashLsh — the two
+        // identical band subtrees (each 32 plane dot products over the full
+        // scan) collapse into ONE exchange instead of AQE broadcasting a side
+        // and recomputing the signature scan per side
+        .hint("shuffle_hash")
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    } else {
+      // b² composite keys per row (two chained generators — Spark allows
+      // one per projection); the join is a plain equi-join on all four key
+      // columns, so per-composite-key group size is N/2^(2r)-scaled and
+      // the shuffled key stream is b²·N SMALL rows — linear, the price of
+      // cutting the candidate mass by 2^r/b
+      val sigs = embeddings.select(col(idCol).as("id"),
+        hashArr(0).as("h1"), hashArr(1).as("h2"))
+      val bands = sigs
+        .select(col("id"), posexplode(col("h1")).as(Seq("band1", "bh1")),
+          col("h2"))
+        .select(col("id"), col("band1"), col("bh1"),
+          posexplode(col("h2")).as(Seq("band2", "bh2")))
+        .hint("shuffle_hash") // one signature exchange feeds both sides
+      bands.as("x").join(bands.as("y"),
+          col("x.band1") === col("y.band1") && col("x.bh1") === col("y.bh1") &&
+            col("x.band2") === col("y.band2") && col("x.bh2") === col("y.bh2") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    }
   }
 
   /** Per-DIMENSION standardization audit (z-scoring / whitening-lite) —

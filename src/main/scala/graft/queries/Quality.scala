@@ -233,6 +233,49 @@ object Quality {
     out.orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** q177: WHOLE-SOURCE MASS TAKEDOWN — q160's deletion-propagation
+    * contract at the key-set scale a real retention event has (an entire
+    * source/domain pulled from the corpus, not a takedown list): every
+    * document of five of the twenty sources (25% of the corpus) is
+    * physically removed from the postings + norms stores through the
+    * NON-BROADCAST tombstone path ([[graft.operators.StoreMaintenance
+    * .tombstoneLarge]] via `deleteDocs(large = true)`) — the anti-join
+    * shuffles on doc_id instead of broadcasting a key set that at 100 TB
+    * would be 10⁸+ ids, so per-task state stays bounded by partition
+    * sizing (MemProbe carries the 4 GiB-ceiling row). Same oracle
+    * contract as q160: q74's one-shot SQL over the surviving corpus — a
+    * green hash proves the mass path drops exactly the tombstoned rows
+    * and nothing else (n_docs, avgdl, df all re-derived). */
+  def q177SourceTakedown(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_q177_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(tbl, s"${tbl}_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q177_p")
+    val docs = Tables.load(s, dir, "documents")
+    val pulled = Seq("src0", "src1", "src2", "src3", "src4")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, tbl, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, tbl, s"d$d")
+      }
+    }
+    graft.Phases.timed("maintain") {
+      graft.operators.IncrementalPostings.deleteDocs(s, tbl,
+        docs.filter(col("source").isInCollection(pulled)).select("doc_id"),
+        gen = "takedown1", large = true)
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalPostings
+        .bm25Bucketed(s, tbl, Seq("data", "query"))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** q159: HYBRID retrieval served entirely FROM STORES — the full
     * production serving stack as one oracle-gated row: the lexical leg
     * is q158's store-served BM25 (term-bucketed tf + doc-bucketed norms,

@@ -1046,6 +1046,22 @@ object TextQueries {
         col("component_size"), col("is_canonical"))
       .orderBy(col("vec_id"))
 
+  /** q174: TWO-LEVEL banded LSH near-dup with FORCED engagement — q93's
+    * pipeline through the hierarchical candidate scheme ([[graft.operators
+    * .Similarity.twoLevelEngaged]], the escape hatch past the r = 16
+    * clamp), exercised at fixture scale where auto-engagement would not
+    * fire (the law engages at N ≥ 2^21; local corpora must serve
+    * single-level — spec-pinned). Candidates must collide in some
+    * level-1 band AND some band of a second independent signature; exact
+    * cosine then verifies, so the oracle is the same exact all-pairs gate
+    * as q93's — a green hash is a recall = 1.0 gate for the TWO-LEVEL
+    * scheme on the planted near-dups, proving the second level's
+    * 2^r/b-fold candidate-mass cut loses no true pair. */
+  def q174NearDupTwoLevel(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupBanded(augmentedEmbeddings(s, dir), 0.9,
+        twoLevel = Some(true))
+      .orderBy(col("a_id"), col("b_id"))
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting
@@ -1397,6 +1413,87 @@ object TextQueries {
     }
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     out.orderBy(col("qdoc"), col("rank"))
+  }
+
+  /** The q175/q176 SHARED memoized SQ8 TOKEN-CODE store: q152's build
+    * (grid frozen on the vec_id % 3 = 0 slice, three per-date saturated
+    * encodes over the full corpus) kept for the process — the compressed
+    * token representation the PLAID serving rows re-rank from. */
+  private def memoSqStore(s: SparkSession, dir: String): String = {
+    val base = s"graft_q175sq_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(s"${base}_grid", s"${base}_codes")
+    Warehouse.sweepOrphans(s, "graft_q175sq_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    val built = tbls.forall(s.catalog.tableExists)
+    if (!built) {
+      tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.operators.IncrementalSQ.initGrid(slice(0), base)
+      (0 until 3).foreach { d =>
+        graft.operators.IncrementalSQ.appendDate(slice(d), base, s"d$d")
+      }
+    }
+    base
+  }
+
+  /** The q175/q176 PLAID serving stack: q171's per-token IVF nomination
+    * (float vector store, frozen d0 models, top-8), then the exact
+    * MaxSim re-rank gathered from SQ8-RECONSTRUCTED token vectors
+    * ([[graft.operators.LateInteraction.rerankReconstructed]]) — queries
+    * stay exact float. */
+  private def maxSimPlaidServe(s: SparkSession, dir: String): DataFrame = {
+    val vecBase = memoVectorStore(s, dir)
+    val sqBase = memoSqStore(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+    val nom = graft.operators.IncrementalVectors
+      .ivfSearch(s, vecBase, emb.filter(col("vec_id") < 24), kNeighbors = 8)
+    val cand = nom.select(expr("qid div 8").as("qdoc"),
+        expr("cid div 8").as("cdoc"))
+      .filter(col("qdoc") =!= col("cdoc")).distinct()
+    val qtok = graft.operators.LateInteraction.tokenView(emb)
+      .filter(col("doc") < 3)
+    val recon = graft.operators.SQ.reconstruct(
+      s.table(s"${sqBase}_codes").select(col("id"), col("dim"), col("code")),
+      s.table(s"${sqBase}_grid"))
+    graft.operators.LateInteraction.rerankReconstructed(recon, qtok, cand)
+  }
+
+  /** q175: COMPRESSED late-interaction serving — the PLAID shape
+    * (Santhanam et al., CIKM'22): q171's store-served stack with the
+    * exact re-rank reading SQ8-reconstructed token vectors from the
+    * persisted code store instead of float32 cells, queries staying
+    * exact (the q147 asymmetric-serve convention applied to the
+    * multi-vector family). This is how a late-interaction fleet actually
+    * holds token-vector-scale state: uint8 codes (4× cut), re-ranking on
+    * reconstructions. The oracle replays the d0-frozen grid, the
+    * saturated encode, reconstruction, the per-token IVF nomination, and
+    * the MaxSim ranking over reconstructions bit-for-bit. */
+  def q175MaxSimPlaid(s: SparkSession, dir: String): DataFrame =
+    maxSimPlaidServe(s, dir).orderBy(col("qdoc"), col("rank"))
+
+  /** q176: PLAID recall audit — overlap@10 of the compressed re-rank
+    * (q175) against the float re-rank (q171) per query doc, the q150
+    * recall-audit shape applied to the late-interaction family: the
+    * measured answer to "what does the 4× memory cut cost in ranking
+    * fidelity on this corpus". Same nomination on both sides, so the
+    * delta isolates the reconstruction error's effect on MaxSim. */
+  def q176MaxSimPlaidRecall(s: SparkSession, dir: String): DataFrame = {
+    val vecBase = memoVectorStore(s, dir)
+    val emb = Tables.load(s, dir, "embeddings")
+    val tok = graft.operators.LateInteraction.tokenView(emb)
+    val exact = maxSimStoreServe(s, vecBase, emb.filter(col("vec_id") < 24),
+        tok)
+      .select(col("qdoc"), col("cdoc"))
+    val plaid = maxSimPlaidServe(s, dir)
+      .select(col("qdoc"), col("cdoc")).withColumn("m", lit(1))
+    exact.join(plaid, Seq("qdoc", "cdoc"), "left")
+      .groupBy(col("qdoc"))
+      .agg(count(col("m")).as("n_hit"), count(lit(1)).as("n_exact"))
+      .select(col("qdoc"), col("n_hit"), col("n_exact"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall10"))
+      .orderBy(col("qdoc"))
   }
 
   /** IVF cell-occupancy audit (q137) — the skew lens on the q133/q136

@@ -94,4 +94,35 @@ class LateInteractionSpec extends SparkSpec {
     val pr = LateInteraction.maxSimPruned(tok, queries)
     assert(pr.filter(col("qdoc") === col("cdoc")).isEmpty)
   }
+
+  test("reconstructed (PLAID) re-rank: broadcast-only joins, nomination restriction and own-doc exclusion hold") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val emb = Tables.load(spark, sf, "embeddings")
+    val grid = SQ.stats(emb)
+    val recon = SQ.reconstruct(SQ.encode(emb, grid), grid)
+    val cand = queries.select(col("doc").as("qdoc")).distinct()
+      .crossJoin(tok.select(col("doc").as("cdoc")).distinct()
+        .orderBy(col("cdoc")).limit(5))
+      .filter(col("qdoc") =!= col("cdoc"))
+      .localCheckpoint()
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val got = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = LateInteraction.rerankReconstructed(recon, queries, cand)
+      // the corpus-sized code/reconstruction scan must only ever meet
+      // broadcast sides — the float rerank's contract, compressed edition
+      val smj = df.queryExecution.executedPlan
+        .collect { case s: SortMergeJoinExec => s }
+      assert(smj.isEmpty,
+        s"expected broadcast-only joins, found sort-merge:\n${
+          df.queryExecution.executedPlan}")
+      df.localCheckpoint()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // nomination restriction: every output (qdoc, cdoc) was nominated
+    assert(got.join(cand, Seq("qdoc", "cdoc"), "left_anti").isEmpty,
+      "a doc nominated for one query must not enter another's re-rank")
+    assert(got.filter(col("qdoc") === col("cdoc")).isEmpty)
+    // scores are per-token-max sums of round-6 cosines: |score| <= 8
+    assert(got.filter(abs(col("score")) > 8.000001).isEmpty)
+  }
 }

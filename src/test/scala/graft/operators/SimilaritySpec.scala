@@ -153,11 +153,61 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.derivedRowsPerBand(1L << 20, 8) == 4)
   }
 
+  test("two-level banding (forced): recall 1.0 on clustered vectors, candidates a subset of single-level's") {
+    import spark.implicits._
+    def vec(base: Int, copy: Int): Array[Float] = {
+      val r = new scala.util.Random(base)
+      val b = Array.fill(64)(r.nextGaussian())
+      val rn = new scala.util.Random(base * 1000 + copy + 1)
+      b.map(x => (x + 0.02 * rn.nextGaussian()).toFloat)
+    }
+    val rows = for (b <- 0 until 40; c <- 0 until 5)
+      yield (b * 5L + c, vec(b, c))
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDup(df, 0.95).collect().toSet
+    val two = Similarity.cosineNearDupBanded(df, 0.95, twoLevel = Some(true))
+      .collect().toSet
+    // the ∃-band₁ ∧ ∃-band₂ scheme still catches every true near-dup here
+    assert(two == exact,
+      s"two-level missed ${(exact -- two).size} of ${exact.size} pairs")
+    // candidate MASS: requiring a second independent collision can only
+    // shrink the candidate set (the 2^r/b mass cut the level exists for)
+    val r = Similarity.derivedRowsPerBand(df.count(), 128)
+    val c1 = Similarity.bandedCandidatePairs(df, 128, r, engaged = false)
+      .collect().toSet
+    val c2 = Similarity.bandedCandidatePairs(df, 128, r, engaged = true)
+      .collect().toSet
+    assert(c2.subsetOf(c1), "two-level candidates must be ⊆ single-level's")
+  }
+
+  test("two-level engagement law: override honored, explicit width opts out, auto fires only at N >= 2^21") {
+    // caller override always wins
+    assert(Similarity.twoLevelEngaged(10L, None, Some(true)))
+    assert(!Similarity.twoLevelEngaged(Long.MaxValue, None, Some(false)))
+    // an explicit band-width override opts out of auto-engagement (it
+    // opted out of the self-sizing law entirely)
+    assert(!Similarity.twoLevelEngaged(Long.MaxValue, Some(16), None))
+    // auto: every local probe scale serves single-level...
+    for (n <- Seq(1210L, 12100L, 200000L, 500000L, (1L << 21) - 1))
+      assert(!Similarity.twoLevelEngaged(n, None, None), s"n=$n")
+    // ...and corpus scale past 2^21 engages the hierarchy
+    for (n <- Seq(1L << 21, 5000000L, 1L << 30))
+      assert(Similarity.twoLevelEngaged(n, None, None), s"n=$n")
+  }
+
   test("cosineNearDupBanded plans equi-joins only (no nested-loop, no cartesian)") {
     val plan = Similarity.cosineNearDupBanded(emb, 0.9)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the two-level composite-key join keeps the same property — the
+    // ∃∧∃ product space is ONE equi-join on four key columns, never a
+    // post-filter over the level-1 candidate stream
+    val plan2 = Similarity.cosineNearDupBanded(emb, 0.9,
+        twoLevel = Some(true))
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("BroadcastNestedLoopJoin"), plan2.take(2000))
+    assert(!plan2.contains("CartesianProduct"), plan2.take(2000))
   }
 
   test("cosineNearDup is symmetric-free (a<b) and matches dot/norm math on a known pair") {
