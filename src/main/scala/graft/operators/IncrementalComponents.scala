@@ -56,8 +56,15 @@ object IncrementalComponents {
     val st = org.apache.spark.sql.types.StructType.fromDDL(schema)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(st).parquet(path)
-    else spark.createDataFrame(
+    if (fs.exists(p)) {
+      val df = spark.read.schema(st).parquet(path)
+      // ds-partitioned stores (labels, edges) read through the fold
+      // crash-window resolution; the repmap partitions on its own `v`
+      // version column and is pruned by version, not folded
+      if (st.fieldNames.contains("ds"))
+        StoreMaintenance.consistentPathOver(spark, path, df)
+      else df
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
   }
 

@@ -39,7 +39,7 @@ object IncrementalDedup {
 
   /** All signatures accumulated so far. */
   def loadSignatures(spark: SparkSession, store: String): DataFrame =
-    spark.read.parquet(store)
+    IncrementalStore.consistentScanPath(spark, store)
 
   /** Banded candidate pairs between `newSigs` and `allSigs` (which may
     * include newSigs itself), scored by signature-estimated Jaccard.

@@ -53,9 +53,9 @@ object IncrementalLangModel {
   /** The accumulated model: (cand, tri, c) trigram counts and
     * (cand, ndl) priors, summed over every ingested date. */
   def model(spark: SparkSession, store: String): (DataFrame, DataFrame) = (
-    spark.read.parquet(s"$store/tri")
+    IncrementalStore.consistentScanPath(spark, s"$store/tri")
       .groupBy(col("cand"), col("tri")).agg(sum(col("c")).as("c")),
-    spark.read.parquet(s"$store/prior")
+    IncrementalStore.consistentScanPath(spark, s"$store/prior")
       .groupBy(col("cand")).agg(sum(col("ndl")).as("ndl")))
 
   /** DELETION PROPAGATION = EXACT UNLEARNING for the counting model: NB

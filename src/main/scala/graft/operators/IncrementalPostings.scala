@@ -36,7 +36,7 @@ object IncrementalPostings {
     * [[Search.postings]] over the union of every ingested date. */
   def report(spark: SparkSession, store: String, k: Int = 3): DataFrame =
     Search.postingsFromTf(
-      spark.read.parquet(store)
+      IncrementalStore.consistentScanPath(spark, store)
         .groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")),
       k)
 

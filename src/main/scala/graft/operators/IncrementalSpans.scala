@@ -62,7 +62,7 @@ object IncrementalSpans {
   /** Hashes duplicated ANYWHERE in the accumulated store (Σ cnt ≥ 2).
     * Corpus-sized — keep it distributed, never broadcast it. */
   def dupHashes(spark: SparkSession, store: String): DataFrame =
-    spark.read.parquet(store)
+    IncrementalStore.consistentScanPath(spark, store)
       .groupBy(col("h")).agg(sum(col("cnt")).as("total"))
       .filter(col("total") >= 2)
       .select(col("h"))

@@ -80,6 +80,11 @@ object IncrementalStore {
   def consistentScan(spark: SparkSession, table: String): DataFrame =
     StoreMaintenance.consistentTable(spark, table)
 
+  /** The PATH-store twin ([[StoreMaintenance.consistentPath]]) — the
+    * serve-side read for the plain-parquet `ds=` stores. */
+  def consistentScanPath(spark: SparkSession, store: String): DataFrame =
+    StoreMaintenance.consistentPath(spark, store)
+
   /** Drop one ingestion date's partition from each existing table — the
     * re-run/retry guard (bounded metadata DDL, no data motion). */
   def dropDate(spark: SparkSession, tables: Seq[String], date: String): Unit =

@@ -428,6 +428,40 @@ object StoreMaintenance {
       root: org.apache.hadoop.fs.Path, label: String): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(root, s"_compact_${label}_done"))
 
+  /** The PATH-store twin of [[consistentTable]]: a plain
+    * `spark.read.parquet(store)` over the `ds=<date>` layout double-reads
+    * the same crash windows (the fold's label dir lands by rename before
+    * the marker; the old dirs are deleted after it). Same resolution: no
+    * sentinel ⇒ read all; sentinel without marker ⇒ the label dir is
+    * uncommitted (invisible — note the PATH fold stages-and-renames, so a
+    * partial label dir only exists after a crash between rename and
+    * marker); sentinel + marker ⇒ the label (plus past-horizon dates for
+    * a compact) is exclusive. A missing store root reads exactly like
+    * the plain reader (throws), preserving caller contracts. */
+  def consistentPath(spark: SparkSession, store: String)
+      : org.apache.spark.sql.DataFrame =
+    consistentPathOver(spark, store, spark.read.parquet(store))
+
+  /** [[consistentPath]]'s crash-window resolution applied to a
+    * caller-provided reader over the same `ds=` layout — for readers
+    * that must pin an explicit schema (the components family's
+    * empty-store fallback). */
+  def consistentPathOver(spark: SparkSession, store: String,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (if (fs.exists(root)) pendingFolds(fs, root) else Nil)
+      .headOption.fold(df) { label =>
+        if (!foldCommitted(fs, root, label)) df.filter(col("ds") =!= label)
+        else if (label.startsWith("r_")) df.filter(col("ds") === label)
+        else {
+          val horizon = effectiveDate(label)
+          df.filter(col("ds") === label ||
+            regexp_replace(col("ds"), "^c_", "") > horizon)
+        }
+      }
+  }
+
   /** Did `gen`'s rewrite on `table` take its FIRST durable effect? True
     * iff its fold-pending sentinel never landed (or the table itself does
     * not exist). The refit families use this after a rewrite abort to

@@ -353,6 +353,39 @@ class StoreMaintenanceSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t2")
   }
 
+  test("consistentPath: the path-store readers resolve the same fold crash windows") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("smx-cp").toString + "/counts"
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def putDate(rows: Seq[(Long, Long)], ds: String): Unit =
+      rows.toDF("h", "cnt").write.mode("overwrite").parquet(s"$store/ds=$ds")
+    putDate(Seq((1L, 2L), (2L, 1L)), "d0")
+    putDate(Seq((1L, 1L), (3L, 4L)), "d1")
+    val full = spark.read.parquet(store).drop("ds").localCheckpoint()
+    sameRows(StoreMaintenance.consistentPath(spark, store).drop("ds"), full,
+      "quiescent path store must read in full")
+    // PRE-marker crash (rename landed, marker didn't): label invisible
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      "_fold_pending_r_g1"), true).close()
+    putDate(Seq((9L, 9L)), "r_g1")
+    sameRows(StoreMaintenance.consistentPath(spark, store).drop("ds"), full,
+      "an unmarked label dir must be invisible")
+    // POST-marker: label exclusive, undropped olds invisible
+    putDate(Seq((1L, 3L), (2L, 1L), (3L, 4L)), "r_g1")
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      "_compact_r_g1_done"), true).close()
+    assert(spark.read.parquet(store).count() == 7,
+      "the hazard: a plain read double-reads the window")
+    sameRows(StoreMaintenance.consistentPath(spark, store).drop("ds"),
+      Seq((1L, 3L), (2L, 1L), (3L, 4L)).toDF("h", "cnt"),
+      "a committed label dir must be read exclusively")
+    // and the family reader on top agrees: dup hashes from the committed
+    // generation only (h=1 cnt 3, h=3 cnt 4 — never the doubled sums)
+    assert(IncrementalSpans.dupHashes(spark, store)
+      .as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("the FIRST append to a brand-new table is serialized by the init lease") {
     val t = "smx_first"
     spark.sql(s"DROP TABLE IF EXISTS $t")
