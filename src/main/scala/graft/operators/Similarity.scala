@@ -22,6 +22,17 @@ object Similarity {
 
   def norm(a: Column): Column = graft.functions.VectorExpressions.normF(a)
 
+  /** The hyperplane-literal width: the input's actual vector dimension
+    * (one `limit(1)` probe — bounded, plan-time), falling back to 1024
+    * for an empty input. [[dot]] sums over the shorter array, so weights
+    * for i < dim are IDENTICAL at any width — this changes nothing
+    * semantically; it exists because a 1024-wide literal per plane ships
+    * 16× dead constant weight through codegen for 64-dim corpora
+    * (128–256 planes × 1024 floats per projection). */
+  private def probedDim(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).filter(_ > 0).getOrElse(1024)
+
   /** Deterministic hyperplane weight for LSH plane `p`, dimension `i`
     * (splitmix64 bit-mix → uniform in [-0.5, 0.5)). Public so the DuckDB
     * oracle can replay the exact bucket assignment (SparkEntry builds the
@@ -64,9 +75,10 @@ object Similarity {
       nPlanes: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // deterministic hyperplane weights (splitmix64 per (plane, dim)),
     // materialized as literal arrays so the projection is one native DotF
-    // per plane inside whole-stage codegen (dims beyond `maxDim` ignored —
-    // DotF sums over the shorter array)
-    val maxDim = 1024
+    // per plane inside whole-stage codegen — sized to the probed input
+    // dimension (DotF sums over the shorter array, so the width is purely
+    // a constant-weight choice; see [[probedDim]])
+    val maxDim = probedDim(candidates, vecCol)
     val planes: Seq[Column] = (0 until nPlanes).map { p =>
       typedlit(Array.tabulate(maxDim)(i => hyperplaneWeight(p, i)))
     }
@@ -425,7 +437,7 @@ object Similarity {
       nPlanes: Int, r: Int, engaged: Boolean,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nBands = nPlanes / r
-    val maxDim = 1024
+    val maxDim = probedDim(embeddings, vecCol)
     // level l plane p = hyperplaneWeight(l·nPlanes + p, ·): level 0 is the
     // single-level signature UNCHANGED (below the engagement point the two
     // modes see identical level-1 collisions); level 1 is independent
