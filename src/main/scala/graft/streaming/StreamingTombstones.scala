@@ -36,11 +36,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * ([[graft.operators.IncrementalSpans.deleteDocs]],
   * [[graft.operators.IncrementalLangModel.deleteDocs]] — additive counts
   * with no per-doc rows) would subtract a re-delivered document TWICE:
-  * for those, the upstream queue must deliver each takedown exactly once
-  * ACROSS batches (same-batch crash replay stays safe through the gen
-  * no-op, layer (a)). Wire subtract-family deletes only behind an
-  * exactly-once request log, or dedup requests against a processed-ids
-  * table first.
+  * for those, pass `processedLog` — a tiny per-batch id ledger that
+  * turns at-least-once delivery into exactly-once EFFECT. Each batch
+  * anti-joins its requests against every id an earlier (completed)
+  * batch logged, runs the deletes on the survivors, and only THEN
+  * appends its own ids under its batch partition — so at every crash
+  * point the replay is safe: log-absent ⇒ the deletes re-run and the
+  * per-family same-gen no-op absorbs any partial completion; log-present
+  * ⇒ the deletes are known complete and the batch skips them. Without
+  * `processedLog` the upstream queue must deliver each takedown exactly
+  * once across batches itself.
   *
   * An EMPTY micro-batch is skipped outright — a tombstone rewrite's
   * cost is one distributed read + bucketed write of the store, which an
@@ -79,20 +84,46 @@ object StreamingTombstones {
 
   def run(requests: DataFrame, checkpoint: String,
       deletes: Seq[(DataFrame, String) => Unit],
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      processedLog: Option[String] = None): StreamingQuery = {
     val nonce = f"${fnv64(
       new org.apache.hadoop.fs.Path(checkpoint).toUri.toString)}%016x"
     val w = requests.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
         // the guard and the N rewrites re-read the batch: pin it once
         // (takedown-list-sized, bounded by contract)...
-        val ids = batch.localCheckpoint()
-        try if (!ids.isEmpty) deletes.foreach(_(ids, s"b${id}_$nonce"))
-        // ...and FREE it once the batch's rewrites committed — a
-        // long-running stream must not accumulate one pinned snapshot
-        // per micro-batch until the ContextCleaner happens to GC it
-        finally graft.operators.Components.freeLocalCheckpoint(ids)
+        val raw = batch.localCheckpoint()
+        val key = raw.columns.head
+        val ids = processedLog.fold(raw) { log =>
+          // exactly-once EFFECT for the subtract families: drop every id
+          // a completed earlier batch already logged (see the caveat in
+          // the object scaladoc for the crash-window argument)
+          val root = new org.apache.hadoop.fs.Path(log)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(root)) raw
+          else raw.join(
+            spark.read.parquet(log).select(org.apache.spark.sql.functions
+              .col(key)),
+            Seq(key), "left_anti").localCheckpoint()
+        }
+        try if (!ids.isEmpty) {
+          deletes.foreach(_(ids, s"b${id}_$nonce"))
+          // the ledger append lands ONLY after every delete returned
+          // (log-present must always mean deletes-complete) and
+          // OVERWRITES this batch's own partition on a replay — never
+          // double-logs
+          if (processedLog.isDefined)
+            graft.operators.IncrementalStore.appendPath(
+              ids.select(key), processedLog.get, s"b${id}_$nonce")
+        } finally {
+          // FREE the pins once the batch is done — a long-running stream
+          // must not accumulate one pinned snapshot per micro-batch
+          // until the ContextCleaner happens to GC it
+          graft.operators.Components.freeLocalCheckpoint(ids)
+          graft.operators.Components.freeLocalCheckpoint(raw)
+        }
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

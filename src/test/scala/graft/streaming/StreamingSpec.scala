@@ -477,17 +477,23 @@ class StreamingSpec extends SparkSpec {
       msDocs.addData(h2); qIn.processAllAvailable()
       qIn.stop()
       // TAKEDOWNS STREAM IN: full documents ride along (the subtract
-      // family needs text+label); exactly-once across batches per the
-      // StreamingTombstones subtract-family contract
+      // family needs text+label); the processed-ids ledger makes
+      // at-least-once delivery an exactly-once EFFECT — a re-delivered
+      // doc in a LATER batch must NOT subtract twice
       val gone = docs.filter(col("doc_id") % 7 === 3)
       val msTomb = MemoryStream[(Long, String, String)]
       val qT = StreamingTombstones.run(
         msTomb.toDF().toDF("doc_id", "lang", "text"), s"$tmp/ckT",
         deletes = Seq((b, gen) => graft.operators.IncrementalLangModel
-          .deleteDocs(b, sStore, gen)))
+          .deleteDocs(b, sStore, gen)),
+        processedLog = Some(s"$tmp/takedown_log"))
       val (g1, g2) = rows(gone).splitAt(rows(gone).size / 2)
       msTomb.addData(g1); qT.processAllAvailable()
       msTomb.addData(g2); qT.processAllAvailable()
+      // at-least-once upstream: a slice of batch 1 arrives AGAIN in a
+      // later batch — the ledger must absorb it (double-subtraction
+      // would corrupt the counting model silently)
+      msTomb.addData(g1.take(3)); qT.processAllAvailable()
       msTomb.addData(Seq.empty[(Long, String, String)])
       qT.processAllAvailable()
       qT.stop()
