@@ -467,7 +467,15 @@ object Similarity {
       // one per projection); the join is a plain equi-join on all four key
       // columns, so per-composite-key group size is N/2^(2r)-scaled and
       // the shuffled key stream is b²·N SMALL rows — linear, the price of
-      // cutting the candidate mass by 2^r/b
+      // cutting the candidate mass by 2^r/b.
+      // merge (NOT shuffle_hash, unlike the single-level path): the build
+      // side here is the b²-exploded CORPUS (b²·N/partitions rows per
+      // task, 8× the single-level stream), and a shuffled-hash build
+      // cannot spill — measured OOM-aborting at 100× under the 4 GiB
+      // MemProbe ceiling, exactly the unbounded-per-task-state failure
+      // the probe exists to catch. A sort-merge join spills both sides;
+      // the two identical signature subtrees still collapse into ONE
+      // reused exchange, each side paying a (spillable) sort on top.
       val sigs = embeddings.select(col(idCol).as("id"),
         hashArr(0).as("h1"), hashArr(1).as("h2"))
       val bands = sigs
@@ -475,7 +483,7 @@ object Similarity {
           col("h2"))
         .select(col("id"), col("band1"), col("bh1"),
           posexplode(col("h2")).as(Seq("band2", "bh2")))
-        .hint("shuffle_hash") // one signature exchange feeds both sides
+        .hint("merge") // one signature exchange feeds both (sorted) sides
       bands.as("x").join(bands.as("y"),
           col("x.band1") === col("y.band1") && col("x.bh1") === col("y.bh1") &&
             col("x.band2") === col("y.band2") && col("x.bh2") === col("y.bh2") &&
