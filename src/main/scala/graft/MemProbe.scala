@@ -112,7 +112,7 @@ object MemProbe {
       // mass takedown (the NON-broadcast anti-join — the row that proves
       // a corpus-scale tombstone set completes under the 4 GiB ceiling)
       "q164_sq8_tombstone", "q174_neardup_two_level", "q175_maxsim_plaid",
-      "q177_source_takedown")
+      "q177_source_takedown", "q178_incremental_semantic")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

@@ -358,6 +358,7 @@ object ScaleProbe {
       "q175_maxsim_plaid" -> SparkEntry.queries("q175_maxsim_plaid"),
       "q176_plaid_recall" -> SparkEntry.queries("q176_maxsim_plaid_recall"),
       "q177_source_takedown" -> SparkEntry.queries("q177_source_takedown"),
+      "q178_incr_semantic" -> SparkEntry.queries("q178_incremental_semantic"),
       // the clustering delete on the NON-densifying corpus (see
       // [[ensureDecoupledDocs]]): the scaled side reads token-decoupled
       // replicas, so this row measures the deletion path's OWN growth

@@ -196,6 +196,7 @@ object SparkEntry {
     "q175_maxsim_plaid" -> (TextQueries.q175MaxSimPlaid _),
     "q176_maxsim_plaid_recall" -> (TextQueries.q176MaxSimPlaidRecall _),
     "q177_source_takedown" -> (Quality.q177SourceTakedown _),
+    "q178_incremental_semantic" -> (TextQueries.q178IncrementalSemantic _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3382,6 +3383,12 @@ object SparkEntry {
     // (five sources pulled; n_docs/avgdl/df re-derive from what remains)
     "q177_source_takedown" -> bm25SqlWhere(
       "source NOT IN ('src0', 'src1', 'src2', 'src3', 'src4')"),
+
+    // q178: the incremental semantic (embedding) near-dup store — the
+    // union of per-date store-served reports must equal the EXACT
+    // all-pairs join over the augmented table (q93's gate): incremental
+    // == batch == exact, each pair once
+    "q178_incremental_semantic" -> cosineNearDupSql(0.9, "aug", q93AugCte),
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

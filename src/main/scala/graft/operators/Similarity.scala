@@ -433,23 +433,37 @@ object Similarity {
     * per row), never as a filter over the level-1 candidate stream, which
     * would materialize exactly the quadratic mass the second level exists
     * to avoid. */
+  /** The (nBands-long) band-hash ARRAY for one signature `level` of the
+    * hyperplane banding — THE band construction, shared by the batch
+    * candidate paths and the incremental semantic store
+    * ([[IncrementalSemantic]]) so candidate recall can never diverge
+    * between them. Level l plane p = [[hyperplaneWeight]](l·nPlanes+p, ·);
+    * level 0 is the single-level signature. `maxDim` is a pure
+    * constant-width choice (weights for i < dim are identical at any
+    * width — see [[probedDim]]). */
+  private[operators] def hyperplaneBandHashes(vec: Column, nPlanes: Int,
+      r: Int, level: Int, maxDim: Int): Column = {
+    val nBands = nPlanes / r
+    def plane(p: Int): Column =
+      typedlit(Array.tabulate(maxDim)(i =>
+        hyperplaneWeight(level * nPlanes + p, i)))
+    def bit(p: Int): Column =
+      when(graft.functions.VectorExpressions.dotF(vec, plane(p)) > 0, 1)
+        .otherwise(0)
+    def bandHash(b: Int): Column =
+      (0 until r).map(j => bit(b * r + j) * (1 << j)).reduce(_ + _)
+    array((0 until nBands).map(bandHash): _*)
+  }
+
+  private[operators] def vectorDim(emb: DataFrame, vecCol: String): Int =
+    probedDim(emb, vecCol)
+
   private[graft] def bandedCandidatePairs(embeddings: DataFrame,
       nPlanes: Int, r: Int, engaged: Boolean,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val nBands = nPlanes / r
     val maxDim = probedDim(embeddings, vecCol)
-    // level l plane p = hyperplaneWeight(l·nPlanes + p, ·): level 0 is the
-    // single-level signature UNCHANGED (below the engagement point the two
-    // modes see identical level-1 collisions); level 1 is independent
-    def plane(l: Int, p: Int): Column =
-      typedlit(Array.tabulate(maxDim)(i => hyperplaneWeight(l * nPlanes + p, i)))
-    def bit(vec: Column, l: Int, p: Int): Column =
-      when(graft.functions.VectorExpressions.dotF(vec, plane(l, p)) > 0, 1)
-        .otherwise(0)
-    def bandHash(vec: Column, l: Int, b: Int): Column =
-      (0 until r).map(j => bit(vec, l, b * r + j) * (1 << j)).reduce(_ + _)
     def hashArr(l: Int): Column =
-      array((0 until nBands).map(b => bandHash(col(vecCol), l, b)): _*)
+      hyperplaneBandHashes(col(vecCol), nPlanes, r, l, maxDim)
     if (!engaged) {
       val bands = embeddings.select(col(idCol).as("id"),
           posexplode(hashArr(0)).as(Seq("band", "bh")))

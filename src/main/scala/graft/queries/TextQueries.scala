@@ -1062,6 +1062,45 @@ object TextQueries {
         twoLevel = Some(true))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** q178: the INCREMENTAL SEMANTIC near-dup store
+    * ([[graft.operators.IncrementalSemantic]]) — the q91/q120/q133
+    * incremental-store contract applied to the embedding near-dup
+    * family: the banding model (width law at the horizon corpus size)
+    * is frozen at init; each of three ingestion dates hashes ITS OWN
+    * vectors once (band rows bucketed on (band, bh), vectors+norms
+    * bucketed on id) and reports the exact-cosine pairs INVOLVING that
+    * date from the accumulated store — old vectors are never re-hashed,
+    * the daily candidate join is exchange-free on both sides, and
+    * verification reads the store's own vector table, never the corpus.
+    * The union of the three per-date reports is gated against the EXACT
+    * all-pairs oracle over the augmented table (q93's gate): a green
+    * hash proves incremental == batch == exact — recall 1.0 for the
+    * store-served path, with every pair surfacing exactly once (when
+    * its later endpoint arrives). */
+  def q178IncrementalSemantic(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q178_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq("_cfg", "_bands", "_vecs").map(base + _)
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q178_p")
+    val aug = augmentedEmbeddings(s, dir)
+    def slice(d: Int) = aug.filter(pmod(col("vec_id"), lit(3L)) === d)
+    val out = graft.Phases.timed("build") {
+      graft.operators.IncrementalSemantic.initModel(slice(0), base,
+        horizonRows = aug.count())
+      (0 until 3).map { d =>
+        graft.operators.IncrementalSemantic
+          .appendDate(slice(d), base, s"d$d")
+        // eager per date: a deferred plan would scan LATER dates' band
+        // partitions too and double-report cross-date pairs
+        graft.operators.IncrementalSemantic
+          .newPairs(s, base, s"d$d").localCheckpoint()
+      }.reduce(_ unionAll _)
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("a_id"), col("b_id"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalSemanticSpec extends SparkSpec {
+
+  // the SimilaritySpec clustered fixture: 40 base directions × 5 noisy
+  // copies — true near-dups are the intra-cluster pairs (cosine > 0.95)
+  private def vec(base: Int, copy: Int): Array[Float] = {
+    val r = new scala.util.Random(base)
+    val b = Array.fill(64)(r.nextGaussian())
+    val rn = new scala.util.Random(base * 1000 + copy + 1)
+    b.map(x => (x + 0.02 * rn.nextGaussian()).toFloat)
+  }
+
+  private def fixture: DataFrame = {
+    import spark.implicits._
+    (for (b <- 0 until 40; c <- 0 until 5) yield (b * 5L + c, vec(b, c)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def dropStore(base: String): Unit =
+    Seq("_cfg", "_bands", "_vecs").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+
+  private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, what)
+
+  test("incremental day-by-day union equals batch banding equals EXACT pairs; each pair surfaces once") {
+    val df = fixture
+    dropStore("ism_inc")
+    try {
+      IncrementalSemantic.initModel(
+        df.filter(col("vec_id") % 3 === 0), "ism_inc",
+        horizonRows = df.count())
+      val union = (0 until 3).map { d =>
+        IncrementalSemantic.appendDate(
+          df.filter(col("vec_id") % 3 === d), "ism_inc", s"d$d")
+        IncrementalSemantic.newPairs(spark, "ism_inc", s"d$d", 0.95)
+          .localCheckpoint()
+      }.reduce(_ unionAll _)
+      val exact = Similarity.cosineNearDup(df, 0.95)
+      assert(exact.count() >= 400, "fixture must have real near-dup mass")
+      sameRows(union, exact,
+        "per-date store reports must union to the exact pair set")
+      // exactly once: no pair may surface at two dates
+      assert(union.groupBy("a_id", "b_id").count()
+        .filter(col("count") > 1).isEmpty,
+        "a pair must surface only when its later endpoint arrives")
+    } finally dropStore("ism_inc")
+  }
+
+  test("the daily candidate join is exchange-free on both bucket-aligned sides") {
+    val df = fixture
+    dropStore("ism_plan")
+    try {
+      IncrementalSemantic.initModel(df, "ism_plan", horizonRows = 200L)
+      IncrementalSemantic.appendDate(df, "ism_plan", "d0")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = IncrementalSemantic.newPairs(spark, "ism_plan", "d0", 0.95)
+          .queryExecution.executedPlan.toString
+        // the band-store self-join must be satisfied by the (band, bh)
+        // bucketing; the only allowed hash exchanges are over the
+        // CANDIDATE-mass-sized stream (its dedup + the two verification
+        // key gathers = 3) — a reshuffle of either store table would
+        // push the count past that
+        val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(n <= 3, s"store tables must not reshuffle ($n exchanges):\n" +
+          plan.take(3000))
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally dropStore("ism_plan")
+  }
+
+  test("deletion propagates: a tombstoned vector never surfaces again; ingestion continues") {
+    import spark.implicits._
+    val df = fixture
+    dropStore("ism_del")
+    try {
+      IncrementalSemantic.initModel(
+        df.filter(col("vec_id") < 100), "ism_del", horizonRows = df.count())
+      IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") < 100), "ism_del", "d0")
+      // take down cluster 0 entirely (ids 0-4)
+      IncrementalSemantic.deleteIds(spark,
+        "ism_del", (0L until 5L).toDF("vec_id"), gen = "del1")
+      assert(spark.table("ism_del_bands").filter(col("id") < 5).isEmpty &&
+        spark.table("ism_del_vecs").filter(col("id") < 5).isEmpty,
+        "tombstoned rows must be physically gone from both tables")
+      // continued ingestion: the next date still pairs against survivors
+      IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") >= 100), "ism_del", "d1")
+      val got = IncrementalSemantic.newPairs(spark, "ism_del", "d1", 0.95)
+      val want = Similarity.cosineNearDup(
+        df.filter(col("vec_id") >= 5), 0.95)
+        .filter(col("b_id") >= 100)
+      sameRows(got, want,
+        "post-delete reports must equal exact pairs over the survivors")
+    } finally dropStore("ism_del")
+  }
+}
