@@ -453,6 +453,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic store: per-batch pair reports union to the exact pair set, each pair once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the clustered fixture: 40 directions × 5 noisy copies
+    def vec(base: Int, copy: Int): Array[Float] = {
+      val r = new scala.util.Random(base)
+      val b = Array.fill(64)(r.nextGaussian())
+      val rn = new scala.util.Random(base * 1000 + copy + 1)
+      b.map(x => (x + 0.02 * rn.nextGaussian()).toFloat)
+    }
+    val rows = for (b <- 0 until 40; c <- 0 until 5)
+      yield (b * 5L + c, vec(b, c))
+    val df = rows.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ssem").toString
+    val base = s"graft_ssem_p${ProcessHandle.current().pid()}"
+    Seq("_cfg", "_bands", "_vecs").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+    try {
+      graft.operators.IncrementalSemantic.initModel(df, base,
+        horizonRows = rows.size.toLong)
+      val got = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Double)]
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = StreamingSemantic.run(
+        ms.toDF().toDF("vec_id", "embedding"), base, s"$tmp/ck",
+        threshold = 0.95,
+        onNewPairs = p => got ++= p.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+      val (h1, h2) = rows.partition(_._1 % 2 == 0)
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      q.stop()
+      val want = graft.operators.Similarity.cosineNearDup(df, 0.95)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(want.size >= 400, "fixture must have real near-dup mass")
+      assert(got.size == got.toSet.size,
+        "a pair must surface in exactly one micro-batch")
+      assert(got.toSet == want,
+        "streamed per-batch reports must union to the exact pair set")
+    } finally {
+      Seq("_cfg", "_bands", "_vecs").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("streaming NB unlearn: labels stream in, takedowns stream in — model equals from-scratch over survivors") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
