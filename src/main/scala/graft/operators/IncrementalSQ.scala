@@ -185,13 +185,17 @@ object IncrementalSQ {
               .cast("int").as("code"))
       })
     catch {
-      // an abort BEFORE the fold's first effect (no pending sentinel —
-      // e.g. lease contention with a live append) left the codes
-      // untouched: RESTORE the old grid from its snapshot and unstage,
-      // so the contention loser doesn't wedge the store behind a
-      // mandatory same-gen resume. A restore crash re-enters the normal
-      // pending path (grid_prev still present ⇒ same-gen resume). Any
-      // post-sentinel failure keeps the snapshot — resume is mandatory.
+      // an abort BEFORE the fold's first effect (no pending sentinel AND
+      // no r_<gen> partition — e.g. lease contention with a live append)
+      // left the codes untouched: RESTORE the old grid from its snapshot
+      // and unstage, so the contention loser doesn't wedge the store
+      // behind a mandatory same-gen resume. The partition check matters:
+      // a throw AFTER the fold completed (sentinel cleared, e.g. a
+      // lease-release IO error) must keep the NEW grid — the codes are
+      // already migrated to it, and a restore would corrupt every decode.
+      // A restore crash re-enters the normal pending path (grid_prev
+      // still present ⇒ same-gen resume). Any mid-fold failure keeps the
+      // snapshot — resume is mandatory.
       case e: Throwable =>
         if (StoreMaintenance.rewriteNeverStarted(spark, s"${table}_codes",
             gen)) {

@@ -334,12 +334,15 @@ object IncrementalVectors {
           .select(col("new_cell").as("cell"), col("id"), col("e"), col("n"))
       })
     catch {
-      // an abort BEFORE the fold's first effect (its pending sentinel
-      // never landed — e.g. lease contention with a live append) leaves
-      // no rewrite state: UNSTAGE so the contention loser doesn't wedge
-      // every append/serve behind a mandatory same-gen resume. Any later
-      // failure keeps the staging table — the sentinel is down and the
-      // same-gen resume is the documented recovery.
+      // an abort BEFORE the fold's first effect (no pending sentinel AND
+      // no r_<gen> partition — e.g. lease contention with a live append)
+      // leaves no rewrite state: UNSTAGE so the contention loser doesn't
+      // wedge every append/serve behind a mandatory same-gen resume. A
+      // throw AFTER the fold completed (sentinel cleared) keeps the
+      // staging table — the cells already carry new-quantizer ids, and
+      // the same-gen re-run finishes the model swap. Any mid-fold
+      // failure keeps it too — same-gen resume is the documented
+      // recovery.
       case e: Throwable =>
         if (StoreMaintenance.rewriteNeverStarted(spark, s"${table}_cells", gen))
           spark.sql(s"DROP TABLE IF EXISTS $nextT")

@@ -146,13 +146,17 @@ object LateInteraction {
         .cast("double")).as("cn"))
     val dots = gathered.join(broadcast(q), Seq("dim"))
       .filter(col("qdoc") =!= col("cdoc"))
+      // the NOMINATED (qdoc, cdoc) pairs gate BEFORE the per-dim sum —
+      // a doc nominated for query A must not enter query B's re-rank,
+      // and filtering after the aggregate (the round-15 ADVICE low)
+      // would make the dot groupBy |Q|×|nominated docs|-sized instead of
+      // the |Q|·C candidate bound this path's contract claims
+      .join(broadcast(cand.select("qdoc", "cdoc")), Seq("qdoc", "cdoc"),
+        "left_semi")
       .groupBy(col("qdoc"), col("qpos"), col("qn"), col("cdoc"), col("cpos"))
       .agg(sum(round(col("qx") * col("xh"), 12).cast("decimal(28,12)"))
         .cast("double").as("dot"))
     val scored = dots.join(broadcast(cn), Seq("cdoc", "cpos"))
-      // a doc nominated for query A must not enter query B's re-rank
-      .join(broadcast(cand.select("qdoc", "cdoc")), Seq("qdoc", "cdoc"),
-        "left_semi")
       .select(col("qdoc"), col("qpos"), col("cdoc"),
         round(col("dot") / (col("qn") * col("cn")), 6).as("cos"))
     rankMaxSim(scored, k)

@@ -22,16 +22,24 @@ object Similarity {
 
   def norm(a: Column): Column = graft.functions.VectorExpressions.normF(a)
 
-  /** The hyperplane-literal width: the input's actual vector dimension
-    * (one `limit(1)` probe — bounded, plan-time), falling back to 1024
-    * for an empty input. [[dot]] sums over the shorter array, so weights
-    * for i < dim are IDENTICAL at any width — this changes nothing
-    * semantically; it exists because a 1024-wide literal per plane ships
-    * 16× dead constant weight through codegen for 64-dim corpora
-    * (128–256 planes × 1024 floats per projection). */
+  /** The hyperplane-literal width: the input's MAX vector dimension (one
+    * map-side-combined `max(size)` aggregate at plan time), falling back
+    * to 1024 for an empty input. [[dot]] sums over the shorter array, so
+    * weights for i < dim are IDENTICAL at any width — the probe exists
+    * because a 1024-wide literal per plane ships 16× dead constant weight
+    * through codegen for 64-dim corpora (128–256 planes × 1024 floats per
+    * projection). MAX, not an unordered `limit(1)` row (the round-15
+    * ADVICE low): on a heterogeneous-length corpus the first-row probe is
+    * run-dependent — an under-probed width would TRUNCATE longer vectors'
+    * projections, making band hashes (and the frozen
+    * [[IncrementalSemantic]] dim, which must equal the batch path's)
+    * nondeterministic. The aggregate scans one int per row — the same
+    * plan-time order of cost as the self-sizing `count()` the banded
+    * paths already pay. */
   private def probedDim(emb: DataFrame, vecCol: String): Int =
-    emb.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).filter(_ > 0).getOrElse(1024)
+    emb.agg(max(size(col(vecCol)))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .filter(_ > 0).getOrElse(1024)
 
   /** Deterministic hyperplane weight for LSH plane `p`, dimension `i`
     * (splitmix64 bit-mix → uniform in [-0.5, 0.5)). Public so the DuckDB

@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * CRASH SAFETY (exactly-once rows without a transactional format): the
   * consolidated partition is not authoritative until a `_compact_…_done`
   * marker lands next to the table's partition dirs — append, THEN
-  * marker, THEN drop the old partitions, THEN clear the marker. A re-run
+  * marker, THEN drop the old partitions, THEN clear the sentinel and
+  * last the marker (sentinel first so a reader never sees "sentinel
+  * without marker" after the olds are gone — that state means
+  * "uncommitted label" to [[consistentTable]]). A re-run
   * resumes from any interruption: no marker ⇒ the consolidated partition
   * is a partial write, drop it and redo from the still-intact old
   * partitions; marker present ⇒ the fold is complete, just finish
@@ -161,18 +164,30 @@ object StoreMaintenance {
     * label's fold is unfinished; plant this label's sentinel before the
     * first effect; clear it only after `body` returns (an exception or a
     * crash leaves it, forcing the same-label resume). Caller holds the
-    * maintenance lease, so sentinel creation cannot race another fold. */
+    * maintenance lease, so sentinel creation cannot race another fold.
+    *
+    * `body` receives whether the sentinel PRE-EXISTED — the discriminator
+    * between "resume of a crashed fold" (every on-disk state is the
+    * crashed fold's own, and appends have been blocked since before its
+    * first effect) and "fresh fold invocation" (anything this label left
+    * on disk is residue of a PRIOR COMPLETED fold, because the sentinel
+    * outlives both the marker and the drops — see the fold bodies). The
+    * trailing delete is an idempotent backstop: a completing body removes
+    * the sentinel itself, BEFORE the marker (reader-ordering). */
   private def withPendingSentinel(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, label: String)(body: => Unit): Unit = {
+      root: org.apache.hadoop.fs.Path, label: String)
+      (body: Boolean => Unit): Unit = {
     val others = pendingFolds(fs, root).filterNot(_ == label)
     if (others.nonEmpty) throw new IllegalStateException(
       s"fold '$label' rejected: crashed/unfinished fold '${others.head}' on " +
         s"$root must be re-run to completion (same label) first — folding " +
         "around its orphaned generation partition would double-count rows")
     val pending = pendingFile(root.toString, label)
-    fs.create(pending, true).close()
-    body
+    val preExisted = fs.exists(pending)
+    if (!preExisted) fs.create(pending, true).close()
+    body(preExisted)
     fs.delete(pending, false)
+    ()
   }
 
   private def localHost: String =
@@ -464,10 +479,19 @@ object StoreMaintenance {
 
   /** Did `gen`'s rewrite on `table` take its FIRST durable effect? True
     * iff its fold-pending sentinel never landed (or the table itself does
-    * not exist). The refit families use this after a rewrite abort to
-    * tell "nothing happened — safe to unstage the new model" (lease
-    * contention with a live append) from "the fold has state — the
-    * same-gen resume is mandatory". */
+    * not exist) AND its generation partition does not exist. The refit
+    * families use this after a rewrite abort to tell "nothing happened —
+    * safe to unstage the new model" (lease contention with a live append)
+    * from "the fold has state — the same-gen resume is mandatory".
+    *
+    * The partition check is load-bearing: a throw AFTER the fold fully
+    * completed (sentinel already cleared — e.g. a lease-release IO error
+    * surfacing through [[rewrite]]'s finally) must NOT read as "never
+    * started", or the caller would roll its model back over rows already
+    * migrated to the new one (the round-15 ADVICE finding on
+    * [[IncrementalSQ.refitGrid]]). A completed fold always leaves its
+    * `r_<gen>` partition; a never-started one never creates it (gen
+    * freshness is the [[rewrite]] caller contract). */
   private[operators] def rewriteNeverStarted(spark: SparkSession,
       table: String, gen: String): Boolean = {
     if (!spark.catalog.tableExists(table)) true
@@ -475,7 +499,8 @@ object StoreMaintenance {
       val root = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
         .getTableMetadata(TableIdentifier(table)).location)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      !fs.exists(pendingFile(root.toString, s"r_$gen"))
+      !fs.exists(pendingFile(root.toString, s"r_$gen")) &&
+        !partitions(spark, table).contains(s"r_$gen")
     }
   }
 
@@ -527,9 +552,11 @@ object StoreMaintenance {
       merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
         = identity,
       maxAgeHours: Option[Double] = defaultAge): Unit =
-    // a single foldable partition is a no-win rename — require 2 (which
-    // also keeps the partial-label rule sound: a fold only STARTS with
-    // ≥2 olds, so an unmarked label next to 0/1 olds is a prior commit)
+    // a single foldable partition is a no-win rename — require 2. A
+    // repeated compact at a horizon whose `c_<upTo>` already committed
+    // is a NO-OP even when fresh pre-horizon dates landed since (a label
+    // with no pending sentinel at entry is a prior completed fold —
+    // see foldBody); fold late arrivals with a LATER, distinct horizon.
     foldTable(spark, table, s"c_$upTo",
       ds => effectiveDate(ds) <= upTo, minOlds = 2, merge, maxAgeHours)
 
@@ -575,8 +602,9 @@ object StoreMaintenance {
     // it for the dead-pid / stale-by-age sweep
     acquireLease(spark, meta.location.toString, maxAgeHours)
     try withPendingSentinel(fs,
-        new org.apache.hadoop.fs.Path(meta.location), label) {
-      foldBody(spark, table, label, minOlds, transform, fs, marker, olds _)
+        new org.apache.hadoop.fs.Path(meta.location), label) { preExisted =>
+      foldBody(spark, table, label, minOlds, transform, fs, marker, olds _,
+        pendingFile(meta.location.toString, label), preExisted)
     } finally releaseLease(spark, meta.location.toString)
   }
 
@@ -584,17 +612,33 @@ object StoreMaintenance {
       minOlds: Int,
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       fs: org.apache.hadoop.fs.FileSystem, marker: org.apache.hadoop.fs.Path,
-      olds: () => Seq[String]): Unit = {
+      olds: () => Seq[String], pending: org.apache.hadoop.fs.Path,
+      preExisted: Boolean): Unit = {
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(TableIdentifier(table))
+    if (!preExisted) {
+      // NO crashed fold to resume (the sentinel outlives both the marker
+      // and the drops, so a crash at ANY point leaves it): anything this
+      // label left on disk is residue of a PRIOR COMPLETED fold. An
+      // orphan marker — crash between the epilogue's sentinel delete and
+      // marker delete — must not be mistaken for an in-flight commit
+      // whose drops are owed (new dates may have appended since; the
+      // drop phase would discard them unfolded). Remove it.
+      if (fs.exists(marker)) fs.delete(marker, false)
+      // an existing label partition is that prior fold's COMMITTED
+      // output: a repeated label is a documented no-op — never the
+      // round-15 failure of dropping the completed generation because
+      // fresh appends pushed olds past the threshold
+      if (partitions(spark, table).contains(label)) return
+    }
     if (!fs.exists(marker)) {
       val old = olds()
-      // below the threshold: any existing `label` partition is a PRIOR
-      // COMPLETED fold (a fold only starts at the threshold and drops
-      // its olds only after the marker) — leave it alone
+      // below the threshold a fold never starts, so there is nothing to
+      // resume and nothing worth folding
       if (old.size < minOlds) return
-      // at/above the threshold with no marker ⇒ a `label` partition can
-      // only be an uncommitted partial write from a crashed fold — the
+      // resuming (preExisted) at/above the threshold with no marker ⇒ a
+      // `label` partition can only be the crashed fold's own uncommitted
+      // partial write (appends were sentinel-blocked throughout) — the
       // old partitions are intact and authoritative, so drop it and redo
       if (partitions(spark, table).contains(label))
         spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$label')")
@@ -620,6 +664,16 @@ object StoreMaintenance {
     // marker present ⇒ fold complete; finish (or resume) the drops
     olds().foreach(ds =>
       spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$ds')"))
+    // EPILOGUE ORDER is reader-load-bearing: the sentinel must go before
+    // the marker. Readers treat "sentinel present + marker absent" as
+    // "label uncommitted" — deleting the marker first (the round-15
+    // ordering) opened a window where the olds were already dropped and
+    // every serve read EMPTY (and a crash inside it made that state
+    // permanent until a same-label resume). With the sentinel gone first,
+    // readers see a quiescent store (olds dropped, label committed —
+    // scan-all is correct), and the worst crash leaves only an orphan
+    // marker, cleaned at the next same-label entry above.
+    fs.delete(pending, false)
     fs.delete(marker, false)
     ()
   }
@@ -663,8 +717,9 @@ object StoreMaintenance {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
     acquireLease(spark, store, maxAgeHours)
-    try withPendingSentinel(fs, root, label) {
-      foldPathBody(spark, label, foldable, minOlds, merge, root, fs)
+    try withPendingSentinel(fs, root, label) { preExisted =>
+      foldPathBody(spark, label, foldable, minOlds, merge, root, fs,
+        preExisted)
     } finally releaseLease(spark, store)
   }
 
@@ -672,7 +727,7 @@ object StoreMaintenance {
       foldable: String => Boolean, minOlds: Int,
       merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       root: org.apache.hadoop.fs.Path,
-      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, preExisted: Boolean): Unit = {
     val labelDir = new org.apache.hadoop.fs.Path(root, s"ds=$label")
     val marker = new org.apache.hadoop.fs.Path(root, s"_compact_${label}_done")
     val staging = new org.apache.hadoop.fs.Path(
@@ -685,13 +740,21 @@ object StoreMaintenance {
         p.getName.startsWith("ds=") && ds != label && foldable(ds)
       }.toSeq
 
+    if (!preExisted) {
+      // fresh invocation — no crashed fold to resume, so on-disk label
+      // state is a PRIOR COMPLETED fold's (see foldBody: the sentinel
+      // outlives marker and drops). Clean an orphan marker; a repeated
+      // label is a no-op, never a drop-and-redo over the committed dir.
+      if (fs.exists(marker)) fs.delete(marker, false)
+      if (fs.exists(labelDir)) { fs.delete(staging, true); return }
+    }
     if (!fs.exists(marker)) {
       val old = olds()
-      // below the threshold: an existing label dir is a prior COMPLETED
-      // fold — keep it (a fold only STARTS at the threshold)
+      // below the threshold a fold never starts — nothing to resume
       if (old.size < minOlds) { fs.delete(staging, true); return }
-      // at/above the threshold, no marker: a label dir can only be an
-      // uncommitted partial write from a crashed fold
+      // resuming at/above the threshold, no marker: a label dir can only
+      // be the crashed fold's own uncommitted write (the stage-rename
+      // landed but the marker didn't) — olds are intact, drop it and redo
       if (fs.exists(labelDir)) fs.delete(labelDir, true)
       fs.delete(staging, true)
       merge(spark.read.parquet(old.map(_.toString): _*))
@@ -703,6 +766,8 @@ object StoreMaintenance {
       fs.create(marker, true).close()
     }
     olds().foreach(fs.delete(_, true))
+    // sentinel BEFORE marker — the reader-ordering rule (see foldBody)
+    fs.delete(pendingFile(root.toString, label), false)
     fs.delete(marker, false)
     ()
   }
@@ -727,21 +792,25 @@ object StoreMaintenance {
   /** [[tombstone]] for MASS deletions — a whole-source/domain takedown
     * whose key set is CORPUS-scale (10⁸+ ids), where the broadcast
     * variant would OOM the driver and every executor. The anti-join is
-    * forced to a shuffled hash join (never broadcast, never a sort of
-    * the store side): both sides hash-partition on the key, so per-task
-    * build state is |tombstones|/shuffle-partitions — bounded by sizing
-    * partitions, like any shuffle. The per-date stores are bucketed on
-    * their delete key (postings on doc_id, codes/cells on id), so at
-    * cluster scale the store side's distribution is already satisfied
-    * and only the tombstone set moves. Same output as [[tombstone]] by
-    * construction (spec-pinned); callers choose by key-set size —
-    * takedown LISTS broadcast, takedown SOURCES shuffle. */
+    * forced to a SORT-MERGE join (never broadcast): both sides
+    * hash-partition on the key and SPILL under pressure — a shuffled-hash
+    * build of the key set is the exact shape the two-level pairing work
+    * measured OOM-aborting under the 4 GiB MemProbe ceiling
+    * ([[Similarity.bandedCandidatePairs]]'s merge-hint note), and a
+    * 10⁸-id build side under mis-sized partitions would hit the same
+    * wall; merge trades a (spillable) sort for that unbounded per-task
+    * build state. The per-date stores are bucketed AND sorted on their
+    * delete key (postings on doc_id, codes/cells on id), so at cluster
+    * scale the store side's distribution and ordering are already
+    * satisfied — only the tombstone set shuffles and sorts. Same output
+    * as [[tombstone]] by construction (spec-pinned); callers choose by
+    * key-set size — takedown LISTS broadcast, takedown SOURCES merge. */
   def tombstoneLarge(tombstones: org.apache.spark.sql.DataFrame,
       keyCol: String)
       : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
     val keys = tombstones
       .select(col(tombstones.columns.head).as(keyCol)).distinct()
-      .hint("shuffle_hash")
+      .hint("merge")
     df => df.join(keys, Seq(keyCol), "left_anti")
   }
 }

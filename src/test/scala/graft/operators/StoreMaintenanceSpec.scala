@@ -83,11 +83,20 @@ class StoreMaintenanceSpec extends SparkSpec {
         .localCheckpoint()
       // simulate a crash mid-fold: a PARTIAL consolidated partition (only
       // d0's rows) exists but the commit marker was never written — the
-      // old partitions are still intact and must stay authoritative
+      // old partitions are still intact and must stay authoritative. The
+      // crashed fold's pending sentinel is part of the crash state (it is
+      // planted before the fold's first effect): it is what tells the
+      // resume this label is a PARTIAL, not a prior completed fold.
       spark.table("smx_crash").filter(col("ds") === "d0").drop("ds")
         .withColumn("ds", lit("c_d1"))
         .write.mode("append").partitionBy("ds")
         .bucketBy(8, "term").sortBy("term").saveAsTable("smx_crash")
+      locally {
+        val fs0 = new org.apache.hadoop.fs.Path(tableLocation("smx_crash"))
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs0.create(StoreMaintenance.pendingFile(
+          tableLocation("smx_crash"), "c_d1"), true).close()
+      }
       StoreMaintenance.compact(spark, "smx_crash", "d1", merge = tfMerge)
       assert(partitionsOf("smx_crash") == Set("c_d1", "d2"))
       sameRows(IncrementalPostings.reportBucketed(spark, "smx_crash"), before,
@@ -251,9 +260,17 @@ class StoreMaintenanceSpec extends SparkSpec {
     // crash simulation: an UNCOMMITTED partial generation dir (a crashed
     // rewrite died after writing some rows, before its marker) — the old
     // partitions are intact and authoritative, the partial must be
-    // discarded, never merged or double-counted
+    // discarded, never merged or double-counted. The crashed fold's
+    // pending sentinel is part of the crash state (planted before its
+    // first effect) — without it, a label dir means a PRIOR COMPLETED
+    // fold and the re-run would correctly no-op instead.
     spark.read.parquet(s"$store/ds=d0")
       .write.mode("overwrite").parquet(s"$store/ds=r_g1")
+    locally {
+      val fs0 = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.create(StoreMaintenance.pendingFile(store, "r_g1"), true).close()
+    }
     val merge: DataFrame => DataFrame =
       _.groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
     StoreMaintenance.rewritePath(spark, store, "g1", merge)
@@ -384,6 +401,98 @@ class StoreMaintenanceSpec extends SparkSpec {
     // generation only (h=1 cnt 3, h=3 cnt 4 — never the doubled sums)
     assert(IncrementalSpans.dupHashes(spark, store)
       .as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("a repeated completed generation never discards the label — even after fresh appends push olds past the threshold") {
+    // the round-15 ADVICE medium: a replayed rewrite at an already-
+    // consumed gen (crash after completion, before an external ledger
+    // append) used to hit the 'label + no marker + olds >= minOlds =>
+    // partial write' rule once a NEW ingestion date had landed — and
+    // dropped the entire folded store. A label with no pending sentinel
+    // at entry is a PRIOR COMPLETED fold: the replay must be a no-op.
+    buildPostings("smx_replay")
+    try {
+      StoreMaintenance.rewrite(spark, "smx_replay", "g1", tfMerge)
+      assert(partitionsOf("smx_replay") == Set("r_g1"))
+      val folded = spark.table("smx_replay").localCheckpoint()
+      // a fresh ingestion date lands AFTER the completed rewrite
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "smx_replay", "d9")
+      val appended = spark.table("smx_replay")
+        .filter(col("ds") === "d9").localCheckpoint()
+      // the at-least-once replay of the SAME gen: a no-op, never a drop
+      StoreMaintenance.rewrite(spark, "smx_replay", "g1", tfMerge)
+      assert(partitionsOf("smx_replay") == Set("r_g1", "d9"),
+        "the replay must preserve both the completed label and the new date")
+      sameRows(spark.table("smx_replay").filter(col("ds") === "r_g1"),
+        folded.filter(col("ds") === "r_g1"),
+        "the completed generation's rows must be untouched")
+      sameRows(spark.table("smx_replay").filter(col("ds") === "d9"), appended,
+        "the fresh date's rows must be untouched (never folded by a replay)")
+    } finally spark.sql("DROP TABLE IF EXISTS smx_replay")
+    // same-horizon COMPACT replay after completion + fresh PRE-horizon
+    // appends: the consolidated label survives (same discriminator); the
+    // fresh dates stay unfolded until a LATER-horizon compact (documented
+    // — a repeated completed compact is a no-op, never a drop-and-refold)
+    buildPostings("smx_replay_c")
+    try {
+      StoreMaintenance.compact(spark, "smx_replay_c", "d1", merge = tfMerge)
+      assert(partitionsOf("smx_replay_c") == Set("c_d1", "d2"))
+      val before = IncrementalPostings.reportBucketed(spark, "smx_replay_c")
+        .localCheckpoint()
+      // two fresh dates BELOW the horizon land after the completed fold
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 1), "smx_replay_c", "d0a")
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 2), "smx_replay_c", "d0b")
+      StoreMaintenance.compact(spark, "smx_replay_c", "d1", merge = tfMerge)
+      assert(partitionsOf("smx_replay_c") == Set("c_d1", "d0a", "d0b", "d2"),
+        "a repeated same-horizon compact must no-op, never eat c_d1 or the fresh dates")
+      // a LATER horizon folds everything; tf mass is conserved exactly
+      val massBefore = spark.table("smx_replay_c")
+        .agg(sum(col("tf"))).head().getLong(0)
+      StoreMaintenance.compact(spark, "smx_replay_c", "d2", merge = tfMerge)
+      assert(partitionsOf("smx_replay_c") == Set("c_d2"))
+      assert(spark.table("smx_replay_c").agg(sum(col("tf"))).head().getLong(0)
+        == massBefore, "the later-horizon fold must conserve the tf mass")
+      assert(before.count() > 0) // the pre-replay report was non-trivial
+    } finally spark.sql("DROP TABLE IF EXISTS smx_replay_c")
+  }
+
+  test("fold epilogue clears the sentinel before the marker: the post-drop window reads full, and an orphan marker is healed") {
+    // the round-15 ADVICE high: the old epilogue deleted the marker
+    // first, so a reader in the window (or after a crash inside it) saw
+    // 'sentinel present + marker absent' => excluded the label — whose
+    // olds were already dropped => served EMPTY. With the sentinel gone
+    // first, the worst crash leaves only an orphan marker; readers see a
+    // quiescent store and the next same-label entry cleans the marker
+    // without owing (or performing) any drops.
+    buildPostings("smx_orphan")
+    try {
+      val before = IncrementalPostings.reportBucketed(spark, "smx_orphan")
+        .localCheckpoint()
+      StoreMaintenance.rewrite(spark, "smx_orphan", "g1", tfMerge)
+      val loc = tableLocation("smx_orphan")
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // crash state: drops done, sentinel deleted, marker delete lost
+      val marker = new org.apache.hadoop.fs.Path(loc, "_compact_r_g1_done")
+      fs.create(marker, true).close()
+      assert(!fs.exists(StoreMaintenance.pendingFile(loc, "r_g1")))
+      // (a) readers see a quiescent store — full content, never empty
+      sameRows(IncrementalPostings.reportBucketed(spark, "smx_orphan"),
+        before, "the orphan-marker window must read the full store")
+      // (b) appends are not blocked (no sentinel), and
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "smx_orphan", "d9")
+      // (c) the same-label re-entry heals the orphan without dropping the
+      // fresh date (the old marker-present path would have dropped d9
+      // unfolded — data loss through the recovery path)
+      StoreMaintenance.rewrite(spark, "smx_orphan", "g1", tfMerge)
+      assert(!fs.exists(marker), "the orphan marker must be cleaned")
+      assert(partitionsOf("smx_orphan") == Set("r_g1", "d9"),
+        "healing must preserve the completed label AND the fresh date")
+    } finally spark.sql("DROP TABLE IF EXISTS smx_orphan")
   }
 
   test("the FIRST append to a brand-new table is serialized by the init lease") {
