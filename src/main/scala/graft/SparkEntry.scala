@@ -197,6 +197,8 @@ object SparkEntry {
     "q176_maxsim_plaid_recall" -> (TextQueries.q176MaxSimPlaidRecall _),
     "q177_source_takedown" -> (Quality.q177SourceTakedown _),
     "q178_incremental_semantic" -> (TextQueries.q178IncrementalSemantic _),
+    "q179_incr_semantic_two_level" ->
+      (TextQueries.q179IncrementalSemanticTwoLevel _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3389,6 +3391,12 @@ object SparkEntry {
     // all-pairs join over the augmented table (q93's gate): incremental
     // == batch == exact, each pair once
     "q178_incremental_semantic" -> cosineNearDupSql(0.9, "aug", q93AugCte),
+
+    // q179: the incremental semantic store with FORCED two-level
+    // engagement frozen at init (the q174 convention applied to the
+    // store) — the same exact all-pairs gate: green = recall 1.0 for
+    // the composite-key store path, each pair exactly once
+    "q179_incr_semantic_two_level" -> cosineNearDupSql(0.9, "aug", q93AugCte),
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

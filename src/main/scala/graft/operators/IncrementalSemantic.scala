@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental SEMANTIC (embedding) near-dup store — the
@@ -16,66 +16,124 @@ import org.apache.spark.sql.functions._
   * verification reads the store, never the source corpus.
   *
   * Store layout per base name `t`:
-  *  - `t_cfg` — the FROZEN banding model (nPlanes, r, dim): band hashes
-  *    must be comparable across dates, so the width law is applied ONCE
-  *    at init against the HORIZON corpus size (the frozen-quantizer
-  *    rule; the batch path's plan-time self-sizing would silently change
-  *    r as the store grows and orphan every earlier date's hashes);
-  *  - `t_bands` — (band, bh, id) per date, BUCKETED ON (band, bh): the
-  *    new-day × store candidate join reads both sides bucket-aligned
-  *    with zero exchanges (the [[IncrementalDedup.newPairsBucketed]]
-  *    property);
+  *  - `t_cfg` — the FROZEN banding model (nPlanes, r, dim, levels): band
+  *    hashes must be comparable across dates, so the width law AND the
+  *    two-level engagement law are applied ONCE at init against the
+  *    HORIZON corpus size (the frozen-quantizer rule; the batch path's
+  *    plan-time self-sizing would silently change r — or engage the
+  *    second level — as the store grows and orphan every earlier date's
+  *    hashes);
+  *  - `t_bands` — per date, BUCKETED ON the full band key: single-level
+  *    (band, bh, id) bucketed on (band, bh); TWO-LEVEL (levels = 2) the
+  *    b² composite rows (band1, bh1, band2, bh2, id) bucketed on all
+  *    four key columns — either way the new-day × store candidate join
+  *    reads both sides bucket-aligned with zero exchanges (the
+  *    [[IncrementalDedup.newPairsBucketed]] property);
   *  - `t_vecs` — (id, e, n) per date, BUCKETED ON id: exact-cosine
   *    verification gathers both endpoints of the (banded, sub-quadratic)
   *    candidate stream from here; the vector table itself never
   *    reshuffles — only candidate-mass-sized key streams move.
   *
+  * TWO-LEVEL FREEZE (the round-15 gap, closed): a store exists precisely
+  * for 100 TB horizons, and at `horizonRows ≥ 2^21` single-level banding
+  * with r clamped at 16 re-enters the quadratic candidate regime the
+  * batch path escapes through [[Similarity.twoLevelEngaged]] — so
+  * [[initModel]] applies the SAME engagement law to the horizon size and
+  * freezes `levels` alongside `r`. Explicitly forcing single-level at or
+  * above the threshold is REFUSED (not warned): the frozen config cannot
+  * re-decide later, and a silent single-level store at that horizon is a
+  * capacity bug, not a preference. The two-level store's daily join is
+  * one equi-join on the b² composite keys — candidate mass
+  * b²·N²/2^(2r+1), the [[Similarity.bandedCandidatePairs]] analysis
+  * verbatim — and stays bucket-aligned/exchange-free because both sides
+  * carry the same four-column bucket spec.
+  *
   * Band hashes are a pure per-row function of (vector, frozen config),
   * so the union of per-date [[newPairs]] outputs equals the one-shot
   * batch [[Similarity.cosineNearDupBanded]] pairs over the union corpus
-  * with the same width (spec-pinned; oracle-gated as q178 against the
-  * EXACT all-pairs SQL — a green hash is recall = 1.0 for the
-  * incremental path). Deletion propagates through the shared contract
-  * ([[deleteIds]]); a re-run date drops its partitions first
-  * ([[dropDate]]). `nBuckets` is fixed for the table's life. */
+  * with the same width and levels (spec-pinned; oracle-gated as q178 —
+  * and with forced engagement as q179 — against the EXACT all-pairs
+  * SQL: a green hash is recall = 1.0 for the incremental path). Deletion
+  * propagates through the shared contract ([[deleteIds]]); a re-run date
+  * drops its partitions first ([[dropDate]]). `nBuckets` is fixed for
+  * the table's life. */
 object IncrementalSemantic {
 
-  /** Freeze the banding model: r from the width law at the HORIZON
-    * corpus size (pass the size the store is expected to reach — at
-    * 100 TB that is a capacity-planning number, not a measurement), dim
-    * probed from the initial slice. Overwrite = re-init is a new store. */
+  /** Freeze the banding model: r from the width law and `levels` from
+    * the two-level engagement law, BOTH at the HORIZON corpus size (pass
+    * the size the store is expected to reach — at 100 TB that is a
+    * capacity-planning number, not a measurement); dim probed from the
+    * initial slice. `twoLevel` follows [[Similarity.twoLevelEngaged]]'s
+    * override semantics, except that forcing single-level at a horizon
+    * at/above [[Similarity.TwoLevelMinRows]] is refused — the frozen
+    * config would lock the store into the quadratic candidate regime it
+    * exists to escape. Overwrite = re-init is a new store. */
   def initModel(initial: DataFrame, table: String, horizonRows: Long,
-      nPlanes: Int = 128, vecCol: String = "embedding"): Unit = {
+      nPlanes: Int = 128, vecCol: String = "embedding",
+      twoLevel: Option[Boolean] = None): Unit = {
     val spark = initial.sparkSession
     import spark.implicits._
     val r = Similarity.derivedRowsPerBand(horizonRows, nPlanes)
-    Seq((nPlanes, r, Similarity.vectorDim(initial, vecCol)))
-      .toDF("nPlanes", "r", "dim")
+    val levels =
+      if (Similarity.twoLevelEngaged(horizonRows, None, twoLevel)) 2 else 1
+    require(levels == 2 || horizonRows < Similarity.TwoLevelMinRows,
+      s"single-level refused: horizonRows = $horizonRows is at/above the " +
+        s"two-level engagement threshold (${Similarity.TwoLevelMinRows}) — " +
+        "a frozen single-level config at that horizon re-enters the " +
+        "quadratic candidate regime (mass ~ b*N^2/2^17 at the r=16 clamp); "
+        + "drop the twoLevel override or lower the horizon")
+    Seq((nPlanes, r, Similarity.vectorDim(initial, vecCol), levels))
+      .toDF("nPlanes", "r", "dim", "levels")
       .write.mode("overwrite").saveAsTable(s"${table}_cfg")
   }
 
-  private def cfg(spark: SparkSession, table: String): (Int, Int, Int) = {
+  private def cfg(spark: SparkSession, table: String): (Int, Int, Int, Int) = {
     // bounded metadata read: the 1-row frozen banding config
     val row = spark.table(s"${table}_cfg").head()
-    (row.getInt(0), row.getInt(1), row.getInt(2))
+    (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3))
+  }
+
+  /** The frozen band-key columns: the join/bucket key set the store's
+    * daily join aligns on — (band, bh) single-level, the four composite
+    * columns two-level. */
+  private def keyCols(levels: Int): Seq[String] =
+    if (levels == 2) Seq("band1", "bh1", "band2", "bh2") else Seq("band", "bh")
+
+  /** One date's band rows under the frozen config — the construction
+    * [[Similarity.bandedCandidatePairs]] uses, keyed by the store's
+    * frozen levels. */
+  private def bandRows(emb: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, r: Int, dim: Int, levels: Int): DataFrame = {
+    def hashArr(l: Int): Column =
+      Similarity.hyperplaneBandHashes(col(vecCol), nPlanes, r, l, dim)
+    if (levels == 2)
+      // b² composite keys per row (two chained generators), exactly the
+      // batch engaged branch — a LINEAR row explosion that buys the
+      // 2^r/b candidate-mass cut on every later daily join
+      emb.select(col(idCol).as("id"), hashArr(0).as("h1"), hashArr(1).as("h2"))
+        .select(col("id"), posexplode(col("h1")).as(Seq("band1", "bh1")),
+          col("h2"))
+        .select(col("id"), col("band1"), col("bh1"),
+          posexplode(col("h2")).as(Seq("band2", "bh2")))
+        .select(col("band1"), col("bh1"), col("band2"), col("bh2"), col("id"))
+    else
+      emb.select(col(idCol).as("id"),
+          posexplode(hashArr(0)).as(Seq("band", "bh")))
+        .select(col("band"), col("bh"), col("id"))
   }
 
   /** Hash one date's embeddings against the frozen config and append:
-    * band rows to the (band, bh)-bucketed table, (id, vector, norm) rows
-    * to the id-bucketed table. The expensive work (nPlanes sign dots per
-    * vector) happens here once per row, ever. */
+    * band rows to the band-key-bucketed table, (id, vector, norm) rows
+    * to the id-bucketed table. The expensive work (levels·nPlanes sign
+    * dots per vector) happens here once per row, ever. */
   def appendDate(emb: DataFrame, table: String, date: String,
       nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    val (nPlanes, r, dim) = cfg(spark, table)
+    val (nPlanes, r, dim, levels) = cfg(spark, table)
     IncrementalStore.appendBucketed(
-      emb.select(col(idCol).as("id"),
-          posexplode(Similarity.hyperplaneBandHashes(
-            col(vecCol), nPlanes, r, level = 0, maxDim = dim))
-            .as(Seq("band", "bh")))
-        .select(col("band"), col("bh"), col("id")),
-      s"${table}_bands", date, Seq("band", "bh"), nBuckets)
+      bandRows(emb, idCol, vecCol, nPlanes, r, dim, levels),
+      s"${table}_bands", date, keyCols(levels), nBuckets)
     IncrementalStore.appendBucketed(
       emb.select(col(idCol).as("id"), col(vecCol).as("e"),
         Similarity.norm(col(vecCol)).as("n")),
@@ -83,19 +141,22 @@ object IncrementalSemantic {
   }
 
   /** Exact-cosine near-dup pairs INVOLVING date `date`: the new day's
-    * band rows join the accumulated store on (band, bh) — exchange-free,
-    * both sides bucket-aligned — and the candidate stream (banded,
-    * sub-quadratic) is verified by exact cosine from the vector table.
-    * Emits (a_id, b_id, cosine) with a_id < b_id, each unordered pair
-    * once; the union over every ingested date is the full batch pair
-    * set (each pair surfaces when its LATER endpoint arrives). */
+    * band rows join the accumulated store on the frozen band key —
+    * exchange-free, both sides bucket-aligned — and the candidate stream
+    * (banded, sub-quadratic; two-level when frozen so) is verified by
+    * exact cosine from the vector table. Emits (a_id, b_id, cosine) with
+    * a_id < b_id, each unordered pair once; the union over every
+    * ingested date is the full batch pair set (each pair surfaces when
+    * its LATER endpoint arrives). */
   def newPairs(spark: SparkSession, table: String, date: String,
       threshold: Double = 0.9): DataFrame = {
+    val (_, _, _, levels) = cfg(spark, table)
     val bands = IncrementalStore.consistentScan(spark, s"${table}_bands")
     val fresh = bands.filter(col("ds") === date)
-    val candidates = fresh.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") =!= col("y.id"))
+    val joinCond = keyCols(levels)
+      .map(k => col(s"x.$k") === col(s"y.$k"))
+      .reduce(_ && _) && col("x.id") =!= col("y.id")
+    val candidates = fresh.as("x").join(bands.as("y"), joinCond)
       .select(least(col("x.id"), col("y.id")).as("a_id"),
         greatest(col("x.id"), col("y.id")).as("b_id"))
       .distinct()

@@ -76,6 +76,69 @@ class IncrementalSemanticSpec extends SparkSpec {
     } finally dropStore("ism_plan")
   }
 
+  test("frozen two-level config: forced engagement serves incremental == batch two-level == exact, each pair once") {
+    val df = fixture
+    dropStore("ism_two")
+    try {
+      IncrementalSemantic.initModel(
+        df.filter(col("vec_id") % 3 === 0), "ism_two",
+        horizonRows = df.count(), twoLevel = Some(true))
+      // the frozen config records BOTH laws' outputs
+      val cfg = spark.table("ism_two_cfg").head()
+      assert(cfg.getInt(3) == 2, "levels must freeze at 2 under forcing")
+      val union = (0 until 3).map { d =>
+        IncrementalSemantic.appendDate(
+          df.filter(col("vec_id") % 3 === d), "ism_two", s"d$d")
+        IncrementalSemantic.newPairs(spark, "ism_two", s"d$d", 0.95)
+          .localCheckpoint()
+      }.reduce(_ unionAll _)
+      val exact = Similarity.cosineNearDup(df, 0.95)
+      sameRows(union, exact,
+        "two-level store reports must union to the exact pair set (recall 1.0)")
+      assert(union.groupBy("a_id", "b_id").count()
+        .filter(col("count") > 1).isEmpty, "each pair exactly once")
+      sameRows(union,
+        Similarity.cosineNearDupBanded(df, 0.95, twoLevel = Some(true)),
+        "store union must equal the one-shot two-level batch run")
+      // the composite store's daily join is still exchange-free on both
+      // bucket-aligned sides (the single-level plan property, re-pinned
+      // on the four-column key)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = IncrementalSemantic.newPairs(spark, "ism_two", "d0", 0.95)
+          .queryExecution.executedPlan.toString
+        val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(n <= 3, s"composite store tables must not reshuffle ($n):\n" +
+          plan.take(3000))
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally dropStore("ism_two")
+  }
+
+  test("initModel freezes the engagement law at the horizon size and refuses forced single-level above it") {
+    val df = fixture
+    dropStore("ism_law")
+    try {
+      // auto-engagement at a 100 TB-ish horizon: levels freeze at 2
+      IncrementalSemantic.initModel(df, "ism_law",
+        horizonRows = Similarity.TwoLevelMinRows)
+      assert(spark.table("ism_law_cfg").head().getInt(3) == 2,
+        "horizon at the threshold must freeze two-level")
+      // below the threshold: single-level (local corpora stay cheap)
+      IncrementalSemantic.initModel(df, "ism_law", horizonRows = 200L)
+      assert(spark.table("ism_law_cfg").head().getInt(3) == 1,
+        "a small horizon must freeze single-level")
+      // forcing single-level AT/ABOVE the threshold is refused — the
+      // frozen config would lock the store into the quadratic regime
+      val ex = intercept[IllegalArgumentException] {
+        IncrementalSemantic.initModel(df, "ism_law",
+          horizonRows = Similarity.TwoLevelMinRows, twoLevel = Some(false))
+      }
+      assert(ex.getMessage.contains("single-level refused"), ex.getMessage)
+    } finally dropStore("ism_law")
+  }
+
   test("deletion propagates: a tombstoned vector never surfaces again; ingestion continues") {
     import spark.implicits._
     val df = fixture
