@@ -553,19 +553,22 @@ object SparkEntry {
        |  FROM ${p}msc)""".stripMargin
 
   /** PLAID (q175/q176) CTEs through the per-token cosines `pcos` OVER
-    * RECONSTRUCTIONS: the q171 per-token IVF nomination (`mnomc`), the
+    * RECONSTRUCTIONS — compressed END TO END since round 16: the
     * d0-frozen SQ8 grid + saturated encode + reconstruction
-    * ([[sqRecCtes]]), exact query-token components against reconstructed
-    * candidate-token components (round-12 DECIMAL dots and candidate
-    * norms — the q152 convention; query norms stay the float-corpus
-    * `n`). Requires [[embNormCte]] and [[fnvMapCte]] in the same
-    * statement. */
+    * ([[sqRecCtes]]) feeds BOTH stages — the per-token IVF nomination
+    * scores its probed candidates from reconstructions
+    * ([[ivfDetRecTail]] — the engine's float cell vectors never enter
+    * the serve), and the exact-query × reconstructed-candidate re-rank
+    * (round-12 DECIMAL dots and candidate norms — the q152 convention;
+    * query norms stay the float-corpus `n`). Requires [[embNormCte]]
+    * and [[fnvMapCte]] in the same statement. */
   private def maxSimPlaidCtes: String =
-    s"""${ivfDetCtesFit("vec_id % 3 = 0", "TRUE", qWhere = "id < 24")},
+    s"""${sqRecCtes("TRUE")},
+       |${ivfDetCandCtes("vec_id % 3 = 0", "TRUE", qWhere = "id < 24")},
+       |$ivfDetRecTail,
        |mnomc AS (
        |  SELECT DISTINCT qid // 8 AS qdoc, cid // 8 AS cdoc
        |  FROM vs WHERE rank <= 8 AND qid // 8 <> cid // 8),
-       |${sqRecCtes("TRUE")},
        |ptokq AS (
        |  SELECT vec_id // 8 AS qdoc, CAST(vec_id % 8 AS INT) AS qpos,
        |    vec_id AS qvid, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS qx
@@ -714,7 +717,13 @@ object SparkEntry {
     * per [[pqAdcCtesFit]]'s note. `qWhere` (a predicate over `id`)
     * selects the QUERY vectors — default the q133 convention (the first
     * 10 ids); q171 probes per query TOKEN (the first 24). */
-  private def ivfDetCtesFit(fitWhere: String,
+  /** The deterministic-IVF pipeline UP TO the probed candidate pairs
+    * `vcand` (qid, cid): quantizer fit on the `fitWhere` slice (hash-
+    * least seeding + one Lloyd round), full assignment, per-query top-6
+    * probe, candidate gather. Shared by the float-scored tail
+    * ([[ivfDetCtesFit]]) and the PLAID reconstructed-scored tail
+    * ([[ivfDetRecTail]]). */
+  private def ivfDetCandCtes(fitWhere: String,
       candWhere: String = "TRUE", adim: Int = 64,
       qWhere: String = "id < 10"): String =
     s"""vfit AS (
@@ -763,7 +772,15 @@ object SparkEntry {
        |vcand AS (
        |  SELECT p.qid, a.id AS cid
        |  FROM vprobes p JOIN va1 a ON a.cid = p.cid AND a.id <> p.qid
-       |  WHERE $candWhere),
+       |  WHERE $candWhere)""".stripMargin
+
+  /** [[ivfDetCandCtes]] plus the FLOAT-scored ranked tail `vs` — the
+    * q133-family serve the engine's [[graft.operators.IncrementalVectors
+    * .ivfSearch]] replays. */
+  private def ivfDetCtesFit(fitWhere: String,
+      candWhere: String = "TRUE", adim: Int = 64,
+      qWhere: String = "id < 10"): String =
+    s"""${ivfDetCandCtes(fitWhere, candWhere, adim, qWhere)},
        |vd AS (
        |  SELECT qid, cid, SUM(qx*cx) AS dot FROM (
        |    SELECT vcand.qid, vcand.cid,
@@ -777,6 +794,32 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
        |  FROM vd JOIN n nq ON qid = nq.vec_id JOIN n nc ON cid = nc.vec_id)""".stripMargin
+
+  /** The RECONSTRUCTED-scored ranked tail `vs` over [[ivfDetCandCtes]]'s
+    * candidates — the compressed nomination the engine's
+    * [[graft.operators.IncrementalVectors.ivfSearchReconstructed]]
+    * replays: candidate components come from `sqrec` (the SQ8
+    * reconstruction — [[sqRecCtes]] must precede), the dot is the
+    * round-12 DECIMAL sum, the candidate norm is reconstructed, the
+    * query side stays exact float. */
+  private def ivfDetRecTail: String =
+    s"""vcnr AS (
+       |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
+       |    AS DOUBLE)) AS cn
+       |  FROM sqrec JOIN (SELECT DISTINCT cid AS id FROM vcand) USING (id)
+       |  GROUP BY id),
+       |vdr AS (
+       |  SELECT vcand.qid, vcand.cid,
+       |    CAST(SUM(CAST(ROUND(q.x * r.xh, 12) AS DECIMAL(28,12))) AS DOUBLE)
+       |      AS dot
+       |  FROM vcand JOIN sqrec r ON r.id = vcand.cid
+       |             JOIN vdims q ON q.id = vcand.qid AND q.dim = r.dim
+       |  GROUP BY 1, 2),
+       |vs AS (
+       |  SELECT qid, cid, ROUND(dot / (nq.nrm * vcnr.cn), 6) AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY ROUND(dot / (nq.nrm * vcnr.cn), 6) DESC, cid) AS rank
+       |  FROM vdr JOIN n nq ON qid = nq.vec_id JOIN vcnr ON cid = vcnr.id)""".stripMargin
 
   /** q127 — ANN recall@k audit: one statement composing the brute-force
     * ground truth, the LSH pipeline, the PQ-ADC pipeline, AND the

@@ -464,10 +464,15 @@ object IncrementalVectors {
     }
   }
 
-  def ivfSearch(spark: SparkSession, table: String, queries: DataFrame,
-      kNeighbors: Int = 3, nProbe: Int = 6, idCol: String = "vec_id",
-      vecCol: String = "embedding", upTo: Option[String] = None,
-      allowed: Option[DataFrame] = None): DataFrame = {
+  /** The probe stage shared by [[ivfSearch]] and
+    * [[ivfSearchReconstructed]]: each query's `nProbe` nearest live
+    * centroids (exact decimal d2, ties by cell), expanded through the
+    * hot-cell split map when present, plus the driver-side probed-cell
+    * literal list that lets the bucketed cell scan prune at the source.
+    * Bounded: |queries|·nProbe (× children) rows, collect of ints. */
+  private def probeStage(spark: SparkSession, table: String,
+      queries: DataFrame, nProbe: Int, idCol: String, vecCol: String)
+      : (DataFrame, Seq[Int]) = {
     val centroids = liveCentroids(spark, table)
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     val parentProbes = KMeans.cellDistances(
@@ -490,7 +495,16 @@ object IncrementalVectors {
     // is what lets the bucketed scan PRUNE — a join could co-locate but
     // never skip unprobed buckets at the source
     val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+      .collect().map(_.getInt(0)).sorted.toSeq
+    (probes, probedCells)
+  }
+
+  def ivfSearch(spark: SparkSession, table: String, queries: DataFrame,
+      kNeighbors: Int = 3, nProbe: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding", upTo: Option[String] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val (probes, probedCells) =
+      probeStage(spark, table, queries, nProbe, idCol, vecCol)
     // filtered serve ([[IncrementalStore.allowFilter]]): the allow-list
     // restricts the CANDIDATES after the bucket prune but before any dot
     // product is paid — probe economics and the filter compose
@@ -503,6 +517,67 @@ object IncrementalVectors {
         col("qid") =!= col("id") && probes("cell") === store("cell"))
       .withColumn("cosine",
         round(Similarity.dot(col("qe"), col("e")) / (col("qn") * col("n")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("qid"), col("rank").cast("bigint").as("rank"),
+        col("id").as("cid"), col("cosine"))
+  }
+
+  /** [[ivfSearch]] with candidate scoring over RECONSTRUCTED vectors —
+    * the nomination stage a COMPRESSED serving fleet actually runs
+    * (PLAID, Santhanam et al. CIKM'22): the float token vectors never
+    * need to be resident, so the serve reads the cell store for its
+    * MEMBERSHIP only (columns `cell`, `id` — column pruning keeps the
+    * inline float `e`/`n` columns out of the scan, spec-asserted) and
+    * scores each candidate from `recon`, the SQ8 reconstruction row form
+    * `(id, dim, xh)` ([[SQ.reconstruct]] over the persisted uint8 code
+    * store — 4× smaller resident state than the float cells). Queries
+    * stay exact ([[IncrementalSQ.search]]'s asymmetric convention):
+    * probe ranking is [[ivfSearch]]'s exact decimal centroid d2; the
+    * candidate cosine is the round-12 DECIMAL dot of exact query
+    * components × reconstructed components over the reconstructed
+    * candidate norm, rounded to 6, ties by id — fully SQL-replayable.
+    *
+    * Scale shape: the probe stage is [[ivfSearch]]'s (bounded probes,
+    * bucket-pruned membership scan); the candidate (qid, id) set is
+    * |Q|·(probed membership)-bounded and broadcast; `recon` is semi-
+    * joined down to candidate ids BEFORE any arithmetic, so the dot
+    * aggregate is candidate-bounded, never store-sized. */
+  def ivfSearchReconstructed(spark: SparkSession, table: String,
+      queries: DataFrame, recon: DataFrame, kNeighbors: Int = 3,
+      nProbe: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding", upTo: Option[String] = None,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val (probes, probedCells) =
+      probeStage(spark, table, queries, nProbe, idCol, vecCol)
+    // MEMBERSHIP only: cell + id — never the inline float vector/norm
+    val members = allowFilter(asOf(
+        IncrementalStore.consistentScan(spark, s"${table}_cells"), upTo)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .select(col("cell"), col("id")), allowed)
+    val cand = broadcast(probes).join(members,
+        probes("cell") === members("cell") && col("qid") =!= col("id"))
+      .select(col("qid"), col("id"))
+    // candidate-gathered reconstructions: semi-join before arithmetic
+    val rcand = recon.join(broadcast(cand.select(col("id")).distinct()),
+      Seq("id"))
+    val cn = rcand.groupBy(col("id"))
+      .agg(sqrt(sum(round(col("xh") * col("xh"), 12).cast("decimal(28,12)"))
+        .cast("double")).as("cn"))
+    val q = queries.select(col(idCol).as("qid"),
+        Similarity.norm(col(vecCol)).as("qn"),
+        posexplode(col(vecCol)).as(Seq("dim", "qx")))
+      .select(col("qid"), col("qn"), col("dim"),
+        col("qx").cast("double").as("qx"))
+    val dots = rcand.join(broadcast(cand), Seq("id"))
+      .join(broadcast(q), Seq("qid", "dim"))
+      .groupBy(col("qid"), col("qn"), col("id"))
+      .agg(sum(round(col("qx") * col("xh"), 12).cast("decimal(28,12)"))
+        .cast("double").as("dot"))
+    val scored = dots.join(broadcast(cn), Seq("id"))
+      .withColumn("cosine", round(col("dot") / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1524,25 +1524,32 @@ object TextQueries {
     base
   }
 
-  /** The q175/q176 PLAID serving stack: q171's per-token IVF nomination
-    * (float vector store, frozen d0 models, top-8), then the exact
-    * MaxSim re-rank gathered from SQ8-RECONSTRUCTED token vectors
+  /** The q175/q176 PLAID serving stack — COMPRESSED END TO END: per-token
+    * IVF nomination through the persisted index's centroids + cell
+    * MEMBERSHIP with candidates scored from SQ8 reconstructions
+    * ([[graft.operators.IncrementalVectors.ivfSearchReconstructed]] —
+    * the serve never reads the cell store's float vector columns,
+    * spec-asserted in LateInteractionSpec), then the exact MaxSim
+    * re-rank gathered from the SAME reconstructions
     * ([[graft.operators.LateInteraction.rerankReconstructed]]) — queries
-    * stay exact float. */
+    * stay exact float at both stages. Resident serve state = centroids
+    * (model-sized) + (cell, id) membership + uint8 codes: the actual
+    * PLAID memory claim (4× cut on the vector payload), not just a
+    * compressed re-rank behind a float nomination. */
   private def maxSimPlaidServe(s: SparkSession, dir: String): DataFrame = {
     val vecBase = memoVectorStore(s, dir)
     val sqBase = memoSqStore(s, dir)
     val emb = Tables.load(s, dir, "embeddings")
-    val nom = graft.operators.IncrementalVectors
-      .ivfSearch(s, vecBase, emb.filter(col("vec_id") < 24), kNeighbors = 8)
+    val recon = graft.operators.SQ.reconstruct(
+      s.table(s"${sqBase}_codes").select(col("id"), col("dim"), col("code")),
+      s.table(s"${sqBase}_grid"))
+    val nom = graft.operators.IncrementalVectors.ivfSearchReconstructed(
+      s, vecBase, emb.filter(col("vec_id") < 24), recon, kNeighbors = 8)
     val cand = nom.select(expr("qid div 8").as("qdoc"),
         expr("cid div 8").as("cdoc"))
       .filter(col("qdoc") =!= col("cdoc")).distinct()
     val qtok = graft.operators.LateInteraction.tokenView(emb)
       .filter(col("doc") < 3)
-    val recon = graft.operators.SQ.reconstruct(
-      s.table(s"${sqBase}_codes").select(col("id"), col("dim"), col("code")),
-      s.table(s"${sqBase}_grid"))
     graft.operators.LateInteraction.rerankReconstructed(recon, qtok, cand)
   }
 

@@ -436,6 +436,42 @@ class IncrementalVectorsSpec extends SparkSpec {
     } finally { dropStore("ivs_split"); dropStore("ivs_ref") }
   }
 
+  test("compressed nomination never reads the cell store's float columns; candidates equal the float path's") {
+    dropStore("ivs_rec")
+    try {
+      IncrementalVectors.initModel(emb, "ivs_rec")
+      IncrementalVectors.appendDate(emb, "ivs_rec", "d0")
+      // the compressed feed: SQ8 reconstructions of the same corpus
+      val grid = SQ.stats(emb)
+      val recon = SQ.reconstruct(SQ.encode(emb, grid), grid).localCheckpoint()
+      val df = IncrementalVectors.ivfSearchReconstructed(
+        spark, "ivs_rec", queries, recon, kNeighbors = 8)
+      // THE PLAID claim, plan-pinned: the cells table is read for its
+      // MEMBERSHIP only — the scan's output schema must be (cell, id)
+      // (+ the ds partition column), never the inline float e/n columns
+      // (string-matched: AQE wraps the tree, hiding scans from collect)
+      val planStr = df.queryExecution.executedPlan.toString
+      val cellScans = "ivs_rec_cells\\[([^\\]]*)\\]".r
+        .findAllMatchIn(planStr).map(_.group(1)).toSeq
+      assert(cellScans.nonEmpty,
+        s"the membership scan must hit the cell store:\n${planStr.take(2000)}")
+      cellScans.foreach { cols =>
+        assert(!cols.matches(".*\\be#.*") && !cols.matches(".*\\bn#.*"),
+          s"compressed nomination must not read float cell columns: $cols")
+      }
+      // shared probe/candidate machinery: with k past the candidate count
+      // both paths return exactly the probed membership — same (qid, cid)
+      // SET (scores differ by reconstruction error; candidates must not)
+      val all = 1000000
+      sameRows(
+        IncrementalVectors.ivfSearchReconstructed(spark, "ivs_rec", queries,
+          recon, kNeighbors = all).select("qid", "cid"),
+        IncrementalVectors.ivfSearch(spark, "ivs_rec", queries,
+          kNeighbors = all).select("qid", "cid"),
+        "compressed and float nomination must score the same candidate set")
+    } finally dropStore("ivs_rec")
+  }
+
   test("ADC never reshuffles the code store; IVF scan prunes to probed buckets") {
     dropStore("ivs_plan")
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
