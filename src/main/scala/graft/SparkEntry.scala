@@ -199,6 +199,7 @@ object SparkEntry {
     "q178_incremental_semantic" -> (TextQueries.q178IncrementalSemantic _),
     "q179_incr_semantic_two_level" ->
       (TextQueries.q179IncrementalSemanticTwoLevel _),
+    "q180_semantic_band_drift" -> (TextQueries.q180SemanticBandDrift _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -820,6 +821,59 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY ROUND(dot / (nq.nrm * vcnr.cn), 6) DESC, cid) AS rank
        |  FROM vdr JOIN n nq ON qid = nq.vec_id JOIN vcnr ON cid = vcnr.id)""".stripMargin
+
+  /** q180 — the semantic store's banding-drift PSI replay: the store's
+    * frozen level-0 hyperplanes as literals (32 planes × 64 dims,
+    * r = 10 from the explicit 1000-row horizon ⇒ 3 bands over planes
+    * 0..29), per-(vec_id, band) sign-bit hashes, per-date (vec_id % 3 —
+    * the ingestion slicing) occupancy over the OBSERVED (band, bh)
+    * combos, Laplace smoothing (+1 / +|combos|), and the round-12
+    * decimal PSI sum vs d0 — [[graft.operators.IncrementalSemantic
+    * .bandDriftPsi]]'s arithmetic verbatim. */
+  private def bandDriftPsiSql: String = {
+    val nPlanes = 32; val r = 10; val nBands = nPlanes / r; val dim = 64
+    val planeRows = (0 until nBands * r).map { p =>
+      val ws = (0 until dim)
+        .map(i => graft.operators.Similarity.hyperplaneWeight(p, i)
+          .toDouble.toString)
+        .mkString(", ")
+      s"($p, [$ws]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH planes(pid, w) AS (VALUES
+       |  $planeRows),
+       |dbits AS (
+       |  SELECT e.vec_id, p.pid,
+       |    CASE WHEN list_dot_product(
+       |        list_transform(e.embedding, x -> CAST(x AS DOUBLE)), p.w) > 0
+       |      THEN 1 ELSE 0 END AS bit
+       |  FROM embeddings e, planes p),
+       |dbh AS (
+       |  SELECT vec_id, pid // $r AS band,
+       |    CAST(SUM(bit * (1 << (pid % $r))) AS INT) AS bh
+       |  FROM dbits GROUP BY 1, 2),
+       |dcnt AS (
+       |  SELECT CAST(vec_id % 3 AS INT) AS dt, band, bh, COUNT(*) AS n
+       |  FROM dbh GROUP BY 1, 2, 3),
+       |dcombos AS (SELECT DISTINCT band, bh FROM dcnt),
+       |dnb AS (SELECT COUNT(*) AS b FROM dcombos),
+       |dgrid AS (
+       |  SELECT dt, band, bh FROM (SELECT DISTINCT dt FROM dcnt), dcombos),
+       |dfull AS (
+       |  SELECT g.dt, g.band, g.bh, COALESCE(c.n, 0) AS n
+       |  FROM dgrid g LEFT JOIN dcnt c USING (dt, band, bh)),
+       |dtot AS (SELECT dt, SUM(n) AS nd FROM dfull GROUP BY dt),
+       |dwp AS (
+       |  SELECT f.dt, f.band, f.bh, t.nd,
+       |    CAST(f.n + 1 AS DOUBLE) / CAST(t.nd + dnb.b AS DOUBLE) AS p
+       |  FROM dfull f JOIN dtot t USING (dt), dnb),
+       |dbase AS (SELECT band, bh, p AS q FROM dwp WHERE dt = 0)
+       |SELECT 'd' || CAST(w.dt AS VARCHAR) AS ds,
+       |  CAST(MAX(w.nd) AS BIGINT) AS n_rows,
+       |  ROUND(CAST(SUM(CAST(ROUND((w.p - b.q) * ln(w.p / b.q), 12)
+       |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+       |FROM dwp w JOIN dbase b USING (band, bh)
+       |GROUP BY w.dt ORDER BY ds""".stripMargin
+  }
 
   /** q127 — ANN recall@k audit: one statement composing the brute-force
     * ground truth, the LSH pipeline, the PQ-ADC pipeline, AND the
@@ -3440,6 +3494,13 @@ object SparkEntry {
     // store) — the same exact all-pairs gate: green = recall 1.0 for
     // the composite-key store path, each pair exactly once
     "q179_incr_semantic_two_level" -> cosineNearDupSql(0.9, "aug", q93AugCte),
+
+    // q180: banding-model drift audit — per-date PSI of (band, bh)
+    // occupancy vs the init date under the store's FROZEN hyperplanes
+    // (r = 10 from an explicit 1000-row horizon, 32 planes, 3 bands);
+    // the oracle replays hashing, Laplace smoothing, and the round-12
+    // decimal PSI terms bit-for-bit (the q141 arithmetic)
+    "q180_semantic_band_drift" -> bandDriftPsiSql,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

@@ -122,22 +122,48 @@ object IncrementalSemantic {
         .select(col("band"), col("bh"), col("id"))
   }
 
+  /** Refuse any append or serve while an interrupted [[rebandStore]] is
+    * pending (`t_cfg_prev` exists): in that window the NEW config is
+    * already published but the band rows are still OLD-config — an
+    * append would hash under the new widths and then be re-hashed by the
+    * mandated same-gen resume (harmless but wasteful), and a serve would
+    * join hashes from two incomparable band spaces (silently missing
+    * candidates). Fail closed; the documented recovery is re-running
+    * `rebandStore` with the same gen to completion. */
+  private def requireNoPendingReband(spark: SparkSession, table: String,
+      action: String): Unit =
+    if (spark.catalog.tableExists(s"${table}_cfg_prev"))
+      throw new IllegalStateException(
+        s"$action rejected: an interrupted re-band is pending on $table " +
+          s"(${table}_cfg_prev exists) — re-run rebandStore with the same " +
+          "gen to completion first")
+
   /** Hash one date's embeddings against the frozen config and append:
-    * band rows to the band-key-bucketed table, (id, vector, norm) rows
-    * to the id-bucketed table. The expensive work (levels·nPlanes sign
-    * dots per vector) happens here once per row, ever. */
+    * (id, vector, norm) rows to the id-bucketed table FIRST, then band
+    * rows to the band-key-bucketed table. The expensive work
+    * (levels·nPlanes sign dots per vector) happens here once per row,
+    * ever. NOT atomic across the two tables (the [[IncrementalVectors
+    * .appendDate]] caveat): a failure between the writes leaves the date
+    * HALF-appended — vecs only, which fails SAFE (an id without band
+    * rows is simply never a candidate; the reverse order would leave
+    * candidates whose verification endpoints silently vanish, a recall
+    * hole). Vecs-first also means a [[rebandStore]] landing between the
+    * writes re-derives the in-flight date's band rows completely.
+    * Recovery is the standard contract: [[dropDate]], then retry. */
   def appendDate(emb: DataFrame, table: String, date: String,
       nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
     val (nPlanes, r, dim, levels) = cfg(spark, table)
     IncrementalStore.appendBucketed(
-      bandRows(emb, idCol, vecCol, nPlanes, r, dim, levels),
-      s"${table}_bands", date, keyCols(levels), nBuckets)
-    IncrementalStore.appendBucketed(
       emb.select(col(idCol).as("id"), col(vecCol).as("e"),
         Similarity.norm(col(vecCol)).as("n")),
-      s"${table}_vecs", date, Seq("id"), nBuckets)
+      s"${table}_vecs", date, Seq("id"), nBuckets,
+      guard = requireNoPendingReband(_, table, "append"))
+    IncrementalStore.appendBucketed(
+      bandRows(emb, idCol, vecCol, nPlanes, r, dim, levels),
+      s"${table}_bands", date, keyCols(levels), nBuckets,
+      guard = requireNoPendingReband(_, table, "append"))
   }
 
   /** Exact-cosine near-dup pairs INVOLVING date `date`: the new day's
@@ -150,6 +176,7 @@ object IncrementalSemantic {
     * its LATER endpoint arrives). */
   def newPairs(spark: SparkSession, table: String, date: String,
       threshold: Double = 0.9): DataFrame = {
+    requireNoPendingReband(spark, table, "serve")
     val (_, _, _, levels) = cfg(spark, table)
     val bands = IncrementalStore.consistentScan(spark, s"${table}_bands")
     val fresh = bands.filter(col("ds") === date)
@@ -177,6 +204,140 @@ object IncrementalSemantic {
   def dropDate(spark: SparkSession, table: String, date: String): Unit =
     IncrementalStore.dropDate(spark,
       Seq(s"${table}_bands", s"${table}_vecs"), date)
+
+  /** BANDING-MODEL DRIFT AUDIT — the q141 DETECT lens applied to the
+    * frozen banding config: `horizonRows` at init is a capacity GUESS,
+    * and a corpus that outgrows (or distributionally drifts from) it
+    * concentrates band-bucket occupancy, re-inflating the candidate mass
+    * the width law was sized to bound. Per ingestion date, the
+    * population stability index of its level-0 (band, bh) occupancy
+    * distribution against `initDate`'s: Laplace-smoothed proportions
+    * (+1 / +|observed combos|), each term (p−q)·ln(p/q) rounded to 12
+    * and decimal-summed (partition-order-proof — the q141 arithmetic
+    * verbatim, SQL-replayable). The standard monitoring rule reads
+    * PSI > 0.25 as "re-band" — the ACT is [[rebandStore]].
+    *
+    * Scale shape: one pass over the band store into a (dates ×
+    * observed-combos)-sized aggregate (≤ nBands·2^r rows — bounded by
+    * the model, not the corpus); everything past it is grid-sized. A
+    * two-level store audits its FIRST signature (occupancy per id is
+    * the same per-band construction; the b² composite rows are
+    * de-duplicated to one row per (date, band, bh, id) first). */
+  def bandDriftPsi(spark: SparkSession, table: String,
+      initDate: String): DataFrame = {
+    val (_, _, _, levels) = cfg(spark, table)
+    val kc = keyCols(levels)
+    val raw = IncrementalStore.consistentScan(spark, s"${table}_bands")
+      .select(col("ds"), col(kc(0)).as("band"), col(kc(1)).as("bh"),
+        col("id"))
+    val rows = if (levels == 2) raw.distinct() else raw
+    val counts = rows.groupBy(col("ds"), col("band"), col("bh"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // bounded: dates × observed combos
+    val combos = counts.select(col("band"), col("bh")).distinct()
+    val nb = combos.agg(count(lit(1)).as("b"))
+    val grid = counts.select(col("ds")).distinct().crossJoin(combos)
+    val full = grid.join(counts, Seq("ds", "band", "bh"), "left")
+      .select(col("ds"), col("band"), col("bh"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val withP = full
+      .join(full.groupBy(col("ds")).agg(sum(col("n")).as("nd")), "ds")
+      .crossJoin(broadcast(nb))
+      .select(col("ds"), col("band"), col("bh"), col("nd"),
+        ((col("n") + 1).cast("double") / (col("nd") + col("b"))).as("p"))
+    val base = withP.filter(col("ds") === initDate)
+      .select(col("band"), col("bh"), col("p").as("q"))
+    withP.join(base, Seq("band", "bh"))
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 12))
+      .groupBy(col("ds"))
+      .agg(max(col("nd")).as("n_rows"),
+        round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
+          .as("psi"))
+      .orderBy(col("ds"))
+  }
+
+  /** RE-BAND the store at a new horizon — the ACT to [[bandDriftPsi]]'s
+    * detect, the [[IncrementalSQ.refitGrid]] shape for the banding
+    * family: recompute r from the width law at `newHorizonRows`, publish
+    * the new config, and re-hash EVERY stored vector from the
+    * id-bucketed vector table in one marker-committed rewrite — the
+    * source corpus is never re-read (the store keeps vectors precisely
+    * so model maintenance is self-contained). The frozen `levels` must
+    * be unchanged by the new horizon: a levels flip changes the band
+    * table's key schema and bucket spec, which a rewrite cannot do —
+    * that migration is a documented re-init (new store) from the vecs
+    * table.
+    *
+    * CRASH SAFETY (the refitGrid discipline): the old config is
+    * snapshotted DURABLY to `t_cfg_prev` (gen-stamped) before the new
+    * config is published, and dropped only after the rewrite's marker
+    * commits. While the snapshot exists, appends and serves fail closed
+    * ([[requireNoPendingReband]]); a crashed re-band MUST be re-run with
+    * the SAME gen (and the same horizon) to completion. An abort before
+    * the rewrite's first durable effect restores the old config and
+    * unstages, so lease contention never wedges the store. */
+  def rebandStore(spark: SparkSession, table: String,
+      newHorizonRows: Long, gen: String): Unit = {
+    import spark.implicits._
+    val prevT = s"${table}_cfg_prev"
+    val (nPlanes, _, dim, levels) = cfg(spark, table)
+    val rNew = Similarity.derivedRowsPerBand(newHorizonRows, nPlanes)
+    val levelsNew =
+      if (Similarity.twoLevelEngaged(newHorizonRows, None, None)) 2 else 1
+    require(levelsNew == levels,
+      s"re-band refused: the new horizon ($newHorizonRows) changes the " +
+        s"frozen level count ($levels -> $levelsNew), which changes the " +
+        "band table's key schema and bucket spec — re-init a NEW store " +
+        "from this store's vector table instead")
+    def snapshot(): Unit =
+      spark.table(s"${table}_cfg").withColumn("gen", lit(gen))
+        .write.mode("errorifexists").saveAsTable(prevT)
+    if (spark.catalog.tableExists(prevT)) {
+      val g = spark.table(prevT).select(col("gen")).limit(1)
+        .collect().headOption.map(_.getString(0))
+      g match {
+        case Some(prev) =>
+          require(prev == gen,
+            s"interrupted re-band '$prev' on $table must be re-run " +
+              s"to completion (same gen) before starting '$gen'")
+        case None =>
+          // zero-row snapshot: the write crashed before rows landed; the
+          // config publish is sequenced after it, so the live config is
+          // still the old one — drop the partial and re-snapshot
+          spark.sql(s"DROP TABLE IF EXISTS $prevT")
+          snapshot()
+      }
+    } else snapshot()
+    // publish the new config (idempotent on retry: same inputs, same row)
+    Seq((nPlanes, rNew, dim, levels))
+      .toDF("nPlanes", "r", "dim", "levels")
+      .write.mode("overwrite").saveAsTable(s"${table}_cfg")
+    try StoreMaintenance.rewrite(spark, s"${table}_bands", gen,
+      transform = _ =>
+        // the old band rows are not inputs — the rewrite re-derives every
+        // row from the vector table under the new config (band hashes are
+        // not invertible, and unlike SQ codes nothing of value is lost)
+        bandRows(IncrementalStore.consistentScan(spark, s"${table}_vecs"),
+          "id", "e", nPlanes, rNew, dim, levels))
+    catch {
+      // abort before the fold's first durable effect (no sentinel AND no
+      // r_<gen> partition): restore the old config and unstage — the
+      // contention loser must not wedge the store behind a same-gen
+      // resume. Any mid-fold (or post-completion) failure keeps the
+      // snapshot; resume is mandatory.
+      case e: Throwable =>
+        if (StoreMaintenance.rewriteNeverStarted(spark, s"${table}_bands",
+            gen)) {
+          spark.table(prevT).drop("gen")
+            .write.mode("overwrite").saveAsTable(s"${table}_cfg")
+          spark.sql(s"DROP TABLE IF EXISTS $prevT")
+        }
+        throw e
+    }
+    // rewrite committed: the old-config snapshot is garbage
+    spark.sql(s"DROP TABLE IF EXISTS $prevT")
+  }
 
   /** DELETION PROPAGATION: physically remove the tombstoned ids' rows
     * from BOTH tables through the shared contract — a deleted vector can

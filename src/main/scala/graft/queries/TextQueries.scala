@@ -1149,6 +1149,41 @@ object TextQueries {
     out.orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q180: BANDING-MODEL DRIFT AUDIT for the incremental semantic store
+    * ([[graft.operators.IncrementalSemantic.bandDriftPsi]]) — the q141
+    * detect lens applied to the frozen banding config: per ingestion
+    * date, the PSI of its (band, bh) occupancy distribution against the
+    * init date's under the store's frozen hyperplanes (horizonRows is a
+    * capacity guess; occupancy drift is the signal that the corpus
+    * outgrew it and the candidate mass is re-inflating — the re-init
+    * trigger, with [[graft.operators.IncrementalSemantic.rebandStore]]
+    * as the act). The store freezes r = 10 from an explicit 1000-row
+    * horizon (SF-independent, so the oracle embeds the exact plane
+    * literals), 32 planes, 3 bands; the oracle replays hashing,
+    * smoothing, and the decimal PSI arithmetic bit-for-bit. d0 vs d0 is
+    * identically zero by construction. */
+  def q180SemanticBandDrift(s: SparkSession, dir: String): DataFrame = {
+    val base = s"graft_q180_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq("_cfg", "_bands", "_vecs").map(base + _)
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q180_p")
+    val emb = Tables.load(s, dir, "embeddings")
+    def slice(d: Int) = emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalSemantic.initModel(slice(0), base,
+        horizonRows = 1000L, nPlanes = 32)
+      (0 until 3).foreach(d =>
+        graft.operators.IncrementalSemantic.appendDate(slice(d), base, s"d$d"))
+    }
+    val out = graft.Phases.timed("audit") {
+      graft.operators.IncrementalSemantic.bandDriftPsi(s, base, "d0")
+        .localCheckpoint()
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("ds"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

@@ -22,7 +22,7 @@ class IncrementalSemanticSpec extends SparkSpec {
   }
 
   private def dropStore(base: String): Unit =
-    Seq("_cfg", "_bands", "_vecs").foreach(sfx =>
+    Seq("_cfg", "_cfg_prev", "_bands", "_vecs").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
@@ -137,6 +137,78 @@ class IncrementalSemanticSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("single-level refused"), ex.getMessage)
     } finally dropStore("ism_law")
+  }
+
+  test("re-band at a new horizon serves bit-equal to a from-scratch store at the new width") {
+    import spark.implicits._
+    val df = fixture
+    dropStore("ism_rb"); dropStore("ism_rb_ref")
+    try {
+      // store frozen for a 16-row horizon (r = 4 — too coarse once the
+      // corpus grows), two dates ingested
+      IncrementalSemantic.initModel(
+        df.filter(col("vec_id") % 3 === 0), "ism_rb", horizonRows = 16L)
+      (0 until 2).foreach(d => IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") % 3 === d), "ism_rb", s"d$d"))
+      // the drift audit runs on the frozen store (values pinned by q180's
+      // oracle; here just the structural contract)
+      val psi = IncrementalSemantic.bandDriftPsi(spark, "ism_rb", "d0")
+      assert(psi.filter(col("ds") === "d0").head().getDouble(2) == 0.0,
+        "d0 vs d0 must be identically zero")
+      // ACT: re-band for the true corpus size (r = 8 at N = 200)
+      IncrementalSemantic.rebandStore(spark, "ism_rb",
+        newHorizonRows = df.count(), gen = "rb1")
+      assert(spark.table("ism_rb_cfg").head().getInt(1) ==
+        Similarity.derivedRowsPerBand(df.count(), 128),
+        "the new width law must be frozen")
+      assert(!spark.catalog.tableExists("ism_rb_cfg_prev"),
+        "a completed re-band must drop its config snapshot")
+      // ingestion continues at the new width; the day-3 report must be
+      // bit-equal to a store that was ALWAYS at the new width
+      IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") % 3 === 2), "ism_rb", "d2")
+      IncrementalSemantic.initModel(
+        df.filter(col("vec_id") % 3 === 0), "ism_rb_ref",
+        horizonRows = df.count())
+      (0 until 3).foreach(d => IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") % 3 === d), "ism_rb_ref", s"d$d"))
+      sameRows(IncrementalSemantic.newPairs(spark, "ism_rb", "d2", 0.95),
+        IncrementalSemantic.newPairs(spark, "ism_rb_ref", "d2", 0.95),
+        "the re-banded store must serve bit-equal to a from-scratch store")
+      // a PENDING re-band fails appends and serves closed; the same-gen
+      // re-run heals and unblocks
+      spark.table("ism_rb_cfg").withColumn("gen", lit("rb2"))
+        .write.mode("errorifexists").saveAsTable("ism_rb_cfg_prev")
+      val exA = intercept[IllegalStateException] {
+        IncrementalSemantic.appendDate(
+          df.filter(col("vec_id") % 3 === 0), "ism_rb", "d9")
+      }
+      assert(exA.getMessage.contains("re-band"), exA.getMessage)
+      val exS = intercept[IllegalStateException] {
+        IncrementalSemantic.newPairs(spark, "ism_rb", "d2", 0.95)
+      }
+      assert(exS.getMessage.contains("re-band"), exS.getMessage)
+      val exG = intercept[IllegalArgumentException] {
+        IncrementalSemantic.rebandStore(spark, "ism_rb",
+          newHorizonRows = df.count(), gen = "rb3")
+      }
+      assert(exG.getMessage.contains("rb2"), exG.getMessage)
+      IncrementalSemantic.rebandStore(spark, "ism_rb",
+        newHorizonRows = df.count(), gen = "rb2")
+      // the rb2 fold consumed per-date history (documented rewrite
+      // semantics) — serve the generation label itself: the whole-store
+      // self-report must equal the EXACT pair set (recall 1.0 at r = 8)
+      sameRows(IncrementalSemantic.newPairs(spark, "ism_rb", "r_rb2", 0.95),
+        Similarity.cosineNearDup(df, 0.95),
+        "the healed store's full report must equal the exact pair set")
+      // a horizon that would flip the level count is refused with the
+      // re-init instruction (the rewrite cannot change the bucket spec)
+      val exL = intercept[IllegalArgumentException] {
+        IncrementalSemantic.rebandStore(spark, "ism_rb",
+          newHorizonRows = Similarity.TwoLevelMinRows, gen = "rb4")
+      }
+      assert(exL.getMessage.contains("re-init"), exL.getMessage)
+    } finally { dropStore("ism_rb"); dropStore("ism_rb_ref") }
   }
 
   test("deletion propagates: a tombstoned vector never surfaces again; ingestion continues") {
