@@ -42,6 +42,33 @@ object MassProbe {
     val c1 = timedCount("single-level", engaged = false)
     val c2 = timedCount("two-level", engaged = true)
     println(f"mass cut: ${c1.toDouble / c2}%.1fx fewer candidate pairs")
+    // the STORE path (q178/q179): the same mass measurement through the
+    // incremental semantic store's frozen config and persisted composite
+    // band rows — one date ingested, the daily join's candidate stream
+    // counted. Forced engagement for the two-level store (auto fires at
+    // 2^21; the probe corpus sits below it so the single-level init is
+    // legal too).
+    def storeCount(label: String, twoLevel: Option[Boolean]): Long = {
+      val base = s"graft_massprobe_${label.replace('-', '_')}"
+      Seq("_cfg", "_cfg_prev", "_bands", "_vecs")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+      val t0 = System.nanoTime()
+      graft.operators.IncrementalSemantic.initModel(emb, base,
+        horizonRows = rows, twoLevel = twoLevel)
+      graft.operators.IncrementalSemantic.appendDate(emb, base, "d0")
+      val tIngest = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val c = graft.operators.IncrementalSemantic
+        .candidatePairs(spark, base, "d0").count()
+      println(f"$label%-14s candidates=$c%12d  (ingest $tIngest%.1f s, " +
+        f"join ${(System.nanoTime() - t1) / 1e9}%.1f s)")
+      Seq("_cfg", "_cfg_prev", "_bands", "_vecs")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+      c
+    }
+    val s1 = storeCount("store-1level", twoLevel = None)
+    val s2 = storeCount("store-2level", twoLevel = Some(true))
+    println(f"store mass cut: ${s1.toDouble / s2}%.1fx fewer candidate pairs")
     spark.stop()
   }
 }

