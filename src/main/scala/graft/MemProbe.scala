@@ -112,7 +112,11 @@ object MemProbe {
       // mass takedown (the NON-broadcast anti-join — the row that proves
       // a corpus-scale tombstone set completes under the 4 GiB ceiling)
       "q164_sq8_tombstone", "q174_neardup_two_level", "q175_maxsim_plaid",
-      "q177_source_takedown", "q178_incremental_semantic")
+      "q177_source_takedown", "q178_incremental_semantic",
+      // round-16: the two-level STORE (composite-key ingest + daily join
+      // under the ceiling) and the banding-drift audit (store pass into
+      // a model-sized aggregate)
+      "q179_incr_semantic_two_level", "q180_semantic_band_drift")
     val probes = if (args.nonEmpty) flagships.filter(args.contains) else flagships
 
     def run(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()

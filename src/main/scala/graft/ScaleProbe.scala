@@ -359,6 +359,12 @@ object ScaleProbe {
       "q176_plaid_recall" -> SparkEntry.queries("q176_maxsim_plaid_recall"),
       "q177_source_takedown" -> SparkEntry.queries("q177_source_takedown"),
       "q178_incr_semantic" -> SparkEntry.queries("q178_incremental_semantic"),
+      // round-16 additions: the two-level store (frozen composite-key
+      // banding — growth should track the two-level batch path, not the
+      // single-level quadratic) and the banding-drift audit
+      "q179_incr_sem_2lvl" ->
+        SparkEntry.queries("q179_incr_semantic_two_level"),
+      "q180_band_drift" -> SparkEntry.queries("q180_semantic_band_drift"),
       // the clustering delete on the NON-densifying corpus (see
       // [[ensureDecoupledDocs]]): the scaled side reads token-decoupled
       // replicas, so this row measures the deletion path's OWN growth
