@@ -162,10 +162,10 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"reps":$repsJson,"raw":$rawJson,"phases":$phasesJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"run_id":"$runId"}"""
     }
-    def snapshot(): Unit = try {
+    def snapshot(complete: Boolean = false): Unit = try {
       val tmp = new java.io.File(partialPath + ".tmp")
       val w = new java.io.PrintWriter(tmp, "UTF-8")
-      try w.println(summaryJson(complete = false)) finally w.close()
+      try w.println(summaryJson(complete)) finally w.close()
       tmp.renameTo(new java.io.File(partialPath))
       ()
     } catch { case _: Throwable => () } // never let bookkeeping kill the run
@@ -238,7 +238,10 @@ object Bench {
       rep += 1
     }
     timeSentinel() // closing reading: did the host get busier mid-run?
-    snapshot()
+    // the FINAL snapshot carries complete=true: the artifact file IS the
+    // definitive record, so a stdout capture that truncates the (large)
+    // summary line loses nothing — read BENCH_PARTIAL.json instead
+    snapshot(complete = true)
     println(summaryJson(complete = true))
     spark.stop()
   }

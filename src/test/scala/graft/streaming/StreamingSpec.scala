@@ -453,7 +453,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("streaming semantic store: per-batch pair reports union to the exact pair set, each pair once") {
+  test("streaming semantic store: per-batch pair reports union to the exact pair set, each pair once — single- AND two-level") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // the clustered fixture: 40 directions × 5 noisy copies
@@ -466,37 +466,44 @@ class StreamingSpec extends SparkSpec {
     val rows = for (b <- 0 until 40; c <- 0 until 5)
       yield (b * 5L + c, vec(b, c))
     val df = rows.toDF("vec_id", "embedding")
-    val tmp = java.nio.file.Files.createTempDirectory("ssem").toString
-    val base = s"graft_ssem_p${ProcessHandle.current().pid()}"
-    Seq("_cfg", "_bands", "_vecs").foreach(sfx =>
-      spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
-    try {
-      graft.operators.IncrementalSemantic.initModel(df, base,
-        horizonRows = rows.size.toLong)
-      val got = scala.collection.mutable.ListBuffer
-        .empty[(Long, Long, Double)]
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val ms = MemoryStream[(Long, Array[Float])]
-      val q = StreamingSemantic.run(
-        ms.toDF().toDF("vec_id", "embedding"), base, s"$tmp/ck",
-        threshold = 0.95,
-        onNewPairs = p => got ++= p.collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
-      val (h1, h2) = rows.partition(_._1 % 2 == 0)
-      ms.addData(h1); q.processAllAvailable()
-      ms.addData(h2); q.processAllAvailable()
-      q.stop()
-      val want = graft.operators.Similarity.cosineNearDup(df, 0.95)
-        .as[(Long, Long, Double)].collect().toSet
-      assert(want.size >= 400, "fixture must have real near-dup mass")
-      assert(got.size == got.toSet.size,
-        "a pair must surface in exactly one micro-batch")
-      assert(got.toSet == want,
-        "streamed per-batch reports must union to the exact pair set")
-    } finally {
+    // both frozen configs through the SAME dual: the two-level store's
+    // composite-key rows must stream exactly like the single-level ones
+    // (streamed == batch == exact under engagement — the q179 gate's
+    // streaming edition)
+    Seq(None, Some(true)).foreach { twoLevel =>
+      val tmp = java.nio.file.Files.createTempDirectory("ssem").toString
+      val base = s"graft_ssem_p${ProcessHandle.current().pid()}" +
+        (if (twoLevel.isDefined) "_2l" else "")
       Seq("_cfg", "_bands", "_vecs").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      try {
+        graft.operators.IncrementalSemantic.initModel(df, base,
+          horizonRows = rows.size.toLong, twoLevel = twoLevel)
+        val got = scala.collection.mutable.ListBuffer
+          .empty[(Long, Long, Double)]
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        val ms = MemoryStream[(Long, Array[Float])]
+        val q = StreamingSemantic.run(
+          ms.toDF().toDF("vec_id", "embedding"), base, s"$tmp/ck",
+          threshold = 0.95,
+          onNewPairs = p => got ++= p.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+        val (h1, h2) = rows.partition(_._1 % 2 == 0)
+        ms.addData(h1); q.processAllAvailable()
+        ms.addData(h2); q.processAllAvailable()
+        q.stop()
+        val want = graft.operators.Similarity.cosineNearDup(df, 0.95)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(want.size >= 400, "fixture must have real near-dup mass")
+        assert(got.size == got.toSet.size,
+          s"a pair must surface in exactly one micro-batch (twoLevel=$twoLevel)")
+        assert(got.toSet == want,
+          s"streamed reports must union to the exact pair set (twoLevel=$twoLevel)")
+      } finally {
+        Seq("_cfg", "_bands", "_vecs").foreach(sfx =>
+          spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
     }
   }
 
