@@ -349,6 +349,37 @@ object IncrementalSemantic {
     spark.sql(s"DROP TABLE IF EXISTS $prevT")
   }
 
+  /** MIGRATE to a NEW store at a new horizon — the path [[rebandStore]]
+    * refuses: a horizon change that FLIPS the frozen level count changes
+    * the band table's key schema and bucket spec, which no in-place
+    * rewrite can do. This re-inits `newTable` (width + engagement laws
+    * at `newHorizonRows`) and rebuilds it ENTIRELY from this store's
+    * id-bucketed vector table — per `ds` partition, so as-of semantics
+    * and fold labels carry over — without ever re-reading the source
+    * corpus (the store keeps vectors precisely so model maintenance is
+    * self-contained). The old store is left intact; cut serves over to
+    * `newTable`, then drop the old tables. Not crash-atomic by design:
+    * `newTable` is not authoritative until this returns — a partial
+    * migration is re-run by dropping the new store's tables and calling
+    * again (the old store was never touched). Cost: one distributed
+    * read + two bucketed writes of the store per date partition. */
+  def migrateStore(spark: SparkSession, table: String, newTable: String,
+      newHorizonRows: Long, nBuckets: Int = 8): Unit = {
+    requireNoPendingReband(spark, table, "migrate")
+    val vecs = IncrementalStore.consistentScan(spark, s"${table}_vecs")
+    initModel(vecs.select(col("id").as("vec_id"), col("e").as("embedding")),
+      newTable, newHorizonRows)
+    // bounded metadata: the per-date partition list (retention-window-
+    // sized on a compacted store)
+    val dates = spark.sql(s"SHOW PARTITIONS ${table}_vecs").collect()
+      .map(_.getString(0).stripPrefix("ds=")).sorted
+    dates.foreach { d =>
+      appendDate(vecs.filter(col("ds") === d)
+          .select(col("id").as("vec_id"), col("e").as("embedding")),
+        newTable, d, nBuckets)
+    }
+  }
+
   /** DELETION PROPAGATION: physically remove the tombstoned ids' rows
     * from BOTH tables through the shared contract — a deleted vector can
     * never again surface as a candidate or a verification endpoint. */

@@ -211,6 +211,44 @@ class IncrementalSemanticSpec extends SparkSpec {
     } finally { dropStore("ism_rb"); dropStore("ism_rb_ref") }
   }
 
+  test("migrateStore: a level-flip horizon rebuilds a new store from the vector table, bit-equal to from-scratch") {
+    val df = fixture
+    Seq("ism_mig", "ism_mig2", "ism_mig_ref").foreach(dropStore)
+    try {
+      // a single-level store that must move to a two-level horizon
+      IncrementalSemantic.initModel(
+        df.filter(col("vec_id") % 3 === 0), "ism_mig",
+        horizonRows = df.count())
+      (0 until 2).foreach(d => IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") % 3 === d), "ism_mig", s"d$d"))
+      // the in-place path refuses the flip (pinned in the re-band test);
+      // the migration rebuilds from the store's OWN vector table
+      IncrementalSemantic.migrateStore(spark, "ism_mig", "ism_mig2",
+        newHorizonRows = Similarity.TwoLevelMinRows)
+      assert(spark.table("ism_mig2_cfg").head().getInt(3) == 2,
+        "the migrated store must freeze two-level at the new horizon")
+      // reference: a from-scratch two-level store over the same slices
+      IncrementalSemantic.initModel(
+        df.filter(col("vec_id") % 3 === 0), "ism_mig_ref",
+        horizonRows = Similarity.TwoLevelMinRows)
+      (0 until 2).foreach(d => IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") % 3 === d), "ism_mig_ref", s"d$d"))
+      (0 until 2).foreach(d => sameRows(
+        IncrementalSemantic.newPairs(spark, "ism_mig2", s"d$d", 0.95),
+        IncrementalSemantic.newPairs(spark, "ism_mig_ref", s"d$d", 0.95),
+        s"migrated store must serve date d$d bit-equal to from-scratch"))
+      // ingestion continues on the migrated store
+      IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") % 3 === 2), "ism_mig2", "d2")
+      IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") % 3 === 2), "ism_mig_ref", "d2")
+      sameRows(
+        IncrementalSemantic.newPairs(spark, "ism_mig2", "d2", 0.95),
+        IncrementalSemantic.newPairs(spark, "ism_mig_ref", "d2", 0.95),
+        "post-migration ingestion must serve bit-equal")
+    } finally Seq("ism_mig", "ism_mig2", "ism_mig_ref").foreach(dropStore)
+  }
+
   test("deletion propagates: a tombstoned vector never surfaces again; ingestion continues") {
     import spark.implicits._
     val df = fixture
