@@ -249,30 +249,35 @@ class IncrementalSemanticSpec extends SparkSpec {
     } finally Seq("ism_mig", "ism_mig2", "ism_mig_ref").foreach(dropStore)
   }
 
-  test("deletion propagates: a tombstoned vector never surfaces again; ingestion continues") {
+  test("deletion propagates: a tombstoned vector never surfaces again; ingestion continues — single- AND two-level") {
     import spark.implicits._
     val df = fixture
-    dropStore("ism_del")
-    try {
-      IncrementalSemantic.initModel(
-        df.filter(col("vec_id") < 100), "ism_del", horizonRows = df.count())
-      IncrementalSemantic.appendDate(
-        df.filter(col("vec_id") < 100), "ism_del", "d0")
-      // take down cluster 0 entirely (ids 0-4)
-      IncrementalSemantic.deleteIds(spark,
-        "ism_del", (0L until 5L).toDF("vec_id"), gen = "del1")
-      assert(spark.table("ism_del_bands").filter(col("id") < 5).isEmpty &&
-        spark.table("ism_del_vecs").filter(col("id") < 5).isEmpty,
-        "tombstoned rows must be physically gone from both tables")
-      // continued ingestion: the next date still pairs against survivors
-      IncrementalSemantic.appendDate(
-        df.filter(col("vec_id") >= 100), "ism_del", "d1")
-      val got = IncrementalSemantic.newPairs(spark, "ism_del", "d1", 0.95)
-      val want = Similarity.cosineNearDup(
-        df.filter(col("vec_id") >= 5), 0.95)
-        .filter(col("b_id") >= 100)
-      sameRows(got, want,
-        "post-delete reports must equal exact pairs over the survivors")
-    } finally dropStore("ism_del")
+    // the shared delete contract must hold on BOTH band schemas (the
+    // two-level store's composite rows anti-join on the same id key)
+    Seq(None, Some(true)).foreach { twoLevel =>
+      dropStore("ism_del")
+      try {
+        IncrementalSemantic.initModel(
+          df.filter(col("vec_id") < 100), "ism_del",
+          horizonRows = df.count(), twoLevel = twoLevel)
+        IncrementalSemantic.appendDate(
+          df.filter(col("vec_id") < 100), "ism_del", "d0")
+        // take down cluster 0 entirely (ids 0-4)
+        IncrementalSemantic.deleteIds(spark,
+          "ism_del", (0L until 5L).toDF("vec_id"), gen = "del1")
+        assert(spark.table("ism_del_bands").filter(col("id") < 5).isEmpty &&
+          spark.table("ism_del_vecs").filter(col("id") < 5).isEmpty,
+          s"tombstoned rows must be physically gone (twoLevel=$twoLevel)")
+        // continued ingestion: the next date still pairs against survivors
+        IncrementalSemantic.appendDate(
+          df.filter(col("vec_id") >= 100), "ism_del", "d1")
+        val got = IncrementalSemantic.newPairs(spark, "ism_del", "d1", 0.95)
+        val want = Similarity.cosineNearDup(
+          df.filter(col("vec_id") >= 5), 0.95)
+          .filter(col("b_id") >= 100)
+        sameRows(got, want,
+          s"post-delete reports must equal survivor pairs (twoLevel=$twoLevel)")
+      } finally dropStore("ism_del")
+    }
   }
 }
