@@ -173,17 +173,22 @@ object IncrementalSemantic {
     * exact cosine from the vector table. Emits (a_id, b_id, cosine) with
     * a_id < b_id, each unordered pair once; the union over every
     * ingested date is the full batch pair set (each pair surfaces when
-    * its LATER endpoint arrives). */
+    * its LATER endpoint arrives). `upTo` is the family's AS-OF serve —
+    * "the pairs `date` reported when the store stood at `upTo`" — a pure
+    * partition PRUNE on both store tables ([[IncrementalStore.asOf]]:
+    * later dates' files are never listed), bit-equal to a store that
+    * never ingested past the horizon (spec-pinned). */
   /** The daily-join candidate (a_id, b_id) stream BEFORE verification —
     * factored so the mass probes ([[graft.MassProbe]]) can measure the
     * store path's candidate mass (the quantity the frozen two-level
     * config exists to cut) without paying verification; [[newPairs]]
     * verifies it with exact cosine from the vector table. */
   private[graft] def candidatePairs(spark: SparkSession, table: String,
-      date: String): DataFrame = {
+      date: String, upTo: Option[String] = None): DataFrame = {
     requireNoPendingReband(spark, table, "serve")
     val (_, _, _, levels) = cfg(spark, table)
-    val bands = IncrementalStore.consistentScan(spark, s"${table}_bands")
+    val bands = IncrementalStore.asOf(
+      IncrementalStore.consistentScan(spark, s"${table}_bands"), upTo)
     val fresh = bands.filter(col("ds") === date)
     val joinCond = keyCols(levels)
       .map(k => col(s"x.$k") === col(s"y.$k"))
@@ -195,9 +200,10 @@ object IncrementalSemantic {
   }
 
   def newPairs(spark: SparkSession, table: String, date: String,
-      threshold: Double = 0.9): DataFrame = {
-    val candidates = candidatePairs(spark, table, date)
-    val vecs = IncrementalStore.consistentScan(spark, s"${table}_vecs")
+      threshold: Double = 0.9, upTo: Option[String] = None): DataFrame = {
+    val candidates = candidatePairs(spark, table, date, upTo)
+    val vecs = IncrementalStore.asOf(
+        IncrementalStore.consistentScan(spark, s"${table}_vecs"), upTo)
       .select(col("id"), col("e"), col("n"))
     candidates
       .join(vecs.select(col("id").as("a_id"), col("e").as("ae"),

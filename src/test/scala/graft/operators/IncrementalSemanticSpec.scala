@@ -49,6 +49,22 @@ class IncrementalSemanticSpec extends SparkSpec {
       assert(union.groupBy("a_id", "b_id").count()
         .filter(col("count") > 1).isEmpty,
         "a pair must surface only when its later endpoint arrives")
+      // AS-OF serve: d1's report against the store as it stood at d1
+      // equals a store that never ingested d2 — d2's files are pruned,
+      // not masked (the family's time-travel convention)
+      dropStore("ism_inc_asof")
+      try {
+        IncrementalSemantic.initModel(
+          df.filter(col("vec_id") % 3 === 0), "ism_inc_asof",
+          horizonRows = df.count())
+        (0 until 2).foreach(d => IncrementalSemantic.appendDate(
+          df.filter(col("vec_id") % 3 === d), "ism_inc_asof", s"d$d"))
+        sameRows(
+          IncrementalSemantic.newPairs(spark, "ism_inc", "d1", 0.95,
+            upTo = Some("d1")),
+          IncrementalSemantic.newPairs(spark, "ism_inc_asof", "d1", 0.95),
+          "as-of serve must equal a store that never saw the later date")
+      } finally dropStore("ism_inc_asof")
     } finally dropStore("ism_inc")
   }
 
