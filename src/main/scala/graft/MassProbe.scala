@@ -45,9 +45,12 @@ object MassProbe {
     // the STORE path (q178/q179): the same mass measurement through the
     // incremental semantic store's frozen config and persisted composite
     // band rows — one date ingested, the daily join's candidate stream
-    // counted. Forced engagement for the two-level store (auto fires at
-    // 2^21; the probe corpus sits below it so the single-level init is
-    // legal too).
+    // counted. BOTH configs are explicit (Some(false)/Some(true)) so the
+    // probe measures what its labels claim at any scale: with the
+    // defaults, a probe corpus at/above 2^21 rows would auto-engage the
+    // "single-level" store and the printed cut would read 1.0x. The
+    // explicit single-level init REFUSES at/above the threshold — loud,
+    // which is correct: that regime has no legitimate single-level store.
     def storeCount(label: String, twoLevel: Option[Boolean]): Long = {
       val base = s"graft_massprobe_${label.replace('-', '_')}"
       Seq("_cfg", "_cfg_prev", "_bands", "_vecs")
@@ -66,7 +69,7 @@ object MassProbe {
         .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
       c
     }
-    val s1 = storeCount("store-1level", twoLevel = None)
+    val s1 = storeCount("store-1level", twoLevel = Some(false))
     val s2 = storeCount("store-2level", twoLevel = Some(true))
     println(f"store mass cut: ${s1.toDouble / s2}%.1fx fewer candidate pairs")
     spark.stop()

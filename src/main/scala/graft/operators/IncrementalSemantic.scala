@@ -101,23 +101,36 @@ object IncrementalSemantic {
 
   /** One date's band rows under the frozen config — the construction
     * [[Similarity.bandedCandidatePairs]] uses, keyed by the store's
-    * frozen levels. */
+    * frozen levels. The FIXED-DIMENSION contract is enforced here, not
+    * assumed: a vector longer than the frozen `dim` would have its
+    * projection silently TRUNCATED (the plane literals are dim-wide),
+    * making its hashes incomparable with the batch path's — the guard
+    * rides inside the id column (never prunable) and raise_errors the
+    * append instead. Costs nothing: the same projection already reads
+    * the vector. */
   private def bandRows(emb: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, r: Int, dim: Int, levels: Int): DataFrame = {
+    val guardedId = when(size(col(vecCol)) > dim,
+        raise_error(concat(lit(s"vector dim exceeds the frozen store dim " +
+          s"$dim (id "), col(idCol).cast("string"),
+          lit(") — the fixed-dimension contract: re-init or migrate the " +
+            "store at the larger dim"))).cast("long"))
+      .otherwise(col(idCol))
+    val e = emb.select(guardedId.as(idCol), col(vecCol))
     def hashArr(l: Int): Column =
       Similarity.hyperplaneBandHashes(col(vecCol), nPlanes, r, l, dim)
     if (levels == 2)
       // b² composite keys per row (two chained generators), exactly the
       // batch engaged branch — a LINEAR row explosion that buys the
       // 2^r/b candidate-mass cut on every later daily join
-      emb.select(col(idCol).as("id"), hashArr(0).as("h1"), hashArr(1).as("h2"))
+      e.select(col(idCol).as("id"), hashArr(0).as("h1"), hashArr(1).as("h2"))
         .select(col("id"), posexplode(col("h1")).as(Seq("band1", "bh1")),
           col("h2"))
         .select(col("id"), col("band1"), col("bh1"),
           posexplode(col("h2")).as(Seq("band2", "bh2")))
         .select(col("band1"), col("bh1"), col("band2"), col("bh2"), col("id"))
     else
-      emb.select(col(idCol).as("id"),
+      e.select(col(idCol).as("id"),
           posexplode(hashArr(0)).as(Seq("band", "bh")))
         .select(col("band"), col("bh"), col("id"))
   }
@@ -166,18 +179,6 @@ object IncrementalSemantic {
       guard = requireNoPendingReband(_, table, "append"))
   }
 
-  /** Exact-cosine near-dup pairs INVOLVING date `date`: the new day's
-    * band rows join the accumulated store on the frozen band key —
-    * exchange-free, both sides bucket-aligned — and the candidate stream
-    * (banded, sub-quadratic; two-level when frozen so) is verified by
-    * exact cosine from the vector table. Emits (a_id, b_id, cosine) with
-    * a_id < b_id, each unordered pair once; the union over every
-    * ingested date is the full batch pair set (each pair surfaces when
-    * its LATER endpoint arrives). `upTo` is the family's AS-OF serve —
-    * "the pairs `date` reported when the store stood at `upTo`" — a pure
-    * partition PRUNE on both store tables ([[IncrementalStore.asOf]]:
-    * later dates' files are never listed), bit-equal to a store that
-    * never ingested past the horizon (spec-pinned). */
   /** The daily-join candidate (a_id, b_id) stream BEFORE verification —
     * factored so the mass probes ([[graft.MassProbe]]) can measure the
     * store path's candidate mass (the quantity the frozen two-level
@@ -199,6 +200,23 @@ object IncrementalSemantic {
       .distinct()
   }
 
+  /** Exact-cosine near-dup pairs INVOLVING date `date`: the new day's
+    * band rows join the accumulated store on the frozen band key —
+    * exchange-free, both sides bucket-aligned — and the candidate stream
+    * (banded, sub-quadratic; two-level when frozen so) is verified by
+    * exact cosine from the vector table. Emits (a_id, b_id, cosine) with
+    * a_id < b_id, each unordered pair once; the union over every
+    * ingested date is the full batch pair set (each pair surfaces when
+    * its LATER endpoint arrives). `upTo` is the family's AS-OF serve —
+    * "the pairs `date` reported when the store stood at `upTo`" — a pure
+    * partition PRUNE on both store tables ([[IncrementalStore.asOf]]:
+    * later dates' files are never listed), bit-equal to a store that
+    * never ingested past the horizon (spec-pinned) — with the family's
+    * standard rewrite caveat: `r_<gen>` generation partitions (a
+    * re-band or tombstone pass consumed the per-date history) are
+    * excluded by any as-of, so time-travel across a rewrite is
+    * impossible by documented design, exactly as in every other store
+    * family. */
   def newPairs(spark: SparkSession, table: String, date: String,
       threshold: Double = 0.9, upTo: Option[String] = None): DataFrame = {
     val candidates = candidatePairs(spark, table, date, upTo)
@@ -263,6 +281,17 @@ object IncrementalSemantic {
         ((col("n") + 1).cast("double") / (col("nd") + col("b"))).as("p"))
     val base = withP.filter(col("ds") === initDate)
       .select(col("band"), col("bh"), col("p").as("q"))
+    // fail LOUD if the baseline date no longer exists (folded by a
+    // re-band/compact, or never ingested): the inner join below would
+    // otherwise return ZERO rows and a monitoring rule reading the audit
+    // would silently never fire again — the opposite of a detector.
+    // Bounded check: `counts` is (dates × combos)-sized and pinned.
+    if (counts.filter(col("ds") === initDate).isEmpty)
+      throw new IllegalArgumentException(
+        s"drift baseline '$initDate' has no rows in ${table}_bands " +
+          "(folded by a re-band/compact, or never ingested) — pass a " +
+          "live partition as the baseline (after a re-band, its r_<gen> " +
+          "label is the natural new baseline)")
     withP.join(base, Seq("band", "bh"))
       .withColumn("term",
         round((col("p") - col("q")) * log(col("p") / col("q")), 12))
@@ -306,6 +335,20 @@ object IncrementalSemantic {
         s"frozen level count ($levels -> $levelsNew), which changes the " +
         "band table's key schema and bucket spec — re-init a NEW store " +
         "from this store's vector table instead")
+    // GEN FRESHNESS is load-bearing here, not just the usual rewrite
+    // caller contract: a reused gen with no pending snapshot would
+    // publish the NEW config and then hit the repeated-gen no-op (the
+    // r_<gen> partition already exists), leaving the frozen r and the
+    // stored band rows permanently inconsistent — every later daily
+    // join would compare hashes from two incomparable band spaces,
+    // silently missing pairs. Refuse before the first effect.
+    if (!spark.catalog.tableExists(prevT) &&
+        spark.catalog.tableExists(s"${table}_bands") &&
+        spark.sql(s"SHOW PARTITIONS ${table}_bands").collect()
+          .map(_.getString(0).stripPrefix("ds=")).contains(s"r_$gen"))
+      throw new IllegalArgumentException(
+        s"re-band gen '$gen' already consumed on $table (partition " +
+          s"r_$gen exists and no re-band is pending) — pass a fresh gen")
     def snapshot(): Unit =
       spark.table(s"${table}_cfg").withColumn("gen", lit(gen))
         .write.mode("errorifexists").saveAsTable(prevT)
@@ -372,13 +415,23 @@ object IncrementalSemantic {
   def migrateStore(spark: SparkSession, table: String, newTable: String,
       newHorizonRows: Long, nBuckets: Int = 8): Unit = {
     requireNoPendingReband(spark, table, "migrate")
+    // the old store's frozen plane count is part of its identity (band
+    // count, hashing cost, any oracle pinned to it) — carry it over;
+    // only the horizon-derived knobs (r, levels) re-derive
+    val (nPlanes, _, _, _) = cfg(spark, table)
     val vecs = IncrementalStore.consistentScan(spark, s"${table}_vecs")
     initModel(vecs.select(col("id").as("vec_id"), col("e").as("embedding")),
-      newTable, newHorizonRows)
-    // bounded metadata: the per-date partition list (retention-window-
-    // sized on a compacted store)
-    val dates = spark.sql(s"SHOW PARTITIONS ${table}_vecs").collect()
-      .map(_.getString(0).stripPrefix("ds=")).sorted
+      newTable, newHorizonRows, nPlanes = nPlanes)
+    // bounded metadata: the AUTHORITATIVE per-date labels (retention-
+    // window-sized on a compacted store) — derived from the consistent
+    // scan, not raw SHOW PARTITIONS, so a crashed fold's uncommitted
+    // label is never copied as a spurious partition. Fold labels
+    // (c_<h>, r_<gen>) carry over verbatim: their as-of semantics on
+    // the new store equal the old store's (history consumed by a
+    // rewrite stays consumed — time-travel across it was already
+    // impossible).
+    val dates = vecs.select(col("ds")).distinct()
+      .collect().map(_.getString(0)).sorted
     dates.foreach { d =>
       appendDate(vecs.filter(col("ds") === d)
           .select(col("id").as("vec_id"), col("e").as("embedding")),

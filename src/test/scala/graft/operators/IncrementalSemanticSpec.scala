@@ -224,7 +224,49 @@ class IncrementalSemanticSpec extends SparkSpec {
           newHorizonRows = Similarity.TwoLevelMinRows, gen = "rb4")
       }
       assert(exL.getMessage.contains("re-init"), exL.getMessage)
+      // a REUSED gen with no pending re-band is refused BEFORE any
+      // effect: the repeated-gen no-op would otherwise leave a freshly
+      // published config over band rows hashed at the old width —
+      // silently missing pairs forever
+      val exR = intercept[IllegalArgumentException] {
+        IncrementalSemantic.rebandStore(spark, "ism_rb",
+          newHorizonRows = 16L, gen = "rb2")
+      }
+      assert(exR.getMessage.contains("already consumed"), exR.getMessage)
+      assert(spark.table("ism_rb_cfg").head().getInt(1) ==
+        Similarity.derivedRowsPerBand(df.count(), 128),
+        "the refused re-band must not have touched the config")
+      // the drift audit fails LOUD when its baseline was folded away
+      // (the rb1/rb2 rewrites consumed d0) — a silent empty result would
+      // blind the monitor that triggers re-bands in the first place
+      val exB = intercept[IllegalArgumentException] {
+        IncrementalSemantic.bandDriftPsi(spark, "ism_rb", "d0")
+      }
+      assert(exB.getMessage.contains("baseline"), exB.getMessage)
+      // the generation label is the documented new baseline
+      assert(IncrementalSemantic.bandDriftPsi(spark, "ism_rb", "r_rb2")
+        .filter(col("ds") === "r_rb2").head().getDouble(2) == 0.0)
     } finally { dropStore("ism_rb"); dropStore("ism_rb_ref") }
+  }
+
+  test("the fixed-dimension contract is enforced at append: an over-long vector raise_errors, never truncates") {
+    import spark.implicits._
+    dropStore("ism_dim")
+    try {
+      val df64 = fixture
+      IncrementalSemantic.initModel(df64, "ism_dim", horizonRows = 200L)
+      // a later date with a LONGER vector: hashing it against the frozen
+      // 64-dim planes would silently truncate its projection, making its
+      // hashes incomparable with the batch path's — must fail loud
+      val long = Seq((9999L, Array.fill(80)(0.1f))).toDF("vec_id", "embedding")
+      val ex = intercept[Exception] {
+        IncrementalSemantic.appendDate(long, "ism_dim", "d0")
+      }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+      assert(causes(ex).exists(_.contains("fixed-dimension")),
+        s"expected the dim-contract raise_error, got: ${causes(ex)}")
+    } finally dropStore("ism_dim")
   }
 
   test("migrateStore: a level-flip horizon rebuilds a new store from the vector table, bit-equal to from-scratch") {
