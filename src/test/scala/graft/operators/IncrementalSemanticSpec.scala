@@ -249,6 +249,30 @@ class IncrementalSemanticSpec extends SparkSpec {
     } finally { dropStore("ism_rb"); dropStore("ism_rb_ref") }
   }
 
+  test("store compaction composes with continued ingestion: day-3 pairs equal the uncompacted run") {
+    val df = fixture
+    dropStore("ism_cmp"); dropStore("ism_cmp_ref")
+    try {
+      def build(base: String, dates: Range): Unit = {
+        if (!spark.catalog.tableExists(s"${base}_cfg"))
+          IncrementalSemantic.initModel(
+            df.filter(col("vec_id") % 3 === 0), base,
+            horizonRows = df.count())
+        dates.foreach(d => IncrementalSemantic.appendDate(
+          df.filter(col("vec_id") % 3 === d), base, s"d$d"))
+      }
+      build("ism_cmp", 0 until 2)
+      // band and vector rows are disjoint per (id, date) — no merge
+      StoreMaintenance.compact(spark, "ism_cmp_bands", "d1")
+      StoreMaintenance.compact(spark, "ism_cmp_vecs", "d1")
+      build("ism_cmp", 2 until 3) // a NEW date lands after compaction
+      build("ism_cmp_ref", 0 until 3)
+      sameRows(IncrementalSemantic.newPairs(spark, "ism_cmp", "d2", 0.95),
+        IncrementalSemantic.newPairs(spark, "ism_cmp_ref", "d2", 0.95),
+        "day-3 pairs against a compacted store must equal the uncompacted run")
+    } finally { dropStore("ism_cmp"); dropStore("ism_cmp_ref") }
+  }
+
   test("the fixed-dimension contract is enforced at append: an over-long vector raise_errors, never truncates") {
     import spark.implicits._
     dropStore("ism_dim")
