@@ -410,8 +410,12 @@ object IncrementalSemantic {
     * `newTable`, then drop the old tables. Not crash-atomic by design:
     * `newTable` is not authoritative until this returns — a partial
     * migration is re-run by dropping the new store's tables and calling
-    * again (the old store was never touched). Cost: one distributed
-    * read + two bucketed writes of the store per date partition. */
+    * again (the old store was never touched). Run it like any
+    * maintenance pass — not concurrent with appends to the SOURCE store
+    * (a date landing after the date-list read would be silently absent
+    * from the new store; re-run or append it to the new store
+    * directly). Cost: one distributed read + two bucketed writes of the
+    * store per date partition. */
   def migrateStore(spark: SparkSession, table: String, newTable: String,
       newHorizonRows: Long, nBuckets: Int = 8): Unit = {
     requireNoPendingReband(spark, table, "migrate")
