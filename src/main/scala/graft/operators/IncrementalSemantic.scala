@@ -349,17 +349,32 @@ object IncrementalSemantic {
       throw new IllegalArgumentException(
         s"re-band gen '$gen' already consumed on $table (partition " +
           s"r_$gen exists and no re-band is pending) — pass a fresh gen")
+    // the snapshot stamps gen AND the new width: the same-gen resume must
+    // also be a same-HORIZON resume — if the crashed run completed its
+    // rewrite (crash before the cfg_prev drop), a resume at a different
+    // horizon would republish a config whose r differs from the width the
+    // committed r_<gen> band rows were hashed at, and the rewrite would
+    // no-op (partition exists), leaving the store silently serving two
+    // incomparable band spaces — the exact failure the gen-freshness
+    // check refuses.
     def snapshot(): Unit =
       spark.table(s"${table}_cfg").withColumn("gen", lit(gen))
+        .withColumn("rNew", lit(rNew))
         .write.mode("errorifexists").saveAsTable(prevT)
     if (spark.catalog.tableExists(prevT)) {
-      val g = spark.table(prevT).select(col("gen")).limit(1)
-        .collect().headOption.map(_.getString(0))
+      val g = spark.table(prevT).select(col("gen"), col("rNew")).limit(1)
+        .collect().headOption.map(r => (r.getString(0), r.getInt(1)))
       g match {
-        case Some(prev) =>
+        case Some((prev, prevRNew)) =>
           require(prev == gen,
             s"interrupted re-band '$prev' on $table must be re-run " +
               s"to completion (same gen) before starting '$gen'")
+          require(prevRNew == rNew,
+            s"interrupted re-band '$gen' on $table was started at band " +
+              s"width r = $prevRNew — the resume must re-run with the " +
+              s"SAME horizon (got a horizon deriving r = $rNew); a " +
+              "different width would republish a config the committed " +
+              "band rows were not hashed at")
         case None =>
           // zero-row snapshot: the write crashed before rows landed; the
           // config publish is sequenced after it, so the live config is
@@ -388,7 +403,7 @@ object IncrementalSemantic {
       case e: Throwable =>
         if (StoreMaintenance.rewriteNeverStarted(spark, s"${table}_bands",
             gen)) {
-          spark.table(prevT).drop("gen")
+          spark.table(prevT).drop("gen", "rNew")
             .write.mode("overwrite").saveAsTable(s"${table}_cfg")
           spark.sql(s"DROP TABLE IF EXISTS $prevT")
         }
@@ -445,10 +460,16 @@ object IncrementalSemantic {
 
   /** DELETION PROPAGATION: physically remove the tombstoned ids' rows
     * from BOTH tables through the shared contract — a deleted vector can
-    * never again surface as a candidate or a verification endpoint. */
+    * never again surface as a candidate or a verification endpoint. Fails
+    * closed while an interrupted re-band is pending (the family's
+    * standard refusal, run before any rewrite's first effect): if the
+    * re-band crashed before its rewrite started, a delete's bands rewrite
+    * would otherwise proceed against old-config rows while the published
+    * config is already the new one. */
   def deleteIds(spark: SparkSession, table: String,
       tombstones: DataFrame, gen: String, large: Boolean = false): Unit =
     IncrementalStore.propagateDeletes(spark, gen, Seq(
       IncrementalStore.keyTarget(s"${table}_bands", "id", tombstones, large),
-      IncrementalStore.keyTarget(s"${table}_vecs", "id", tombstones, large)))
+      IncrementalStore.keyTarget(s"${table}_vecs", "id", tombstones, large)),
+      guard = requireNoPendingReband(_, table, "delete"))
 }

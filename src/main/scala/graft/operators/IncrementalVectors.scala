@@ -544,7 +544,13 @@ object IncrementalVectors {
     * bucket-pruned membership scan); the candidate (qid, id) set is
     * |Q|·(probed membership)-bounded and broadcast; `recon` is semi-
     * joined down to candidate ids BEFORE any arithmetic, so the dot
-    * aggregate is candidate-bounded, never store-sized. */
+    * aggregate is candidate-bounded, never store-sized.
+    *
+    * PRECONDITION (enforced, not assumed): `recon` must cover every id
+    * the probed cells can nominate — the cells/codes same-coverage
+    * contract. A code store lagging the cell store (a date appended but
+    * not yet encoded) fails LOUD with the missing id in the error,
+    * never a silent recall loss. */
   def ivfSearchReconstructed(spark: SparkSession, table: String,
       queries: DataFrame, recon: DataFrame, kNeighbors: Int = 3,
       nProbe: Int = 6, idCol: String = "vec_id",
@@ -576,8 +582,26 @@ object IncrementalVectors {
       .groupBy(col("qid"), col("qn"), col("id"))
       .agg(sum(round(col("qx") * col("xh"), 12).cast("decimal(28,12)"))
         .cast("double").as("dot"))
-    val scored = dots.join(broadcast(cn), Seq("id"))
-      .withColumn("cosine", round(col("dot") / (col("qn") * col("cn")), 6))
+    // CELLS/CODES SAME-COVERAGE, enforced: a probed cell-store member
+    // with no row in `recon` (a date appended to the cell store but not
+    // yet encoded) would fall out of the inner joins above SILENTLY —
+    // where the float path would have scored it, a recall hole. The
+    // assembly therefore starts from the full nominated candidate set and
+    // LEFT-joins the reconstruction-derived sides; a missing
+    // reconstruction poisons the cosine with raise_error instead of
+    // disappearing. Costs one extra candidate-bounded broadcast join,
+    // nothing store-sized.
+    val scored = cand.join(broadcast(dots), Seq("qid", "id"), "left")
+      .join(broadcast(cn), Seq("id"), "left")
+      .withColumn("cosine",
+        when(col("cn").isNull || col("dot").isNull,
+          raise_error(concat(lit("nominated candidate id "),
+            col("id").cast("string"),
+            lit(" has no SQ reconstruction — the code store lags the " +
+              "cell store (cells/codes same-coverage contract): encode " +
+              "the missing date(s), or serve the float path (ivfSearch)")))
+            .cast("double"))
+        .otherwise(round(col("dot") / (col("qn") * col("cn")), 6)))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))

@@ -166,6 +166,18 @@ object StoreMaintenance {
     * crash leaves it, forcing the same-label resume). Caller holds the
     * maintenance lease, so sentinel creation cannot race another fold.
     *
+    * `freshNoOp` runs BEFORE the sentinel is created on a fresh invocation
+    * (sentinel absent): it cleans any orphan marker a prior COMPLETED fold
+    * left behind and answers "is this label already committed?" — true ⇒
+    * return without ever planting the sentinel. A replayed
+    * already-completed fold used to plant the sentinel first and only then
+    * discover the no-op, and in that window concurrent
+    * [[consistentTable]]/[[consistentPath]] readers saw "sentinel present
+    * + marker absent" and excluded the COMMITTED label partition (serving
+    * without the entire folded history); the check-then-skip is safe here
+    * because the caller's maintenance lease already excludes racing
+    * mutations.
+    *
     * `body` receives whether the sentinel PRE-EXISTED — the discriminator
     * between "resume of a crashed fold" (every on-disk state is the
     * crashed fold's own, and appends have been blocked since before its
@@ -176,7 +188,7 @@ object StoreMaintenance {
     * the sentinel itself, BEFORE the marker (reader-ordering). */
   private def withPendingSentinel(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, label: String)
-      (body: Boolean => Unit): Unit = {
+      (freshNoOp: () => Boolean)(body: Boolean => Unit): Unit = {
     val others = pendingFolds(fs, root).filterNot(_ == label)
     if (others.nonEmpty) throw new IllegalStateException(
       s"fold '$label' rejected: crashed/unfinished fold '${others.head}' on " +
@@ -184,6 +196,7 @@ object StoreMaintenance {
         "around its orphaned generation partition would double-count rows")
     val pending = pendingFile(root.toString, label)
     val preExisted = fs.exists(pending)
+    if (!preExisted && freshNoOp()) return
     if (!preExisted) fs.create(pending, true).close()
     body(preExisted)
     fs.delete(pending, false)
@@ -602,9 +615,23 @@ object StoreMaintenance {
     // it for the dead-pid / stale-by-age sweep
     acquireLease(spark, meta.location.toString, maxAgeHours)
     try withPendingSentinel(fs,
-        new org.apache.hadoop.fs.Path(meta.location), label) { preExisted =>
+        new org.apache.hadoop.fs.Path(meta.location), label)(freshNoOp = () => {
+      // fresh invocation (no crashed fold to resume — the sentinel
+      // outlives both the marker and the drops, so a crash at ANY point
+      // leaves it): anything this label left on disk is residue of a
+      // PRIOR COMPLETED fold. An orphan marker — crash between the
+      // epilogue's sentinel delete and marker delete — must not be
+      // mistaken for an in-flight commit whose drops are owed (new dates
+      // may have appended since; the drop phase would discard them
+      // unfolded). Remove it. An existing label partition is that prior
+      // fold's COMMITTED output: a repeated label is a documented no-op —
+      // resolved BEFORE the sentinel is planted, so concurrent readers
+      // never see "sentinel + no marker" and exclude the committed label.
+      if (fs.exists(marker)) fs.delete(marker, false)
+      partitions(spark, table).contains(label)
+    }) { _ =>
       foldBody(spark, table, label, minOlds, transform, fs, marker, olds _,
-        pendingFile(meta.location.toString, label), preExisted)
+        pendingFile(meta.location.toString, label))
     } finally releaseLease(spark, meta.location.toString)
   }
 
@@ -612,34 +639,19 @@ object StoreMaintenance {
       minOlds: Int,
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       fs: org.apache.hadoop.fs.FileSystem, marker: org.apache.hadoop.fs.Path,
-      olds: () => Seq[String], pending: org.apache.hadoop.fs.Path,
-      preExisted: Boolean): Unit = {
+      olds: () => Seq[String], pending: org.apache.hadoop.fs.Path): Unit = {
     val cat = spark.sessionState.catalog
     val meta = cat.getTableMetadata(TableIdentifier(table))
-    if (!preExisted) {
-      // NO crashed fold to resume (the sentinel outlives both the marker
-      // and the drops, so a crash at ANY point leaves it): anything this
-      // label left on disk is residue of a PRIOR COMPLETED fold. An
-      // orphan marker — crash between the epilogue's sentinel delete and
-      // marker delete — must not be mistaken for an in-flight commit
-      // whose drops are owed (new dates may have appended since; the
-      // drop phase would discard them unfolded). Remove it.
-      if (fs.exists(marker)) fs.delete(marker, false)
-      // an existing label partition is that prior fold's COMMITTED
-      // output: a repeated label is a documented no-op — never the
-      // round-15 failure of dropping the completed generation because
-      // fresh appends pushed olds past the threshold
-      if (partitions(spark, table).contains(label)) return
-    }
     if (!fs.exists(marker)) {
       val old = olds()
       // below the threshold a fold never starts, so there is nothing to
       // resume and nothing worth folding
       if (old.size < minOlds) return
-      // resuming (preExisted) at/above the threshold with no marker ⇒ a
-      // `label` partition can only be the crashed fold's own uncommitted
-      // partial write (appends were sentinel-blocked throughout) — the
-      // old partitions are intact and authoritative, so drop it and redo
+      // at/above the threshold with no marker, a `label` partition can
+      // only be a crashed fold's own uncommitted partial write (a fresh
+      // invocation with a committed label returned in freshNoOp above,
+      // and appends were sentinel-blocked throughout the crashed fold) —
+      // the old partitions are intact and authoritative: drop it and redo
       if (partitions(spark, table).contains(label))
         spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$label')")
       val folded = transform(spark.table(table)
@@ -716,10 +728,23 @@ object StoreMaintenance {
     val root = new org.apache.hadoop.fs.Path(store)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
+    val labelDir = new org.apache.hadoop.fs.Path(root, s"ds=$label")
+    val marker = new org.apache.hadoop.fs.Path(root, s"_compact_${label}_done")
+    val staging = new org.apache.hadoop.fs.Path(
+      root.getParent, s"${root.getName}_staging_$label")
     acquireLease(spark, store, maxAgeHours)
-    try withPendingSentinel(fs, root, label) { preExisted =>
+    try withPendingSentinel(fs, root, label)(freshNoOp = () => {
+      // fresh invocation — no crashed fold to resume, so on-disk label
+      // state is a PRIOR COMPLETED fold's (see foldBody: the sentinel
+      // outlives marker and drops). Clean an orphan marker; a repeated
+      // label is a no-op, never a drop-and-redo over the committed dir —
+      // resolved BEFORE the sentinel lands, so readers never transiently
+      // exclude the committed label (the table fold's reasoning).
+      if (fs.exists(marker)) fs.delete(marker, false)
+      if (fs.exists(labelDir)) { fs.delete(staging, true); true } else false
+    }) { _ =>
       foldPathBody(spark, label, foldable, minOlds, merge, root, fs,
-        preExisted)
+        labelDir, marker, staging)
     } finally releaseLease(spark, store)
   }
 
@@ -727,12 +752,9 @@ object StoreMaintenance {
       foldable: String => Boolean, minOlds: Int,
       merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       root: org.apache.hadoop.fs.Path,
-      fs: org.apache.hadoop.fs.FileSystem, preExisted: Boolean): Unit = {
-    val labelDir = new org.apache.hadoop.fs.Path(root, s"ds=$label")
-    val marker = new org.apache.hadoop.fs.Path(root, s"_compact_${label}_done")
-    val staging = new org.apache.hadoop.fs.Path(
-      root.getParent, s"${root.getName}_staging_$label")
-
+      fs: org.apache.hadoop.fs.FileSystem,
+      labelDir: org.apache.hadoop.fs.Path, marker: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path): Unit = {
     def olds(): Seq[org.apache.hadoop.fs.Path] = fs.listStatus(root)
       .filter(_.isDirectory).map(_.getPath)
       .filter { p =>
@@ -740,14 +762,6 @@ object StoreMaintenance {
         p.getName.startsWith("ds=") && ds != label && foldable(ds)
       }.toSeq
 
-    if (!preExisted) {
-      // fresh invocation — no crashed fold to resume, so on-disk label
-      // state is a PRIOR COMPLETED fold's (see foldBody: the sentinel
-      // outlives marker and drops). Clean an orphan marker; a repeated
-      // label is a no-op, never a drop-and-redo over the committed dir.
-      if (fs.exists(marker)) fs.delete(marker, false)
-      if (fs.exists(labelDir)) { fs.delete(staging, true); return }
-    }
     if (!fs.exists(marker)) {
       val old = olds()
       // below the threshold a fold never starts — nothing to resume

@@ -194,6 +194,8 @@ class IncrementalSemanticSpec extends SparkSpec {
       // a PENDING re-band fails appends and serves closed; the same-gen
       // re-run heals and unblocks
       spark.table("ism_rb_cfg").withColumn("gen", lit("rb2"))
+        .withColumn("rNew",
+          lit(Similarity.derivedRowsPerBand(df.count(), 128)))
         .write.mode("errorifexists").saveAsTable("ism_rb_cfg_prev")
       val exA = intercept[IllegalStateException] {
         IncrementalSemantic.appendDate(
@@ -204,11 +206,26 @@ class IncrementalSemanticSpec extends SparkSpec {
         IncrementalSemantic.newPairs(spark, "ism_rb", "d2", 0.95)
       }
       assert(exS.getMessage.contains("re-band"), exS.getMessage)
+      // deletion propagation fails closed in the same window (the guard
+      // runs before any rewrite's first effect)
+      val exD = intercept[IllegalStateException] {
+        IncrementalSemantic.deleteIds(spark, "ism_rb",
+          Seq(0L).toDF("id"), gen = "delpend")
+      }
+      assert(exD.getMessage.contains("re-band"), exD.getMessage)
       val exG = intercept[IllegalArgumentException] {
         IncrementalSemantic.rebandStore(spark, "ism_rb",
           newHorizonRows = df.count(), gen = "rb3")
       }
       assert(exG.getMessage.contains("rb2"), exG.getMessage)
+      // the same-gen resume must also be same-HORIZON: a different width
+      // would republish a config the committed band rows were not hashed
+      // at (the snapshot stamps rNew alongside gen)
+      val exH = intercept[IllegalArgumentException] {
+        IncrementalSemantic.rebandStore(spark, "ism_rb",
+          newHorizonRows = 16L, gen = "rb2")
+      }
+      assert(exH.getMessage.contains("SAME horizon"), exH.getMessage)
       IncrementalSemantic.rebandStore(spark, "ism_rb",
         newHorizonRows = df.count(), gen = "rb2")
       // the rb2 fold consumed per-date history (documented rewrite
