@@ -53,7 +53,7 @@ object MassProbe {
     // which is correct: that regime has no legitimate single-level store.
     def storeCount(label: String, twoLevel: Option[Boolean]): Long = {
       val base = s"graft_massprobe_${label.replace('-', '_')}"
-      Seq("_cfg", "_cfg_prev", "_bands", "_vecs")
+      Seq("_cfg", "_cfg_prev", "_bands", "_vecs", "_occ")
         .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
       val t0 = System.nanoTime()
       graft.operators.IncrementalSemantic.initModel(emb, base,
@@ -65,7 +65,7 @@ object MassProbe {
         .candidatePairs(spark, base, "d0").count()
       println(f"$label%-14s candidates=$c%12d  (ingest $tIngest%.1f s, " +
         f"join ${(System.nanoTime() - t1) / 1e9}%.1f s)")
-      Seq("_cfg", "_cfg_prev", "_bands", "_vecs")
+      Seq("_cfg", "_cfg_prev", "_bands", "_vecs", "_occ")
         .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
       c
     }

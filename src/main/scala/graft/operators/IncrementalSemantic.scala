@@ -33,6 +33,11 @@ import org.apache.spark.sql.functions._
   *    verification gathers both endpoints of the (banded, sub-quadratic)
   *    candidate stream from here; the vector table itself never
   *    reshuffles — only candidate-mass-sized key streams move.
+  *  - `t_occ` — (level, band, bh, n) per date: the MODEL-SIZED occupancy
+  *    summary persisted at hash time (occupancy is known exactly when
+  *    the band rows are computed), so the drift audit
+  *    ([[bandDriftPsi]]) reads dates × levels × combos rows and never
+  *    opens the corpus-sized band store.
   *
   * TWO-LEVEL FREEZE (the round-15 gap, closed): a store exists precisely
   * for 100 TB horizons, and at `horizonRows ≥ 2^21` single-level banding
@@ -135,6 +140,30 @@ object IncrementalSemantic {
         .select(col("band"), col("bh"), col("id"))
   }
 
+  /** Per-(level, band, bh) occupancy counts of a set of band rows — the
+    * model-sized summary [[appendDate]] persists alongside each date so
+    * the drift audit ([[bandDriftPsi]]) is a summary read, never a scan
+    * of the corpus-sized band store. Occupancy is known exactly at hash
+    * time: every id contributes exactly one row per (level, band), so a
+    * single-level store's counts are a plain group-by and a two-level
+    * store's b²-amplified composite rows de-duplicate back to one row
+    * per (level, band, bh, id) first — a DAY-sized shuffle at append
+    * time instead of the store-sized shuffle the audit used to pay on
+    * every pass. Both signatures are kept (level 0 and, when frozen
+    * two-level, level 1): drift can in principle concentrate differently
+    * per projection set. */
+  private def occFromBandRows(bands: DataFrame, levels: Int): DataFrame =
+    (if (levels == 2)
+      bands.select(lit(0).as("level"), col("band1").as("band"),
+          col("bh1").as("bh"), col("id"))
+        .unionAll(bands.select(lit(1).as("level"), col("band2").as("band"),
+          col("bh2").as("bh"), col("id")))
+        .distinct()
+    else
+      bands.select(lit(0).as("level"), col("band"), col("bh"), col("id")))
+      .groupBy(col("level"), col("band"), col("bh"))
+      .agg(count(lit(1)).as("n"))
+
   /** Refuse any append or serve while an interrupted [[rebandStore]] is
     * pending (`t_cfg_prev` exists): in that window the NEW config is
     * already published but the band rows are still OLD-config — an
@@ -153,15 +182,20 @@ object IncrementalSemantic {
 
   /** Hash one date's embeddings against the frozen config and append:
     * (id, vector, norm) rows to the id-bucketed table FIRST, then band
-    * rows to the band-key-bucketed table. The expensive work
-    * (levels·nPlanes sign dots per vector) happens here once per row,
-    * ever. NOT atomic across the two tables (the [[IncrementalVectors
-    * .appendDate]] caveat): a failure between the writes leaves the date
-    * HALF-appended — vecs only, which fails SAFE (an id without band
-    * rows is simply never a candidate; the reverse order would leave
-    * candidates whose verification endpoints silently vanish, a recall
-    * hole). Vecs-first also means a [[rebandStore]] landing between the
-    * writes re-derives the in-flight date's band rows completely.
+    * rows to the band-key-bucketed table, then the date's (level, band,
+    * bh) occupancy summary (model-sized — the [[bandDriftPsi]] feed,
+    * derived by reading back the just-landed band partition, never by
+    * re-hashing). The expensive work (levels·nPlanes sign dots per
+    * vector) happens here once per row, ever. NOT atomic across the
+    * three tables (the [[IncrementalVectors.appendDate]] caveat): a
+    * failure between the writes leaves the date HALF-appended — ordered
+    * to fail SAFE at each gap (vecs only: an id without band rows is
+    * simply never a candidate — the reverse order would leave candidates
+    * whose verification endpoints silently vanish, a recall hole; bands
+    * without occupancy: the drift audit is missing a date it would have
+    * flagged only later, while serves — the correctness surface — are
+    * complete). Vecs-first also means a [[rebandStore]] landing between
+    * the writes re-derives the in-flight date's band rows completely.
     * Recovery is the standard contract: [[dropDate]], then retry. */
   def appendDate(emb: DataFrame, table: String, date: String,
       nBuckets: Int = 8, idCol: String = "vec_id",
@@ -176,6 +210,11 @@ object IncrementalSemantic {
     IncrementalStore.appendBucketed(
       bandRows(emb, idCol, vecCol, nPlanes, r, dim, levels),
       s"${table}_bands", date, keyCols(levels), nBuckets,
+      guard = requireNoPendingReband(_, table, "append"))
+    IncrementalStore.appendTable(
+      occFromBandRows(
+        spark.table(s"${table}_bands").filter(col("ds") === date), levels),
+      s"${table}_occ", date,
       guard = requireNoPendingReband(_, table, "append"))
   }
 
@@ -237,70 +276,85 @@ object IncrementalSemantic {
   /** Drop one ingestion date's partitions — the re-run/retry guard. */
   def dropDate(spark: SparkSession, table: String, date: String): Unit =
     IncrementalStore.dropDate(spark,
-      Seq(s"${table}_bands", s"${table}_vecs"), date)
+      Seq(s"${table}_bands", s"${table}_vecs", s"${table}_occ"), date)
 
   /** BANDING-MODEL DRIFT AUDIT — the q141 DETECT lens applied to the
     * frozen banding config: `horizonRows` at init is a capacity GUESS,
     * and a corpus that outgrows (or distributionally drifts from) it
     * concentrates band-bucket occupancy, re-inflating the candidate mass
-    * the width law was sized to bound. Per ingestion date, the
-    * population stability index of its level-0 (band, bh) occupancy
-    * distribution against `initDate`'s: Laplace-smoothed proportions
-    * (+1 / +|observed combos|), each term (p−q)·ln(p/q) rounded to 12
-    * and decimal-summed (partition-order-proof — the q141 arithmetic
-    * verbatim, SQL-replayable). The standard monitoring rule reads
-    * PSI > 0.25 as "re-band" — the ACT is [[rebandStore]].
+    * the width law was sized to bound. Per ingestion date AND per frozen
+    * signature level, the population stability index of its (band, bh)
+    * occupancy distribution against `initDate`'s: Laplace-smoothed
+    * proportions (+1 / +|observed combos at that level|), each term
+    * (p−q)·ln(p/q) rounded to 12 and decimal-summed
+    * (partition-order-proof — the q141 arithmetic verbatim,
+    * SQL-replayable). The standard monitoring rule reads PSI > 0.25 as
+    * "re-band" — the ACT is [[rebandStore]].
     *
-    * Scale shape: one pass over the band store into a (dates ×
-    * observed-combos)-sized aggregate (≤ nBands·2^r rows — bounded by
-    * the model, not the corpus); everything past it is grid-sized. A
-    * two-level store audits its FIRST signature (occupancy per id is
-    * the same per-band construction; the b² composite rows are
-    * de-duplicated to one row per (date, band, bh, id) first). */
-  def bandDriftPsi(spark: SparkSession, table: String,
+    * Scale shape: a METADATA-SIZED read — the audit never opens the band
+    * store (plan-pinned in IncrementalSemanticSpec); it reads the
+    * per-date occupancy summary [[appendDate]] persists at hash time
+    * (dates × levels × observed combos rows, ≤ levels·nBands·2^r —
+    * bounded by the model, not the corpus). The store-sized de-dup a
+    * two-level audit used to pay per pass is amortized into each date's
+    * append as a day-sized aggregate. Both frozen signatures are audited
+    * (drift can concentrate differently per projection set); the
+    * summary sums across occupancy rows, so a compacted summary
+    * partition (additive counts) audits identically. */
+  def bandDriftPsiLevels(spark: SparkSession, table: String,
       initDate: String): DataFrame = {
-    val (_, _, _, levels) = cfg(spark, table)
-    val kc = keyCols(levels)
-    val raw = IncrementalStore.consistentScan(spark, s"${table}_bands")
-      .select(col("ds"), col(kc(0)).as("band"), col(kc(1)).as("bh"),
-        col("id"))
-    val rows = if (levels == 2) raw.distinct() else raw
-    val counts = rows.groupBy(col("ds"), col("band"), col("bh"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // bounded: dates × observed combos
-    val combos = counts.select(col("band"), col("bh")).distinct()
-    val nb = combos.agg(count(lit(1)).as("b"))
+    requireNoPendingReband(spark, table, "drift audit")
+    val counts = IncrementalStore.consistentScan(spark, s"${table}_occ")
+      .groupBy(col("ds"), col("level"), col("band"), col("bh"))
+      .agg(sum(col("n")).as("n"))
+      .localCheckpoint() // bounded: dates × levels × observed combos
+    val combos = counts.select(col("level"), col("band"), col("bh"))
+      .distinct()
+    val nb = combos.groupBy(col("level")).agg(count(lit(1)).as("b"))
     val grid = counts.select(col("ds")).distinct().crossJoin(combos)
-    val full = grid.join(counts, Seq("ds", "band", "bh"), "left")
-      .select(col("ds"), col("band"), col("bh"),
+    val full = grid.join(counts, Seq("ds", "level", "band", "bh"), "left")
+      .select(col("ds"), col("level"), col("band"), col("bh"),
         coalesce(col("n"), lit(0L)).as("n"))
     val withP = full
-      .join(full.groupBy(col("ds")).agg(sum(col("n")).as("nd")), "ds")
-      .crossJoin(broadcast(nb))
-      .select(col("ds"), col("band"), col("bh"), col("nd"),
+      .join(full.groupBy(col("ds"), col("level"))
+        .agg(sum(col("n")).as("nd")), Seq("ds", "level"))
+      .join(broadcast(nb), Seq("level"))
+      .select(col("ds"), col("level"), col("band"), col("bh"), col("nd"),
         ((col("n") + 1).cast("double") / (col("nd") + col("b"))).as("p"))
     val base = withP.filter(col("ds") === initDate)
-      .select(col("band"), col("bh"), col("p").as("q"))
+      .select(col("level"), col("band"), col("bh"), col("p").as("q"))
     // fail LOUD if the baseline date no longer exists (folded by a
     // re-band/compact, or never ingested): the inner join below would
     // otherwise return ZERO rows and a monitoring rule reading the audit
     // would silently never fire again — the opposite of a detector.
-    // Bounded check: `counts` is (dates × combos)-sized and pinned.
+    // Bounded check: `counts` is (dates × levels × combos)-sized, pinned.
     if (counts.filter(col("ds") === initDate).isEmpty)
       throw new IllegalArgumentException(
-        s"drift baseline '$initDate' has no rows in ${table}_bands " +
+        s"drift baseline '$initDate' has no rows in ${table}_occ " +
           "(folded by a re-band/compact, or never ingested) — pass a " +
           "live partition as the baseline (after a re-band, its r_<gen> " +
           "label is the natural new baseline)")
-    withP.join(base, Seq("band", "bh"))
+    withP.join(base, Seq("level", "band", "bh"))
       .withColumn("term",
         round((col("p") - col("q")) * log(col("p") / col("q")), 12))
-      .groupBy(col("ds"))
+      .groupBy(col("ds"), col("level"))
       .agg(max(col("nd")).as("n_rows"),
         round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
           .as("psi"))
-      .orderBy(col("ds"))
+      .orderBy(col("ds"), col("level"))
   }
+
+  /** [[bandDriftPsiLevels]] projected to the FIRST frozen signature —
+    * the q180 monitoring shape (level-0 occupancy is what re-inflates
+    * the daily join's candidate mass first; the per-level variant is
+    * the completeness view). Output (ds, n_rows, psi), identical
+    * arithmetic to the level-0 rows of the per-level audit. */
+  def bandDriftPsi(spark: SparkSession, table: String,
+      initDate: String): DataFrame =
+    bandDriftPsiLevels(spark, table, initDate)
+      .filter(col("level") === 0)
+      .select(col("ds"), col("n_rows"), col("psi"))
+      .orderBy(col("ds"))
 
   /** RE-BAND the store at a new horizon — the ACT to [[bandDriftPsi]]'s
     * detect, the [[IncrementalSQ.refitGrid]] shape for the banding
@@ -387,14 +441,28 @@ object IncrementalSemantic {
     Seq((nPlanes, rNew, dim, levels))
       .toDF("nPlanes", "r", "dim", "levels")
       .write.mode("overwrite").saveAsTable(s"${table}_cfg")
-    try StoreMaintenance.rewrite(spark, s"${table}_bands", gen,
-      transform = _ =>
-        // the old band rows are not inputs — the rewrite re-derives every
-        // row from the vector table under the new config (band hashes are
-        // not invertible, and unlike SQ codes nothing of value is lost)
-        bandRows(IncrementalStore.consistentScan(spark, s"${table}_vecs"),
-          "id", "e", nPlanes, rNew, dim, levels))
-    catch {
+    try {
+      StoreMaintenance.rewrite(spark, s"${table}_bands", gen,
+        transform = _ =>
+          // the old band rows are not inputs — the rewrite re-derives every
+          // row from the vector table under the new config (band hashes are
+          // not invertible, and unlike SQ codes nothing of value is lost)
+          bandRows(IncrementalStore.consistentScan(spark, s"${table}_vecs"),
+            "id", "e", nPlanes, rNew, dim, levels))
+      // the occupancy summary is derived state over the band rows — the
+      // old-width counts are meaningless under the new config, so fold
+      // them into the same generation, recomputed from the REWRITTEN
+      // bands (per-date history is consumed exactly as the bands' was;
+      // the r_<gen> label is the audit's natural new baseline). Ordered
+      // INSIDE the pending window (cfg_prev still up): a crash between
+      // the two rewrites resumes with the bands fold no-opping (label
+      // committed) and this fold completing.
+      if (spark.catalog.tableExists(s"${table}_occ"))
+        StoreMaintenance.rewrite(spark, s"${table}_occ", gen,
+          transform = _ => occFromBandRows(
+            IncrementalStore.consistentScan(spark, s"${table}_bands"),
+            levels))
+    } catch {
       // abort before the fold's first durable effect (no sentinel AND no
       // r_<gen> partition): restore the old config and unstage — the
       // contention loser must not wedge the store behind a same-gen
@@ -467,9 +535,20 @@ object IncrementalSemantic {
     * would otherwise proceed against old-config rows while the published
     * config is already the new one. */
   def deleteIds(spark: SparkSession, table: String,
-      tombstones: DataFrame, gen: String, large: Boolean = false): Unit =
+      tombstones: DataFrame, gen: String, large: Boolean = false): Unit = {
+    val (_, _, _, levels) = cfg(spark, table)
     IncrementalStore.propagateDeletes(spark, gen, Seq(
       IncrementalStore.keyTarget(s"${table}_bands", "id", tombstones, large),
-      IncrementalStore.keyTarget(s"${table}_vecs", "id", tombstones, large)),
+      IncrementalStore.keyTarget(s"${table}_vecs", "id", tombstones, large),
+      // the occupancy summary is derived state: the deleted ids' counts
+      // must vanish with their band rows, so it folds into the same
+      // generation recomputed from the POST-DELETE bands (targets run in
+      // order — bands is already rewritten when this transform plans)
+      IncrementalStore.DeleteTarget(s"${table}_occ",
+        transform = _ => occFromBandRows(
+          IncrementalStore.consistentScan(spark, s"${table}_bands"),
+          levels),
+        optional = true)),
       guard = requireNoPendingReband(_, table, "delete"))
+  }
 }

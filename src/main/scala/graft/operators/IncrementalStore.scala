@@ -52,6 +52,21 @@ object IncrementalStore {
         .saveAsTable(table)
     }
 
+  /** Append one date's rows to a plain (non-bucketed) partitioned TABLE
+    * store — for model-sized derived summaries (per-date occupancy
+    * counts, gate tallies) that no keyed serve ever joins at scale:
+    * bucketing would buy nothing and cost nBuckets tiny files per date.
+    * Same shared append lease, same `ds=<date>` partition and re-run
+    * contract ([[dropDate]]) as [[appendBucketed]]. */
+  def appendTable(df: DataFrame, table: String, date: String,
+      guard: SparkSession => Unit = _ => ()): Unit =
+    StoreMaintenance.withAppendLeaseTable(df.sparkSession, table) {
+      guard(df.sparkSession)
+      df.withColumn("ds", lit(date))
+        .write.mode("append").partitionBy("ds")
+        .saveAsTable(table)
+    }
+
   /** Append one date's rows to a plain-parquet PATH store: shared append
     * lease, dynamic partition overwrite — a re-run of the same date
     * replaces only its own partition (idempotent retries, the split

@@ -1080,7 +1080,7 @@ object TextQueries {
   def q178IncrementalSemantic(s: SparkSession, dir: String): DataFrame = {
     val base = s"graft_q178_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
-    val tbls = Seq("_cfg", "_bands", "_vecs").map(base + _)
+    val tbls = Seq("_cfg", "_bands", "_vecs", "_occ").map(base + _)
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     Warehouse.sweepOrphans(s, "graft_q178_p")
     val aug = augmentedEmbeddings(s, dir)
@@ -1124,7 +1124,7 @@ object TextQueries {
       : DataFrame = {
     val base = s"graft_q179_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
-    val tbls = Seq("_cfg", "_bands", "_vecs").map(base + _)
+    val tbls = Seq("_cfg", "_bands", "_vecs", "_occ").map(base + _)
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     Warehouse.sweepOrphans(s, "graft_q179_p")
     val aug = augmentedEmbeddings(s, dir)
@@ -1165,7 +1165,7 @@ object TextQueries {
   def q180SemanticBandDrift(s: SparkSession, dir: String): DataFrame = {
     val base = s"graft_q180_p${ProcessHandle.current().pid()}_" +
       Integer.toHexString(dir.hashCode)
-    val tbls = Seq("_cfg", "_bands", "_vecs").map(base + _)
+    val tbls = Seq("_cfg", "_bands", "_vecs", "_occ").map(base + _)
     tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     Warehouse.sweepOrphans(s, "graft_q180_p")
     val emb = Tables.load(s, dir, "embeddings")

@@ -22,7 +22,7 @@ class IncrementalSemanticSpec extends SparkSpec {
   }
 
   private def dropStore(base: String): Unit =
-    Seq("_cfg", "_cfg_prev", "_bands", "_vecs").foreach(sfx =>
+    Seq("_cfg", "_cfg_prev", "_bands", "_vecs", "_occ").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
 
   private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
@@ -264,6 +264,47 @@ class IncrementalSemanticSpec extends SparkSpec {
       assert(IncrementalSemantic.bandDriftPsi(spark, "ism_rb", "r_rb2")
         .filter(col("ds") === "r_rb2").head().getDouble(2) == 0.0)
     } finally { dropStore("ism_rb"); dropStore("ism_rb_ref") }
+  }
+
+  test("the drift audit is summary-fed: occupancy equals a from-bands recomputation; both levels audit; band store never read") {
+    val df = fixture
+    dropStore("ism_occ")
+    try {
+      IncrementalSemantic.initModel(
+        df.filter(col("vec_id") % 3 === 0), "ism_occ",
+        horizonRows = df.count(), twoLevel = Some(true))
+      (0 until 3).foreach(d => IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") % 3 === d), "ism_occ", s"d$d"))
+      // the summary persisted at hash time equals the occupancy
+      // recomputed from the b²-amplified composite band rows — the
+      // store-sized de-dup the audit used to pay on every pass
+      val bands = spark.table("ism_occ_bands")
+      val recomputed = bands.select(col("ds"), lit(0).as("level"),
+          col("band1").as("band"), col("bh1").as("bh"), col("id"))
+        .unionAll(bands.select(col("ds"), lit(1).as("level"),
+          col("band2").as("band"), col("bh2").as("bh"), col("id")))
+        .distinct()
+        .groupBy(col("ds"), col("level"), col("band"), col("bh"))
+        .agg(count(lit(1)).as("n"))
+      sameRows(
+        spark.table("ism_occ_occ")
+          .select(col("ds"), col("level"), col("band"), col("bh"), col("n")),
+        recomputed,
+        "the persisted occupancy summary must equal a from-bands recompute")
+      // BOTH frozen signatures audit (drift can concentrate differently
+      // per projection set); baseline vs itself is identically zero
+      val psi = IncrementalSemantic.bandDriftPsiLevels(spark, "ism_occ", "d0")
+        .collect()
+      assert(psi.map(_.getInt(1)).toSet == Set(0, 1),
+        "both levels must appear in the audit")
+      assert(psi.filter(_.getString(0) == "d0").forall(_.getDouble(3) == 0.0),
+        "d0 vs d0 must be identically zero at every level")
+      // the audit never opens the band store: stronger than a plan
+      // assert — it still serves with the band table GONE
+      spark.sql("DROP TABLE ism_occ_bands")
+      assert(IncrementalSemantic.bandDriftPsi(spark, "ism_occ", "d0")
+        .count() == 3, "the audit must be fed by the summary alone")
+    } finally dropStore("ism_occ")
   }
 
   test("store compaction composes with continued ingestion: day-3 pairs equal the uncompacted run") {

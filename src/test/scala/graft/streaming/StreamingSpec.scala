@@ -474,7 +474,7 @@ class StreamingSpec extends SparkSpec {
       val tmp = java.nio.file.Files.createTempDirectory("ssem").toString
       val base = s"graft_ssem_p${ProcessHandle.current().pid()}" +
         (if (twoLevel.isDefined) "_2l" else "")
-      Seq("_cfg", "_bands", "_vecs").foreach(sfx =>
+      Seq("_cfg", "_bands", "_vecs", "_occ").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
       try {
         graft.operators.IncrementalSemantic.initModel(df, base,
@@ -500,7 +500,7 @@ class StreamingSpec extends SparkSpec {
         assert(got.toSet == want,
           s"streamed reports must union to the exact pair set (twoLevel=$twoLevel)")
       } finally {
-        Seq("_cfg", "_bands", "_vecs").foreach(sfx =>
+        Seq("_cfg", "_bands", "_vecs", "_occ").foreach(sfx =>
           spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       }
