@@ -200,6 +200,7 @@ object SparkEntry {
     "q179_incr_semantic_two_level" ->
       (TextQueries.q179IncrementalSemanticTwoLevel _),
     "q180_semantic_band_drift" -> (TextQueries.q180SemanticBandDrift _),
+    "q181_curate_orchestrated" -> (TextQueries.q181CurateOrchestrated _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3501,6 +3502,53 @@ object SparkEntry {
     // the oracle replays hashing, Laplace smoothing, and the round-12
     // decimal PSI terms bit-for-bit (the q141 arithmetic)
     "q180_semantic_band_drift" -> bandDriftPsiSql,
+
+    // q181: the ledger-driven curation orchestrator's multi-store day
+    // report — the oracle replays the curated corpus construction
+    // (documents ⋈ embeddings on id, every 10th id cloned at id + 1e6
+    // with the same text and the q93-perturbed embedding) and BOTH
+    // exact all-pairs gates: ngram Jaccard ≥ 0.5 (the q21/q92 gate,
+    // tagged 'minhash') and cosine ≥ 0.9 (the q24/q178 gate, tagged
+    // 'semantic'). Green = the orchestrated per-date store reports
+    // union to recall 1.0 for every registered pair family.
+    "q181_curate_orchestrated" ->
+      s"""WITH joined AS (
+        |  SELECT d.doc_id AS id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |curated AS (
+        |  SELECT id, text, embedding FROM joined
+        |  UNION ALL
+        |  SELECT id + 1000000, text,
+        |    list_transform(generate_series(1, len(embedding)),
+        |      i -> CAST(CAST(embedding[i] AS DOUBLE)
+        |                * (1 + 0.01 * ((i - 1) % 7 - 3)) AS FLOAT))
+        |  FROM joined WHERE id % 10 = 0),
+        |cdocs AS (SELECT id AS doc_id, text FROM curated),
+        |${ngramPairCtesFrom("cdocs")},
+        |nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm
+        |  FROM (SELECT id AS vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x
+        |        FROM curated)
+        |  GROUP BY vec_id),
+        |dd AS (
+        |  SELECT a_id, b_id, SUM(ax*bx) AS dot FROM (
+        |    SELECT a.id AS a_id, b.id AS b_id,
+        |      CAST(UNNEST(a.embedding) AS DOUBLE) AS ax,
+        |      CAST(UNNEST(b.embedding) AS DOUBLE) AS bx
+        |    FROM curated a JOIN curated b ON a.id < b.id)
+        |  GROUP BY a_id, b_id)
+        |SELECT * FROM (
+        |  SELECT 'minhash' AS family, a_id, b_id,
+        |    ROUND(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS score
+        |  FROM pairs JOIN cnt ca ON a_id = ca.doc_id
+        |    JOIN cnt cb ON b_id = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.5
+        |  UNION ALL
+        |  SELECT 'semantic', a_id, b_id, ROUND(dot / (na.nrm * nb.nrm), 6)
+        |  FROM dd JOIN nrm na ON a_id = na.vec_id
+        |    JOIN nrm nb ON b_id = nb.vec_id
+        |  WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.9)
+        |ORDER BY family, a_id, b_id""".stripMargin,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

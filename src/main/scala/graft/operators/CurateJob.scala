@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.split.{Marker, MarkerLedger, PathOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+/** One incremental store family registered with the curation
+  * orchestrator ([[CurateJob]]): how to land one ingestion date's slice
+  * in the family's persistent store, how to drop that date again (the
+  * crash-resume retry guard — every family's documented recovery for a
+  * half-appended date), and optionally the family's DAY REPORT (the
+  * near-dup pairs / gate stats the date's arrival surfaces).
+  *
+  * The report function receives the date it reports FOR; to make a
+  * reprocessed date (marker deleted, or crash-resumed after later dates
+  * landed) bit-equal to its original run, it must serve AS-OF that date
+  * (the store families' `upTo` convention — e.g.
+  * [[IncrementalSemantic.newPairs]](…, upTo = Some(date))). A report
+  * without as-of re-derives against the store's CURRENT state, which is
+  * still correct forward-only but not reprocess-stable. */
+final case class CurateFamily(
+    name: String,
+    append: (DataFrame, String) => Unit,
+    drop: (SparkSession, String) => Unit,
+    report: Option[(SparkSession, String) => DataFrame] = None)
+
+/** Orchestrator configuration.
+  *
+  * @param kind      job tag stamped into every marker (the reference's
+  *                  marker `kind` field).
+  * @param inDir     input catalog: one `{date}.parquet` per ingestion
+  *                  date — a single parquet object (the reference's S3
+  *                  input shape) OR a Spark dataset directory of that
+  *                  name (the shape a 100 TB per-date drop actually has).
+  * @param markerDir the done-marker ledger (`{date}.json`, written LAST).
+  * @param reportDir day reports land under `{reportDir}/{family}/ds={date}`
+  *                  via dynamic partition overwrite (idempotent re-runs).
+  * @param families  the registered stores, processed in order per date. */
+final case class CurateConfig(
+    kind: String,
+    inDir: String,
+    markerDir: String,
+    reportDir: String,
+    families: Seq[CurateFamily])
+
+/** Run summary — the reference's O15 shape for the curation job. */
+final case class CurateSummary(
+    kind: String,
+    inputDates: Int,
+    doneDates: Int,
+    missingDates: Seq[String],
+    processedDates: Seq[String],
+    skippedMissing: Seq[String])
+
+/** LEDGER-DRIVEN INCREMENTAL CURATION — the reference's one genuinely
+  * novel idea (list input dates, anti-join the done-marker ledger,
+  * process exactly the missing dates, commit a marker LAST —
+  * reference/src/Split/parquet-splitter.py:117-196, faithful for the
+  * split engine in [[graft.split.SplitJob]]) generalized over the
+  * incremental store families: a production pipeline runs "for each new
+  * ingestion date: append to the dedup + semantic + postings + …
+  * stores, emit the day's pair/gate reports" as ONE crash-resumable,
+  * marker-committed unit, not as N hand-sequenced family calls.
+  *
+  * Per missing date (sorted; sequential like the reference — each date's
+  * appends already fan out across all executors, and failure attribution
+  * stays per-date):
+  *   1. every registered family DROPS the date first (bounded-metadata
+  *      DDL, a no-op on a fresh date) — the crash-resume contract: a
+  *      prior run that died mid-date left SOME families appended and no
+  *      marker, and every family documents drop-then-retry as its
+  *      half-appended-date recovery;
+  *   2. every family APPENDS its slice of the date's input;
+  *   3. every reporting family's day report is written to
+  *      `{reportDir}/{family}/ds={date}` (dynamic partition overwrite —
+  *      a re-run replaces only its own partition). The write is an
+  *      eager action, so the report is pinned to the store state at
+  *      THIS date, never to later appends (the q178 eagerness rule);
+  *   4. the marker commits — the date is done exactly when everything
+  *      above is durable (marker-LAST, the commit point).
+  * A failure anywhere aborts the run with no marker: the next run
+  * re-lists, finds the date still missing, and step 1 makes the retry
+  * idempotent. A second run over a fully-processed catalog is a no-op;
+  * deleting one date's marker reprocesses exactly that date (the split
+  * engine's golden semantics, spec-pinned in CurateJobSpec).
+  *
+  * Scale shape: the ledger is driver-side strings — one per date
+  * partition, not per row (ten years of daily drops ≈ 3,650 entries);
+  * everything row-sized flows through the families' own bucketed
+  * append/serve plans. A missing input file is warn-and-skip (the
+  * reference's O7), an EMPTY date appends zero rows and commits
+  * normally — the split engine's empty-input livelock quirk is a pinned
+  * reference behavior there, not a contract here. */
+final class CurateJob(spark: SparkSession, config: CurateConfig) {
+  private val ledger = new MarkerLedger(spark.sparkContext.hadoopConfiguration)
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+    .withZone(ZoneOffset.UTC)
+
+  /** Input dates: stems of the catalog's immediate `*.parquet` children —
+    * files OR dataset directories (see [[CurateConfig.inDir]]). Unlike the
+    * split ledger's recursive listing (a pinned reference quirk,
+    * SURVEY.md §2.2.5), the orchestrator's own catalog contract is flat:
+    * nested drops are invisible rather than discovered-then-skipped. */
+  private def inputDates(): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      PathOps.normalizePrefix(config.inDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else PathOps.stemsWithSuffix(
+      fs.listStatus(p).map(_.getPath.toString).toSeq, ".parquet")
+  }
+
+  def run(): CurateSummary = {
+    val input = inputDates()
+    val done = ledger.doneDates(config.markerDir)
+    val missing = (input -- done).toSeq.sorted
+
+    var processed = List.empty[String]
+    var skippedMissing = List.empty[String]
+
+    missing.foreach { date =>
+      val inPath = PathOps.normalizePrefix(config.inDir) + s"$date.parquet"
+      val fs = new org.apache.hadoop.fs.Path(inPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(inPath)))
+        skippedMissing ::= date // O7: discovered-then-gone ⇒ warn+skip
+      else {
+        // crash-resume FIRST: wipe any half-appended residue of this
+        // date before re-landing it (idempotent on a fresh date)
+        config.families.foreach(_.drop(spark, date))
+        val slice = spark.read.parquet(inPath)
+        val outputs = config.families.flatMap { f =>
+          f.append(slice, date)
+          f.report.map { rep =>
+            val dir = PathOps.normalizePrefix(config.reportDir) + f.name
+            rep(spark, date).withColumn("ds", lit(date))
+              .write.mode("overwrite").partitionBy("ds")
+              .option("partitionOverwriteMode", "dynamic")
+              .parquet(dir)
+            s"$dir/ds=$date"
+          }
+        }
+        // marker LAST — the commit point (parquet-splitter.py:176-186)
+        ledger.writeMarker(config.markerDir,
+          Marker(config.kind, date, inPath, outputs,
+            tsFmt.format(Instant.now())))
+        processed ::= date
+      }
+    }
+    CurateSummary(config.kind, input.size, done.size, missing,
+      processed.reverse, skippedMissing.reverse)
+  }
+}

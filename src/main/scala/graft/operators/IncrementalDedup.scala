@@ -121,10 +121,17 @@ object IncrementalDedup {
   /** One incremental step against the bucketed store: pairs involving at
     * least one `date` document, scored by signature-estimated Jaccard —
     * same output as [[processDate]] on an equivalent parquet store, but the
-    * candidate join is exchange-free (both sides bucket-aligned). */
+    * candidate join is exchange-free (both sides bucket-aligned). `upTo`
+    * is the family's AS-OF serve (a pure partition prune,
+    * [[IncrementalStore.asOf]]): "the pairs `date` reported when the
+    * store stood at `upTo`" — what makes a reprocessed date's report
+    * bit-equal to its original run after later dates have landed (the
+    * [[CurateJob]] reprocess contract). */
   def newPairsBucketed(spark: SparkSession, table: String, date: String,
-      threshold: Double = 0.5, k: Int = 32): DataFrame = {
-    val store = IncrementalStore.consistentScan(spark, table)
+      threshold: Double = 0.5, k: Int = 32,
+      upTo: Option[String] = None): DataFrame = {
+    val store = IncrementalStore.asOf(
+      IncrementalStore.consistentScan(spark, table), upTo)
     val newDay = store.filter(col("ds") === date)
     scoreCandidates(bandCandidates(newDay, store), k, threshold)
   }

@@ -1184,6 +1184,128 @@ object TextQueries {
     out.orderBy(col("ds"))
   }
 
+  /** Curated multimodal corpus for the ORCHESTRATED day pipeline (q181):
+    * documents joined with their embeddings on id (one row per doc:
+    * text + vector — the shape one ingestion drop actually has), plus
+    * planted clones — every 10th id duplicated at id + 1,000,000 with
+    * the SAME text and a per-component perturbed embedding (the q93
+    * recipe) — so BOTH near-dup families have guaranteed pairs to
+    * surface and the oracle replays the planting token for token. */
+  private def curatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("id"), col("text"), col("embedding"))
+    joined.unionAll(joined.filter(col("id") % 10 === 0)
+      .select((col("id") + lit(1000000L)).as("id"), col("text"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") *
+            (lit(1.0) + lit(0.01) * (i % 7 - 3).cast("double")))
+            .cast("float")).as("embedding")))
+  }
+
+  /** q181: the LEDGER-DRIVEN CURATION ORCHESTRATOR
+    * ([[graft.operators.CurateJob]]) — the reference's marker-ledger
+    * protocol generalized over the incremental store families, run end
+    * to end: three per-date input drops are staged as `{date}.parquet`,
+    * and ONE orchestrated job lists them, anti-joins the done-marker
+    * ledger, and per missing date appends to THREE registered stores
+    * (MinHash band signatures, semantic bands+vectors+occupancy, BM25
+    * postings tf + norms), writes the day's pair reports (each AS-OF its
+    * own date), and commits the date's marker LAST. Output = the union
+    * of the per-date day reports, tagged by family: the MinHash
+    * candidates exact-Jaccard verified at 0.5 (the q92 gate) plus the
+    * semantic store's exact-cosine pairs at 0.9 (the q178 gate), both
+    * over the curated corpus. The oracle replays the corpus construction
+    * (join + clone planting) and BOTH exact all-pairs sets — a green
+    * hash gates recall = 1.0 for every pair-surfacing family the
+    * orchestrator drove, proving the one-entry-point pipeline loses
+    * nothing over the hand-sequenced family calls. Protocol semantics
+    * (no-op re-run, marker-delete reprocess, mid-date crash resume) are
+    * spec-pinned in CurateJobSpec. */
+  def q181CurateOrchestrated(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q181_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q181_${pid}_$hx"
+    val tbls = Seq("_mh", "_post", "_post_dl", "_sem_cfg", "_sem_bands",
+      "_sem_vecs", "_sem_occ").map(base + _)
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q181_p")
+    Warehouse.sweepTmpOrphans("graft_q181_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val corpus = curatedCorpus(s, dir)
+    graft.Phases.timed("stage") {
+      (0 until 3).foreach(d =>
+        corpus.filter(pmod(col("id"), lit(3L)) === d)
+          .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      // one-time store init (the width law needs the horizon size; the
+      // orchestrator drives per-date APPENDS, not model decisions)
+      graft.operators.IncrementalSemantic.initModel(
+        corpus.select(col("id").as("vec_id"), col("embedding")),
+        s"${base}_sem", horizonRows = corpus.count())
+    }
+    val families = Seq(
+      graft.operators.CurateFamily("minhash",
+        append = (slice, d) => graft.operators.IncrementalDedup
+          .appendBandsBucketed(
+            slice.select(col("id").as("doc_id"), col("text")),
+            s"${base}_mh", d),
+        drop = (sp, d) => graft.operators.IncrementalStore
+          .dropDate(sp, Seq(s"${base}_mh"), d),
+        // loose estimation threshold (q91's note): exact verification
+        // below does the filtering; as-of the date for reprocess parity
+        report = Some((sp, d) => graft.operators.IncrementalDedup
+          .newPairsBucketed(sp, s"${base}_mh", d, threshold = 0.2,
+            upTo = Some(d)))),
+      graft.operators.CurateFamily("semantic",
+        append = (slice, d) => graft.operators.IncrementalSemantic
+          .appendDate(slice.select(col("id").as("vec_id"), col("embedding")),
+            s"${base}_sem", d),
+        drop = (sp, d) => graft.operators.IncrementalSemantic
+          .dropDate(sp, s"${base}_sem", d),
+        report = Some((sp, d) => graft.operators.IncrementalSemantic
+          .newPairs(sp, s"${base}_sem", d, 0.9, upTo = Some(d)))),
+      graft.operators.CurateFamily("postings",
+        append = (slice, d) => {
+          graft.operators.IncrementalPostings.appendCountsBucketed(
+            slice.select(col("id").as("doc_id"), col("text")),
+            s"${base}_post", d)
+          graft.operators.IncrementalPostings.appendNorms(
+            slice.select(col("id").as("doc_id"), col("text")),
+            s"${base}_post", d)
+        },
+        drop = (sp, d) => graft.operators.IncrementalStore
+          .dropDate(sp, Seq(s"${base}_post", s"${base}_post_dl"), d)))
+    val summary = graft.Phases.timed("orchestrate") {
+      new graft.operators.CurateJob(s, graft.operators.CurateConfig(
+        "curate", s"$tmp/in", s"$tmp/markers", s"$tmp/reports", families))
+        .run()
+    }
+    require(summary.processedDates == Seq("d0", "d1", "d2"),
+      s"orchestrator must process exactly the three staged dates: $summary")
+    val out = graft.Phases.timed("report") {
+      val mh = graft.operators.Dedup.verifyPairs(
+        corpus.select(col("id").as("doc_id"), col("text")),
+        s.read.parquet(s"$tmp/reports/minhash")
+          .select(col("a_id"), col("b_id")).distinct(), 0.5)
+      val sem = s.read.parquet(s"$tmp/reports/semantic")
+        .select(col("a_id"), col("b_id"), col("cosine"))
+      mh.select(lit("minhash").as("family"), col("a_id"), col("b_id"),
+          col("jaccard").as("score"))
+        .unionAll(sem.select(lit("semantic").as("family"), col("a_id"),
+          col("b_id"), col("cosine").as("score")))
+        .localCheckpoint()
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("family"), col("a_id"), col("b_id"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Protocol pins for the ledger-driven curation orchestrator
+  * ([[CurateJob]]): the split engine's golden marker semantics — no-op
+  * re-run, marker-delete reprocess, missing-input skip — plus the
+  * contract the generalization adds: a mid-date crash (some families
+  * appended, no marker) resumes to a state bit-equal to a run that
+  * never crashed. */
+class CurateJobSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+    .select(col("doc_id").as("id"), col("text"))
+
+  private def stageInputs(tmp: String): Unit =
+    (0 until 3).foreach(d => docs.filter(pmod(col("id"), lit(3L)) === d)
+      .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+
+  /** Two registered families over a `base`-prefixed store set: the
+    * MinHash band table (with an as-of day report) and the postings
+    * tf + norms tables (append-only here). `failOnce` injects one
+    * mid-date crash: the SECOND family throws at `failAt` after the
+    * first already appended — the half-committed date the resume
+    * contract exists for. */
+  private def families(base: String,
+      failAt: Option[String] = None): Seq[CurateFamily] = {
+    var armed = failAt.isDefined
+    Seq(
+      CurateFamily("mh",
+        append = (slice, d) => IncrementalDedup.appendBandsBucketed(
+          slice.select(col("id").as("doc_id"), col("text")),
+          s"${base}_mh", d),
+        drop = (sp, d) => IncrementalStore.dropDate(sp, Seq(s"${base}_mh"), d),
+        report = Some((sp, d) => IncrementalDedup.newPairsBucketed(
+          sp, s"${base}_mh", d, threshold = 0.2, upTo = Some(d)))),
+      CurateFamily("post",
+        append = (slice, d) => {
+          if (armed && failAt.contains(d)) {
+            armed = false
+            throw new RuntimeException(s"injected mid-date crash at $d")
+          }
+          IncrementalPostings.appendCountsBucketed(
+            slice.select(col("id").as("doc_id"), col("text")),
+            s"${base}_post", d)
+          IncrementalPostings.appendNorms(
+            slice.select(col("id").as("doc_id"), col("text")),
+            s"${base}_post", d)
+        },
+        drop = (sp, d) => IncrementalStore.dropDate(sp,
+          Seq(s"${base}_post", s"${base}_post_dl"), d)))
+  }
+
+  private def dropStores(base: String): Unit =
+    Seq("_mh", "_post", "_post_dl").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $base$sfx"))
+
+  private def job(tmp: String, fams: Seq[CurateFamily]): CurateJob =
+    new CurateJob(spark, CurateConfig("curate-test",
+      s"$tmp/in", s"$tmp/markers", s"$tmp/reports", fams))
+
+  private def sameRows(a: DataFrame, b: DataFrame, what: String): Unit =
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, what)
+
+  private def markerNames(tmp: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$tmp/markers")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSet
+  }
+
+  test("full run → markers + stores + reports; re-run no-op; marker delete reprocesses exactly that date") {
+    val tmp = Files.createTempDirectory("curate").toString
+    dropStores("cur_a")
+    try {
+      stageInputs(tmp)
+      val fams = families("cur_a")
+      val s1 = job(tmp, fams).run()
+      assert(s1.processedDates == Seq("d0", "d1", "d2"), s1.toString)
+      assert(markerNames(tmp) == Set("d0.json", "d1.json", "d2.json"))
+      // every family's store holds all three dates
+      Seq("cur_a_mh", "cur_a_post", "cur_a_post_dl").foreach { t =>
+        val ds = spark.sql(s"SHOW PARTITIONS $t").collect()
+          .map(_.getString(0)).toSet
+        assert(ds == Set("ds=d0", "ds=d1", "ds=d2"), s"$t: $ds")
+      }
+      // the marker records the day's report outputs (commit-point doc)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val m1 = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$tmp/markers/d1.json"))
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      }
+      assert(m1.contains("reports/mh/ds=d1"), m1)
+
+      val rep1 = spark.read.parquet(s"$tmp/reports/mh").localCheckpoint()
+      assert(rep1.count() > 0, "the day reports must surface pairs")
+      val store1 = spark.table("cur_a_mh").localCheckpoint()
+
+      // SECOND RUN IS A NO-OP: nothing missing, nothing touched
+      val s2 = job(tmp, fams).run()
+      assert(s2.processedDates.isEmpty && s2.missingDates.isEmpty, s2.toString)
+      sameRows(spark.table("cur_a_mh"), store1, "no-op run must not touch stores")
+      sameRows(spark.read.parquet(s"$tmp/reports/mh"), rep1,
+        "no-op run must not touch reports")
+
+      // MARKER DELETE REPROCESSES EXACTLY THAT DATE (the split engine's
+      // golden semantics) — and lands bit-equal state: the date is
+      // dropped-then-re-appended, and its report is AS-OF the date
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/markers/d1.json"), false)
+      val s3 = job(tmp, fams).run()
+      assert(s3.processedDates == Seq("d1"), s3.toString)
+      sameRows(spark.table("cur_a_mh"), store1,
+        "reprocessed date must land identical store rows")
+      sameRows(spark.read.parquet(s"$tmp/reports/mh"), rep1,
+        "reprocessed date must land the identical as-of report")
+    } finally dropStores("cur_a")
+  }
+
+  test("mid-date crash (some families appended, no marker) resumes bit-equal to a run that never crashed") {
+    val tmp = Files.createTempDirectory("curate-crash").toString
+    val tmpRef = Files.createTempDirectory("curate-ref").toString
+    dropStores("cur_c"); dropStores("cur_r")
+    try {
+      stageInputs(tmp); stageInputs(tmpRef)
+      // first attempt dies at d1: family "mh" has already appended d1
+      // when "post" throws — d1 is half-committed, no marker
+      val ex = intercept[RuntimeException] {
+        job(tmp, families("cur_c", failAt = Some("d1"))).run()
+      }
+      assert(ex.getMessage.contains("injected"), ex.getMessage)
+      assert(markerNames(tmp) == Set("d0.json"), "no marker for the crashed date")
+      assert(spark.sql("SHOW PARTITIONS cur_c_mh").collect()
+        .map(_.getString(0)).contains("ds=d1"),
+        "the crash must leave a half-appended date to clean up")
+      // RESUME: the same job re-lists, finds d1+d2 missing, and step 1's
+      // drop-then-retry wipes the half-appended residue
+      val s2 = job(tmp, families("cur_c")).run()
+      assert(s2.processedDates == Seq("d1", "d2"), s2.toString)
+      // REFERENCE: a run that never crashed
+      val sr = job(tmpRef, families("cur_r")).run()
+      assert(sr.processedDates == Seq("d0", "d1", "d2"), sr.toString)
+      sameRows(spark.table("cur_c_mh"), spark.table("cur_r_mh"),
+        "resumed band store must equal the never-crashed run")
+      sameRows(spark.table("cur_c_post"), spark.table("cur_r_post"),
+        "resumed tf store must equal the never-crashed run")
+      sameRows(spark.table("cur_c_post_dl"), spark.table("cur_r_post_dl"),
+        "resumed norms store must equal the never-crashed run")
+      sameRows(spark.read.parquet(s"$tmp/reports/mh"),
+        spark.read.parquet(s"$tmpRef/reports/mh"),
+        "resumed reports must equal the never-crashed run")
+    } finally { dropStores("cur_c"); dropStores("cur_r") }
+  }
+
+  test("a date whose input object vanished after listing is warn-and-skip, never a marker") {
+    val tmp = Files.createTempDirectory("curate-miss").toString
+    dropStores("cur_m")
+    try {
+      stageInputs(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      // a family that deletes d2's input while d1 processes — the
+      // discovered-then-gone window the reference hits as NoSuchKey (O7):
+      // d2 was in the listed catalog but is gone by its own turn
+      val trap = CurateFamily("trap",
+        append = (_, _) => (),
+        drop = (_, d) => if (d == "d1")
+          fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/in/d2.parquet"), true))
+      val s1 = job(tmp, families("cur_m") :+ trap).run()
+      assert(s1.processedDates == Seq("d0", "d1"), s1.toString)
+      assert(s1.skippedMissing == Seq("d2"), s1.toString)
+      assert(markerNames(tmp) == Set("d0.json", "d1.json"),
+        "a skipped date must never commit a marker")
+    } finally dropStores("cur_m")
+  }
+}
