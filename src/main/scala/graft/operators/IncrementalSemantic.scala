@@ -490,15 +490,20 @@ object IncrementalSemantic {
     * and fold labels carry over — without ever re-reading the source
     * corpus (the store keeps vectors precisely so model maintenance is
     * self-contained). The old store is left intact; cut serves over to
-    * `newTable`, then drop the old tables. Not crash-atomic by design:
-    * `newTable` is not authoritative until this returns — a partial
-    * migration is re-run by dropping the new store's tables and calling
-    * again (the old store was never touched). Run it like any
-    * maintenance pass — not concurrent with appends to the SOURCE store
-    * (a date landing after the date-list read would be silently absent
-    * from the new store; re-run or append it to the new store
-    * directly). Cost: one distributed read + two bucketed writes of the
-    * store per date partition. */
+    * `newTable`, then drop the old tables. `newTable` is not
+    * authoritative until this returns, but a partial migration is
+    * RESUMABLE, not restart-from-zero: re-calling with the SAME horizon
+    * skips every date already fully copied (present in all three new
+    * tables), drops-and-recopies any half-copied date, and refuses a
+    * resume whose horizon would freeze a different model than the
+    * committed partial copy was hashed at. Concurrency is a FENCE, not a
+    * doc note: the migration holds the maintenance lease on both source
+    * tables (concurrent source appends and rewrites fail fast — at 100 TB
+    * that is the difference between a maintenance pass and silently
+    * losing the date that landed mid-copy) and an exclusive migrate
+    * lease on the new store (racing migrations into one target refuse).
+    * Cost: one distributed read + three bucketed/partitioned writes of
+    * the store per date partition, skipped dates free. */
   def migrateStore(spark: SparkSession, table: String, newTable: String,
       newHorizonRows: Long, nBuckets: Int = 8): Unit = {
     requireNoPendingReband(spark, table, "migrate")
@@ -506,23 +511,88 @@ object IncrementalSemantic {
     // count, hashing cost, any oracle pinned to it) — carry it over;
     // only the horizon-derived knobs (r, levels) re-derive
     val (nPlanes, _, _, _) = cfg(spark, table)
-    val vecs = IncrementalStore.consistentScan(spark, s"${table}_vecs")
-    initModel(vecs.select(col("id").as("vec_id"), col("e").as("embedding")),
-      newTable, newHorizonRows, nPlanes = nPlanes)
-    // bounded metadata: the AUTHORITATIVE per-date labels (retention-
-    // window-sized on a compacted store) — derived from the consistent
-    // scan, not raw SHOW PARTITIONS, so a crashed fold's uncommitted
-    // label is never copied as a spurious partition. Fold labels
-    // (c_<h>, r_<gen>) carry over verbatim: their as-of semantics on
-    // the new store equal the old store's (history consumed by a
-    // rewrite stays consumed — time-travel across it was already
-    // impossible).
-    val dates = vecs.select(col("ds")).distinct()
-      .collect().map(_.getString(0)).sorted
-    dates.foreach { d =>
-      appendDate(vecs.filter(col("ds") === d)
-          .select(col("id").as("vec_id"), col("e").as("embedding")),
-        newTable, d, nBuckets)
+    val rNew = Similarity.derivedRowsPerBand(newHorizonRows, nPlanes)
+    val levelsNew =
+      if (Similarity.twoLevelEngaged(newHorizonRows, None, None)) 2 else 1
+    val cat = spark.sessionState.catalog
+    def loc(t: String): String = cat.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString
+    // FENCE, not documentation: the migration holds the MAINTENANCE
+    // lease on both source tables for its whole duration, so a
+    // concurrent append to the source fails fast at its first write
+    // (appendDate's vecs write checks this lease) instead of landing a
+    // date the migration's date list predates — and a concurrent
+    // re-band/delete rewrite backs off the same way. Plus an exclusive
+    // migrate lease on the NEW store (a sibling of its would-be
+    // warehouse path, the withAppendLeaseTable init-lease convention):
+    // two racing migrations into the same target would interleave their
+    // per-date copies. All released on any in-process exit; a hard
+    // crash leaves them to the standard dead-pid/stillness sweep.
+    val srcLocs = Seq(s"${table}_vecs", s"${table}_bands")
+      .filter(spark.catalog.tableExists).map(loc)
+    val newLease = cat.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${newTable}_cfg"))
+      .toString + "_migrate_lease"
+    var held = List.empty[String]
+    try {
+      (srcLocs :+ newLease).foreach { l =>
+        StoreMaintenance.acquireLease(spark, l); held ::= l
+      }
+      val vecs = IncrementalStore.consistentScan(spark, s"${table}_vecs")
+      // RESUMABLE: a crashed migration left the new config and some
+      // fully-copied dates — re-init only a missing config, and REFUSE a
+      // resume whose horizon would freeze a different model than the
+      // committed partial copy was hashed at (the rebandStore same-
+      // horizon rule; dim re-probes from the same vecs, nPlanes carries)
+      if (spark.catalog.tableExists(s"${newTable}_cfg")) {
+        val c = spark.table(s"${newTable}_cfg").head()
+        require(c.getInt(0) == nPlanes && c.getInt(1) == rNew &&
+          c.getInt(3) == levelsNew,
+          s"migration resume refused: $newTable was initialized at " +
+            s"(nPlanes=${c.getInt(0)}, r=${c.getInt(1)}, " +
+            s"levels=${c.getInt(3)}) but this call derives " +
+            s"(nPlanes=$nPlanes, r=$rNew, levels=$levelsNew) — resume " +
+            "with the original horizon, or drop the new store's tables " +
+            "to restart")
+      } else
+        initModel(vecs.select(col("id").as("vec_id"),
+          col("e").as("embedding")), newTable, newHorizonRows,
+          nPlanes = nPlanes)
+      // bounded metadata: the AUTHORITATIVE per-date labels (retention-
+      // window-sized on a compacted store) — derived from the consistent
+      // scan, not raw SHOW PARTITIONS, so a crashed fold's uncommitted
+      // label is never copied as a spurious partition. Fold labels
+      // (c_<h>, r_<gen>) carry over verbatim: their as-of semantics on
+      // the new store equal the old store's (history consumed by a
+      // rewrite stays consumed — time-travel across it was already
+      // impossible).
+      val dates = vecs.select(col("ds")).distinct()
+        .collect().map(_.getString(0)).sorted
+      // skip dates already FULLY copied (present in all three new-store
+      // tables — appendDate's write order means a crashed date can be
+      // missing its tail tables); anything partial is dropped and
+      // re-appended, so resume == from-scratch (spec-pinned), and a
+      // repeated migrate over a complete target rewrites nothing
+      def partsOf(t: String): Set[String] =
+        if (!spark.catalog.tableExists(t)) Set.empty
+        else spark.sql(s"SHOW PARTITIONS $t").collect()
+          .map(_.getString(0).stripPrefix("ds=")).toSet
+      val fullyCopied = partsOf(s"${newTable}_bands")
+        .intersect(partsOf(s"${newTable}_vecs"))
+        .intersect(partsOf(s"${newTable}_occ"))
+      dates.filterNot(fullyCopied).foreach { d =>
+        dropDate(spark, newTable, d)
+        appendDate(vecs.filter(col("ds") === d)
+            .select(col("id").as("vec_id"), col("e").as("embedding")),
+          newTable, d, nBuckets)
+      }
+    } finally held.foreach { l =>
+      StoreMaintenance.releaseLease(spark, l)
+      if (l == newLease) { // drop the (now-empty) sibling dir — hygiene
+        val d = new org.apache.hadoop.fs.Path(l)
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
+      }
     }
   }
 

@@ -389,6 +389,81 @@ class IncrementalSemanticSpec extends SparkSpec {
     } finally Seq("ism_mig", "ism_mig2", "ism_mig_ref").foreach(dropStore)
   }
 
+  test("migrateStore resumes: copied dates skip untouched, half-copied dates heal, wrong-horizon resume and concurrent maintenance refuse") {
+    val df = fixture
+    Seq("ism_rmig", "ism_rmig2", "ism_rmig3", "ism_rmig_ref")
+      .foreach(dropStore)
+    try {
+      IncrementalSemantic.initModel(
+        df.filter(col("vec_id") % 3 === 0), "ism_rmig",
+        horizonRows = df.count())
+      (0 until 3).foreach(d => IncrementalSemantic.appendDate(
+        df.filter(col("vec_id") % 3 === d), "ism_rmig", s"d$d"))
+      // reference: a migration that never crashed
+      IncrementalSemantic.migrateStore(spark, "ism_rmig", "ism_rmig_ref",
+        newHorizonRows = Similarity.TwoLevelMinRows)
+      // simulate the states a crash can leave in a second target: d1
+      // never copied; d2 half-copied (its occ partition — appendDate's
+      // TAIL write — missing); d0 fully copied
+      IncrementalSemantic.migrateStore(spark, "ism_rmig", "ism_rmig2",
+        newHorizonRows = Similarity.TwoLevelMinRows)
+      Seq("bands", "vecs", "occ").foreach(t => spark.sql(
+        s"ALTER TABLE ism_rmig2_$t DROP IF EXISTS PARTITION (ds='d1')"))
+      spark.sql(
+        "ALTER TABLE ism_rmig2_occ DROP IF EXISTS PARTITION (ds='d2')")
+      def bandFilesD0(): Set[String] = {
+        val root = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier("ism_rmig2_bands"))
+            .location.toString, "ds=d0")
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(root).map(_.getPath.getName).toSet
+      }
+      val d0Before = bandFilesD0()
+      // a resume at a DIFFERENT horizon would freeze a model the
+      // committed partial copy was not hashed at — refused
+      val exH = intercept[IllegalArgumentException] {
+        IncrementalSemantic.migrateStore(spark, "ism_rmig", "ism_rmig2",
+          newHorizonRows = 16L)
+      }
+      assert(exH.getMessage.contains("resume refused"), exH.getMessage)
+      // same-horizon resume heals: d1 recopied, d2's missing tail
+      // recopied, d0 untouched (same physical files — nothing rewritten)
+      IncrementalSemantic.migrateStore(spark, "ism_rmig", "ism_rmig2",
+        newHorizonRows = Similarity.TwoLevelMinRows)
+      assert(bandFilesD0() == d0Before,
+        "a fully-copied date must be skipped, not rewritten")
+      Seq("bands", "vecs", "occ").foreach(t => sameRows(
+        spark.table(s"ism_rmig2_$t"), spark.table(s"ism_rmig_ref_$t"),
+        s"resumed migration's $t must equal the never-crashed run"))
+      (0 until 3).foreach(d => sameRows(
+        IncrementalSemantic.newPairs(spark, "ism_rmig2", s"d$d", 0.95),
+        IncrementalSemantic.newPairs(spark, "ism_rmig_ref", s"d$d", 0.95),
+        s"resumed migration must serve d$d bit-equal"))
+      // the FENCE is the maintenance lease on the source tables: while
+      // any other maintenance pass holds it, a migration fails fast —
+      // and the same held lease is exactly what a concurrent source
+      // append checks, so appends cannot land mid-copy either
+      val srcLoc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ism_rmig_vecs"))
+        .location.toString
+      StoreMaintenance.acquireLease(spark, srcLoc)
+      try {
+        val exM = intercept[IllegalStateException] {
+          IncrementalSemantic.migrateStore(spark, "ism_rmig", "ism_rmig3",
+            newHorizonRows = Similarity.TwoLevelMinRows)
+        }
+        assert(exM.getMessage.contains("lease"), exM.getMessage)
+        val exA = intercept[IllegalStateException] {
+          IncrementalSemantic.appendDate(
+            df.filter(col("vec_id") % 3 === 0), "ism_rmig", "d9")
+        }
+        assert(exA.getMessage.contains("append rejected"), exA.getMessage)
+      } finally StoreMaintenance.releaseLease(spark, srcLoc)
+    } finally Seq("ism_rmig", "ism_rmig2", "ism_rmig3", "ism_rmig_ref")
+      .foreach(dropStore)
+  }
+
   test("deletion propagates: a tombstoned vector never surfaces again; ingestion continues — single- AND two-level") {
     import spark.implicits._
     val df = fixture
