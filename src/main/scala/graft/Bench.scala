@@ -116,6 +116,31 @@ object Bench {
     val sentinel = scala.collection.mutable.ListBuffer[Double]()
     var sinceSentinel = 0
     def fmtSeq(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+    // noise_factor = max/MEDIAN (round 12; was max/min): host contention
+    // can only manifest as SLOW-side spread — a busy host never makes the
+    // sentinel run FASTER than typical, so a JIT/cache-lucky fast outlier
+    // in the denominator was disqualifying genuinely quiet runs (two
+    // round-12 quiet-host runs read 2.2×/3.0× under max/min purely from
+    // 0.14–0.19 s fast readings against a 0.27 s median). The raw series
+    // still ships, and `sentinel_spread` keeps the old max/min so any
+    // record remains comparable under either definition.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // (noise_factor, sentinel_spread, contended): contended stamps a
+    // self-disqualifying record (round 10) — slow-side sentinel spread
+    // above 3× means host contention, not engine cost, so a dirty run can
+    // never silently read as the design's official number (rounds 8–9
+    // were both taken at noise ≈ 4 and needed judge-side forensics)
+    def sentinelStats(): (String, String, String) = {
+      val ok = sentinel.filter(_ >= 0)
+      if (ok.size >= 2 && ok.min > 0)
+        ((ok.max / median(ok.toSeq)).toString, (ok.max / ok.min).toString,
+          (ok.max / median(ok.toSeq) > 3.0).toString)
+      else ("null", "null", "null")
+    }
     def summaryJson(complete: Boolean): String = {
       val errors = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
@@ -124,43 +149,19 @@ object Bench {
         .mkString("{", ",", "}")
       val repsJson = raw.map { case (k, v) => "\"" + k + "\":" + v.size }
         .mkString("{", ",", "}")
-      val okSentinel = sentinel.filter(_ >= 0)
-      // noise_factor = max/MEDIAN (round 12; was max/min): host contention
-      // can only manifest as SLOW-side spread — a busy host never makes the
-      // sentinel run FASTER than typical, so a JIT/cache-lucky fast outlier
-      // in the denominator was disqualifying genuinely quiet runs (two
-      // round-12 quiet-host runs read 2.2×/3.0× under max/min purely from
-      // 0.14–0.19 s fast readings against a 0.27 s median). The raw series
-      // still ships, and `sentinel_spread` keeps the old max/min so any
-      // record remains comparable under either definition.
-      def median(xs: Seq[Double]): Double = {
-        val s = xs.sorted
-        if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
-      val noise =
-        if (okSentinel.size >= 2 && okSentinel.min > 0)
-          (okSentinel.max / median(okSentinel.toSeq)).toString
-        else "null"
-      val spread =
-        if (okSentinel.size >= 2 && okSentinel.min > 0)
-          (okSentinel.max / okSentinel.min).toString
-        else "null"
-      // self-disqualifying record (round 10): slow-side sentinel spread
-      // above 3× means host contention, not engine cost — stamp it so a
-      // dirty run can never silently read as the design's official number
-      // (rounds 8–9 were both taken at noise ≈ 4 and needed judge-side
-      // forensics)
-      val contended =
-        if (okSentinel.size >= 2 && okSentinel.min > 0)
-          (okSentinel.max / median(okSentinel.toSeq) > 3.0).toString
-        else "null"
+      val (noise, spread, contended) = sentinelStats()
       val total = best.values.filter(_ >= 0).sum
       val phasesJson = phasesMin.map { case (k, m) =>
         "\"" + k + "\":" +
           m.map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"reps":$repsJson,"raw":$rawJson,"phases":$phasesJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"run_id":"$runId"}"""
+    }
+    def compactSummaryJson(complete: Boolean): String = {
+      val errors = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      val (noise, spread, contended) = sentinelStats()
+      val total = best.values.filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"run_id":"$runId","queries_artifact":"$partialPath"}"""
     }
     def snapshot(complete: Boolean = false): Unit = try {
       val tmp = new java.io.File(partialPath + ".tmp")
@@ -243,6 +244,14 @@ object Bench {
     // summary line loses nothing — read BENCH_PARTIAL.json instead
     snapshot(complete = true)
     println(summaryJson(complete = true))
+    // LAST line = a COMPACT record that fits a bounded tail capture: the
+    // full summary above is per-query-map-sized (>10 KB at 180 queries)
+    // and a harness keeping only the final ~2 KB of stdout slices through
+    // its middle, parsing nothing. The compact line carries the headline
+    // total and the run's quality stamps, and names the artifact holding
+    // the per-query map — so ANY tail window ends with one parseable
+    // record instead of a truncated one.
+    println(compactSummaryJson(complete = true))
     spark.stop()
   }
 }
