@@ -145,24 +145,28 @@ object IncrementalSemantic {
     * the drift audit ([[bandDriftPsi]]) is a summary read, never a scan
     * of the corpus-sized band store. Occupancy is known exactly at hash
     * time: every id contributes exactly one row per (level, band), so a
-    * single-level store's counts are a plain group-by and a two-level
-    * store's b²-amplified composite rows de-duplicate back to one row
-    * per (level, band, bh, id) first — a DAY-sized shuffle at append
-    * time instead of the store-sized shuffle the audit used to pay on
-    * every pass. Both signatures are kept (level 0 and, when frozen
-    * two-level, level 1): drift can in principle concentrate differently
-    * per projection set. */
-  private def occFromBandRows(bands: DataFrame, levels: Int): DataFrame =
-    (if (levels == 2)
+    * single-level store's counts are a plain group-by; a TWO-LEVEL
+    * store's composite construction pairs each of an id's b level-0
+    * band rows with each of its b level-1 rows, so every (band1, bh1)
+    * appears EXACTLY b times per id (once per level-1 band index) and
+    * occupancy = count / b — a partially-aggregated (map-side-combined)
+    * group-by into a model-sized result, never a row-level de-dup
+    * shuffle. Both signatures are kept (level 0 and, when frozen
+    * two-level, level 1 — the symmetric count/b): drift can in
+    * principle concentrate differently per projection set. */
+  private def occFromBandRows(bands: DataFrame, levels: Int,
+      nBands: Int): DataFrame =
+    if (levels == 2)
       bands.select(lit(0).as("level"), col("band1").as("band"),
-          col("bh1").as("bh"), col("id"))
+          col("bh1").as("bh"))
         .unionAll(bands.select(lit(1).as("level"), col("band2").as("band"),
-          col("bh2").as("bh"), col("id")))
-        .distinct()
+          col("bh2").as("bh")))
+        .groupBy(col("level"), col("band"), col("bh"))
+        .agg((count(lit(1)) / nBands).cast("long").as("n"))
     else
-      bands.select(lit(0).as("level"), col("band"), col("bh"), col("id")))
-      .groupBy(col("level"), col("band"), col("bh"))
-      .agg(count(lit(1)).as("n"))
+      bands.select(lit(0).as("level"), col("band"), col("bh"))
+        .groupBy(col("level"), col("band"), col("bh"))
+        .agg(count(lit(1)).as("n"))
 
   /** Refuse any append or serve while an interrupted [[rebandStore]] is
     * pending (`t_cfg_prev` exists): in that window the NEW config is
@@ -213,7 +217,8 @@ object IncrementalSemantic {
       guard = requireNoPendingReband(_, table, "append"))
     IncrementalStore.appendTable(
       occFromBandRows(
-        spark.table(s"${table}_bands").filter(col("ds") === date), levels),
+        spark.table(s"${table}_bands").filter(col("ds") === date), levels,
+        nPlanes / r),
       s"${table}_occ", date,
       guard = requireNoPendingReband(_, table, "append"))
   }
@@ -461,7 +466,7 @@ object IncrementalSemantic {
         StoreMaintenance.rewrite(spark, s"${table}_occ", gen,
           transform = _ => occFromBandRows(
             IncrementalStore.consistentScan(spark, s"${table}_bands"),
-            levels))
+            levels, nPlanes / rNew))
     } catch {
       // abort before the fold's first durable effect (no sentinel AND no
       // r_<gen> partition): restore the old config and unstage — the
@@ -606,7 +611,7 @@ object IncrementalSemantic {
     * config is already the new one. */
   def deleteIds(spark: SparkSession, table: String,
       tombstones: DataFrame, gen: String, large: Boolean = false): Unit = {
-    val (_, _, _, levels) = cfg(spark, table)
+    val (nPlanes, r, _, levels) = cfg(spark, table)
     IncrementalStore.propagateDeletes(spark, gen, Seq(
       IncrementalStore.keyTarget(s"${table}_bands", "id", tombstones, large),
       IncrementalStore.keyTarget(s"${table}_vecs", "id", tombstones, large),
@@ -617,7 +622,7 @@ object IncrementalSemantic {
       IncrementalStore.DeleteTarget(s"${table}_occ",
         transform = _ => occFromBandRows(
           IncrementalStore.consistentScan(spark, s"${table}_bands"),
-          levels),
+          levels, nPlanes / r),
         optional = true)),
       guard = requireNoPendingReband(_, table, "delete"))
   }
