@@ -59,6 +59,31 @@ object PlaidMemProbe {
     (0 until 3).foreach(d =>
       graft.operators.IncrementalSQ.appendDate(slice(d), sqBase, s"d$d"))
 
+    // the RESIDENT-STATE comparison itself: bytes a serving fleet must
+    // hold (or scan) per store table — float cells (inline e/n columns)
+    // vs the compressed serve's membership + uint8 codes
+    def tableBytes(t: String): Long = {
+      val root = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .location)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(root).getLength
+    }
+    val cellsB = tableBytes(s"${vecBase}_cells")
+    val memberB = // the two columns the compressed nomination reads
+      spark.table(s"${vecBase}_cells").select(col("cell"), col("id"))
+        .write.mode("overwrite")
+        .parquet("/tmp/graft_plaidprobe_member") match { case _ =>
+        val p = new org.apache.hadoop.fs.Path("/tmp/graft_plaidprobe_member")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      }
+    val codesB = tableBytes(s"${sqBase}_codes")
+    println(f"store bytes: float cells ${cellsB / 1024}%d KB vs " +
+      f"membership ${memberB / 1024}%d KB + uint8 codes ${codesB / 1024}%d KB " +
+      f"(= ${(memberB + codesB) / 1024}%d KB, " +
+      f"${cellsB.toDouble / (memberB + codesB)}%.2fx smaller)")
+
     object metrics extends SparkListener {
       @volatile var memSpilled = 0L
       @volatile var diskSpilled = 0L
