@@ -86,6 +86,21 @@ final case class CurateSummary(
   * deleting one date's marker reprocesses exactly that date (the split
   * engine's golden semantics, spec-pinned in CurateJobSpec).
   *
+  * RETENTION composes BETWEEN runs, with one contract to respect: run
+  * store maintenance ([[StoreMaintenance.compact]] and friends) after
+  * `run()` returns, never concurrently (the append leases make the
+  * overlap fail fast anyway), and only fold dates whose markers you
+  * will not delete — a fold CONSUMES per-date history (the families'
+  * documented rewrite semantics), so deleting the marker of a folded
+  * date would make the next run re-append rows the consolidated
+  * partition already holds (double-count). Marker-delete reprocessing
+  * is valid exactly while every registered family still holds the
+  * date's own partitions — i.e. for dates newer than every family's
+  * fold horizon. (A maintenance fold that CRASHES leaves its pending
+  * sentinel, and the next run's appends fail fast with the crashed
+  * label in the message — re-run that fold to completion first, the
+  * families' standard recovery.)
+  *
   * Scale shape: the ledger is driver-side strings — one per date
   * partition, not per row (ten years of daily drops ≈ 3,650 entries);
   * everything row-sized flows through the families' own bucketed

@@ -157,11 +157,15 @@ object IncrementalSemantic {
   private def occFromBandRows(bands: DataFrame, levels: Int,
       nBands: Int): DataFrame =
     if (levels == 2)
-      bands.select(lit(0).as("level"), col("band1").as("band"),
-          col("bh1").as("bh"))
-        .unionAll(bands.select(lit(1).as("level"), col("band2").as("band"),
-          col("bh2").as("bh")))
-        .groupBy(col("level"), col("band"), col("bh"))
+      // one scan of the composite rows, both levels' keys exploded out
+      // of each row (2 rows in, grouped straight down to model size)
+      bands.select(explode(array(
+          struct(lit(0).as("level"), col("band1").as("band"),
+            col("bh1").as("bh")),
+          struct(lit(1).as("level"), col("band2").as("band"),
+            col("bh2").as("bh")))).as("k"))
+        .groupBy(col("k.level").as("level"), col("k.band").as("band"),
+          col("k.bh").as("bh"))
         .agg((count(lit(1)) / nBands).cast("long").as("n"))
     else
       bands.select(lit(0).as("level"), col("band"), col("bh"))

@@ -469,6 +469,20 @@ class IncrementalVectorsSpec extends SparkSpec {
         IncrementalVectors.ivfSearch(spark, "ivs_rec", queries,
           kNeighbors = all).select("qid", "cid"),
         "compressed and float nomination must score the same candidate set")
+      // the cells/codes same-coverage contract fails LOUD, never a
+      // silent recall hole: a code store lagging the cell store (here:
+      // reconstructions covering only half the ids) names a missing id
+      // instead of silently dropping it from nomination
+      val lagging = recon.filter(col("id") < 100)
+      val ex = intercept[Exception] {
+        IncrementalVectors.ivfSearchReconstructed(
+            spark, "ivs_rec", queries, lagging, kNeighbors = 8)
+          .write.mode("overwrite").format("noop").save()
+      }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ causes(t.getCause)
+      assert(causes(ex).exists(_.contains("no SQ reconstruction")),
+        s"expected the same-coverage raise_error, got: ${causes(ex).take(3)}")
     } finally dropStore("ivs_rec")
   }
 
