@@ -201,6 +201,12 @@ object SparkEntry {
       (TextQueries.q179IncrementalSemanticTwoLevel _),
     "q180_semantic_band_drift" -> (TextQueries.q180SemanticBandDrift _),
     "q181_curate_orchestrated" -> (TextQueries.q181CurateOrchestrated _),
+    "q182_takedown_orchestrated" ->
+      (TextQueries.q182TakedownOrchestrated _),
+    "q183_curate_takedown_cycle" ->
+      (TextQueries.q183CurateTakedownCycle _),
+    "q184_maintain_orchestrated" ->
+      (TextQueries.q184MaintainOrchestrated _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3549,6 +3555,119 @@ object SparkEntry {
         |    JOIN nrm nb ON b_id = nb.vec_id
         |  WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.9)
         |ORDER BY family, a_id, b_id""".stripMargin,
+
+    // q182: the ledger-driven takedown orchestrator — two overlapping
+    // request batches (r0 = doc_id % 7 = 3, r1 = doc_id % 5 = 2) applied
+    // exactly once across an anti-join family (BM25 postings+norms) and
+    // a subtract family (the NB model). The oracle replays BOTH serves
+    // from scratch over the corpus minus the UNION of the requests: the
+    // q74 BM25 arithmetic (tagged 'postings', label = hit-term count)
+    // and the q134 NB train+argmax (tagged 'langmodel', label = the
+    // predicted language). Green = every requested id left every store
+    // exactly once — a double-applied overlap id would corrupt the
+    // subtracted model; a missed id would leave postings rows behind.
+    "q182_takedown_orchestrated" -> {
+      s"""WITH keepdocs AS (
+         |  SELECT * FROM documents
+         |  WHERE NOT (doc_id % 7 = 3 OR doc_id % 5 = 2)),
+         |${nbLangCtesFrom("keepdocs")},
+         |best AS (
+         |  SELECT doc_id, cand AS pred_lang, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cand) AS rn
+         |  FROM dl),
+         |btoks AS (
+         |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM keepdocs),
+         |btok AS (SELECT doc_id, term FROM btoks WHERE len(term) > 0),
+         |bdl AS (SELECT doc_id, COUNT(*) AS dl FROM btok GROUP BY 1),
+         |bcorpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM bdl),
+         |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM btok
+         |  WHERE term IN ('data', 'query') GROUP BY 1, 2),
+         |bdfreq AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+         |bpart AS (
+         |  SELECT btf.doc_id,
+         |    CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * (tf * (1.2 + 1.0))
+         |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+         |      AS DECIMAL(18,6)) AS s
+         |  FROM btf JOIN bdl USING (doc_id) JOIN bdfreq USING (term)
+         |    CROSS JOIN bcorpus),
+         |bm AS (
+         |  SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS score,
+         |    COUNT(*) AS n_hit_terms
+         |  FROM bpart GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT 'postings' AS family, doc_id, score,
+         |  CAST(n_hit_terms AS VARCHAR) AS label FROM bm
+         |UNION ALL
+         |SELECT 'langmodel' AS family, b.doc_id,
+         |  CAST(b.score AS DOUBLE) AS score, b.pred_lang AS label
+         |FROM best b WHERE rn = 1
+         |ORDER BY family, doc_id""".stripMargin
+    },
+
+    // q183: the curate→takedown→re-crawl cycle — d0+d1 curated, the
+    // % 7 = 3 docs taken down, then d2 re-delivers its own % 7 = 3 ids
+    // with TakedownJob.appliedIds wired as curation's suppression feed.
+    // The oracle is q74's BM25 over the corpus minus ALL % 7 = 3 docs
+    // (q160's oracle): green = erasure composed with continued
+    // ingestion — the takedown deleted the indexed ids and the
+    // suppression kept the re-crawled ones out, so the final store is
+    // exactly corpus-minus-requested.
+    "q183_curate_takedown_cycle" -> bm25SqlWhere("doc_id % 7 <> 3"),
+
+    // q184: the orchestrated maintenance window — after ONE MaintainJob
+    // run folds the postings tf (additive merge) + norms + SQ8 codes
+    // stores at horizon d1 and d2 appends on top, both serves must be
+    // bit-equal to one-shot replays over the full corpus: q118's
+    // postings report (tagged 'postings') and q152's SQ8 cosine search
+    // (tagged 'sq8', v2/v3 = -1 fillers). Green = the window changed
+    // layout, not one row of any reader's view, across both families.
+    "q184_maintain_orchestrated" ->
+      s"""WITH ${sqRecCtes("TRUE")},
+         |sqcn AS (
+         |  SELECT id, sqrt(CAST(SUM(CAST(ROUND(xh * xh, 12) AS DECIMAL(28,12)))
+         |    AS DOUBLE)) AS cn
+         |  FROM sqrec GROUP BY id),
+         |sqq AS (SELECT id AS qid, dim, x AS qx FROM sqdims WHERE id < 10),
+         |sqqn AS (
+         |  SELECT qid, sqrt(CAST(SUM(CAST(ROUND(qx * qx, 12) AS DECIMAL(28,12)))
+         |    AS DOUBLE)) AS qn
+         |  FROM sqq GROUP BY qid),
+         |sqdot AS (
+         |  SELECT qid, id AS cid,
+         |    CAST(SUM(CAST(ROUND(qx * xh, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+         |  FROM sqrec JOIN sqq ON sqrec.dim = sqq.dim AND qid <> id
+         |  GROUP BY 1, 2),
+         |sqr AS (
+         |  SELECT qid, cid, ROUND(dot / (qn * cn), 6) AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY ROUND(dot / (qn * cn), 6) DESC, cid) AS rank
+         |  FROM sqdot JOIN sqqn USING (qid) JOIN sqcn ON cid = sqcn.id),
+         |ptoks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'),
+         |      w -> len(w) > 0)) AS term
+         |  FROM documents),
+         |ptf AS (SELECT term, doc_id, COUNT(*) AS tf FROM ptoks
+         |  GROUP BY term, doc_id),
+         |pst AS (SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+         |  FROM ptf GROUP BY term),
+         |prk AS (SELECT term, doc_id, tf,
+         |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+         |  FROM ptf)
+         |SELECT * FROM (
+         |  SELECT 'postings' AS family, prk.term AS key,
+         |    CAST(rnk AS BIGINT) AS rank, doc_id AS id,
+         |    CAST(tf AS DOUBLE) AS v1, CAST(df AS DOUBLE) AS v2,
+         |    CAST(cf AS DOUBLE) AS v3
+         |  FROM prk JOIN pst ON prk.term = pst.term WHERE rnk <= 3
+         |  UNION ALL
+         |  SELECT 'sq8', CAST(qid AS VARCHAR), CAST(rank AS BIGINT), cid,
+         |    cosine, -1.0, -1.0
+         |  FROM sqr WHERE rank <= 3)
+         |ORDER BY family, key, rank""".stripMargin,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

@@ -37,13 +37,28 @@ final case class CurateFamily(
   * @param markerDir the done-marker ledger (`{date}.json`, written LAST).
   * @param reportDir day reports land under `{reportDir}/{family}/ds={date}`
   *                  via dynamic partition overwrite (idempotent re-runs).
-  * @param families  the registered stores, processed in order per date. */
+  * @param families  the registered stores, processed in order per date.
+  * @param suppressIds the SUPPRESSION FEED — ids every date's slice is
+  *                  anti-joined against (on `suppressCol`) before any
+  *                  family appends. Wire [[TakedownJob.appliedIds]] here
+  *                  and a taken-down document STAYS out of the corpus
+  *                  even when a later ingestion date re-delivers it (a
+  *                  re-crawl) — without this, curation silently undoes
+  *                  takedowns (oracle-gated end to end as q183). The
+  *                  feed is read per date, so batches committed between
+  *                  dates of one run take effect immediately; reprocess
+  *                  parity (marker-delete) holds only while the takedown
+  *                  ledger hasn't grown since the original run — the
+  *                  as-of caveat [[CurateFamily.report]] already carries.
+  * @param suppressCol the slice column the suppression ids key on. */
 final case class CurateConfig(
     kind: String,
     inDir: String,
     markerDir: String,
     reportDir: String,
-    families: Seq[CurateFamily])
+    families: Seq[CurateFamily],
+    suppressIds: SparkSession => Option[DataFrame] = _ => None,
+    suppressCol: String = "id")
 
 /** Run summary — the reference's O15 shape for the curation job. */
 final case class CurateSummary(
@@ -145,7 +160,15 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
         // crash-resume FIRST: wipe any half-appended residue of this
         // date before re-landing it (idempotent on a fresh date)
         config.families.foreach(_.drop(spark, date))
-        val slice = spark.read.parquet(inPath)
+        val raw = spark.read.parquet(inPath)
+        // suppression BEFORE any append: a taken-down id re-delivered by
+        // this date must never reach a store (anti-join is
+        // list×slice-sized — the feed is takedown-history ids, not corpus)
+        val slice = config.suppressIds(spark).fold(raw) { sup =>
+          raw.join(sup.select(col(sup.columns.head)
+              .as(config.suppressCol)).distinct(),
+            Seq(config.suppressCol), "left_anti")
+        }
         val outputs = config.families.flatMap { f =>
           f.append(slice, date)
           f.report.map { rep =>

@@ -1306,6 +1306,258 @@ object TextQueries {
     out.orderBy(col("family"), col("a_id"), col("b_id"))
   }
 
+  /** q182: the LEDGER-DRIVEN TAKEDOWN ORCHESTRATOR
+    * ([[graft.operators.TakedownJob]]) — q181's protocol in the
+    * destructive direction, run end to end: two takedown request
+    * batches are staged as `{date}.parquet` id lists with OVERLAPPING
+    * ids (r0 = doc_id % 7 = 3, r1 = doc_id % 5 = 2 — every id ≡ 17 mod
+    * 35 appears in both), and ONE orchestrated job lists them,
+    * anti-joins the done-marker ledger, and per missing batch deletes
+    * the surviving ids from TWO registered families under the batch's
+    * deterministic generation: the BM25 postings+norms stores (an
+    * anti-join family) and the NB language-model store (a SUBTRACT
+    * family — additive counts, where a re-applied id would corrupt the
+    * model). Output = the post-takedown serves tagged by family: the
+    * stores' BM25 top-10 plus the unlearned model's predictions over
+    * the survivors. The oracle replays both pipelines from scratch over
+    * the corpus MINUS the union of both request lists — a green hash
+    * proves the orchestrator applied every requested id to every family
+    * EXACTLY once (the cross-date overlap would double-subtract the
+    * model without the applied-batch dedupe; a lost id would leave
+    * postings rows behind). Protocol semantics (no-op re-run, mid-batch
+    * crash resume, marker-delete reprocess no-op, empty-batch skip) are
+    * spec-pinned in TakedownJobSpec. */
+  def q182TakedownOrchestrated(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q182_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q182_${pid}_$hx"
+    val tbls = Seq(s"${base}_post", s"${base}_post_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q182_p")
+    Warehouse.sweepTmpOrphans("graft_q182_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    val lmStore = s"$tmp/lm"
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, s"${base}_post", s"d$d")
+        graft.operators.IncrementalPostings
+          .appendNorms(slice, s"${base}_post", s"d$d")
+        graft.operators.IncrementalLangModel
+          .appendCounts(slice, lmStore, s"d$d")
+      }
+    }
+    graft.Phases.timed("stage") {
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 2).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r1.parquet")
+    }
+    val families = Seq(
+      graft.operators.TakedownFamily("postings",
+        (ids, gen) => graft.operators.IncrementalPostings.deleteDocs(
+          s, s"${base}_post", ids, gen)),
+      // the subtract family unlearns from the documents themselves (the
+      // takedown has the document in hand — the id→doc semi-join is the
+      // family adapter's job, request-list-sized so it broadcasts)
+      graft.operators.TakedownFamily("langmodel",
+        (ids, gen) => graft.operators.IncrementalLangModel.deleteDocs(
+          docs.join(ids.select(col("id").as("doc_id")),
+            Seq("doc_id"), "left_semi"), lmStore, gen)))
+    val summary = graft.Phases.timed("takedown") {
+      new graft.operators.TakedownJob(s, graft.operators.TakedownConfig(
+        "td", s"$tmp/req", s"$tmp/markers", families)).run()
+    }
+    require(summary.processedDates == Seq("r0", "r1"),
+      s"orchestrator must process exactly the two staged batches: $summary")
+    val out = graft.Phases.timed("serve") {
+      val bm = graft.operators.IncrementalPostings
+        .bm25Bucketed(s, s"${base}_post", Seq("data", "query"))
+        .select(lit("postings").as("family"), col("doc_id"),
+          col("score"), col("n_hit_terms").cast("string").as("label"))
+      val kept = docs.filter(!(pmod(col("doc_id"), lit(7L)) === 3 ||
+        pmod(col("doc_id"), lit(5L)) === 2))
+      val (model, priors) =
+        graft.operators.IncrementalLangModel.model(s, lmStore)
+      val nb = nbArgmax(kept, nbScoresAgainst(kept, model, priors,
+          priors.agg(sum(col("ndl")).as("nd"))))
+        .select(lit("langmodel").as("family"), col("doc_id"),
+          col("score"), col("pred_lang").as("label"))
+      bm.unionAll(nb).localCheckpoint()
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("family"), col("doc_id"))
+  }
+
+  /** q183: the CURATE→TAKEDOWN→RE-CRAWL CYCLE — the interaction the two
+    * orchestrators ([[graft.operators.CurateJob]],
+    * [[graft.operators.TakedownJob]]) exist to get right, run end to
+    * end: ingestion dates d0+d1 are curated into the BM25 store, a
+    * takedown batch (doc_id % 7 = 3) is applied, and THEN a third
+    * ingestion date arrives that RE-DELIVERS some of the taken-down
+    * documents (d2 contains its own % 7 = 3 ids — the re-crawl case a
+    * 100 TB pipeline hits constantly). Curation runs with
+    * [[graft.operators.TakedownJob.appliedIds]] wired as its
+    * suppression feed, so d2's re-delivered ids are anti-joined away
+    * BEFORE any append. The oracle is q74's BM25 over the corpus minus
+    * ALL % 7 = 3 docs — green proves "forgotten stays forgotten": the
+    * takedown removed the indexed ids AND the suppression kept the
+    * re-crawled ones out, composing to exactly corpus-minus-requested.
+    * Without the feed, d2 would silently re-index its taken-down docs
+    * and the pipeline would undo its own legal erasure. */
+  def q183CurateTakedownCycle(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q183_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q183_${pid}_$hx"
+    val tbls = Seq(s"${base}_post", s"${base}_post_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q183_p")
+    Warehouse.sweepTmpOrphans("graft_q183_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    val curateFams = Seq(graft.operators.CurateFamily("postings",
+      append = (slice, d) => {
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, s"${base}_post", d)
+        graft.operators.IncrementalPostings
+          .appendNorms(slice, s"${base}_post", d)
+      },
+      drop = (sp, d) => graft.operators.IncrementalStore.dropDate(sp,
+        Seq(s"${base}_post", s"${base}_post_dl"), d)))
+    val curateCfg = graft.operators.CurateConfig("cur", s"$tmp/in",
+      s"$tmp/curmarkers", s"$tmp/reports", curateFams,
+      suppressIds = sp => graft.operators.TakedownJob.appliedIds(
+        sp, s"$tmp/req", s"$tmp/tdmarkers"),
+      suppressCol = "doc_id")
+    val tdCfg = graft.operators.TakedownConfig("td", s"$tmp/req",
+      s"$tmp/tdmarkers", Seq(graft.operators.TakedownFamily("postings",
+        (ids, gen) => graft.operators.IncrementalPostings.deleteDocs(
+          s, s"${base}_post", ids, gen))))
+    graft.Phases.timed("ingest1") { // d0 + d1 land and index fully
+      (0 until 2).foreach(d => docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val s1 = new graft.operators.CurateJob(s, curateCfg).run()
+      require(s1.processedDates == Seq("d0", "d1"), s1.toString)
+    }
+    graft.Phases.timed("takedown") { // the % 7 = 3 docs are erased
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      val st = new graft.operators.TakedownJob(s, tdCfg).run()
+      require(st.processedDates == Seq("r0"), st.toString)
+    }
+    graft.Phases.timed("ingest2") { // d2 re-delivers its % 7 = 3 ids
+      docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+        .write.mode("overwrite").parquet(s"$tmp/in/d2.parquet")
+      val s2 = new graft.operators.CurateJob(s, curateCfg).run()
+      require(s2.processedDates == Seq("d2"), s2.toString)
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalPostings
+        .bm25Bucketed(s, s"${base}_post", Seq("data", "query"))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** q184: the MAINTENANCE-WINDOW ORCHESTRATOR
+    * ([[graft.operators.MaintainJob]]) — the third leg of the
+    * operational triad (q181 ingests, q182 erases, this consolidates),
+    * run end to end over TWO families: the bucketed postings store
+    * (tf compacted with the q135 additive merge + norms compacted) and
+    * the SQ8 vector store (codes compacted, the q156 pure re-bin). Both
+    * build d0+d1, ONE `run("d1")` window folds every pre-horizon
+    * partition in all three tables and commits the window marker LAST,
+    * d2 appends against the compacted stores, and both families serve.
+    * Output = the post-maintenance serves, family-tagged and
+    * shape-normalized: the postings top-3-per-term report and the SQ8
+    * top-3 cosine search. The oracle replays both pipelines one-shot
+    * over the full corpus (q118's postings SQL + q152's SQ8 chain) — a
+    * green hash proves the orchestrated window changed LAYOUT, not one
+    * row of any reader's view, across every registered family at once.
+    * Window semantics (marker-present skip, mid-window crash resume,
+    * audit partition idempotence) are spec-pinned in MaintainJobSpec. */
+  def q184MaintainOrchestrated(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q184_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q184_${pid}_$hx"
+    val tbls = Seq(s"${base}_post", s"${base}_post_dl",
+      s"${base}v_grid", s"${base}v_codes")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q184_p")
+    Warehouse.sweepTmpOrphans("graft_q184_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    val emb = Tables.load(s, dir, "embeddings")
+    def ingestPost(d: Int): Unit = {
+      val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+      graft.operators.IncrementalPostings
+        .appendCountsBucketed(slice, s"${base}_post", s"d$d")
+      graft.operators.IncrementalPostings
+        .appendNorms(slice, s"${base}_post", s"d$d")
+    }
+    def ingestSq(d: Int): Unit = graft.operators.IncrementalSQ.appendDate(
+      emb.filter(pmod(col("vec_id"), lit(3L)) === d), s"${base}v", s"d$d")
+    graft.Phases.timed("build") {
+      graft.operators.IncrementalSQ.initGrid(
+        emb.filter(pmod(col("vec_id"), lit(3L)) === 0), s"${base}v")
+      (0 until 2).foreach { d => ingestPost(d); ingestSq(d) }
+    }
+    val families = Seq(
+      graft.operators.MaintainFamily("postings",
+        maintain = (sp, w) => {
+          graft.operators.StoreMaintenance.compact(sp, s"${base}_post", w,
+            merge = _.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")))
+          graft.operators.IncrementalPostings
+            .compactNorms(sp, s"${base}_post", w)
+        },
+        // a model-bounded health row: term/doc cardinality post-fold
+        audit = Some((sp, _) => sp.table(s"${base}_post")
+          .agg(countDistinct(col("term")).as("n_terms"),
+            countDistinct(col("doc_id")).as("n_docs")))),
+      graft.operators.MaintainFamily("sq8",
+        maintain = (sp, w) => graft.operators.StoreMaintenance
+          .compact(sp, s"${base}v_codes", w)))
+    val summary = graft.Phases.timed("maintain") {
+      new graft.operators.MaintainJob(s, graft.operators.MaintainConfig(
+        "maint", s"$tmp/markers", s"$tmp/audits", families)).run("d1")
+    }
+    require(!summary.skipped && summary.maintained == Seq("postings", "sq8"),
+      s"the window must maintain both families: $summary")
+    graft.Phases.timed("build") { ingestPost(2); ingestSq(2) }
+    val out = graft.Phases.timed("serve_postfold") {
+      val post = graft.operators.IncrementalPostings
+        .reportBucketed(s, s"${base}_post")
+        .select(lit("postings").as("family"), col("term").as("key"),
+          col("rnk").cast("long").as("rank"), col("doc_id").as("id"),
+          col("tf").cast("double").as("v1"),
+          col("df").cast("double").as("v2"),
+          col("cf").cast("double").as("v3"))
+      val sq = graft.operators.IncrementalSQ
+        .search(s, s"${base}v", emb.filter(col("vec_id") < 10))
+        .select(lit("sq8").as("family"), col("qid").cast("string").as("key"),
+          col("rank").cast("long").as("rank"), col("cid").as("id"),
+          col("cosine").as("v1"), lit(-1.0).as("v2"), lit(-1.0).as("v3"))
+      post.unionAll(sq).localCheckpoint()
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("family"), col("key"), col("rank"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting
