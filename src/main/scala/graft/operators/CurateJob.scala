@@ -13,6 +13,15 @@ import java.time.{Instant, ZoneOffset}
   * half-appended date), and optionally the family's DAY REPORT (the
   * near-dup pairs / gate stats the date's arrival surfaces).
   *
+  * `foldedThrough` (optional) returns the family's RETENTION-FOLD
+  * horizon — wire [[StoreMaintenance.foldHorizon]] over the family's
+  * tables and [[CurateJob]] mechanically REFUSES to process a missing
+  * date at or before it: a fold consumed that date's own partitions, so
+  * the drop-then-retry recovery is a silent no-op and the re-append
+  * would double-count against the consolidated label (the retention
+  * contract in [[CurateJob]]'s scaladoc, now a loud failure instead of
+  * a documented hazard wherever the hook is wired).
+  *
   * The report function receives the date it reports FOR; to make a
   * reprocessed date (marker deleted, or crash-resumed after later dates
   * landed) bit-equal to its original run, it must serve AS-OF that date
@@ -24,7 +33,8 @@ final case class CurateFamily(
     name: String,
     append: (DataFrame, String) => Unit,
     drop: (SparkSession, String) => Unit,
-    report: Option[(SparkSession, String) => DataFrame] = None)
+    report: Option[(SparkSession, String) => DataFrame] = None,
+    foldedThrough: Option[SparkSession => Option[String]] = None)
 
 /** Orchestrator configuration.
   *
@@ -157,6 +167,17 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
       if (!fs.exists(new org.apache.hadoop.fs.Path(inPath)))
         skippedMissing ::= date // O7: discovered-then-gone ⇒ warn+skip
       else {
+        // refuse a date a retention fold already consumed: its own
+        // partitions are gone, so the drop below would silently no-op
+        // and the re-append would double-count against the consolidated
+        // label — the folded-history contract, enforced where wired
+        config.families.foreach(f => f.foldedThrough.foreach(h =>
+          h(spark).foreach(hz => require(date > hz,
+            s"date $date is at or before family ${f.name}'s retention-" +
+              s"fold horizon $hz — its per-date history was consumed, " +
+              "reprocessing would double-count; restore the marker " +
+              "(the fold output already contains the date) or rebuild " +
+              "the family store"))))
         // crash-resume FIRST: wipe any half-appended residue of this
         // date before re-landing it (idempotent on a fresh date)
         config.families.foreach(_.drop(spark, date))

@@ -433,6 +433,20 @@ object StoreMaintenance {
       .map(_.getString(0).stripPrefix("ds="))
       .toSeq
 
+  /** The latest date a retention fold has CONSUMED in `tables` — the
+    * max horizon over their `c_<upTo>` labels (None with no fold, or
+    * absent tables). Per-date history at or before this date no longer
+    * exists as its own partitions, so drop-then-re-append reprocessing
+    * of such a date would double-count its rows against the
+    * consolidated label — [[CurateJob]] wires this through
+    * [[CurateFamily.foldedThrough]] to refuse exactly that (bounded
+    * catalog metadata, one SHOW PARTITIONS per table). */
+  def foldHorizon(spark: SparkSession, tables: Seq[String]): Option[String] =
+    tables.filter(spark.catalog.tableExists)
+      .flatMap(t => partitions(spark, t))
+      .filter(_.startsWith("c_")).map(_.stripPrefix("c_"))
+      .maxOption
+
   // ---- reader-side fold consistency ---------------------------------------
   //
   // The leases exclude live writer/fold overlap and the sentinel orders a

@@ -16,9 +16,16 @@ import java.time.{Instant, ZoneOffset}
   * [[IncrementalLangModel.deleteDocs]] via an id→document join, …) so
   * the rewrite protocol — same-gen no-op, crashed-rewrite resume, lease
   * exclusion — is inherited, not re-implemented. */
+/** `subtractive` marks families whose deletes DECREMENT additive state
+  * ([[IncrementalSpans.deleteDocs]], [[IncrementalLangModel.deleteDocs]])
+  * rather than dropping id-keyed rows: applying the same batch twice
+  * corrupts them, so [[TakedownJob]] refuses OUT-OF-ORDER batches (a
+  * missing date older than the newest done marker) when any is
+  * registered — see the run loop's fence. */
 final case class TakedownFamily(
     name: String,
-    delete: (DataFrame, String) => Unit)
+    delete: (DataFrame, String) => Unit,
+    subtractive: Boolean = false)
 
 /** Orchestrator configuration.
   *
@@ -187,6 +194,27 @@ final class TakedownJob(spark: SparkSession, config: TakedownConfig) {
     val input = requestDates()
     val done = ledger.doneDates(config.markerDir)
     val missing = (input -- done).toSeq.sorted
+
+    // OUT-OF-ORDER FENCE for subtract families: a missing batch OLDER
+    // than the newest done marker is indistinguishable between a
+    // late-staged fresh batch (safe) and a marker-deleted reprocess
+    // whose r_<gen> label a later batch's rewrite has already folded
+    // (re-subtracts — the one window the deterministic-gen shield
+    // cannot cover). Anti-join families are immune (re-deleting
+    // absent rows is a no-op), so the fence arms only when a
+    // subtractive family is registered. The actionable recovery makes
+    // the refusal cheap: a genuinely fresh old batch is semantically
+    // date-free — re-stage its ids under a NEW date after the newest
+    // marker and it applies exactly once.
+    if (config.families.exists(_.subtractive))
+      for (newest <- done.toSeq.sorted.lastOption;
+           stale <- missing.find(_ < newest))
+        throw new IllegalStateException(
+          s"batch $stale precedes the newest done marker $newest with " +
+            "subtractive families registered — if its marker was deleted, " +
+            "a re-run would re-subtract ids a later batch's rewrite " +
+            "already folded; restore the marker, or re-stage the ids " +
+            s"under a new date after $newest")
 
     def requestFileExists(date: String): Boolean = fs(config.requestDir)
       .exists(new org.apache.hadoop.fs.Path(

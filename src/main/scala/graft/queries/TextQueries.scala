@@ -1368,7 +1368,8 @@ object TextQueries {
       graft.operators.TakedownFamily("langmodel",
         (ids, gen) => graft.operators.IncrementalLangModel.deleteDocs(
           docs.join(ids.select(col("id").as("doc_id")),
-            Seq("doc_id"), "left_semi"), lmStore, gen)))
+            Seq("doc_id"), "left_semi"), lmStore, gen),
+        subtractive = true))
     val summary = graft.Phases.timed("takedown") {
       new graft.operators.TakedownJob(s, graft.operators.TakedownConfig(
         "td", s"$tmp/req", s"$tmp/markers", families)).run()

@@ -155,6 +155,62 @@ class CurateJobSpec extends SparkSpec {
     } finally { dropStores("cur_c"); dropStores("cur_r") }
   }
 
+  test("a date consumed by a retention fold refuses to reprocess (the double-count fence); newer dates still reprocess") {
+    val tmp = Files.createTempDirectory("curate-fold").toString
+    dropStores("cur_f")
+    try {
+      stageInputs(tmp)
+      // postings family with the fold-horizon hook wired
+      val fams = Seq(CurateFamily("post",
+        append = (slice, d) => {
+          IncrementalPostings.appendCountsBucketed(
+            slice.select(col("id").as("doc_id"), col("text")),
+            "cur_f_post", d)
+          IncrementalPostings.appendNorms(
+            slice.select(col("id").as("doc_id"), col("text")),
+            "cur_f_post", d)
+        },
+        drop = (sp, d) => IncrementalStore.dropDate(sp,
+          Seq("cur_f_post", "cur_f_post_dl"), d),
+        foldedThrough = Some(sp => StoreMaintenance.foldHorizon(sp,
+          Seq("cur_f_post", "cur_f_post_dl")))))
+      val s1 = job(tmp, fams).run()
+      assert(s1.processedDates == Seq("d0", "d1", "d2"), s1.toString)
+      val pre = IncrementalPostings.reportBucketed(spark, "cur_f_post")
+        .localCheckpoint()
+      // retention consumes d0+d1
+      StoreMaintenance.compact(spark, "cur_f_post", "d1",
+        merge = _.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")))
+      IncrementalPostings.compactNorms(spark, "cur_f_post", "d1")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      // deleting a FOLDED date's marker must refuse loud, not
+      // double-count: the drop is a silent no-op against c_d1
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/markers/d1.json"), false)
+      val ex = intercept[IllegalArgumentException] { job(tmp, fams).run() }
+      assert(ex.getMessage.contains("retention-fold horizon d1") &&
+        ex.getMessage.contains("post"), ex.getMessage)
+      sameRows(IncrementalPostings.reportBucketed(spark, "cur_f_post"), pre,
+        "the refused reprocess must not have touched the store")
+      // the refusal is per-date: restore d1's marker (the fence's named
+      // recovery — the fold output already contains the date) and a
+      // POST-horizon date still reprocesses normally
+      ledgerRestore(tmp, "d1")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/markers/d2.json"), false)
+      val s3 = job(tmp, fams).run()
+      assert(s3.processedDates == Seq("d2"), s3.toString)
+      sameRows(IncrementalPostings.reportBucketed(spark, "cur_f_post"), pre,
+        "the post-horizon reprocess must land identical state")
+    } finally dropStores("cur_f")
+  }
+
+  /** Re-write a marker for `date` (the restore path the fence's message
+    * names — the fold output already contains the date). */
+  private def ledgerRestore(tmp: String, date: String): Unit =
+    new graft.split.MarkerLedger(spark.sparkContext.hadoopConfiguration)
+      .writeMarker(s"$tmp/markers", graft.split.Marker(
+        "curate-test", date, "restored", Seq.empty, "1970-01-01T00:00:00Z"))
+
   test("a date whose input object vanished after listing is warn-and-skip, never a marker") {
     val tmp = Files.createTempDirectory("curate-miss").toString
     dropStores("cur_m")

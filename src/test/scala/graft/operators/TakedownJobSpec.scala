@@ -56,7 +56,7 @@ class TakedownJobSpec extends SparkSpec {
         IncrementalLangModel.deleteDocs(
           docs.join(ids.select(col("id").as("doc_id")),
             Seq("doc_id"), "left_semi"), lm, gen)
-      }))
+      }, subtractive = true))
   }
 
   private def job(tmp: String, fams: Seq[TakedownFamily],
@@ -228,6 +228,35 @@ class TakedownJobSpec extends SparkSpec {
         IncrementalPostings.bm25Bucketed(spark, "td_k2_post", Seq("data", "query")),
         "cycle store must equal the survivors-built store")
     } finally { dropStores("td_k"); dropStores("td_k2") }
+  }
+
+  test("an out-of-order batch refuses when a subtractive family is registered; anti-join-only configs process it") {
+    val tmp = Files.createTempDirectory("takedown-order").toString
+    val lm = s"$tmp/lm"
+    dropStores("td_o")
+    try {
+      buildStores("td_o", lm, docs)
+      // only r1 staged and committed first
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 2).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r1.parquet")
+      val s1 = job(tmp, families("td_o", lm)).run()
+      assert(s1.processedDates == Seq("r1"), s1.toString)
+      // an OLDER batch appears (late-staged or marker-deleted — the
+      // fence cannot distinguish, and a reprocess would re-subtract)
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/a0.parquet")
+      val ex = intercept[IllegalStateException] {
+        job(tmp, families("td_o", lm)).run()
+      }
+      assert(ex.getMessage.contains("a0") && ex.getMessage.contains("r1"),
+        ex.getMessage)
+      assert(!markerNames(tmp).contains("a0.json"),
+        "the refused batch must not commit")
+      // anti-join-only registration is immune — the same batch processes
+      val s2 = job(tmp, Seq(TakedownFamily("postings", (ids, gen) =>
+        IncrementalPostings.deleteDocs(spark, "td_o_post", ids, gen)))).run()
+      assert(s2.processedDates == Seq("a0"), s2.toString)
+    } finally dropStores("td_o")
   }
 
   test("a batch whose survivors dedupe to empty commits its marker without paying any rewrite") {
