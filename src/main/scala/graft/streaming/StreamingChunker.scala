@@ -26,10 +26,12 @@ object StreamingChunker {
     * chunk_fp) rows to `chunksOut`, partitioned by originating batch. */
   def run(docs: DataFrame, chunksOut: String, checkpoint: String,
       window: Int = 64, stride: Int = 48,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         Corpus.chunk(batch, window, stride)
           .withColumn("batch", lit(id))
           .write.mode("overwrite")

@@ -44,10 +44,12 @@ object StreamingComponents {
     * [[IncrementalComponents.currentLabels]]. */
   def run(docs: DataFrame, base: String, checkpoint: String,
       threshold: Double = 0.5, idCol: String = "doc_id",
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         val s = batch.sparkSession
         val slice = batch.select(col(idCol), col("text"))
         // skip empty batches (AvailableNow on an empty source fires one):

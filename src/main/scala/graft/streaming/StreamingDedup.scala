@@ -33,10 +33,12 @@ object StreamingDedup {
     * originating micro-batch. */
   def run(docs: DataFrame, store: String, pairsOut: String,
       checkpoint: String, threshold: Double = 0.5, idCol: String = "doc_id",
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         IncrementalDedup.processDate(batch.sparkSession, batch, store,
             s"b$id", threshold, idCol)
           .withColumn("batch", lit(id))

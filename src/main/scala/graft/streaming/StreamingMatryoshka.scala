@@ -25,10 +25,12 @@ object StreamingMatryoshka {
   def run(emb: DataFrame, table: String, checkpoint: String,
       pDim: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = emb.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         Matryoshka.dropDate(batch.sparkSession, table, s"b$id")
         Matryoshka.appendDate(batch, table, s"b$id",
           pDim = pDim, idCol = idCol, vecCol = vecCol)

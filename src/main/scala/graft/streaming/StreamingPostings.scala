@@ -22,10 +22,12 @@ object StreamingPostings {
   /** Attach the indexing sink to a streaming Dataset of documents (must
     * carry `doc_id` and `text`). */
   def run(docs: DataFrame, store: String, checkpoint: String,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         IncrementalPostings.appendCounts(batch, store, s"b$id")
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
@@ -41,10 +43,12 @@ object StreamingPostings {
     * no dynamic partition overwrite, so a replayed batch drops its own
     * `ds=b<id>` partitions from BOTH tables first. */
   def runBucketed(docs: DataFrame, table: String, checkpoint: String,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         val s = batch.sparkSession
         Seq(table, s"${table}_dl").foreach { t =>
           if (s.catalog.tableExists(t))

@@ -26,10 +26,12 @@ object StreamingSQ {
     * already initialized). */
   def run(emb: DataFrame, table: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = emb.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         IncrementalSQ.dropDate(batch.sparkSession, table, s"b$id")
         IncrementalSQ.appendDate(batch, table, s"b$id",
           idCol = idCol, vecCol = vecCol)

@@ -34,10 +34,12 @@ object StreamingSemantic {
   def run(emb: DataFrame, table: String, checkpoint: String,
       threshold: Double = 0.9, idCol: String = "vec_id",
       vecCol: String = "embedding", availableNow: Boolean = false,
-      onNewPairs: DataFrame => Unit = _ => ()): StreamingQuery = {
+      onNewPairs: DataFrame => Unit = _ => (),
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = emb.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         val spark = batch.sparkSession
         IncrementalSemantic.dropDate(spark, table, s"b$id")
         IncrementalSemantic.appendDate(batch, table, s"b$id",

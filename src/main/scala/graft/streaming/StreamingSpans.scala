@@ -23,10 +23,12 @@ object StreamingSpans {
   /** Attach the span-count sink to a streaming Dataset of documents (must
     * carry `doc_id` and `text`). */
   def run(docs: DataFrame, store: String, checkpoint: String,
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         IncrementalSpans.appendCounts(batch, store, s"b$id")
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()

@@ -38,10 +38,12 @@ object StreamingVectors {
     * already initialized). */
   def run(emb: DataFrame, table: String, checkpoint: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      availableNow: Boolean = false): StreamingQuery = {
+      availableNow: Boolean = false,
+      suppress: Option[DataFrame => DataFrame] = None): StreamingQuery = {
     val w = emb.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
+      .foreachBatch { (raw: DataFrame, id: Long) =>
+        val batch = suppress.fold(raw)(f => f(raw))
         IncrementalVectors.dropDate(batch.sparkSession, table, s"b$id")
         IncrementalVectors.appendDate(batch, table, s"b$id",
           idCol = idCol, vecCol = vecCol)

@@ -281,6 +281,68 @@ class StreamingSpec extends SparkSpec {
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming suppression: a takedown committed mid-stream keeps re-delivered ids out from the next batch on") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("ssuppress").toString
+    val pid = ProcessHandle.current().pid()
+    val sT = s"graft_ssup_stream_$pid"
+    val cT = s"graft_ssup_ctl_$pid"
+    val all = Seq(sT, cT).flatMap(t => Seq(t, s"${t}_dl"))
+    all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docs = graft.Tables.load(spark, sf, "documents")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[(Long, String)]
+      // the suppression feed reads the ledger PER BATCH — the point of
+      // this test: the takedown commits while the stream is running
+      val q = StreamingPostings.runBucketed(
+        ms.toDF().toDF("doc_id", "text"), sT, s"$tmp/ck",
+        suppress = Some(Suppression.filterBatch(_,
+          s"$tmp/req", s"$tmp/markers")))
+      // batch 0: nothing taken down yet — everything (requested ids
+      // included) ingests
+      ms.addData(docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      // a takedown batch commits mid-stream: erase the % 7 = 3 history
+      // from the streamed store AND arm the suppression feed
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      new graft.operators.TakedownJob(spark, graft.operators.TakedownConfig(
+        "td", s"$tmp/req", s"$tmp/markers",
+        Seq(graft.operators.TakedownFamily("post", (ids, gen) =>
+          graft.operators.IncrementalPostings
+            .deleteDocs(spark, sT, ids, gen))))).run()
+      // batch 1 RE-DELIVERS its % 7 = 3 ids — suppressed before append
+      ms.addData(docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      q.stop()
+      // no requested id anywhere in the streamed store
+      val leaked = spark.table(sT).join(
+        docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      assert(leaked.isEmpty,
+        "a committed takedown id must not survive the stream")
+      // and the serve equals a store built over the survivors
+      (0 until 2).foreach { d =>
+        val slice = docs.filter(col("doc_id") % 2 === d &&
+          col("doc_id") % 7 =!= 3)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, cT, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, cT, s"d$d")
+      }
+      val want = graft.operators.IncrementalPostings
+        .bm25Bucketed(spark, cT, Seq("data", "query")).localCheckpoint()
+      val got = graft.operators.IncrementalPostings
+        .bm25Bucketed(spark, sT, Seq("data", "query"))
+      assert(want.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "takedown + suppression must compose to survivors-only, streamed")
+    } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("streaming vector store: streamed micro-batches serve the batch-built store's searches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
