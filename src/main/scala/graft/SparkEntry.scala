@@ -207,6 +207,7 @@ object SparkEntry {
       (TextQueries.q183CurateTakedownCycle _),
     "q184_maintain_orchestrated" ->
       (TextQueries.q184MaintainOrchestrated _),
+    "q185_store_inventory" -> (TextQueries.q185StoreInventory _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3668,6 +3669,33 @@ object SparkEntry {
          |    cosine, -1.0, -1.0
          |  FROM sqr WHERE rank <= 3)
          |ORDER BY family, key, rank""".stripMargin,
+
+    // q185: store inventory — per (family, date) row counts over the
+    // lexical store's two tables; the oracle replays the per-date
+    // cardinalities the appends landed (distinct (term, doc_id) pairs
+    // per slice for tf; docs with at least one token per slice for
+    // norms — the dl > 0 append filter)
+    "q185_store_inventory" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'),
+         |      w -> len(w) > 0)) AS term
+         |  FROM documents),
+         |tfc AS (
+         |  SELECT d, COUNT(*) AS n FROM (
+         |    SELECT doc_id % 3 AS d, term, doc_id FROM toks GROUP BY 1, 2, 3)
+         |  GROUP BY d),
+         |dlc AS (
+         |  SELECT d, COUNT(*) AS n FROM (
+         |    SELECT doc_id % 3 AS d, doc_id FROM toks GROUP BY 1, 2)
+         |  GROUP BY d)
+         |SELECT * FROM (
+         |  SELECT 'norms' AS family, 'd' || CAST(d AS VARCHAR) AS ds,
+         |    n AS n_rows
+         |  FROM dlc
+         |  UNION ALL
+         |  SELECT 'tf', 'd' || CAST(d AS VARCHAR), n FROM tfc)
+         |ORDER BY family, ds""".stripMargin,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

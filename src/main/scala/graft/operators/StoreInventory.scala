@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STORE OBSERVABILITY for the orchestrated families — the "is my
+  * pipeline healthy" call an operator makes before trusting a serve:
+  * which ingestion dates does each family actually hold, with how many
+  * rows, and is any family LAGGING (a date present in some families but
+  * not all — the residue of a mid-date crash cleaned up by hand, or a
+  * store mutated outside the orchestrators)? [[CurateJob]] guarantees
+  * per-date all-or-nothing within a run, but stores live for years and
+  * humans touch them; the inventory is the detector that keeps the
+  * guarantee observable.
+  *
+  * Scale shape: row counts are count-only aggregates grouped by the
+  * partition column — the scan reads no data columns (footer row counts
+  * serve it), and the output is families × partitions rows, driver-safe
+  * at any corpus size. Reads go through the families' consistent-scan
+  * resolution so a crashed fold's half-published label never
+  * double-counts. */
+object StoreInventory {
+
+  /** One row per (family, ds) a family's table holds:
+    * `(family, ds, n_rows)`. Consolidated (`c_*`) and generation
+    * (`r_*`) labels report as-is — they ARE the store's state; the
+    * per-date view below them is gone by design. */
+  def dates(spark: SparkSession,
+      families: Seq[(String, String)]): DataFrame =
+    families.map { case (fam, table) =>
+      IncrementalStore.consistentScan(spark, table)
+        .groupBy(col("ds")).agg(count(lit(1)).as("n_rows"))
+        .select(lit(fam).as("family"), col("ds"), col("n_rows"))
+    }.reduce(_ unionAll _)
+
+  /** The LAGGING-FAMILY detector: `(family, ds)` pairs where `ds` is a
+    * plain ingestion date held by at least one family but missing from
+    * this one. Empty = every family holds the same date set (the
+    * [[CurateJob]] invariant). Fold-aware, so maintenance never reads
+    * as lag: dates at or before a family's `c_*` horizon are judged
+    * present (they live under the consolidated label), and a family
+    * holding any `r_*` generation label is skipped outright — a gen
+    * rewrite folds EVERYTHING, so which absent dates predate it is
+    * unknowable from partitions alone. Driver-side metadata only
+    * (families × dates strings — the ledger scale shape). */
+  def missing(spark: SparkSession,
+      families: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val parts: Seq[(String, Seq[String])] = families.map { case (fam, t) =>
+      fam -> (if (spark.catalog.tableExists(t))
+        spark.sql(s"SHOW PARTITIONS $t").collect()
+          .map(_.getString(0).stripPrefix("ds=")).toSeq
+      else Seq.empty[String])
+    }
+    val plain = parts.flatMap { case (f, ps) =>
+      ps.filter(p => !p.startsWith("c_") && !p.startsWith("r_"))
+        .map(f -> _)
+    }.toSet
+    val allDates = plain.map(_._2).toSeq.distinct.sorted
+    val pairs = for {
+      (f, ps) <- parts if !ps.exists(_.startsWith("r_"))
+      horizon = ps.filter(_.startsWith("c_"))
+        .map(_.stripPrefix("c_")).maxOption
+      d <- allDates
+      if horizon.forall(d > _) && !plain.contains(f -> d)
+    } yield (f, d)
+    pairs.toDF("family", "ds")
+  }
+}

@@ -1559,6 +1559,45 @@ object TextQueries {
     out.orderBy(col("family"), col("key"), col("rank"))
   }
 
+  /** q185: STORE INVENTORY ([[graft.operators.StoreInventory]]) — the
+    * observability surface over the orchestrated families: one row per
+    * (family, ingestion date) with its row count, read count-only
+    * through the consistent-scan resolution (the scan reads no data
+    * columns — footer row counts serve it). The lexical store's two
+    * tables play two families (term-bucketed tf, doc-bucketed norms)
+    * over three ingestion dates; the oracle replays both per-date
+    * cardinalities from the corpus (distinct (term, doc_id) pairs per
+    * slice; docs with ≥ 1 token per slice) — a green hash proves the
+    * inventory reports exactly what the appends landed, date by date.
+    * The lagging-family detector (`StoreInventory.missing`) is asserted
+    * empty on this healthy store here and exercised on degraded ones
+    * (dropped date, folded history, gen label) in StoreInventorySpec. */
+  def q185StoreInventory(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_q185_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(tbl, s"${tbl}_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q185_p")
+    val docs = Tables.load(s, dir, "documents")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, tbl, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, tbl, s"d$d")
+      }
+    }
+    val fams = Seq("tf" -> tbl, "norms" -> s"${tbl}_dl")
+    val out = graft.Phases.timed("serve") {
+      val lag = graft.operators.StoreInventory.missing(s, fams)
+      require(lag.isEmpty, s"healthy store must not lag: ${lag.collect()
+        .mkString(",")}")
+      graft.operators.StoreInventory.dates(s, fams).localCheckpoint()
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("family"), col("ds"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

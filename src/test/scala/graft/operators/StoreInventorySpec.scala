@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins for the store observability surface ([[StoreInventory]]): the
+  * lagging-family detector fires on a hand-dropped date, stays silent
+  * across retention folds (pre-horizon absences live under the `c_*`
+  * label), and skips gen-rewritten families outright (an `r_*` label
+  * makes absence unjudgeable from partitions). */
+class StoreInventorySpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  private def build(tbl: String): Unit =
+    (0 until 3).foreach { d =>
+      val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+      IncrementalPostings.appendCountsBucketed(slice, tbl, s"d$d")
+      IncrementalPostings.appendNorms(slice, tbl, s"d$d")
+    }
+
+  test("a hand-dropped date reads as lag in exactly that family; folds and gen labels do not") {
+    val tbl = "inv_a"
+    Seq(tbl, s"${tbl}_dl").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      build(tbl)
+      val fams = Seq("tf" -> tbl, "norms" -> s"${tbl}_dl")
+      assert(StoreInventory.missing(spark, fams).isEmpty,
+        "a healthy store must not lag")
+      // the inventory counts partitions' rows
+      val inv = StoreInventory.dates(spark, fams).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(inv.keySet.map(_._2) == Set("d0", "d1", "d2"))
+      assert(inv.forall(_._2 > 0))
+
+      // 1. a date dropped OUTSIDE the orchestrators = lag, named exactly
+      spark.sql(s"ALTER TABLE ${tbl}_dl DROP PARTITION (ds='d1')")
+      val lag = StoreInventory.missing(spark, fams).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(lag == Set(("norms", "d1")), lag.toString)
+      // restore it
+      IncrementalPostings.appendNorms(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 1), tbl, "d1")
+      assert(StoreInventory.missing(spark, fams).isEmpty)
+
+      // 2. a retention fold is NOT lag: tf's d0+d1 live under c_d1
+      StoreMaintenance.compact(spark, tbl, "d1",
+        merge = _.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")))
+      assert(StoreInventory.missing(spark, fams).isEmpty,
+        "pre-horizon absences live under the consolidated label")
+      // but a POST-horizon date dropped from the folded family still is
+      spark.sql(s"ALTER TABLE $tbl DROP PARTITION (ds='d2')")
+      val lag2 = StoreInventory.missing(spark, fams).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(lag2 == Set(("tf", "d2")), lag2.toString)
+      IncrementalPostings.appendCountsBucketed(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 2), tbl, "d2")
+
+      // 3. a gen label (takedown rewrite) makes the family unjudgeable —
+      // skipped, not flooded with false lag
+      IncrementalPostings.deleteDocs(spark, tbl,
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id"),
+        gen = "inv_g1")
+      // the delete rewrote BOTH tables to r_inv_g1: neither family has
+      // plain dates to compare, so nothing lags
+      assert(StoreInventory.missing(spark, fams).isEmpty,
+        "gen-rewritten families are skipped, not false-flagged")
+    } finally Seq(tbl, s"${tbl}_dl").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}
