@@ -208,6 +208,7 @@ object SparkEntry {
     "q184_maintain_orchestrated" ->
       (TextQueries.q184MaintainOrchestrated _),
     "q185_store_inventory" -> (TextQueries.q185StoreInventory _),
+    "q186_operational_triad" -> (TextQueries.q186OperationalTriad _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3669,6 +3670,15 @@ object SparkEntry {
          |    cosine, -1.0, -1.0
          |  FROM sqr WHERE rank <= 3)
          |ORDER BY family, key, rank""".stripMargin,
+
+    // q186: the full operational triad composed over one store — curate
+    // d0+d1 (suppression wired), fold a retention window at d1, take
+    // down the % 7 = 3 docs (the gen rewrite folds the window's c_d1
+    // label), curate a d2 that re-delivers taken-down ids. Oracle =
+    // q74's BM25 over corpus-minus-requested (q160's SQL): green = the
+    // three protocols compose on the same fold machinery to exactly
+    // the right store.
+    "q186_operational_triad" -> bm25SqlWhere("doc_id % 7 <> 3"),
 
     // q185: store inventory — per (family, date) row counts over the
     // lexical store's two tables; the oracle replays the per-date

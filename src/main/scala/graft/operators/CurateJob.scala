@@ -55,8 +55,11 @@ final case class CurateFamily(
   *                  even when a later ingestion date re-delivers it (a
   *                  re-crawl) — without this, curation silently undoes
   *                  takedowns (oracle-gated end to end as q183). The
-  *                  feed is read per date, so batches committed between
-  *                  dates of one run take effect immediately; reprocess
+  *                  feed is read ONCE PER RUN and pinned (takedown
+  *                  batches committing mid-run take effect on the next
+  *                  run — determinism over freshness: every date of one
+  *                  run filters against the same history, and the feed
+  *                  read is paid once, not once per date); reprocess
   *                  parity (marker-delete) holds only while the takedown
   *                  ledger hasn't grown since the original run — the
   *                  as-of caveat [[CurateFamily.report]] already carries.
@@ -154,11 +157,20 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
 
   def run(): CurateSummary = {
     val input = inputDates()
-    val done = ledger.doneDates(config.markerDir)
+    val done = ledger.doneDatesFlat(config.markerDir)
     val missing = (input -- done).toSeq.sorted
 
     var processed = List.empty[String]
     var skippedMissing = List.empty[String]
+
+    // the suppression feed, read ONCE for the whole run and pinned
+    // (localCheckpoint: list×history-sized ids held in the block
+    // manager) — every date filters against the same history and the
+    // request-catalog read is paid once, not once per date
+    lazy val suppress: Option[DataFrame] =
+      config.suppressIds(spark).map(sup =>
+        sup.select(col(sup.columns.head).as(config.suppressCol))
+          .distinct().localCheckpoint())
 
     missing.foreach { date =>
       val inPath = PathOps.normalizePrefix(config.inDir) + s"$date.parquet"
@@ -185,11 +197,8 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
         // suppression BEFORE any append: a taken-down id re-delivered by
         // this date must never reach a store (anti-join is
         // list×slice-sized — the feed is takedown-history ids, not corpus)
-        val slice = config.suppressIds(spark).fold(raw) { sup =>
-          raw.join(sup.select(col(sup.columns.head)
-              .as(config.suppressCol)).distinct(),
-            Seq(config.suppressCol), "left_anti")
-        }
+        val slice = suppress.fold(raw)(sup =>
+          raw.join(sup, Seq(config.suppressCol), "left_anti"))
         val outputs = config.families.flatMap { f =>
           f.append(slice, date)
           f.report.map { rep =>

@@ -85,7 +85,7 @@ final class MaintainJob(spark: SparkSession, config: MaintainConfig) {
     .withZone(ZoneOffset.UTC)
 
   def run(window: String): MaintainSummary = {
-    if (ledger.doneDates(config.markerDir).contains(window))
+    if (ledger.doneDatesFlat(config.markerDir).contains(window))
       MaintainSummary(config.kind, window, skipped = true, Nil, Nil)
     else {
       config.families.foreach(_.maintain(spark, window))

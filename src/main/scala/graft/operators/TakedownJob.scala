@@ -15,8 +15,9 @@ import java.time.{Instant, ZoneOffset}
   * .deleteDocs]], [[IncrementalSemantic.deleteIds]],
   * [[IncrementalLangModel.deleteDocs]] via an id→document join, …) so
   * the rewrite protocol — same-gen no-op, crashed-rewrite resume, lease
-  * exclusion — is inherited, not re-implemented. */
-/** `subtractive` marks families whose deletes DECREMENT additive state
+  * exclusion — is inherited, not re-implemented.
+  *
+  * `subtractive` marks families whose deletes DECREMENT additive state
   * ([[IncrementalSpans.deleteDocs]], [[IncrementalLangModel.deleteDocs]])
   * rather than dropping id-keyed rows: applying the same batch twice
   * corrupts them, so [[TakedownJob]] refuses OUT-OF-ORDER batches (a
@@ -155,13 +156,18 @@ object TakedownJob {
     val prefix = PathOps.normalizePrefix(requestDir)
     val fs = new org.apache.hadoop.fs.Path(prefix)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val done = ledger.doneDates(markerDir).toSeq.sorted.filter(d =>
+    val done = ledger.doneDatesFlat(markerDir).toSeq.sorted.filter(d =>
       fs.exists(new org.apache.hadoop.fs.Path(prefix + s"$d.parquet")))
     if (done.isEmpty) None
-    else Some(done.map { d =>
-      val raw = spark.read.parquet(prefix + s"$d.parquet")
-      raw.select(col(raw.columns.head).as("id"))
-    }.reduce(_ unionAll _).distinct())
+    else {
+      // ONE multi-path scan, not a per-batch union: at years of
+      // takedown batches an N-way union's plan ANALYSIS alone dominates
+      // the feed (LedgerProbe carries the measurement). Contract: the
+      // request catalog has one producer and a stable id column name,
+      // so the batches read as one schema.
+      val raw = spark.read.parquet(done.map(d => prefix + s"$d.parquet"): _*)
+      Some(raw.select(col(raw.columns.head).as("id")).distinct())
+    }
   }
 }
 
@@ -192,7 +198,7 @@ final class TakedownJob(spark: SparkSession, config: TakedownConfig) {
 
   def run(): TakedownSummary = {
     val input = requestDates()
-    val done = ledger.doneDates(config.markerDir)
+    val done = ledger.doneDatesFlat(config.markerDir)
     val missing = (input -- done).toSeq.sorted
 
     // OUT-OF-ORDER FENCE for subtract families: a missing batch OLDER
@@ -235,10 +241,15 @@ final class TakedownJob(spark: SparkSession, config: TakedownConfig) {
       else {
         val ids = batchIds(date)
         val survivors =
-          if (config.dedupeAcrossDates && applied.nonEmpty)
-            ids.join(applied.toSeq.sorted.map(batchIds)
-              .reduce(_ unionAll _), Seq("id"), "left_anti")
-          else ids
+          if (config.dedupeAcrossDates && applied.nonEmpty) {
+            // one multi-path scan of the applied history (not an N-way
+            // union — see appliedIds' plan-analysis note)
+            val prefix = PathOps.normalizePrefix(config.requestDir)
+            val hist = spark.read.parquet(
+              applied.toSeq.sorted.map(d => prefix + s"$d.parquet"): _*)
+            ids.join(hist.select(col(hist.columns.head).as("id")),
+              Seq("id"), "left_anti")
+          } else ids
         val n = survivors.count() // bounded: request-list-sized
         if (n > 0) {
           val gen = s"${config.kind}_$date"

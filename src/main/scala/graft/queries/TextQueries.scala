@@ -1598,6 +1598,95 @@ object TextQueries {
     out.orderBy(col("family"), col("ds"))
   }
 
+  /** q186: the FULL OPERATIONAL TRIAD composed — one store lifecycle
+    * driven end to end by all three orchestrators, in the order a real
+    * deployment interleaves them: [[graft.operators.CurateJob]] ingests
+    * d0+d1 (suppression feed wired), [[graft.operators.MaintainJob]]
+    * folds a retention window at d1 (tf additive merge + norms),
+    * [[graft.operators.TakedownJob]] erases the % 7 = 3 docs (its gen
+    * rewrite folds the window's c_d1 label — the
+    * protocols COMPOSE on the same fold machinery), and CurateJob
+    * ingests a d2 that re-delivers taken-down ids, suppressed by the
+    * feed. The oracle is q74's BM25 over corpus-minus-requested (q160's
+    * SQL): green = fold + erasure + suppression + continued ingestion
+    * interleave to exactly the right store. q183 pinned
+    * curate→takedown; this adds maintenance INSIDE the cycle, the
+    * remaining pairwise interaction (fold labels surviving a takedown
+    * rewrite; appends landing on a folded+rewritten store). */
+  def q186OperationalTriad(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q186_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q186_${pid}_$hx"
+    val tbls = Seq(s"${base}_post", s"${base}_post_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q186_p")
+    Warehouse.sweepTmpOrphans("graft_q186_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    val curateCfg = graft.operators.CurateConfig("cur", s"$tmp/in",
+      s"$tmp/curmarkers", s"$tmp/reports",
+      Seq(graft.operators.CurateFamily("postings",
+        append = (slice, d) => {
+          graft.operators.IncrementalPostings
+            .appendCountsBucketed(slice, s"${base}_post", d)
+          graft.operators.IncrementalPostings
+            .appendNorms(slice, s"${base}_post", d)
+        },
+        drop = (sp, d) => graft.operators.IncrementalStore.dropDate(sp,
+          Seq(s"${base}_post", s"${base}_post_dl"), d),
+        foldedThrough = Some(sp => graft.operators.StoreMaintenance
+          .foldHorizon(sp, Seq(s"${base}_post", s"${base}_post_dl"))))),
+      suppressIds = sp => graft.operators.TakedownJob.appliedIds(
+        sp, s"$tmp/req", s"$tmp/tdmarkers"),
+      suppressCol = "doc_id")
+    graft.Phases.timed("ingest1") {
+      (0 until 2).foreach(d => docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val s1 = new graft.operators.CurateJob(s, curateCfg).run()
+      require(s1.processedDates == Seq("d0", "d1"), s1.toString)
+    }
+    graft.Phases.timed("maintain") { // retention window at horizon d1
+      val sm = new graft.operators.MaintainJob(s,
+        graft.operators.MaintainConfig("maint", s"$tmp/mmarkers",
+          s"$tmp/audits", Seq(graft.operators.MaintainFamily("postings",
+            maintain = (sp, w) => {
+              graft.operators.StoreMaintenance.compact(sp, s"${base}_post",
+                w, merge = _.groupBy("term", "doc_id")
+                  .agg(sum(col("tf")).as("tf")))
+              graft.operators.IncrementalPostings
+                .compactNorms(sp, s"${base}_post", w)
+            })))).run("d1")
+      require(!sm.skipped, sm.toString)
+    }
+    graft.Phases.timed("takedown") { // the gen rewrite folds c_d1 too
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      val st = new graft.operators.TakedownJob(s,
+        graft.operators.TakedownConfig("td", s"$tmp/req", s"$tmp/tdmarkers",
+          Seq(graft.operators.TakedownFamily("postings", (ids, gen) =>
+            graft.operators.IncrementalPostings.deleteDocs(
+              s, s"${base}_post", ids, gen))))).run()
+      require(st.processedDates == Seq("r0"), st.toString)
+    }
+    graft.Phases.timed("ingest2") { // d2 re-delivers % 7 = 3 — suppressed
+      docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+        .write.mode("overwrite").parquet(s"$tmp/in/d2.parquet")
+      val s2 = new graft.operators.CurateJob(s, curateCfg).run()
+      require(s2.processedDates == Seq("d2"), s2.toString)
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalPostings
+        .bm25Bucketed(s, s"${base}_post", Seq("data", "query"))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

@@ -63,8 +63,27 @@ final class MarkerLedger(conf: Configuration) {
     }
   }
 
+  /** FLAT variant of [[listStems]] — the orchestrator catalog contract
+    * ([[graft.operators.CurateJob]]/TakedownJob/MaintainJob): immediate
+    * children only. The recursive walk above is the SPLIT engine's
+    * pinned reference quirk (§2.2.5) and pays a per-file stat on the
+    * whole subtree; a flat catalog needs one directory listing
+    * (LedgerProbe carries the measured gap at 10 years of dates). */
+  def listStemsFlat(dir: String, suffix: String): Set[String] = {
+    val path = new Path(PathOps.normalizePrefix(dir))
+    val fs = fsFor(dir)
+    if (!fs.exists(path)) Set.empty
+    else PathOps.stemsWithSuffix(
+      fs.listStatus(path).map(_.getPath.toString).toSeq, suffix)
+  }
+
   def inputDates(inDir: String): Set[String] = listStems(inDir, ".parquet")
   def doneDates(markerDir: String): Set[String] = listStems(markerDir, ".json")
+
+  /** [[doneDates]] on the flat contract — for the orchestrators' marker
+    * dirs, which they create and keep flat by construction. */
+  def doneDatesFlat(markerDir: String): Set[String] =
+    listStemsFlat(markerDir, ".json")
 
   /** The incremental core: `sorted(input − done)` (O5, parquet-splitter.py:135-138). */
   def missingDates(inDir: String, markerDir: String): Seq[String] =
