@@ -187,9 +187,11 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
           h(spark).foreach(hz => require(date > hz,
             s"date $date is at or before family ${f.name}'s retention-" +
               s"fold horizon $hz — its per-date history was consumed, " +
-              "reprocessing would double-count; restore the marker " +
-              "(the fold output already contains the date) or rebuild " +
-              "the family store"))))
+              "reprocessing would double-count; if this is a " +
+              "marker-deleted reprocess, restore the marker (the fold " +
+              "output already contains the date); if it is a fresh " +
+              s"late-arriving backfill, re-stage it under a new date " +
+              s"after $hz"))))
         // crash-resume FIRST: wipe any half-appended residue of this
         // date before re-landing it (idempotent on a fresh date)
         config.families.foreach(_.drop(spark, date))

@@ -26,12 +26,16 @@ object StoreInventory {
     * (`r_*`) labels report as-is — they ARE the store's state; the
     * per-date view below them is gone by design. */
   def dates(spark: SparkSession,
-      families: Seq[(String, String)]): DataFrame =
-    families.map { case (fam, table) =>
+      families: Seq[(String, String)]): DataFrame = {
+    val present = families.filter(f => spark.catalog.tableExists(f._2))
+    require(present.nonEmpty,
+      s"none of the inventory tables exist: ${families.map(_._2).mkString(", ")}")
+    present.map { case (fam, table) =>
       IncrementalStore.consistentScan(spark, table)
         .groupBy(col("ds")).agg(count(lit(1)).as("n_rows"))
         .select(lit(fam).as("family"), col("ds"), col("n_rows"))
     }.reduce(_ unionAll _)
+  }
 
   /** The LAGGING-FAMILY detector: `(family, ds)` pairs where `ds` is a
     * plain ingestion date held by at least one family but missing from

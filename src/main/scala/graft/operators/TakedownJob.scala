@@ -141,23 +141,40 @@ final case class TakedownSummary(
   * families' `large = true` path wired into its `delete` closure
   * ([[StoreMaintenance.tombstoneLarge]]). */
 object TakedownJob {
-  /** The SUPPRESSION FEED: ids of every COMMITTED request batch (marker
-    * present, request file still readable) — `None` when no batch has
-    * committed yet. This is what makes a takedown STICK at a pipeline
-    * that keeps ingesting: a re-crawled document re-enters the corpus
-    * through a later ingestion date unless curation anti-joins its
-    * slices against the takedown history — wire this into
-    * [[CurateConfig.suppressIds]] and "forgotten" stays forgotten
-    * (oracle-gated end to end as q183). List×history-sized: the union
-    * reads only the dated id-list files, never a store. */
+  /** The SUPPRESSION FEED: ids of every COMMITTED request batch —
+    * `None` when no batch has committed yet. This is what makes a
+    * takedown STICK at a pipeline that keeps ingesting: a re-crawled
+    * document re-enters the corpus through a later ingestion date
+    * unless curation anti-joins its slices against the takedown
+    * history — wire this into [[CurateConfig.suppressIds]] and
+    * "forgotten" stays forgotten (oracle-gated end to end as q183).
+    *
+    * FAILS LOUD on a committed batch whose request file is GONE: the
+    * request files are the erasure source of truth, and silently
+    * building the feed without one would re-admit that batch's
+    * documents on the next re-crawl — the exact silent failure the
+    * feed exists to prevent. Retain request files for as long as the
+    * marker ledger lives (they are id lists; bytes are never the
+    * issue) — or delete the marker WITH the file to disown the batch
+    * explicitly.
+    *
+    * List×history-sized: the read
+    * touches only the dated id-list files, never a store. */
   def appliedIds(spark: SparkSession, requestDir: String,
       markerDir: String): Option[DataFrame] = {
     val ledger = new MarkerLedger(spark.sparkContext.hadoopConfiguration)
     val prefix = PathOps.normalizePrefix(requestDir)
     val fs = new org.apache.hadoop.fs.Path(prefix)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val done = ledger.doneDatesFlat(markerDir).toSeq.sorted.filter(d =>
+    val done = ledger.doneDatesFlat(markerDir).toSeq.sorted
+    val gone = done.filterNot(d =>
       fs.exists(new org.apache.hadoop.fs.Path(prefix + s"$d.parquet")))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"committed takedown batch(es) ${gone.mkString(", ")} have no " +
+        s"request file under $prefix — the suppression feed cannot be " +
+        "built faithfully and a re-crawl would re-admit their " +
+        "documents; restore the files, or delete their markers to " +
+        "disown the batches explicitly")
     if (done.isEmpty) None
     else {
       // ONE multi-path scan, not a per-batch union: at years of
@@ -230,10 +247,21 @@ final class TakedownJob(spark: SparkSession, config: TakedownConfig) {
     var skippedMissing = List.empty[String]
     var idsApplied = Map.empty[String, Long]
     // dates whose ids the families have fully absorbed: markers done at
-    // entry + dates this run completed. Only those with a still-readable
-    // request file can feed the dedupe anti-join (a file aged out of the
-    // request catalog after its marker committed contributes nothing).
-    var applied = done.filter(requestFileExists)
+    // entry + dates this run completed. A done batch whose request file
+    // aged out weakens the dedupe anti-join — harmless for anti-join
+    // families (a re-deleted id removes nothing), but with a SUBTRACT
+    // family registered the weakened dedupe could re-subtract a
+    // re-requested id, so that combination fails loud (appliedIds'
+    // source-of-truth rule).
+    val goneDone = done.filterNot(requestFileExists)
+    if (goneDone.nonEmpty && config.dedupeAcrossDates &&
+        config.families.exists(_.subtractive))
+      throw new IllegalStateException(
+        s"committed batch(es) ${goneDone.toSeq.sorted.mkString(", ")} " +
+          "have no request file — the cross-batch dedupe cannot be " +
+          "honored and a re-requested id would re-subtract; restore " +
+          "the files or delete their markers to disown the batches")
+    var applied = done -- goneDone
 
     missing.foreach { date =>
       if (!requestFileExists(date))

@@ -259,6 +259,42 @@ class TakedownJobSpec extends SparkSpec {
     } finally dropStores("td_o")
   }
 
+  test("a committed batch whose request file vanished fails LOUD where silence would re-admit or re-subtract") {
+    val tmp = Files.createTempDirectory("takedown-gone").toString
+    val lm = s"$tmp/lm"
+    dropStores("td_g")
+    try {
+      buildStores("td_g", lm, docs)
+      // commit r0, then age its request file out of the catalog
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      val s1 = job(tmp, families("td_g", lm)).run()
+      assert(s1.processedDates == Seq("r0"), s1.toString)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/req/r0.parquet"), true)
+      // the suppression feed refuses — built without r0 it would
+      // re-admit r0's documents on the next re-crawl
+      val exFeed = intercept[IllegalStateException] {
+        TakedownJob.appliedIds(spark, s"$tmp/req", s"$tmp/markers")
+      }
+      assert(exFeed.getMessage.contains("r0"), exFeed.getMessage)
+      // a new batch with a SUBTRACT family registered refuses — the
+      // cross-batch dedupe cannot be honored without r0's ids
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 2).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r1.parquet")
+      val exRun = intercept[IllegalStateException] {
+        job(tmp, families("td_g", lm)).run()
+      }
+      assert(exRun.getMessage.contains("r0"), exRun.getMessage)
+      // anti-join-only registration proceeds (re-deleting is a no-op;
+      // only the wasted-rewrite protection is lost)
+      val s2 = job(tmp, Seq(TakedownFamily("postings", (ids, gen) =>
+        IncrementalPostings.deleteDocs(spark, "td_g_post", ids, gen)))).run()
+      assert(s2.processedDates == Seq("r1"), s2.toString)
+    } finally dropStores("td_g")
+  }
+
   test("a batch whose survivors dedupe to empty commits its marker without paying any rewrite") {
     val tmp = Files.createTempDirectory("takedown-empty").toString
     val lm = s"$tmp/lm"
