@@ -209,6 +209,7 @@ object SparkEntry {
       (TextQueries.q184MaintainOrchestrated _),
     "q185_store_inventory" -> (TextQueries.q185StoreInventory _),
     "q186_operational_triad" -> (TextQueries.q186OperationalTriad _),
+    "q187_retention_expiry" -> (TextQueries.q187RetentionExpiry _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3679,6 +3680,13 @@ object SparkEntry {
     // three protocols compose on the same fold machinery to exactly
     // the right store.
     "q186_operational_triad" -> bm25SqlWhere("doc_id % 7 <> 3"),
+
+    // q187: retention expiry — after both lexical tables expire at
+    // cutoff d0 (partition drops, no rewrite), the serve must equal a
+    // one-shot build over the d1+d2 slices only (doc_id % 3 <> 0):
+    // n_docs, avgdl, df all re-derive from the surviving dates — the
+    // data is gone, not masked.
+    "q187_retention_expiry" -> bm25SqlWhere("doc_id % 3 <> 0"),
 
     // q185: store inventory — per (family, date) row counts over the
     // lexical store's two tables; the oracle replays the per-date

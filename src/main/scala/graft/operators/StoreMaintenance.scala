@@ -587,6 +587,62 @@ object StoreMaintenance {
     foldTable(spark, table, s"c_$upTo",
       ds => effectiveDate(ds) <= upTo, minOlds = 2, merge, maxAgeHours)
 
+  /** What [[expire]] did: the partitions physically dropped, and the
+    * labels SKIPPED because their content cannot be attributed to dates
+    * (a `c_X` with X past the cutoff, or any `r_*` generation label) —
+    * those may still hold pre-cutoff rows; fold/expire at aligned
+    * horizons to drain them. */
+  final case class ExpireResult(dropped: Seq[String], retained: Seq[String])
+
+  /** RETENTION EXPIRY — the storage-limit pair to the takedown path:
+    * physically DROP every partition whose content is provably at or
+    * before `cutoff` — plain ingestion dates `ds ≤ cutoff` and
+    * consolidated labels `c_X` with `X ≤ cutoff` (a label's content is
+    * exactly the dates folded through X). Where [[compact]] keeps every
+    * row and shrinks files, expiry makes data GONE; a time-based
+    * retention policy is this, run at each horizon.
+    *
+    * Partitions that MIGHT hold pre-cutoff rows but cannot be split —
+    * a `c_X` with X > cutoff (per-row dates are consumed by the fold)
+    * or an `r_*` generation label (no date semantics at all) — are
+    * SKIPPED and reported in [[ExpireResult.retained]], never
+    * half-dropped: align expiry horizons with fold horizons (expire at
+    * X right after compacting to X) and nothing is ever stranded.
+    *
+    * Bounded metadata DDL per partition — no data motion, no rewrite;
+    * idempotent and trivially crash-resumable (a re-run drops whatever
+    * is left). Holds the maintenance lease for the duration and fails
+    * closed on an unfinished fold, like every store mutation. */
+  def expire(spark: SparkSession, table: String, cutoff: String,
+      maxAgeHours: Option[Double] = defaultAge): ExpireResult = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(table))
+    require(meta.partitionColumnNames == Seq("ds"),
+      s"$table is not a per-date store (partitions: ${meta.partitionColumnNames})")
+    val fs = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    acquireLease(spark, meta.location.toString, maxAgeHours)
+    try {
+      val pend = pendingFolds(fs,
+        new org.apache.hadoop.fs.Path(meta.location))
+      if (pend.nonEmpty) throw new IllegalStateException(
+        s"expire rejected: crashed/unfinished fold '${pend.head}' on " +
+          s"$table must be re-run to completion first — expiry's drops " +
+          "would race its drop phase")
+      val parts = partitions(spark, table)
+      val dropped = parts.filter { ds =>
+        !ds.startsWith("r_") && effectiveDate(ds) <= cutoff
+      }
+      val retained = parts.filter { ds =>
+        ds.startsWith("r_") ||
+          (ds.startsWith("c_") && effectiveDate(ds) > cutoff)
+      }
+      dropped.foreach(ds =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$ds')"))
+      ExpireResult(dropped.sorted, retained.sorted)
+    } finally releaseLease(spark, meta.location.toString)
+  }
+
   /** Rewrite EVERY row of a per-date store through `transform`, folding
     * all partitions into one `r_<gen>` generation partition — the
     * whole-store maintenance primitive under

@@ -1687,6 +1687,51 @@ object TextQueries {
     out.orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** q187: RETENTION EXPIRY ([[graft.operators.StoreMaintenance
+    * .expire]]) — the storage-limit pair to the takedown path: where a
+    * takedown removes REQUESTED ids and compaction keeps every row,
+    * expiry makes everything at or before a date horizon GONE (a
+    * time-based retention policy — "hold nothing older than N days" —
+    * is this, run at each horizon). The lexical store builds over three
+    * ingestion dates, both tables expire at cutoff d0 (bounded DDL —
+    * partition drops, no rewrite), and the BM25 serve must equal a
+    * one-shot build over the d1+d2 slices only: n_docs, avgdl, df all
+    * re-derive from the surviving dates, proving expiry is a real
+    * deletion, not a mask. The fold-interaction contract (a `c_X`
+    * label past the cutoff is skipped, never half-dropped; aligned
+    * horizons drain everything) is spec-pinned in
+    * StoreMaintenanceSpec. */
+  def q187RetentionExpiry(s: SparkSession, dir: String): DataFrame = {
+    val tbl = s"graft_q187_p${ProcessHandle.current().pid()}_" +
+      Integer.toHexString(dir.hashCode)
+    val tbls = Seq(tbl, s"${tbl}_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q187_p")
+    val docs = Tables.load(s, dir, "documents")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, tbl, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, tbl, s"d$d")
+      }
+    }
+    graft.Phases.timed("maintain") {
+      tbls.foreach { t =>
+        val res = graft.operators.StoreMaintenance.expire(s, t, "d0")
+        require(res.dropped == Seq("d0") && res.retained.isEmpty,
+          s"expiry must drop exactly d0 from $t: $res")
+      }
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalPostings
+        .bm25Bucketed(s, tbl, Seq("data", "query"))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    out.orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

@@ -76,6 +76,59 @@ class StoreMaintenanceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS smx_post")
   }
 
+  test("retention expiry drops exactly the provably-expired partitions; a past-cutoff label is skipped, never half-dropped") {
+    buildPostings("exp_t")
+    try {
+      val control = spark.table("exp_t")
+        .filter(col("ds") =!= "d0").drop("ds").localCheckpoint()
+      // plain-date expiry: d0 gone, content == d1+d2
+      val r1 = StoreMaintenance.expire(spark, "exp_t", "d0")
+      assert(r1.dropped == Seq("d0") && r1.retained.isEmpty, r1.toString)
+      assert(partitionsOf("exp_t") == Set("d1", "d2"))
+      sameRows(spark.table("exp_t").drop("ds"), control,
+        "expiry must drop exactly the cutoff dates' rows")
+      // idempotent re-run: nothing left to drop
+      val r2 = StoreMaintenance.expire(spark, "exp_t", "d0")
+      assert(r2.dropped.isEmpty && r2.retained.isEmpty, r2.toString)
+      // fold d1 into c_d1 (single old d1 + d2 stays; minOlds=2 needs
+      // two — refold with d2 horizon excluded, so compact at d2 over
+      // {d1, d2}) — use a fresh build for the label interaction instead
+    } finally spark.sql("DROP TABLE IF EXISTS exp_t")
+
+    buildPostings("exp_l")
+    try {
+      StoreMaintenance.compact(spark, "exp_l", "d1", tfMerge)
+      assert(partitionsOf("exp_l") == Set("c_d1", "d2"))
+      val keepAll = spark.table("exp_l").drop("ds").localCheckpoint()
+      // cutoff BEFORE the label's horizon: c_d1 may hold d0 rows but
+      // cannot be split (per-row dates are consumed) — skipped loud in
+      // `retained`, nothing dropped
+      val r3 = StoreMaintenance.expire(spark, "exp_l", "d0")
+      assert(r3.dropped.isEmpty && r3.retained == Seq("c_d1"), r3.toString)
+      sameRows(spark.table("exp_l").drop("ds"), keepAll,
+        "a skipped label must keep every row")
+      // ALIGNED horizon: cutoff d1 drops the whole label — exactly the
+      // dates folded through it
+      val r4 = StoreMaintenance.expire(spark, "exp_l", "d1")
+      assert(r4.dropped == Seq("c_d1") && r4.retained.isEmpty, r4.toString)
+      assert(partitionsOf("exp_l") == Set("d2"))
+      // an unfinished fold blocks expiry (its drop phase would race)
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("exp_l"))
+        .location.toString
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sentinel = StoreMaintenance.pendingFile(loc, "c_dX")
+      fs.create(sentinel, true).close()
+      try {
+        val ex = intercept[IllegalStateException] {
+          StoreMaintenance.expire(spark, "exp_l", "d2")
+        }
+        assert(ex.getMessage.contains("c_dX"), ex.getMessage)
+      } finally fs.delete(sentinel, false)
+    } finally spark.sql("DROP TABLE IF EXISTS exp_l")
+  }
+
   test("compaction is crash-safe: an unmarked partial fold is discarded and redone") {
     buildPostings("smx_crash")
     try {
