@@ -643,6 +643,46 @@ object StoreMaintenance {
     } finally releaseLease(spark, meta.location.toString)
   }
 
+  /** [[expire]] for the PATH-based per-date stores (spans, the NB
+    * model's tri/prior stores): same contract — drop `ds=` directories
+    * whose content is provably at or before `cutoff`, skip-and-report
+    * past-cutoff `c_X` and all `r_*` labels, lease-held, fail closed on
+    * an unfinished fold, idempotent (a dropped label's stale
+    * `_compact_*_done` marker is removed FIRST, so a crash between the
+    * two deletes re-heals on the next run). On a counting store the
+    * expiry IS exact unlearning of the expired dates — additive state
+    * minus a date's partition equals a train without it. */
+  def expirePath(spark: SparkSession, store: String, cutoff: String,
+      maxAgeHours: Option[Double] = defaultAge): ExpireResult = {
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return ExpireResult(Nil, Nil)
+    acquireLease(spark, store, maxAgeHours)
+    try {
+      val pend = pendingFolds(fs, root)
+      if (pend.nonEmpty) throw new IllegalStateException(
+        s"expire rejected: crashed/unfinished fold '${pend.head}' on " +
+          s"$store must be re-run to completion first — expiry's drops " +
+          "would race its drop phase")
+      val parts = fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("ds="))
+        .map(_.stripPrefix("ds=")).toSeq
+      val dropped = parts.filter { ds =>
+        !ds.startsWith("r_") && effectiveDate(ds) <= cutoff
+      }
+      val retained = parts.filter { ds =>
+        ds.startsWith("r_") ||
+          (ds.startsWith("c_") && effectiveDate(ds) > cutoff)
+      }
+      dropped.foreach { ds =>
+        fs.delete(new org.apache.hadoop.fs.Path(root,
+          s"_compact_${ds}_done"), false)
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"ds=$ds"), true)
+      }
+      ExpireResult(dropped.sorted, retained.sorted)
+    } finally releaseLease(spark, store)
+  }
+
   /** Rewrite EVERY row of a per-date store through `transform`, folding
     * all partitions into one `r_<gen>` generation partition — the
     * whole-store maintenance primitive under

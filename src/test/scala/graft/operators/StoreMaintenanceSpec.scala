@@ -129,6 +129,31 @@ class StoreMaintenanceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS exp_l")
   }
 
+  test("path-store expiry on a counting model IS exact unlearning of the expired dates") {
+    val tmp = java.nio.file.Files.createTempDirectory("expire-path").toString
+    val store = s"$tmp/lm"; val ctl = s"$tmp/lmctl"
+    def slice(d: Int) = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+    (0 until 3).foreach(d =>
+      IncrementalLangModel.appendCounts(slice(d), store, s"d$d"))
+    (1 until 3).foreach(d =>
+      IncrementalLangModel.appendCounts(slice(d), ctl, s"d$d"))
+    // expire d0 from BOTH sub-stores (tri counts + priors)
+    Seq("tri", "prior").foreach { sub =>
+      val r = StoreMaintenance.expirePath(spark, s"$store/$sub", "d0")
+      assert(r.dropped == Seq("d0") && r.retained.isEmpty, s"$sub: $r")
+      // idempotent re-run
+      val r2 = StoreMaintenance.expirePath(spark, s"$store/$sub", "d0")
+      assert(r2.dropped.isEmpty, r2.toString)
+    }
+    val (m, p) = IncrementalLangModel.model(spark, store)
+    val (mc, pc) = IncrementalLangModel.model(spark, ctl)
+    sameRows(m, mc, "expired model must equal a train without the date")
+    sameRows(p, pc, "expired priors must equal a train without the date")
+    // an absent store expires to nothing, loudly-typed not crashing
+    val r3 = StoreMaintenance.expirePath(spark, s"$tmp/nope", "d0")
+    assert(r3.dropped.isEmpty && r3.retained.isEmpty)
+  }
+
   test("compaction is crash-safe: an unmarked partial fold is discarded and redone") {
     buildPostings("smx_crash")
     try {
