@@ -164,15 +164,24 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
     var skippedMissing = List.empty[String]
 
     // the suppression feed, read ONCE for the whole run and pinned
-    // (localCheckpoint: list×history-sized ids held in the block
-    // manager) — every date filters against the same history and the
-    // request-catalog read is paid once, not once per date
-    lazy val suppress: Option[DataFrame] =
-      config.suppressIds(spark).map(sup =>
-        sup.select(col(sup.columns.head).as(config.suppressCol))
-          .distinct().localCheckpoint())
+    // (persist + count: list×history-sized ids held in the block
+    // manager, RELEASED in the finally below — a localCheckpoint would
+    // outlive the run for the session) — every date filters against the
+    // same history and the request-catalog read is paid once, not once
+    // per date
+    var suppressEval: Option[Option[DataFrame]] = None
+    def suppress: Option[DataFrame] = suppressEval.getOrElse {
+      val v = config.suppressIds(spark).map { sup =>
+        val pinned = sup.select(col(sup.columns.head).as(config.suppressCol))
+          .distinct().persist()
+        pinned.count() // materialize: one feed read for the whole run
+        pinned
+      }
+      suppressEval = Some(v)
+      v
+    }
 
-    missing.foreach { date =>
+    try missing.foreach { date =>
       val inPath = PathOps.normalizePrefix(config.inDir) + s"$date.parquet"
       val fs = new org.apache.hadoop.fs.Path(inPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -218,7 +227,7 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
             tsFmt.format(Instant.now())))
         processed ::= date
       }
-    }
+    } finally suppressEval.foreach(_.foreach(_.unpersist(false)))
     CurateSummary(config.kind, input.size, done.size, missing,
       processed.reverse, skippedMissing.reverse)
   }

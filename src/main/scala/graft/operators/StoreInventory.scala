@@ -45,16 +45,22 @@ object StoreInventory {
     * present (they live under the consolidated label), and a family
     * holding any `r_*` generation label is skipped outright — a gen
     * rewrite folds EVERYTHING, so which absent dates predate it is
-    * unknowable from partitions alone. Driver-side metadata only
-    * (families × dates strings — the ledger scale shape). */
+    * unknowable from partitions alone (keyed on the CURATION LEDGER,
+    * [[missingVsLedger]] stays sharp through gen rewrites). A family
+    * whose table does not EXIST reports one explicit `(family,
+    * "(absent)")` row instead of reading as fully-lagging — the same
+    * families [[dates]] omits, surfaced rather than smeared across
+    * every date (ADVICE r17: the two views must agree on whether a
+    * family exists). Driver-side metadata only (families × dates
+    * strings — the ledger scale shape). */
   def missing(spark: SparkSession,
       families: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
-    val parts: Seq[(String, Seq[String])] = families.map { case (fam, t) =>
-      fam -> (if (spark.catalog.tableExists(t))
-        spark.sql(s"SHOW PARTITIONS $t").collect()
-          .map(_.getString(0).stripPrefix("ds=")).toSeq
-      else Seq.empty[String])
+    val (present, absent) =
+      families.partition(f => spark.catalog.tableExists(f._2))
+    val parts: Seq[(String, Seq[String])] = present.map { case (fam, t) =>
+      fam -> spark.sql(s"SHOW PARTITIONS $t").collect()
+        .map(_.getString(0).stripPrefix("ds=")).toSeq
     }
     val plain = parts.flatMap { case (f, ps) =>
       ps.filter(p => !p.startsWith("c_") && !p.startsWith("r_"))
@@ -68,6 +74,6 @@ object StoreInventory {
       d <- allDates
       if horizon.forall(d > _) && !plain.contains(f -> d)
     } yield (f, d)
-    pairs.toDF("family", "ds")
+    (absent.map(_._1 -> "(absent)") ++ pairs).toDF("family", "ds")
   }
 }

@@ -637,8 +637,17 @@ object StoreMaintenance {
         ds.startsWith("r_") ||
           (ds.startsWith("c_") && effectiveDate(ds) > cutoff)
       }
-      dropped.foreach(ds =>
-        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$ds')"))
+      dropped.foreach { ds =>
+        // a dropped c_X label's fold marker goes WITH it (mirror
+        // expirePath, marker first so a crash between the two deletes
+        // re-heals): an orphan _compact_<ds>_done would otherwise
+        // survive until the next same-label fold's freshNoOp cleanup —
+        // a latent window where the marker asserts a label that is gone
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(meta.location),
+          s"_compact_${ds}_done"), false)
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$ds')")
+      }
       ExpireResult(dropped.sorted, retained.sorted)
     } finally releaseLease(spark, meta.location.toString)
   }

@@ -214,6 +214,15 @@ final class TakedownJob(spark: SparkSession, config: TakedownConfig) {
   }
 
   def run(): TakedownSummary = {
+    // the config contract made loud (ADVICE r17): dedupeAcrossDates is
+    // REQUIRED with a subtract family — without it an id re-requested in
+    // a later batch subtracts its counts twice, the exact corruption the
+    // gone-request-file and out-of-order fences below fail loud for
+    require(config.dedupeAcrossDates || !config.families.exists(_.subtractive),
+      "dedupeAcrossDates=false with subtractive families registered (" +
+        config.families.filter(_.subtractive).map(_.name).mkString(", ") +
+        ") — a cross-batch re-requested id would subtract twice; enable " +
+        "dedupeAcrossDates or deregister the subtract families")
     val input = requestDates()
     val done = ledger.doneDatesFlat(config.markerDir)
     val missing = (input -- done).toSeq.sorted
@@ -268,8 +277,12 @@ final class TakedownJob(spark: SparkSession, config: TakedownConfig) {
         skippedMissing ::= date // O7: discovered-then-gone ⇒ warn+skip
       else {
         val ids = batchIds(date)
+        // PINNED once per date: the anti-join over the applied-history
+        // multi-path scan would otherwise replan per family (the run
+        // already pays a count(), so the cache is free) — list-sized,
+        // released as soon as the date's rewrites are durable
         val survivors =
-          if (config.dedupeAcrossDates && applied.nonEmpty) {
+          (if (config.dedupeAcrossDates && applied.nonEmpty) {
             // one multi-path scan of the applied history (not an N-way
             // union — see appliedIds' plan-analysis note)
             val prefix = PathOps.normalizePrefix(config.requestDir)
@@ -277,19 +290,21 @@ final class TakedownJob(spark: SparkSession, config: TakedownConfig) {
               applied.toSeq.sorted.map(d => prefix + s"$d.parquet"): _*)
             ids.join(hist.select(col(hist.columns.head).as("id")),
               Seq("id"), "left_anti")
-          } else ids
-        val n = survivors.count() // bounded: request-list-sized
-        if (n > 0) {
-          val gen = s"${config.kind}_$date"
-          config.families.foreach(_.delete(survivors, gen))
-        }
-        // marker LAST — the commit point (parquet-splitter.py:176-186)
-        ledger.writeMarker(config.markerDir,
-          Marker(config.kind, date,
-            PathOps.normalizePrefix(config.requestDir) + s"$date.parquet",
-            config.families.map(_.name),
-            tsFmt.format(Instant.now())))
-        idsApplied += date -> n
+          } else ids).persist()
+        try {
+          val n = survivors.count() // bounded: request-list-sized; pins too
+          if (n > 0) {
+            val gen = s"${config.kind}_$date"
+            config.families.foreach(_.delete(survivors, gen))
+          }
+          // marker LAST — the commit point (parquet-splitter.py:176-186)
+          ledger.writeMarker(config.markerDir,
+            Marker(config.kind, date,
+              PathOps.normalizePrefix(config.requestDir) + s"$date.parquet",
+              config.families.map(_.name),
+              tsFmt.format(Instant.now())))
+          idsApplied += date -> n
+        } finally survivors.unpersist(false)
         applied += date
         processed ::= date
       }

@@ -68,4 +68,23 @@ class StoreInventorySpec extends SparkSpec {
     } finally Seq(tbl, s"${tbl}_dl").foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("an absent table surfaces as one explicit row, not as fully-lagging") {
+    val tbl = "inv_b"
+    Seq(tbl, s"${tbl}_dl").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      build(tbl)
+      spark.sql(s"DROP TABLE ${tbl}_dl") // never created / dropped by hand
+      val fams = Seq("tf" -> tbl, "norms" -> s"${tbl}_dl")
+      // one dedicated row — not three per-date false-lag rows (ADVICE
+      // r17: missing() and dates() must agree on whether a family exists)
+      val lag = StoreInventory.missing(spark, fams).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(lag == Set(("norms", "(absent)")), lag.toString)
+      val seen = StoreInventory.dates(spark, fams).select("family")
+        .distinct().collect().map(_.getString(0)).toSet
+      assert(seen == Set("tf"), seen.toString)
+    } finally Seq(tbl, s"${tbl}_dl").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }

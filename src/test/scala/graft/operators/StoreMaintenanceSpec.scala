@@ -118,6 +118,11 @@ class StoreMaintenanceSpec extends SparkSpec {
         .location.toString
       val fs = new org.apache.hadoop.fs.Path(loc)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the dropped label's fold marker went WITH the partition (ADVICE
+      // r17): no orphan _compact_c_d1_done asserting a label that is gone
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc), "_compact_c_d1_done")),
+        "expire must remove the dropped label's fold marker")
       val sentinel = StoreMaintenance.pendingFile(loc, "c_dX")
       fs.create(sentinel, true).close()
       try {

@@ -318,4 +318,18 @@ class TakedownJobSpec extends SparkSpec {
         s"an empty batch must not rewrite the store: $ds")
     } finally dropStores("td_e")
   }
+
+  test("dedupeAcrossDates=false with a subtractive family is refused at entry") {
+    val tmp = Files.createTempDirectory("takedown-cfg").toString
+    // the guard fires before any listing or IO — the config itself is
+    // the corruption (a cross-batch re-requested id would subtract
+    // twice), so no store needs to exist to observe the refusal
+    val fams = Seq(TakedownFamily("langmodel", (_, _) => (),
+      subtractive = true))
+    val ex = intercept[IllegalArgumentException] {
+      new TakedownJob(spark, TakedownConfig("td", s"$tmp/req",
+        s"$tmp/markers", fams, dedupeAcrossDates = false)).run()
+    }
+    assert(ex.getMessage.contains("langmodel"), ex.getMessage)
+  }
 }
