@@ -13,13 +13,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     query FIRST (a complete per-query record exists as early as
   *     possible), then min-of-N refinement reps only while the time
   *     budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 840) allows;
-  *   - the first TWO reps are budget-exempt (round 9): round 8's rep 1
-  *     alone consumed the whole budget on a ~4× contended host, leaving
-  *     reps=1 cold singles everywhere — numbers the artifact itself says
-  *     to treat as upper bounds, i.e. an uninterpretable official record.
-  *     Guaranteeing rep 2 makes the worst contended outcome min-of-2
-  *     (a usable estimator) at the cost of a bounded budget overshoot;
-  *     only refinement reps (3+) are budget-gated;
+  *   - the first TWO reps are exempt from the REFINEMENT budget
+  *     (round 9): round 8's rep 1 alone consumed the whole budget on a
+  *     ~4× contended host, leaving reps=1 cold singles everywhere —
+  *     numbers the artifact itself says to treat as upper bounds, i.e.
+  *     an uninterpretable official record. Guaranteeing rep 2 makes the
+  *     worst contended outcome min-of-2 (a usable estimator) at the
+  *     cost of a bounded budget overshoot; only refinement reps (3+)
+  *     are budget-gated;
+  *   - but a HARD wall cap (`SPARK_GRAFT_BENCH_WALL_SEC`, default 900)
+  *     gates EVERY measurement including the guaranteed reps
+  *     (round 18): rounds 15–17 all lost the driver's official record
+  *     to its ~20 min kill (rc=124) because two exempt passes at 187
+  *     queries exceed it outright — a record whose tail queries are
+  *     cold singles parses; a killed process records nothing. Quiet
+  *     definitive records override the cap explicitly (WALL_SEC=7200);
   *   - JIT warm-up is a HANDFUL of representative queries at sf0.001
   *     (scan/agg/join/window/dedup codegen paths), not all of them —
   *     the old all-queries pass was ~100 extra executions of pure
@@ -55,6 +63,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "840").toDouble
+    // HARD wall cap on the measurement loop (round 18): the driver's
+    // official record died rc=124 three rounds running because the
+    // guaranteed reps were budget-EXEMPT — at 187 queries on a drifted
+    // host, two exempt passes alone exceed the driver's ~20 min kill.
+    // Unlike the refinement budget, the wall cap gates EVERY measurement
+    // (reps 1–2 included): a record with cold singles on the tail
+    // queries parses; a killed process records nothing. Default 900 s
+    // leaves ~300 s for sbt/JVM startup under a 1,200 s driver timeout.
+    val wallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "900").toDouble
     val partialPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.json")
     // target 3 passes: two budget-exempt (the min-of-2 floor), a third
     // expensive-first refinement only while the budget allows — a quiet
@@ -141,6 +158,25 @@ object Bench {
           (ok.max / median(ok.toSeq) > 3.0).toString)
       else ("null", "null", "null")
     }
+    // SENTINEL-NORMALIZED totals (round 18): three rounds of verdicts
+    // re-derived host drift by hand from the sentinel series. The record
+    // now carries the division itself — `host_drift` = this run's
+    // sentinel median over the PINNED r12 operative-baseline median
+    // (BENCH_QUIET_r12.json, q20 over 39 readings on a quiet host), and
+    // `total_sentinel_adj` = total ÷ host_drift, directly comparable to
+    // the r12 total on the shared queries. The pin changes ONLY if the
+    // operative baseline or the sentinel query changes.
+    val sentinelRef = 0.2627
+    def sentinelAdj(): (String, String, String) = {
+      val ok = sentinel.filter(_ >= 0)
+      if (ok.isEmpty) ("null", "null", "null")
+      else {
+        val m = median(ok.toSeq)
+        val drift = m / sentinelRef
+        val total = best.values.filter(_ >= 0).sum
+        (m.toString, drift.toString, (total / drift).toString)
+      }
+    }
     def summaryJson(complete: Boolean): String = {
       val errors = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
@@ -150,18 +186,20 @@ object Bench {
       val repsJson = raw.map { case (k, v) => "\"" + k + "\":" + v.size }
         .mkString("{", ",", "}")
       val (noise, spread, contended) = sentinelStats()
+      val (sentMed, drift, totalAdj) = sentinelAdj()
       val total = best.values.filter(_ >= 0).sum
       val phasesJson = phasesMin.map { case (k, m) =>
         "\"" + k + "\":" +
           m.map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"reps":$repsJson,"raw":$rawJson,"phases":$phasesJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"run_id":"$runId"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"wall_sec":$wallSec,"reps":$repsJson,"raw":$rawJson,"phases":$phasesJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId"}"""
     }
     def compactSummaryJson(complete: Boolean): String = {
       val errors = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       val (noise, spread, contended) = sentinelStats()
+      val (sentMed, drift, totalAdj) = sentinelAdj()
       val total = best.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"run_id":"$runId","queries_artifact":"$partialPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId","queries_artifact":"$partialPath"}"""
     }
     def snapshot(complete: Boolean = false): Unit = try {
       val tmp = new java.io.File(partialPath + ".tmp")
@@ -207,11 +245,19 @@ object Bench {
     // noise_factor on a perfectly quiet host
     timeOne(sentinelName)
     timeSentinel() // baseline host-load reading before any measurement
-    // reps 1..guaranteed ignore the budget (worst case = min-of-2 instead
-    // of cold singles); only refinement reps beyond that are budget-gated
+    // reps 1..guaranteed ignore the REFINEMENT budget (worst case =
+    // min-of-2 instead of cold singles); only refinement reps beyond
+    // that are budget-gated. The WALL cap gates everything (see above).
     val guaranteed = math.min(reps, 2)
+    // a measurement may start only if its ESTIMATE fits the wall: prior
+    // reps' best (abs: a failure's time-to-failure is still its cost)
+    // for a seen query, 0 for rep 1 (unknown — the cap then bounds the
+    // overshoot to one query's own duration)
+    def fitsWall(name: String): Boolean =
+      elapsed + best.get(name).map(_.abs).getOrElse(0.0) < wallSec
     var rep = 1
-    while (rep <= reps && (rep <= guaranteed || elapsed < budgetSec)) {
+    while (rep <= reps && elapsed < wallSec &&
+        (rep <= guaranteed || elapsed < budgetSec)) {
       // refinement passes go EXPENSIVE-FIRST: the cold/warm spread that
       // min-of-N exists to cancel is concentrated in the slowest queries
       // (round-5 judge data: q95 5.6 s vs 73.5 s across identical runs), so
@@ -222,10 +268,11 @@ object Bench {
         if (rep == 1) names
         else names.sortBy(n => -best.getOrElse(n, Double.MaxValue).abs)
       order.foreach { name =>
-        // reps 1..guaranteed always complete their full pass (the record
-        // itself); refinement reps stop mid-pass when the budget is gone —
-        // already-measured queries simply keep their earlier minimum.
-        if (rep <= guaranteed || elapsed < budgetSec) {
+        // refinement reps stop mid-pass when the budget is gone —
+        // already-measured queries simply keep their earlier minimum;
+        // the wall cap stops ANY pass (a cold-singles tail parses,
+        // a killed process records nothing).
+        if (fitsWall(name) && (rep <= guaranteed || elapsed < budgetSec)) {
           val t = timeOne(name)
           best(name) = best.get(name).map(combine(_, t)).getOrElse(t)
           raw(name) = raw.getOrElse(name, Nil) :+ t
