@@ -210,6 +210,7 @@ object SparkEntry {
     "q185_store_inventory" -> (TextQueries.q185StoreInventory _),
     "q186_operational_triad" -> (TextQueries.q186OperationalTriad _),
     "q187_retention_expiry" -> (TextQueries.q187RetentionExpiry _),
+    "q188_ledger_inventory" -> (TextQueries.q188LedgerInventory _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3714,6 +3715,39 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'tf', 'd' || CAST(d AS VARCHAR), n FROM tfc)
          |ORDER BY family, ds""".stripMargin,
+
+    // q188: the ledger-keyed inventory through a gen rewrite — four
+    // %4 slices curated, the %7=3 docs taken down (rewriting d0-d2
+    // into r_td_r0), d3 curated suppressed, then d3 hand-dropped from
+    // the norms table. The oracle replays every partition cardinality
+    // (rewrite survivors; the suppressed d3 slice) plus the single
+    // detector row: the hand-dropped date is named through the gen
+    // rewrite, and nothing else is.
+    "q188_ledger_inventory" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'),
+         |      w -> len(w) > 0)) AS term
+         |  FROM documents),
+         |tfsurv AS (SELECT COUNT(*) AS n FROM (
+         |  SELECT term, doc_id FROM toks
+         |  WHERE doc_id % 4 < 3 AND doc_id % 7 <> 3 GROUP BY 1, 2)),
+         |tf3 AS (SELECT COUNT(*) AS n FROM (
+         |  SELECT term, doc_id FROM toks
+         |  WHERE doc_id % 4 = 3 AND doc_id % 7 <> 3 GROUP BY 1, 2)),
+         |dlsurv AS (SELECT COUNT(*) AS n FROM (
+         |  SELECT doc_id FROM toks
+         |  WHERE doc_id % 4 < 3 AND doc_id % 7 <> 3 GROUP BY 1))
+         |SELECT * FROM (
+         |  SELECT 'tf' AS family, 'd3' AS ds, CAST(n AS BIGINT) AS n_rows,
+         |    'held' AS status FROM tf3
+         |  UNION ALL
+         |  SELECT 'tf', 'r_td_r0', CAST(n AS BIGINT), 'held' FROM tfsurv
+         |  UNION ALL
+         |  SELECT 'norms', 'r_td_r0', CAST(n AS BIGINT), 'held' FROM dlsurv
+         |  UNION ALL
+         |  SELECT 'norms', 'd3', CAST(0 AS BIGINT), 'missing')
+         |ORDER BY family, ds, status""".stripMargin,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

@@ -1,6 +1,8 @@
 package graft.operators
 
+import graft.split.MarkerLedger
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions._
 
 /** STORE OBSERVABILITY for the orchestrated families — the "is my
@@ -75,5 +77,69 @@ object StoreInventory {
       if horizon.forall(d > _) && !plain.contains(f -> d)
     } yield (f, d)
     (absent.map(_._1 -> "(absent)") ++ pairs).toDF("family", "ds")
+  }
+
+  /** The lagging-family detector KEYED ON THE CURATION LEDGER — sharp
+    * where [[missing]] goes blind: the expected-date set is
+    * [[CurateJob]]'s committed markers (the pipeline's own record of
+    * what landed), not the union of whatever partitions the families
+    * still hold, so a gen-rewritten family (`r_*` labels — takedown,
+    * refit, hot-cell split) is judged instead of skipped. Per family,
+    * a committed date is PRESENT iff it is held as a plain partition,
+    * sits at or under the family's `c_*` fold horizon, or committed
+    * BEFORE the family's newest COMPLETED gen rewrite (the `r_*`
+    * partition's newest file modification time vs marker commit
+    * times — sound because store mutations are lease-excluded, so
+    * "marker older than the rewrite's files" means "partitions existed
+    * when the rewrite folded them"; an r_* label with a live
+    * `_fold_pending_*` sentinel is a crashed, uncommitted rewrite and
+    * earns no fold credit, matching
+    * [[IncrementalStore.consistentScan]]'s resolution).
+    * Reported rows are therefore exactly "store mutated OUTSIDE the
+    * orchestrator" — a fold that consumed the date never fires. A
+    * family whose table does not exist reports `(family, "(absent)")`
+    * (the [[missing]] convention). Driver-side metadata only: one
+    * marker-dir listing + per-family partition listings. */
+  def missingVsLedger(spark: SparkSession, families: Seq[(String, String)],
+      markerDir: String): DataFrame = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val committed = new MarkerLedger(hconf).doneTimesFlat(markerDir)
+      .toSeq.sortBy(_._1)
+    val rows = families.flatMap { case (fam, t) =>
+      if (!spark.catalog.tableExists(t)) Seq(fam -> "(absent)")
+      else {
+        val ps = spark.sql(s"SHOW PARTITIONS $t").collect()
+          .map(_.getString(0).stripPrefix("ds=")).toSeq
+        val plain = ps.filterNot(p =>
+          p.startsWith("c_") || p.startsWith("r_")).toSet
+        val horizon = ps.filter(_.startsWith("c_"))
+          .map(_.stripPrefix("c_")).maxOption
+        val root = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog
+            .getTableMetadata(TableIdentifier(t)).location)
+        val fs = root.getFileSystem(hconf)
+        val foldedAt = ps.filter(_.startsWith("r_")).flatMap { lbl =>
+          // crashed rewrite (sentinel still planted): no fold credit
+          if (fs.exists(new org.apache.hadoop.fs.Path(root,
+              s"_fold_pending_$lbl"))) None
+          else {
+            // fold time = the label's newest FILE mtime (dir mtimes are
+            // synthetic on object stores); one bounded partition listing
+            val dir = new org.apache.hadoop.fs.Path(root, s"ds=$lbl")
+            if (!fs.exists(dir)) None
+            else (fs.getFileStatus(dir).getModificationTime +:
+              fs.listStatus(dir).map(_.getModificationTime).toSeq)
+              .maxOption
+          }
+        }.maxOption
+        committed.collect {
+          case (d, committedAt)
+              if !plain.contains(d) && !horizon.exists(d <= _) &&
+                !foldedAt.exists(committedAt < _) => fam -> d
+        }
+      }
+    }
+    rows.toDF("family", "ds")
   }
 }

@@ -1732,6 +1732,99 @@ object TextQueries {
     out.orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** q188: LEDGER-KEYED INVENTORY THROUGH A GEN REWRITE
+    * ([[graft.operators.StoreInventory.missingVsLedger]]) — the
+    * observability gap q185 left open: the partition-keyed lagging
+    * detector must SKIP any family holding an `r_*` generation label
+    * (partitions alone can't say which absent dates predate the fold),
+    * so after a takedown rewrite the whole family goes unwatched. The
+    * ledger-keyed detector uses [[graft.operators.CurateJob]]'s
+    * committed markers as the expected-date set and credits dates that
+    * committed before the family's newest completed rewrite — staying
+    * sharp exactly where `missing` goes blind. Run end to end: four
+    * dated drops curated (suppression feed wired), a takedown
+    * (doc_id % 7 = 3) gen-rewrites both lexical tables after d0–d2,
+    * d3 is curated against the rewritten store, then d3's partition is
+    * dropped from the norms table BY HAND (the out-of-band mutation
+    * the detector exists to catch). Output = the full inventory
+    * (per-partition row counts through consistentScan, status 'held')
+    * unioned with the detector's findings (status 'missing'). The
+    * oracle replays every partition's cardinality from the corpus —
+    * survivors of the rewrite, the suppressed d3 slice — and the single
+    * missing row: green proves the detector names exactly the
+    * hand-dropped date and nothing else, THROUGH the gen rewrite.
+    * Credit/no-credit windows (crashed rewrite, absent table) are
+    * spec-pinned in StoreInventorySpec. */
+  def q188LedgerInventory(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q188_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q188_${pid}_$hx"
+    val tbls = Seq(s"${base}_post", s"${base}_post_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q188_p")
+    Warehouse.sweepTmpOrphans("graft_q188_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    val curateCfg = graft.operators.CurateConfig("cur", s"$tmp/in",
+      s"$tmp/curmarkers", s"$tmp/reports",
+      Seq(graft.operators.CurateFamily("postings",
+        append = (slice, d) => {
+          graft.operators.IncrementalPostings
+            .appendCountsBucketed(slice, s"${base}_post", d)
+          graft.operators.IncrementalPostings
+            .appendNorms(slice, s"${base}_post", d)
+        },
+        drop = (sp, d) => graft.operators.IncrementalStore.dropDate(sp,
+          Seq(s"${base}_post", s"${base}_post_dl"), d),
+        foldedThrough = Some(sp => graft.operators.StoreMaintenance
+          .foldHorizon(sp, Seq(s"${base}_post", s"${base}_post_dl"))))),
+      suppressIds = sp => graft.operators.TakedownJob.appliedIds(
+        sp, s"$tmp/req", s"$tmp/tdmarkers"),
+      suppressCol = "doc_id")
+    graft.Phases.timed("ingest1") { // d0–d2 land and index fully
+      (0 until 3).foreach(d => docs.filter(pmod(col("doc_id"), lit(4L)) === d)
+        .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val s1 = new graft.operators.CurateJob(s, curateCfg).run()
+      require(s1.processedDates == Seq("d0", "d1", "d2"), s1.toString)
+    }
+    graft.Phases.timed("takedown") { // gen rewrite folds d0–d2 into r_td_r0
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      val st = new graft.operators.TakedownJob(s,
+        graft.operators.TakedownConfig("td", s"$tmp/req", s"$tmp/tdmarkers",
+          Seq(graft.operators.TakedownFamily("postings", (ids, gen) =>
+            graft.operators.IncrementalPostings.deleteDocs(
+              s, s"${base}_post", ids, gen))))).run()
+      require(st.processedDates == Seq("r0"), st.toString)
+    }
+    graft.Phases.timed("ingest2") { // d3 lands on the rewritten store
+      docs.filter(pmod(col("doc_id"), lit(4L)) === 3)
+        .write.mode("overwrite").parquet(s"$tmp/in/d3.parquet")
+      val s2 = new graft.operators.CurateJob(s, curateCfg).run()
+      require(s2.processedDates == Seq("d3"), s2.toString)
+    }
+    // the out-of-band mutation the detector exists to catch: d3 vanishes
+    // from ONE table with its curate marker still committed
+    s.sql(s"ALTER TABLE ${base}_post_dl DROP PARTITION (ds='d3')")
+    val fams = Seq("tf" -> s"${base}_post", "norms" -> s"${base}_post_dl")
+    val out = graft.Phases.timed("serve") {
+      val held = graft.operators.StoreInventory.dates(s, fams)
+        .select(col("family"), col("ds"), col("n_rows"),
+          lit("held").as("status"))
+      val lag = graft.operators.StoreInventory
+        .missingVsLedger(s, fams, s"$tmp/curmarkers")
+        .select(col("family"), col("ds"), lit(0L).as("n_rows"),
+          lit("missing").as("status"))
+      held.unionAll(lag).localCheckpoint()
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("family"), col("ds"), col("status"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

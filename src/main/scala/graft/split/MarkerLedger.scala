@@ -85,6 +85,25 @@ final class MarkerLedger(conf: Configuration) {
   def doneDatesFlat(markerDir: String): Set[String] =
     listStemsFlat(markerDir, ".json")
 
+  /** Flat marker listing WITH commit times: date stem → the marker
+    * file's modification time (epoch ms) — i.e. WHEN each date
+    * committed, from the same single directory listing
+    * [[doneDatesFlat]] pays. The orchestration-order oracle for
+    * [[graft.operators.StoreInventory.missingVsLedger]]: store
+    * mutations are lease-excluded and the operational contract runs
+    * curation and maintenance sequentially, so a curate marker OLDER
+    * than a family's newest committed fold marker proves the date's
+    * partitions existed when that fold consumed them. */
+  def doneTimesFlat(markerDir: String): Map[String, Long] = {
+    val path = new Path(PathOps.normalizePrefix(markerDir))
+    val fs = fsFor(markerDir)
+    if (!fs.exists(path)) Map.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map(st => st.getPath.getName.stripSuffix(".json") ->
+        st.getModificationTime).toMap
+  }
+
   /** The incremental core: `sorted(input − done)` (O5, parquet-splitter.py:135-138). */
   def missingDates(inDir: String, markerDir: String): Seq[String] =
     (inputDates(inDir) -- doneDates(markerDir)).toSeq.sorted

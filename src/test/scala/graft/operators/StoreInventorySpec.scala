@@ -69,6 +69,73 @@ class StoreInventorySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("ledger-keyed detector stays sharp through a gen rewrite: folded dates are credited, a hand-dropped post-rewrite date is named") {
+    val tbl = "inv_l"
+    val tmp = java.nio.file.Files.createTempDirectory("inv-ledger").toString
+    val ledger = new graft.split.MarkerLedger(
+      spark.sparkContext.hadoopConfiguration)
+    def mark(d: String): Unit = ledger.writeMarker(s"$tmp/markers",
+      graft.split.Marker("cur", d, "in", Nil, "t"))
+    Seq(tbl, s"${tbl}_dl").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      // d0+d1 land and commit (marker times precede the rewrite's)
+      (0 until 2).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        IncrementalPostings.appendCountsBucketed(slice, tbl, s"d$d")
+        IncrementalPostings.appendNorms(slice, tbl, s"d$d")
+        mark(s"d$d")
+      }
+      val fams = Seq("tf" -> tbl, "norms" -> s"${tbl}_dl")
+      // a takedown rewrite folds EVERYTHING into r_invl_g1
+      IncrementalPostings.deleteDocs(spark, tbl,
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id"),
+        gen = "invl_g1")
+      // both committed dates predate the fold marker: credited, no lag
+      assert(StoreInventory.missingVsLedger(spark, fams,
+        s"$tmp/markers").isEmpty,
+        "dates the gen rewrite consumed must be credited, not flagged")
+      // d2 lands AFTER the rewrite and commits
+      val s2 = docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+      IncrementalPostings.appendCountsBucketed(s2, tbl, "d2")
+      IncrementalPostings.appendNorms(s2, tbl, "d2")
+      mark("d2")
+      assert(StoreInventory.missingVsLedger(spark, fams,
+        s"$tmp/markers").isEmpty)
+      // a post-rewrite date dropped OUTSIDE the orchestrator is named —
+      // exactly where the partition-keyed missing() goes blind (the
+      // family holds an r_* label, so it skips the family outright)
+      spark.sql(s"ALTER TABLE ${tbl}_dl DROP PARTITION (ds='d2')")
+      assert(StoreInventory.missing(spark, fams).isEmpty,
+        "partition-keyed detector is blind through a gen rewrite")
+      val lag = StoreInventory.missingVsLedger(spark, fams, s"$tmp/markers")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(lag == Set(("norms", "d2")), lag.toString)
+      // an UNCOMMITTED rewrite (crashed: pending sentinel still
+      // planted) earns no fold credit — the committed dates it would
+      // have folded now flag instead of silently reading as consumed
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .location.toString
+      val fsys = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sentinel = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc), "_fold_pending_r_invl_g1")
+      fsys.create(sentinel, true).close()
+      try {
+        val lag2 = StoreInventory.missingVsLedger(spark,
+          Seq("tf" -> tbl), s"$tmp/markers")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(lag2 == Set(("tf", "d0"), ("tf", "d1")), lag2.toString)
+      } finally fsys.delete(sentinel, false)
+      // a vanished table reports the explicit absent row
+      spark.sql(s"DROP TABLE ${tbl}_dl")
+      val lag3 = StoreInventory.missingVsLedger(spark, fams, s"$tmp/markers")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(lag3.contains(("norms", "(absent)")), lag3.toString)
+    } finally Seq(tbl, s"${tbl}_dl").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("an absent table surfaces as one explicit row, not as fully-lagging") {
     val tbl = "inv_b"
     Seq(tbl, s"${tbl}_dl").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
