@@ -211,6 +211,7 @@ object SparkEntry {
     "q186_operational_triad" -> (TextQueries.q186OperationalTriad _),
     "q187_retention_expiry" -> (TextQueries.q187RetentionExpiry _),
     "q188_ledger_inventory" -> (TextQueries.q188LedgerInventory _),
+    "q189_maintain_retention" -> (TextQueries.q189MaintainRetention _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3715,6 +3716,13 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'tf', 'd' || CAST(d AS VARCHAR), n FROM tfc)
          |ORDER BY family, ds""".stripMargin,
+
+    // q189: retention inside the maintenance window — one MaintainJob
+    // window folds the lexical store at d1 (tf merge + norms) and then
+    // expires both tables at the same cutoff, dropping the fresh c_d1
+    // label whole. Oracle = one-shot BM25 over the d2 slice only:
+    // n_docs, avgdl, df all re-derive from the surviving date.
+    "q189_maintain_retention" -> bm25SqlWhere("doc_id % 3 = 2"),
 
     // q188: the ledger-keyed inventory through a gen rewrite — four
     // %4 slices curated, the %7=3 docs taken down (rewriting d0-d2

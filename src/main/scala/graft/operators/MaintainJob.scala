@@ -10,13 +10,28 @@ import java.time.{Instant, ZoneOffset}
   * ([[MaintainJob]]): how to run one maintenance window over the
   * family's stores (the fold/compaction calls — typically
   * [[StoreMaintenance.compact]] at the window horizon, with the
-  * family's additive merge), and optionally the family's health AUDIT
+  * family's additive merge), optionally the family's RETENTION policy
+  * (an [[StoreMaintenance.expire]]/`expirePath` call at the policy
+  * cutoff — run AFTER the window's folds, so "align expiry horizons
+  * with fold horizons" is the orchestrator's mechanical ordering, not
+  * operator advice: folding to `c_w` first makes everything at or
+  * before `w` provably expirable, and an expiry at cutoff `w` then
+  * drops the label whole — nothing is ever stranded behind a
+  * past-cutoff label), and optionally the family's health AUDIT
   * (drift PSI, occupancy, inventory — whatever the family watches),
-  * evaluated AFTER the window's folds and persisted under the audit
-  * catalog. Both receive the window label. */
+  * evaluated AFTER folds and expiry so it describes the store a reader
+  * actually sees. All three receive the window label.
+  *
+  * Retention vs the ingestion ledger: expiry keeps the expired dates'
+  * CURATE MARKERS (the dates stay "done"), so [[CurateJob]] never
+  * re-appends them — deleting an expired date's marker would resurrect
+  * its data on the next curate run, which is a deliberate operator
+  * action, never something a maintenance window does. */
 final case class MaintainFamily(
     name: String,
     maintain: (SparkSession, String) => Unit,
+    expire: Option[(SparkSession, String) => StoreMaintenance.ExpireResult] =
+      None,
     audit: Option[(SparkSession, String) => DataFrame] = None)
 
 /** Orchestrator configuration.
@@ -33,13 +48,16 @@ final case class MaintainConfig(
     auditDir: String,
     families: Seq[MaintainFamily])
 
-/** Run summary — the reference's O15 shape for a maintenance window. */
+/** Run summary — the reference's O15 shape for a maintenance window.
+  * `expired` maps each retention-bearing family to the partitions its
+  * policy dropped this window (empty seq = idempotent no-op resume). */
 final case class MaintainSummary(
     kind: String,
     window: String,
     skipped: Boolean,
     maintained: Seq[String],
-    audited: Seq[String])
+    audited: Seq[String],
+    expired: Map[String, Seq[String]] = Map.empty)
 
 /** MAINTENANCE-WINDOW ORCHESTRATION — the third leg of the operational
   * triad ([[CurateJob]] ingests, [[TakedownJob]] erases, THIS
@@ -57,13 +75,22 @@ final case class MaintainSummary(
   *      and the maintenance leases fail fast against concurrent appends
   *      (run windows BETWEEN orchestrated curation runs, the
   *      [[CurateJob]] retention contract);
-  *   2. every auditing family's report is written to
+  *   2. every retention-bearing family's expiry runs — AFTER the folds
+  *      (the aligned-horizons ordering [[MaintainFamily]] documents);
+  *      expiry is bounded DDL, idempotent, and a crash between expiry
+  *      and the marker resumes clean: the re-run's folds no-op (their
+  *      labels are committed or already expired — a label absent with
+  *      no pending sentinel is a prior completed fold), and the re-run
+  *      expiry finds nothing left at the cutoff;
+  *   3. every auditing family's report is written to
   *      `{auditDir}/{family}/w={window}` (dynamic partition overwrite —
-  *      a resumed window replaces only its own partition), AFTER the
-  *      folds so the audit describes the post-maintenance store;
-  *   3. the window marker commits — the window is done exactly when
-  *      every fold and audit is durable (marker-LAST, the commit point,
-  *      parquet-splitter.py:176-186).
+  *      a resumed window replaces only its own partition), AFTER folds
+  *      and expiry so the audit describes the store a reader sees —
+  *      an inventory audit here is where "oldest-held ≤ policy" is
+  *      asserted;
+  *   4. the window marker commits — the window is done exactly when
+  *      every fold, expiry, and audit is durable (marker-LAST, the
+  *      commit point, parquet-splitter.py:176-186).
   * A marker-present window is skipped WHOLESALE — at hundreds of store
   * tables even a no-op fold pays a lease acquisition and a partition
   * listing per table, which a completed window must not re-pay.
@@ -89,6 +116,11 @@ final class MaintainJob(spark: SparkSession, config: MaintainConfig) {
       MaintainSummary(config.kind, window, skipped = true, Nil, Nil)
     else {
       config.families.foreach(_.maintain(spark, window))
+      // retention AFTER the folds: everything at or before an aligned
+      // cutoff now sits under a droppable label (no stranded rows)
+      val expired = config.families.flatMap { f =>
+        f.expire.map(e => f.name -> e(spark, window).dropped)
+      }.toMap
       val audited = config.families.flatMap { f =>
         f.audit.map { a =>
           val dir = PathOps.normalizePrefix(config.auditDir) + f.name
@@ -104,7 +136,7 @@ final class MaintainJob(spark: SparkSession, config: MaintainConfig) {
         Marker(config.kind, window, config.auditDir,
           config.families.map(_.name), tsFmt.format(Instant.now())))
       MaintainSummary(config.kind, window, skipped = false,
-        config.families.map(_.name), audited)
+        config.families.map(_.name), audited, expired)
     }
   }
 }

@@ -1732,6 +1732,81 @@ object TextQueries {
     out.orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** q189: RETENTION INSIDE THE MAINTENANCE WINDOW
+    * ([[graft.operators.MaintainFamily.expire]]) — q187 proved
+    * `expire`/`expirePath` per store; this runs the policy where a
+    * deployment actually runs it: ONE marker-committed [[graft
+    * .operators.MaintainJob]] window that folds the lexical store at
+    * the horizon (tf additive merge + norms) and THEN expires both
+    * tables at the same cutoff — the aligned-horizons discipline as
+    * orchestrator ordering: the fresh `c_d1` label's content is
+    * provably ≤ d1, so the policy drops it whole, exact retention with
+    * nothing stranded behind a past-cutoff label. The audit (store
+    * inventory) runs after expiry, so "oldest-held ≤ policy" is
+    * asserted from what a reader actually sees. Output = the BM25
+    * serve over the surviving store; the oracle is a one-shot build
+    * over the d2 slice only (doc_id % 3 = 2) — n_docs, avgdl, df all
+    * re-derive from the surviving date, proving the windowed fold +
+    * expiry composed to a real deletion. The crash window (expiry
+    * done, marker lost → idempotent resume) is spec-pinned in
+    * MaintainJobSpec. */
+  def q189MaintainRetention(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val tbl = s"graft_q189_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q189_${pid}_$hx"
+    val tbls = Seq(tbl, s"${tbl}_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q189_p")
+    Warehouse.sweepTmpOrphans("graft_q189_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach { d =>
+        val slice = docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        graft.operators.IncrementalPostings
+          .appendCountsBucketed(slice, tbl, s"d$d")
+        graft.operators.IncrementalPostings.appendNorms(slice, tbl, s"d$d")
+      }
+    }
+    val fam = graft.operators.MaintainFamily("postings",
+      maintain = (sp, w) => {
+        graft.operators.StoreMaintenance.compact(sp, tbl, w,
+          merge = _.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")))
+        graft.operators.IncrementalPostings.compactNorms(sp, tbl, w)
+      },
+      expire = Some((sp, w) => {
+        val a = graft.operators.StoreMaintenance.expire(sp, tbl, w)
+        val b = graft.operators.StoreMaintenance.expire(sp, s"${tbl}_dl", w)
+        graft.operators.StoreMaintenance.ExpireResult(
+          (a.dropped ++ b.dropped).distinct.sorted,
+          (a.retained ++ b.retained).distinct.sorted)
+      }),
+      audit = Some((sp, _) => graft.operators.StoreInventory.dates(sp,
+        Seq("tf" -> tbl, "norms" -> s"${tbl}_dl"))))
+    val summary = graft.Phases.timed("maintain") {
+      new graft.operators.MaintainJob(s, graft.operators.MaintainConfig(
+        "maint", s"$tmp/markers", s"$tmp/audits", Seq(fam))).run("d1")
+    }
+    require(!summary.skipped &&
+      summary.expired == Map("postings" -> Seq("c_d1")),
+      s"the window must fold then drop exactly the c_d1 label: $summary")
+    // oldest-held ≤ policy, from the post-expiry audit itself
+    val held = s.read.parquet(s"$tmp/audits/postings")
+      .select("ds").distinct().collect().map(_.getString(0)).toSet
+    require(held == Set("d2"), s"audit must show only post-cutoff dates: $held")
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalPostings
+        .bm25Bucketed(s, tbl, Seq("data", "query"))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** q188: LEDGER-KEYED INVENTORY THROUGH A GEN REWRITE
     * ([[graft.operators.StoreInventory.missingVsLedger]]) — the
     * observability gap q185 left open: the partition-keyed lagging

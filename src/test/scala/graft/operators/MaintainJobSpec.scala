@@ -105,4 +105,45 @@ class MaintainJobSpec extends SparkSpec {
         "each window keeps its own audit partition")
     } finally spark.sql("DROP TABLE IF EXISTS mnt_c")
   }
+
+  test("retention in the window: compact-then-expire at the SAME label drops it whole; the resume is an idempotent no-op") {
+    val tmp = Files.createTempDirectory("maintain-exp").toString
+    spark.sql("DROP TABLE IF EXISTS mnt_e")
+    try {
+      buildPost("mnt_e")
+      val keep = spark.table("mnt_e").filter(col("ds") === "d2")
+        .drop("ds").localCheckpoint()
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      // the aligned-horizons discipline as code: fold to c_w, then
+      // expire at cutoff w — the fresh label's content is provably ≤ w,
+      // so the policy drops it whole (exact retention, nothing stranded)
+      val fam = postFamily("mnt_e", calls).copy(
+        expire = Some((sp, w) => StoreMaintenance.expire(sp, "mnt_e", w)),
+        audit = Some((sp, _) =>
+          StoreInventory.dates(sp, Seq("post" -> "mnt_e"))))
+      val s1 = job(tmp, Seq(fam)).run("d1")
+      assert(!s1.skipped && s1.expired == Map("post" -> Seq("c_d1")),
+        s1.toString)
+      val ds = spark.sql("SHOW PARTITIONS mnt_e").collect()
+        .map(_.getString(0)).toSet
+      assert(ds == Set("ds=d2"), ds.toString)
+      sameRows(spark.table("mnt_e").drop("ds"), keep,
+        "expiry must keep exactly the post-cutoff rows")
+      // the audit ran AFTER expiry: oldest-held ≤ policy is assertable
+      // from it (one surviving partition, d2)
+      val audit = spark.read.parquet(s"$tmp/audits/post")
+      assert(audit.select("ds").collect().map(_.getString(0)).toSet ==
+        Set("d2"), "audit must describe the post-expiry store")
+      // crash window: expiry done, marker lost — the resume's fold
+      // no-ops (label expired, no pending sentinel), expiry finds
+      // nothing at the cutoff, and the view is unchanged
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/markers/d1.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, false)
+      val s2 = job(tmp, Seq(fam)).run("d1")
+      assert(!s2.skipped && s2.expired == Map("post" -> Nil), s2.toString)
+      sameRows(spark.table("mnt_e").drop("ds"), keep,
+        "the resumed window must not touch surviving rows")
+    } finally spark.sql("DROP TABLE IF EXISTS mnt_e")
+  }
 }
