@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators._
+import graft.split.SplitMain.getArg
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point for the OPERATIONAL TRIAD — the last mile between
+  * "the protocols exist as a library" and "the pipeline is operable":
+  * `spark-submit --class graft.OpsMain … --JOB curate --STORE s …`
+  * wires [[graft.operators.CurateJob]] / [[graft.operators.TakedownJob]]
+  * / [[graft.operators.MaintainJob]] / [[graft.operators.StoreInventory]]
+  * over the [[graft.operators.OpsFamilies]] standard-store registry from
+  * flags alone, with the safety rails ON BY DEFAULT: every curate family
+  * carries its `foldedThrough` retention fence, and curation warns loud
+  * when run without the takedown suppression feed. Argument resolution
+  * is the reference's O1 (flag → env var → default,
+  * reference/src/Split/parquet-splitter.py:14-26 — the same `getArg` the
+  * split engine's main uses). One JSON summary line per job (O15/O17).
+  *
+  * Jobs (common: `--STORE` table-name prefix, `--FAMILIES` csv from
+  * `postings | minhash | semantic`, default `postings`):
+  *   - `--JOB curate --IN drops/ --MARKERS m/ --REPORTS r/
+  *      [--REQUESTS req/ --TD_MARKERS tdm/]   ← the suppression feed
+  *      [--ID_COL id] [--TEXT_COL text] [--VEC_COL embedding]
+  *      [--PAIR_THRESHOLD 0.5] [--SEM_THRESHOLD 0.9] [--SEM_HORIZON n]`
+  *   - `--JOB takedown --REQUESTS req/ --TD_MARKERS tdm/`
+  *   - `--JOB maintain --WINDOW d --M_MARKERS mm/ --AUDITS a/
+  *      [--RETAIN cutoff | --RETAIN_AT_WINDOW true]`
+  *   - `--JOB inventory [--LEDGER curate-markers/]` — with `--LEDGER`,
+  *     lag detection is [[graft.operators.StoreInventory
+  *     .missingVsLedger]] (sharp through gen rewrites); without, the
+  *     partition-keyed [[graft.operators.StoreInventory.missing]].
+  *
+  * The q186 operational-triad lifecycle is reproducible from config
+  * alone — oracle-gated as q190, protocol windows spec-pinned in
+  * OpsMainSpec. */
+object OpsMain {
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+  private def arr(xs: Seq[String]): String =
+    xs.map(q).mkString("[", ",", "]")
+
+  /** Execute one job against `spark`; returns the JSON summary line.
+    * Factored from [[main]] so specs and queries drive the exact CLI
+    * surface against the test session. */
+  def run(args: Array[String], spark: SparkSession): String = {
+    def a(n: String, d: String = null) = getArg(args, n, d)
+    val job = a("JOB")
+    require(job != null,
+      "JOB is required: curate | takedown | maintain | inventory")
+    val store = a("STORE")
+    require(store != null,
+      "STORE is required (the table-name prefix for the family stores)")
+    val fams = a("FAMILIES", "postings").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+
+    job match {
+      case "curate" =>
+        val in = a("IN"); val markers = a("MARKERS")
+        val reports = a("REPORTS")
+        require(in != null && markers != null && reports != null,
+          "IN, MARKERS and REPORTS are required for curate")
+        val req = a("REQUESTS"); val tdm = a("TD_MARKERS")
+        require((req == null) == (tdm == null),
+          "REQUESTS and TD_MARKERS come together (the suppression feed)")
+        if (req == null) System.err.println(
+          "[ops] WARN: curating WITHOUT the takedown suppression feed " +
+            "(--REQUESTS/--TD_MARKERS): a re-crawled taken-down " +
+            "document will silently re-enter the corpus")
+        val idCol = a("ID_COL", "id")
+        val cfams = fams.map(f => OpsFamilies.curate(store, f,
+          idCol, a("TEXT_COL", "text"), a("VEC_COL", "embedding"),
+          a("PAIR_THRESHOLD", "0.5").toDouble,
+          a("SEM_THRESHOLD", "0.9").toDouble,
+          a("SEM_HORIZON", "0").toLong))
+        val s = new CurateJob(spark, CurateConfig(a("KIND", "curate"),
+          in, markers, reports, cfams,
+          suppressIds =
+            if (req == null) _ => None
+            else sp => TakedownJob.appliedIds(sp, req, tdm),
+          suppressCol = idCol)).run()
+        s"""{"job":"curate","kind":${q(s.kind)},"families":${arr(fams)},""" +
+          s""""input_dates":${s.inputDates},"done_dates":${s.doneDates},""" +
+          s""""processed":${arr(s.processedDates)},""" +
+          s""""skipped_missing":${arr(s.skippedMissing)},""" +
+          s""""suppression_feed":${req != null}}"""
+
+      case "takedown" =>
+        val req = a("REQUESTS"); val tdm = a("TD_MARKERS")
+        require(req != null && tdm != null,
+          "REQUESTS and TD_MARKERS are required for takedown")
+        val s = new TakedownJob(spark, TakedownConfig(a("KIND", "td"),
+          req, tdm, fams.map(f =>
+            OpsFamilies.takedown(spark, store, f)))).run()
+        val applied = s.idsApplied.toSeq.sorted
+          .map { case (d, n) => q(d) + ":" + n }.mkString("{", ",", "}")
+        s"""{"job":"takedown","kind":${q(s.kind)},""" +
+          s""""families":${arr(fams)},"request_dates":${s.requestDates},""" +
+          s""""done_dates":${s.doneDates},"processed":${arr(s.processedDates)},""" +
+          s""""skipped_missing":${arr(s.skippedMissing)},""" +
+          s""""ids_applied":$applied}"""
+
+      case "maintain" =>
+        val window = a("WINDOW"); val mm = a("M_MARKERS")
+        val audits = a("AUDITS")
+        require(window != null && mm != null && audits != null,
+          "WINDOW, M_MARKERS and AUDITS are required for maintain")
+        val retain: Option[String => String] =
+          Option(a("RETAIN")).map(cut => (_: String) => cut)
+            .orElse(if (a("RETAIN_AT_WINDOW", "false").toBoolean)
+              Some((w: String) => w) else None)
+        val s = new MaintainJob(spark, MaintainConfig(a("KIND", "maint"),
+          mm, audits,
+          fams.map(f => OpsFamilies.maintain(store, f, retain))))
+          .run(window)
+        val exp = s.expired.toSeq.sortBy(_._1)
+          .map { case (f, ds) => q(f) + ":" + arr(ds) }
+          .mkString("{", ",", "}")
+        s"""{"job":"maintain","kind":${q(s.kind)},"window":${q(s.window)},""" +
+          s""""skipped":${s.skipped},"maintained":${arr(s.maintained)},""" +
+          s""""audited":${arr(s.audited)},"expired":$exp}"""
+
+      case "inventory" =>
+        val pairs = fams.flatMap(f => OpsFamilies.tables(store, f))
+        val held = StoreInventory.dates(spark, pairs).collect().map(r =>
+          s"""{"family":${q(r.getString(0))},"ds":${q(r.getString(1))},""" +
+            s""""n_rows":${r.getLong(2)}}""").mkString("[", ",", "]")
+        val ledger = a("LEDGER")
+        val lag = (if (ledger != null)
+          StoreInventory.missingVsLedger(spark, pairs, ledger)
+        else StoreInventory.missing(spark, pairs)).collect().map(r =>
+          s"""{"family":${q(r.getString(0))},"ds":${q(r.getString(1))}}""")
+          .mkString("[", ",", "]")
+        s"""{"job":"inventory","families":${arr(fams)},""" +
+          s""""detector":${q(if (ledger != null) "ledger" else "partitions")},""" +
+          s""""held":$held,"missing":$lag}"""
+
+      case other => throw new IllegalArgumentException(
+        s"unknown JOB '$other': curate | takedown | maintain | inventory")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    // under spark-submit this creates the session; driven in-process
+    // (specs, a host app) it adopts the active one and must not stop it
+    val created = SparkSession.getActiveSession.isEmpty
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-ops")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (getArg(args, "CLOUD_WRITE", "false").toBoolean)
+      graft.sources.CloudConf.configure(builder)
+    val spark = builder.getOrCreate()
+    if (created) spark.sparkContext.setLogLevel("WARN")
+    println(run(args, spark))
+    if (created) spark.stop()
+  }
+}

@@ -212,6 +212,7 @@ object SparkEntry {
     "q187_retention_expiry" -> (TextQueries.q187RetentionExpiry _),
     "q188_ledger_inventory" -> (TextQueries.q188LedgerInventory _),
     "q189_maintain_retention" -> (TextQueries.q189MaintainRetention _),
+    "q190_ops_triad" -> (TextQueries.q190OpsTriad _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3716,6 +3717,13 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'tf', 'd' || CAST(d AS VARCHAR), n FROM tfc)
          |ORDER BY family, ds""".stripMargin,
+
+    // q190: the operational triad from config alone — q186's lifecycle
+    // (curate+feed, window fold, takedown gen rewrite, suppressed
+    // re-crawl) driven through the OpsMain CLI surface, one flag-
+    // configured run() per phase. Same oracle as q186: the CLI wiring
+    // loses nothing over the hand-written composition.
+    "q190_ops_triad" -> bm25SqlWhere("doc_id % 7 <> 3"),
 
     // q189: retention inside the maintenance window — one MaintainJob
     // window folds the lexical store at d1 (tf merge + norms) and then

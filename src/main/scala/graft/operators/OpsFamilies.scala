@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The STANDARD-STORE FAMILY REGISTRY behind [[graft.OpsMain]]: the
+  * flag-named families a production deployment registers with the
+  * operational triad ([[CurateJob]] / [[TakedownJob]] / [[MaintainJob]])
+  * and the inventory, wired the way the oracle-gated compositions
+  * (q181, q186) wire them by hand — with the safety hooks ON:
+  * every curate family carries the `foldedThrough` retention fence
+  * ([[StoreMaintenance.foldHorizon]] over its backing tables), and the
+  * suppression feed is [[graft.OpsMain]]'s job-level default.
+  *
+  * Families (the q181 trio — one lexical, one token-similarity, one
+  * embedding-similarity):
+  *   - `postings`: the bucketed BM25 store (`{store}_post` tf +
+  *     `{store}_post_dl` norms) — fold with the additive tf merge.
+  *   - `minhash`: the bucketed MinHash band store (`{store}_mh`); day
+  *     report = the date's new candidate pairs as-of the date.
+  *   - `semantic`: the incremental semantic near-dup store
+  *     (`{store}_sem_*`); INIT-ON-DEMAND at the first append — the
+  *     banding model must be frozen at a declared capacity, so the
+  *     first curate run REQUIRES `--SEM_HORIZON` (a loud refusal beats
+  *     a silently undersized frozen config); day report = the date's
+  *     cosine pairs as-of the date; maintenance = the band-drift PSI
+  *     audit (the store's folds are model-level operations — reband,
+  *     migrate — that stay deliberate, not windowed).
+  *
+  * Every closure routes through the families' own marker-committed
+  * entry points, so the rewrite protocol (same-gen no-op, crash
+  * resume, lease exclusion) is inherited, never re-implemented. */
+object OpsFamilies {
+
+  val Names: Seq[String] = Seq("postings", "minhash", "semantic")
+
+  /** Inventory view: (label, table) per backing per-date table. The
+    * semantic `_cfg` table is model state (no `ds` partitions) and is
+    * deliberately absent. */
+  def tables(store: String, fam: String): Seq[(String, String)] =
+    fam match {
+      case "postings" => Seq(s"${fam}_tf" -> s"${store}_post",
+        s"${fam}_norms" -> s"${store}_post_dl")
+      case "minhash" => Seq(s"${fam}_bands" -> s"${store}_mh")
+      case "semantic" => Seq(s"${fam}_bands" -> s"${store}_sem_bands",
+        s"${fam}_vecs" -> s"${store}_sem_vecs",
+        s"${fam}_occ" -> s"${store}_sem_occ")
+      case other => throw new IllegalArgumentException(
+        s"unknown family '$other' — registered: ${Names.mkString(", ")}")
+    }
+
+  /** Curate registration. `idCol`/`textCol`/`vecCol` name the input
+    * drop's columns; `pairThreshold`/`semThreshold` gate the day
+    * reports; `semHorizon` is the semantic model's frozen capacity
+    * (required before the store exists, ignored after). */
+  def curate(store: String, fam: String, idCol: String, textCol: String,
+      vecCol: String, pairThreshold: Double, semThreshold: Double,
+      semHorizon: Long): CurateFamily = fam match {
+    case "postings" => CurateFamily(fam,
+      append = (slice, d) => {
+        val docs = slice.select(col(idCol).as("doc_id"),
+          col(textCol).as("text"))
+        IncrementalPostings.appendCountsBucketed(docs, s"${store}_post", d)
+        IncrementalPostings.appendNorms(docs, s"${store}_post", d)
+      },
+      drop = (sp, d) => IncrementalStore.dropDate(sp,
+        Seq(s"${store}_post", s"${store}_post_dl"), d),
+      foldedThrough = Some(sp => StoreMaintenance.foldHorizon(sp,
+        Seq(s"${store}_post", s"${store}_post_dl"))))
+    case "minhash" => CurateFamily(fam,
+      append = (slice, d) => IncrementalDedup.appendBandsBucketed(
+        slice.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+        s"${store}_mh", d),
+      drop = (sp, d) =>
+        IncrementalStore.dropDate(sp, Seq(s"${store}_mh"), d),
+      report = Some((sp, d) => IncrementalDedup.newPairsBucketed(
+        sp, s"${store}_mh", d, pairThreshold, upTo = Some(d))),
+      foldedThrough = Some(sp =>
+        StoreMaintenance.foldHorizon(sp, Seq(s"${store}_mh"))))
+    case "semantic" => CurateFamily(fam,
+      append = (slice, d) => {
+        val sp = slice.sparkSession
+        val emb = slice.select(col(idCol).as("vec_id"), col(vecCol))
+        if (!sp.catalog.tableExists(s"${store}_sem_cfg")) {
+          require(semHorizon > 0,
+            "the semantic store is uninitialized and SEM_HORIZON is " +
+              "unset — the banding model freezes its width/levels at a " +
+              "declared row capacity (the engagement law); pass " +
+              "--SEM_HORIZON <expected corpus rows> on the first run")
+          IncrementalSemantic.initModel(emb, s"${store}_sem", semHorizon,
+            vecCol = vecCol)
+        }
+        IncrementalSemantic.appendDate(emb, s"${store}_sem", d,
+          vecCol = vecCol)
+      },
+      drop = (sp, d) => IncrementalSemantic.dropDate(sp, s"${store}_sem", d),
+      report = Some((sp, d) => IncrementalSemantic.newPairs(
+        sp, s"${store}_sem", d, semThreshold, upTo = Some(d))),
+      foldedThrough = Some(sp => StoreMaintenance.foldHorizon(sp,
+        Seq(s"${store}_sem_bands", s"${store}_sem_vecs",
+          s"${store}_sem_occ"))))
+    case other => throw new IllegalArgumentException(
+      s"unknown family '$other' — registered: ${Names.mkString(", ")}")
+  }
+
+  /** Takedown registration — every family here is id-keyed (anti-join
+    * deletes), so none is `subtractive`. */
+  def takedown(spark: SparkSession, store: String,
+      fam: String): TakedownFamily = fam match {
+    case "postings" => TakedownFamily(fam, (ids, gen) =>
+      IncrementalPostings.deleteDocs(spark, s"${store}_post", ids, gen))
+    case "minhash" => TakedownFamily(fam, (ids, gen) =>
+      IncrementalDedup.deleteDocs(spark, s"${store}_mh", ids, gen))
+    case "semantic" => TakedownFamily(fam, (ids, gen) =>
+      IncrementalSemantic.deleteIds(spark, s"${store}_sem", ids, gen))
+    case other => throw new IllegalArgumentException(
+      s"unknown family '$other' — registered: ${Names.mkString(", ")}")
+  }
+
+  /** Maintenance registration. `retainTo(window)` is the optional
+    * retention policy cutoff ([[MaintainFamily.expire]] — run AFTER
+    * the folds, the aligned-horizons ordering). */
+  def maintain(store: String, fam: String,
+      retainTo: Option[String => String]): MaintainFamily = {
+    def expireAll(tbls: Seq[String]): Option[
+        (SparkSession, String) => StoreMaintenance.ExpireResult] =
+      retainTo.map(cut => (sp: SparkSession, w: String) => {
+        val rs = tbls.filter(sp.catalog.tableExists)
+          .map(t => StoreMaintenance.expire(sp, t, cut(w)))
+        StoreMaintenance.ExpireResult(
+          rs.flatMap(_.dropped).distinct.sorted,
+          rs.flatMap(_.retained).distinct.sorted)
+      })
+    fam match {
+      case "postings" => MaintainFamily(fam,
+        maintain = (sp, w) => {
+          StoreMaintenance.compact(sp, s"${store}_post", w,
+            merge = _.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")))
+          IncrementalPostings.compactNorms(sp, s"${store}_post", w)
+        },
+        expire = expireAll(Seq(s"${store}_post", s"${store}_post_dl")),
+        audit = Some((sp, _) => sp.table(s"${store}_post")
+          .agg(countDistinct(col("term")).as("n_terms"),
+            countDistinct(col("doc_id")).as("n_docs"))))
+      case "minhash" => MaintainFamily(fam,
+        maintain = (sp, w) =>
+          StoreMaintenance.compact(sp, s"${store}_mh", w),
+        expire = expireAll(Seq(s"${store}_mh")))
+      case "semantic" => MaintainFamily(fam,
+        // model-level folds (reband, migrate) stay deliberate; the
+        // window contributes the drift AUDIT — detect, then a human
+        // (or a policy job) acts
+        maintain = (_, _) => (),
+        expire = expireAll(Seq(s"${store}_sem_bands",
+          s"${store}_sem_vecs", s"${store}_sem_occ")),
+        audit = Some((sp, _) => {
+          val init = sp.sql(s"SHOW PARTITIONS ${store}_sem_occ").collect()
+            .map(_.getString(0).stripPrefix("ds="))
+            .filterNot(p => p.startsWith("c_") || p.startsWith("r_"))
+            .minOption
+          require(init.nonEmpty,
+            s"semantic drift audit needs at least one plain ingestion " +
+              s"date in ${store}_sem_occ")
+          IncrementalSemantic.bandDriftPsiLevels(sp, s"${store}_sem",
+            init.get)
+        }))
+      case other => throw new IllegalArgumentException(
+        s"unknown family '$other' — registered: ${Names.mkString(", ")}")
+    }
+  }
+}

@@ -1732,6 +1732,74 @@ object TextQueries {
     out.orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** q190: THE OPERATIONAL TRIAD FROM CONFIG ALONE ([[graft.OpsMain]])
+    * — q186's lifecycle (curate d0+d1 with the suppression feed →
+    * maintenance window at d1 → takedown of the % 7 = 3 docs, whose gen
+    * rewrite folds the window's c_d1 label → curate a d2 that
+    * re-delivers taken-down ids, suppressed) driven END TO END through
+    * the spark-submit CLI surface: every phase is one `OpsMain.run`
+    * invocation configured purely by flags, the
+    * [[graft.operators.OpsFamilies]] registry wiring the postings
+    * family with its `foldedThrough` fence and the feed from
+    * `--REQUESTS`/`--TD_MARKERS`. Same oracle as q186 (BM25 over
+    * corpus-minus-requested): green proves the CLI wiring loses
+    * nothing over the hand-written composition — the operational layer
+    * is OPERABLE, not just linkable. CLI refusals and the full
+    * three-family flag surface are spec-pinned in OpsMainSpec. */
+  def q190OpsTriad(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q190_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q190_${pid}_$hx"
+    val tbls = Seq(s"${base}_post", s"${base}_post_dl")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q190_p")
+    Warehouse.sweepTmpOrphans("graft_q190_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    val curateArgs = Array("--JOB", "curate", "--STORE", base,
+      "--FAMILIES", "postings", "--ID_COL", "doc_id",
+      "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+      "--REPORTS", s"$tmp/reports",
+      "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers")
+    graft.Phases.timed("ingest1") {
+      (0 until 2).foreach(d => docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+        .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val r = graft.OpsMain.run(curateArgs, s)
+      require(r.contains("\"processed\":[\"d0\",\"d1\"]"), r)
+    }
+    graft.Phases.timed("maintain") {
+      val r = graft.OpsMain.run(Array("--JOB", "maintain",
+        "--STORE", base, "--FAMILIES", "postings", "--WINDOW", "d1",
+        "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+      require(r.contains("\"skipped\":false"), r)
+    }
+    graft.Phases.timed("takedown") {
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      val r = graft.OpsMain.run(Array("--JOB", "takedown",
+        "--STORE", base, "--FAMILIES", "postings",
+        "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
+      require(r.contains("\"processed\":[\"r0\"]"), r)
+    }
+    graft.Phases.timed("ingest2") {
+      docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+        .write.mode("overwrite").parquet(s"$tmp/in/d2.parquet")
+      val r = graft.OpsMain.run(curateArgs, s)
+      require(r.contains("\"processed\":[\"d2\"]"), r)
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalPostings
+        .bm25Bucketed(s, s"${base}_post", Seq("data", "query"))
+        .localCheckpoint() // eager: tables dropped before the caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** q189: RETENTION INSIDE THE MAINTENANCE WINDOW
     * ([[graft.operators.MaintainFamily.expire]]) — q187 proved
     * `expire`/`expirePath` per store; this runs the policy where a
