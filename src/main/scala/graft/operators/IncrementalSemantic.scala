@@ -192,9 +192,13 @@ object IncrementalSemantic {
     * (id, vector, norm) rows to the id-bucketed table FIRST, then band
     * rows to the band-key-bucketed table, then the date's (level, band,
     * bh) occupancy summary (model-sized — the [[bandDriftPsi]] feed,
-    * derived by reading back the just-landed band partition, never by
-    * re-hashing). The expensive work (levels·nPlanes sign dots per
-    * vector) happens here once per row, ever. NOT atomic across the
+    * derived from the SAME pinned materialization the band write
+    * lands: one hash pass, no parquet read-back of the just-landed
+    * partition — OccProbe priced the read-back at 1.18× of the whole
+    * two-level append; deterministic input + one materialization means
+    * the summary still equals the landed rows exactly). The expensive
+    * work (levels·nPlanes sign dots per vector) happens here once per
+    * row, ever. NOT atomic across the
     * three tables (the [[IncrementalVectors.appendDate]] caveat): a
     * failure between the writes leaves the date HALF-appended — ordered
     * to fail SAFE at each gap (vecs only: an id without band rows is
@@ -207,7 +211,17 @@ object IncrementalSemantic {
     * Recovery is the standard contract: [[dropDate]], then retry. */
   def appendDate(emb: DataFrame, table: String, date: String,
       nBuckets: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding"): Unit =
+    appendDate(emb, table, date, nBuckets, idCol, vecCol, writeOcc = true)
+
+  /** [[appendDate]] with the occupancy write optional — the
+    * [[graft.OccProbe]] ISOLATION HOOK only, never a supported store
+    * state (`writeOcc = false` leaves [[bandDriftPsi]] blind on the
+    * date): the probe prices the summary's marginal append cost by
+    * running the identical append with and without it. */
+  private[graft] def appendDate(emb: DataFrame, table: String,
+      date: String, nBuckets: Int, idCol: String, vecCol: String,
+      writeOcc: Boolean): Unit = {
     val spark = emb.sparkSession
     val (nPlanes, r, dim, levels) = cfg(spark, table)
     IncrementalStore.appendBucketed(
@@ -215,16 +229,17 @@ object IncrementalSemantic {
         Similarity.norm(col(vecCol)).as("n")),
       s"${table}_vecs", date, Seq("id"), nBuckets,
       guard = requireNoPendingReband(_, table, "append"))
-    IncrementalStore.appendBucketed(
-      bandRows(emb, idCol, vecCol, nPlanes, r, dim, levels),
-      s"${table}_bands", date, keyCols(levels), nBuckets,
-      guard = requireNoPendingReband(_, table, "append"))
-    IncrementalStore.appendTable(
-      occFromBandRows(
-        spark.table(s"${table}_bands").filter(col("ds") === date), levels,
-        nPlanes / r),
-      s"${table}_occ", date,
-      guard = requireNoPendingReband(_, table, "append"))
+    val bands = bandRows(emb, idCol, vecCol, nPlanes, r, dim, levels)
+    val pinned = if (writeOcc) bands.persist() else bands
+    try {
+      IncrementalStore.appendBucketed(pinned,
+        s"${table}_bands", date, keyCols(levels), nBuckets,
+        guard = requireNoPendingReband(_, table, "append"))
+      if (writeOcc) IncrementalStore.appendTable(
+        occFromBandRows(pinned, levels, nPlanes / r),
+        s"${table}_occ", date,
+        guard = requireNoPendingReband(_, table, "append"))
+    } finally if (writeOcc) pinned.unpersist(false)
   }
 
   /** The daily-join candidate (a_id, b_id) stream BEFORE verification —
