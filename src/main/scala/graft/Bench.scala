@@ -164,8 +164,11 @@ object Bench {
     // sentinel median over the PINNED r12 operative-baseline median
     // (BENCH_QUIET_r12.json, q20 over 39 readings on a quiet host), and
     // `total_sentinel_adj` = total ÷ host_drift, directly comparable to
-    // the r12 total on the shared queries. The pin changes ONLY if the
-    // operative baseline or the sentinel query changes.
+    // the r12 total on the shared queries — but ONLY when `measured`
+    // equals `universe`: a wall-capped record totals just its measured
+    // subset, and the reader must compare per-query or not at all. The
+    // pin changes ONLY if the operative baseline or the sentinel query
+    // changes.
     val sentinelRef = 0.2627
     def sentinelAdj(): (String, String, String) = {
       val ok = sentinel.filter(_ >= 0)
@@ -192,14 +195,14 @@ object Bench {
         "\"" + k + "\":" +
           m.map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"wall_sec":$wallSec,"reps":$repsJson,"raw":$rawJson,"phases":$phasesJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"universe":${names.size},"elapsed_sec":$elapsed,"wall_sec":$wallSec,"reps":$repsJson,"raw":$rawJson,"phases":$phasesJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId"}"""
     }
     def compactSummaryJson(complete: Boolean): String = {
       val errors = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       val (noise, spread, contended) = sentinelStats()
       val (sentMed, drift, totalAdj) = sentinelAdj()
       val total = best.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"elapsed_sec":$elapsed,"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId","queries_artifact":"$partialPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"universe":${names.size},"elapsed_sec":$elapsed,"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId","queries_artifact":"$partialPath"}"""
     }
     def snapshot(complete: Boolean = false): Unit = try {
       val tmp = new java.io.File(partialPath + ".tmp")

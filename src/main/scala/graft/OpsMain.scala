@@ -147,8 +147,13 @@ object OpsMain {
 
   def main(args: Array[String]): Unit = {
     // under spark-submit this creates the session; driven in-process
-    // (specs, a host app) it adopts the active one and must not stop it
-    val created = SparkSession.getActiveSession.isEmpty
+    // (specs, a host app) it adopts the existing one and must not stop
+    // it — getOrCreate falls back to the process-wide DEFAULT session
+    // too, so ownership must check both (a host driving main from a
+    // worker thread has no thread-local active session, but stopping
+    // its default session would kill the host)
+    val created = SparkSession.getActiveSession.isEmpty &&
+      SparkSession.getDefaultSession.isEmpty
     val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-ops")

@@ -133,9 +133,11 @@ final case class CurateSummary(
   * partition, not per row (ten years of daily drops ≈ 3,650 entries);
   * everything row-sized flows through the families' own bucketed
   * append/serve plans. A missing input file is warn-and-skip (the
-  * reference's O7), an EMPTY date appends zero rows and commits
-  * normally — the split engine's empty-input livelock quirk is a pinned
-  * reference behavior there, not a contract here. */
+  * reference's O7); an EMPTY date (post-suppression) commits normally
+  * with a `{date}.empty` flag beside its marker — no store holds a
+  * partition for it, and [[StoreInventory.missingVsLedger]] reads the
+  * flag as expected-absent (the split engine's empty-input livelock
+  * quirk is a pinned reference behavior there, not a contract here). */
 final class CurateJob(spark: SparkSession, config: CurateConfig) {
   private val ledger = new MarkerLedger(spark.sparkContext.hadoopConfiguration)
   private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
@@ -210,8 +212,17 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
         // list×slice-sized — the feed is takedown-history ids, not corpus)
         val slice = suppress.fold(raw)(sup =>
           raw.join(sup, Seq(config.suppressCol), "left_anti"))
+        // an EMPTY date (an all-suppressed re-crawl — exactly what the
+        // feed exists to produce — or an empty drop) lands NO partition
+        // in any store, so it is flagged `{date}.empty` alongside its
+        // marker: the ledger-keyed inventory reads the flag as
+        // expected-absent instead of false-flagging every family
+        // forever. One short-circuited take(1) action per date; the
+        // appends are skipped outright (zero-row writes would create no
+        // partition anyway — the flag makes that a stated invariant).
+        val empty = slice.isEmpty
         val outputs = config.families.flatMap { f =>
-          f.append(slice, date)
+          if (!empty) f.append(slice, date)
           f.report.map { rep =>
             val dir = PathOps.normalizePrefix(config.reportDir) + f.name
             rep(spark, date).withColumn("ds", lit(date))
@@ -221,6 +232,11 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
             s"$dir/ds=$date"
           }
         }
+        val flag = new org.apache.hadoop.fs.Path(
+          PathOps.normalizePrefix(config.markerDir) + s"$date.empty")
+        val mfs = flag.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (empty) mfs.create(flag, true).close()
+        else mfs.delete(flag, false) // a re-staged non-empty reprocess heals
         // marker LAST — the commit point (parquet-splitter.py:176-186)
         ledger.writeMarker(config.markerDir,
           Marker(config.kind, date, inPath, outputs,

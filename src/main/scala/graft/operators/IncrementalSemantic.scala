@@ -192,13 +192,15 @@ object IncrementalSemantic {
     * (id, vector, norm) rows to the id-bucketed table FIRST, then band
     * rows to the band-key-bucketed table, then the date's (level, band,
     * bh) occupancy summary (model-sized — the [[bandDriftPsi]] feed,
-    * derived from the SAME pinned materialization the band write
-    * lands: one hash pass, no parquet read-back of the just-landed
-    * partition — OccProbe priced the read-back at 1.18× of the whole
-    * two-level append; deterministic input + one materialization means
-    * the summary still equals the landed rows exactly). The expensive
-    * work (levels·nPlanes sign dots per vector) happens here once per
-    * row, ever. NOT atomic across the
+    * derived by reading back the just-landed band partition: that read
+    * makes summary == landed rows UNCONDITIONALLY — a pinned pre-write
+    * frame was measured (OccProbe) at the SAME cost and rejected, since
+    * a lost cached block recomputes from lineage and would silently
+    * desynchronize the audit feed under a non-deterministic input. The
+    * ~1.18× two-level append overhead is the summary aggregation +
+    * second commit itself, the priced cost of [[bandDriftPsi]] never
+    * re-scanning the band store). The expensive work (levels·nPlanes
+    * sign dots per vector) happens here once per row, ever. NOT atomic across the
     * three tables (the [[IncrementalVectors.appendDate]] caveat): a
     * failure between the writes leaves the date HALF-appended — ordered
     * to fail SAFE at each gap (vecs only: an id without band rows is
@@ -229,17 +231,16 @@ object IncrementalSemantic {
         Similarity.norm(col(vecCol)).as("n")),
       s"${table}_vecs", date, Seq("id"), nBuckets,
       guard = requireNoPendingReband(_, table, "append"))
-    val bands = bandRows(emb, idCol, vecCol, nPlanes, r, dim, levels)
-    val pinned = if (writeOcc) bands.persist() else bands
-    try {
-      IncrementalStore.appendBucketed(pinned,
-        s"${table}_bands", date, keyCols(levels), nBuckets,
-        guard = requireNoPendingReband(_, table, "append"))
-      if (writeOcc) IncrementalStore.appendTable(
-        occFromBandRows(pinned, levels, nPlanes / r),
-        s"${table}_occ", date,
-        guard = requireNoPendingReband(_, table, "append"))
-    } finally if (writeOcc) pinned.unpersist(false)
+    IncrementalStore.appendBucketed(
+      bandRows(emb, idCol, vecCol, nPlanes, r, dim, levels),
+      s"${table}_bands", date, keyCols(levels), nBuckets,
+      guard = requireNoPendingReband(_, table, "append"))
+    if (writeOcc) IncrementalStore.appendTable(
+      occFromBandRows(
+        spark.table(s"${table}_bands").filter(col("ds") === date), levels,
+        nPlanes / r),
+      s"${table}_occ", date,
+      guard = requireNoPendingReband(_, table, "append"))
   }
 
   /** The daily-join candidate (a_id, b_id) stream BEFORE verification —

@@ -154,15 +154,25 @@ object OpsFamilies {
         expire = expireAll(Seq(s"${store}_sem_bands",
           s"${store}_sem_vecs", s"${store}_sem_occ")),
         audit = Some((sp, _) => {
-          val init = sp.sql(s"SHOW PARTITIONS ${store}_sem_occ").collect()
-            .map(_.getString(0).stripPrefix("ds="))
-            .filterNot(p => p.startsWith("c_") || p.startsWith("r_"))
+          // baseline = earliest plain date; after a gen rewrite the
+          // r_<gen> label is the natural new baseline (its scaladoc
+          // rule). No auditable state at all — store uninitialized,
+          // expiry emptied it, rewrite uncommitted — yields an EMPTY,
+          // correctly-shaped report: an audit describes the store, it
+          // must never wedge the window it reports on.
+          val occ = s"${store}_sem_occ"
+          val parts = if (sp.catalog.tableExists(occ))
+            sp.sql(s"SHOW PARTITIONS $occ").collect()
+              .map(_.getString(0).stripPrefix("ds=")).toSeq
+          else Seq.empty[String]
+          parts.filterNot(p => p.startsWith("c_") || p.startsWith("r_"))
             .minOption
-          require(init.nonEmpty,
-            s"semantic drift audit needs at least one plain ingestion " +
-              s"date in ${store}_sem_occ")
-          IncrementalSemantic.bandDriftPsiLevels(sp, s"${store}_sem",
-            init.get)
+            .orElse(parts.filter(_.startsWith("r_")).maxOption)
+            .fold(sp.sql("SELECT CAST('' AS STRING) AS ds, " +
+              "CAST(0 AS INT) AS level, CAST(0 AS BIGINT) AS n_rows, " +
+              "CAST(0.0 AS DOUBLE) AS psi").limit(0))(init =>
+              IncrementalSemantic.bandDriftPsiLevels(sp, s"${store}_sem",
+                init))
         }))
       case other => throw new IllegalArgumentException(
         s"unknown family '$other' — registered: ${Names.mkString(", ")}")

@@ -92,9 +92,13 @@ object StoreInventory {
     * times — sound because store mutations are lease-excluded, so
     * "marker older than the rewrite's files" means "partitions existed
     * when the rewrite folded them"; an r_* label with a live
-    * `_fold_pending_*` sentinel is a crashed, uncommitted rewrite and
-    * earns no fold credit, matching
-    * [[IncrementalStore.consistentScan]]'s resolution).
+    * `_fold_pending_*` sentinel and NO `_compact_*_done` commit marker
+    * is a crashed, uncommitted rewrite and earns no fold credit — but
+    * sentinel WITH the commit marker is a fold that crashed between
+    * commit and cleanup, credited, both matching
+    * [[IncrementalStore.consistentScan]]'s resolution exactly. Dates
+    * [[CurateJob]] flagged `{date}.empty` (all-suppressed re-crawls)
+    * landed no partition anywhere by construction and are skipped.
     * Reported rows are therefore exactly "store mutated OUTSIDE the
     * orchestrator" — a fold that consumed the date never fires. A
     * family whose table does not exist reports `(family, "(absent)")`
@@ -104,8 +108,13 @@ object StoreInventory {
       markerDir: String): DataFrame = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    val committed = new MarkerLedger(hconf).doneTimesFlat(markerDir)
-      .toSeq.sortBy(_._1)
+    val ledger = new MarkerLedger(hconf)
+    // dates whose post-suppression slice was EMPTY landed no partition
+    // anywhere by construction ([[CurateJob]]'s `{date}.empty` flag) —
+    // expected-absent, not lagging
+    val empty = ledger.listStemsFlat(markerDir, ".empty")
+    val committed = ledger.doneTimesFlat(markerDir)
+      .toSeq.filterNot(kv => empty.contains(kv._1)).sortBy(_._1)
     val rows = families.flatMap { case (fam, t) =>
       if (!spark.catalog.tableExists(t)) Seq(fam -> "(absent)")
       else {
@@ -120,9 +129,16 @@ object StoreInventory {
             .getTableMetadata(TableIdentifier(t)).location)
         val fs = root.getFileSystem(hconf)
         val foldedAt = ps.filter(_.startsWith("r_")).flatMap { lbl =>
-          // crashed rewrite (sentinel still planted): no fold credit
-          if (fs.exists(new org.apache.hadoop.fs.Path(root,
-              s"_fold_pending_$lbl"))) None
+          // a live sentinel means crashed MID-fold — unless the commit
+          // marker also exists (crash landed between commit and the
+          // epilogue's cleanup), in which case the fold IS committed,
+          // exactly as consistentScan resolves it: credit it, or every
+          // pre-rewrite date mass-false-alarms while serves read fine
+          val pending = fs.exists(new org.apache.hadoop.fs.Path(root,
+            s"_fold_pending_$lbl")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(root,
+              s"_compact_${lbl}_done"))
+          if (pending) None
           else {
             // fold time = the label's newest FILE mtime (dir mtimes are
             // synthetic on object stores); one bounded partition listing

@@ -232,4 +232,47 @@ class CurateJobSpec extends SparkSpec {
         "a skipped date must never commit a marker")
     } finally dropStores("cur_m")
   }
+
+  test("an all-suppressed date commits with its .empty flag; the ledger-keyed detector reads it as expected-absent; a non-empty reprocess heals") {
+    val tmp = Files.createTempDirectory("curate-empty").toString
+    dropStores("cur_e")
+    try {
+      (0 until 2).foreach(d => docs.filter(pmod(col("id"), lit(3L)) === d)
+        .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      // the suppression feed covers d1's ENTIRE slice — the re-crawl
+      // case where every re-delivered id was already taken down
+      var suppressAll = true
+      val cfg = CurateConfig("curate-test", s"$tmp/in", s"$tmp/markers",
+        s"$tmp/reports", families("cur_e"),
+        suppressIds = sp => if (suppressAll)
+          Some(docs.filter(pmod(col("id"), lit(3L)) === 1).select("id"))
+        else None,
+        suppressCol = "id")
+      val s1 = new CurateJob(spark, cfg).run()
+      assert(s1.processedDates == Seq("d0", "d1"), s1.toString)
+      assert(markerNames(tmp) == Set("d0.json", "d1.json", "d1.empty"),
+        markerNames(tmp).toString)
+      // no store holds a d1 partition — and the ledger-keyed detector
+      // stays SILENT (the flag says expected-absent, not lagging)
+      val ds = spark.sql("SHOW PARTITIONS cur_e_post").collect()
+        .map(_.getString(0)).toSet
+      assert(ds == Set("ds=d0"), ds.toString)
+      val fams = Seq("tf" -> "cur_e_post", "mh" -> "cur_e_mh")
+      assert(StoreInventory.missingVsLedger(spark, fams,
+        s"$tmp/markers").isEmpty,
+        "an empty-flagged date must not read as lag")
+      // marker-delete reprocess with the takedown disowned: d1 lands
+      // for real and the stale flag is healed away
+      val p = new org.apache.hadoop.fs.Path(s"$tmp/markers/d1.json")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, false)
+      suppressAll = false
+      val s2 = new CurateJob(spark, cfg).run()
+      assert(s2.processedDates == Seq("d1"), s2.toString)
+      assert(markerNames(tmp) == Set("d0.json", "d1.json"),
+        markerNames(tmp).toString)
+      assert(StoreInventory.missingVsLedger(spark, fams,
+        s"$tmp/markers").isEmpty)
+    } finally dropStores("cur_e")
+  }
 }

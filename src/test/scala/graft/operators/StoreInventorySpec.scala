@@ -120,13 +120,25 @@ class StoreInventorySpec extends SparkSpec {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val sentinel = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(loc), "_fold_pending_r_invl_g1")
+      val cmarker = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc), "_compact_r_invl_g1_done")
       fsys.create(sentinel, true).close()
       try {
         val lag2 = StoreInventory.missingVsLedger(spark,
           Seq("tf" -> tbl), s"$tmp/markers")
           .collect().map(r => (r.getString(0), r.getString(1))).toSet
         assert(lag2 == Set(("tf", "d0"), ("tf", "d1")), lag2.toString)
-      } finally fsys.delete(sentinel, false)
+        // …but sentinel + commit marker = a fold that crashed AFTER its
+        // commit point — COMMITTED per consistentScan's resolution, so
+        // the credit is retained (no mass false alarm on a crash window
+        // whose serves read perfectly)
+        fsys.create(cmarker, true).close()
+        assert(StoreInventory.missingVsLedger(spark,
+          Seq("tf" -> tbl), s"$tmp/markers").isEmpty,
+          "a committed-but-uncleaned rewrite must keep its fold credit")
+      } finally {
+        fsys.delete(sentinel, false); fsys.delete(cmarker, false)
+      }
       // a vanished table reports the explicit absent row
       spark.sql(s"DROP TABLE ${tbl}_dl")
       val lag3 = StoreInventory.missingVsLedger(spark, fams, s"$tmp/markers")
