@@ -73,6 +73,14 @@ object Bench {
     // leaves ~300 s for sbt/JVM startup under a 1,200 s driver timeout.
     val wallSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "900").toDouble
     val partialPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL", "BENCH_PARTIAL.json")
+    // DRIVER-PROOF summary (round 19): the stdout contract survives sbt's
+    // [info] wrapping and trailing [warn]/[success] lines only with regex
+    // archaeology — r18's official record carried parsed:null for exactly
+    // that reason. The compact summary is therefore ALSO written to a
+    // stable root-level file as the run's last act; a reader that can see
+    // the repo needs no stdout at all.
+    val summaryPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")
     // target 3 passes: two budget-exempt (the min-of-2 floor), a third
     // expensive-first refinement only while the budget allows — a quiet
     // host tightens its minima with otherwise-idle budget, a contended
@@ -81,6 +89,7 @@ object Bench {
     val runId = java.lang.Long.toHexString(System.currentTimeMillis())
     // a previous run's snapshot must never be readable as this run's
     new java.io.File(partialPath).delete()
+    new java.io.File(summaryPath).delete()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -180,7 +189,19 @@ object Bench {
         (m.toString, drift.toString, (total / drift).toString)
       }
     }
-    def summaryJson(complete: Boolean): String = {
+    // FIELD SEMANTICS (round 19 — the r18 verdict's ambiguity fix):
+    //   "complete"    = measured == universe: EVERY registered query has at
+    //                   least one measurement. Purely about coverage.
+    //   "final"       = this snapshot is the run's last word (the process
+    //                   reached its epilogue) — what "complete" used to
+    //                   conflate with coverage: r18's driver record read
+    //                   complete:true at measured 54/190.
+    //   "wall_capped" = the hard wall cap (SPARK_GRAFT_BENCH_WALL_SEC)
+    //                   skipped at least one GUARANTEED measurement — the
+    //                   record is final but its coverage was cut by time,
+    //                   not by the query universe.
+    var wallCapped = false
+    def summaryJson(finalRecord: Boolean): String = {
       val errors = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -195,19 +216,19 @@ object Bench {
         "\"" + k + "\":" +
           m.map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"universe":${names.size},"elapsed_sec":$elapsed,"wall_sec":$wallSec,"reps":$repsJson,"raw":$rawJson,"phases":$phasesJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":${best.size == names.size},"final":$finalRecord,"wall_capped":$wallCapped,"measured":${best.size},"universe":${names.size},"elapsed_sec":$elapsed,"wall_sec":$wallSec,"reps":$repsJson,"raw":$rawJson,"phases":$phasesJson,"sentinel_query":"$sentinelName","sentinel":${fmtSeq(sentinel.toSeq)},"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId"}"""
     }
-    def compactSummaryJson(complete: Boolean): String = {
+    def compactSummaryJson(finalRecord: Boolean): String = {
       val errors = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       val (noise, spread, contended) = sentinelStats()
       val (sentMed, drift, totalAdj) = sentinelAdj()
       val total = best.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":$complete,"measured":${best.size},"universe":${names.size},"elapsed_sec":$elapsed,"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId","queries_artifact":"$partialPath"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","errors":${errors.mkString("[", ",", "]")},"complete":${best.size == names.size},"final":$finalRecord,"wall_capped":$wallCapped,"measured":${best.size},"universe":${names.size},"elapsed_sec":$elapsed,"noise_factor":$noise,"sentinel_spread":$spread,"contended":$contended,"sentinel_median":$sentMed,"sentinel_ref":$sentinelRef,"host_drift":$drift,"total_sentinel_adj":$totalAdj,"run_id":"$runId","queries_artifact":"$partialPath"}"""
     }
-    def snapshot(complete: Boolean = false): Unit = try {
+    def snapshot(finalRecord: Boolean = false): Unit = try {
       val tmp = new java.io.File(partialPath + ".tmp")
       val w = new java.io.PrintWriter(tmp, "UTF-8")
-      try w.println(summaryJson(complete)) finally w.close()
+      try w.println(summaryJson(finalRecord)) finally w.close()
       tmp.renameTo(new java.io.File(partialPath))
       ()
     } catch { case _: Throwable => () } // never let bookkeeping kill the run
@@ -284,16 +305,20 @@ object Bench {
           sinceSentinel += 1
           if (sinceSentinel >= 10) { sinceSentinel = 0; timeSentinel() }
           snapshot()
-        }
+        } else if (rep <= guaranteed && !fitsWall(name))
+          wallCapped = true // the wall cut a GUARANTEED measurement
       }
       rep += 1
     }
+    // the while-condition itself can cut a guaranteed pass (elapsed past
+    // the wall before the pass starts) — that too is a wall-capped record
+    if (rep <= guaranteed) wallCapped = true
     timeSentinel() // closing reading: did the host get busier mid-run?
-    // the FINAL snapshot carries complete=true: the artifact file IS the
+    // the FINAL snapshot carries final=true: the artifact file IS the
     // definitive record, so a stdout capture that truncates the (large)
     // summary line loses nothing — read BENCH_PARTIAL.json instead
-    snapshot(complete = true)
-    println(summaryJson(complete = true))
+    snapshot(finalRecord = true)
+    println(summaryJson(finalRecord = true))
     // LAST line = a COMPACT record that fits a bounded tail capture: the
     // full summary above is per-query-map-sized (>10 KB at 180 queries)
     // and a harness keeping only the final ~2 KB of stdout slices through
@@ -301,7 +326,19 @@ object Bench {
     // total and the run's quality stamps, and names the artifact holding
     // the per-query map — so ANY tail window ends with one parseable
     // record instead of a truncated one.
-    println(compactSummaryJson(complete = true))
+    println(compactSummaryJson(finalRecord = true))
+    // … and the same compact record to a STABLE FILE, the run's last act:
+    // sbt wraps stdout in [info] and appends [warn]/[success] lines, so a
+    // line-oriented tail parse of the captured log fails even when the
+    // line itself is intact (the r18 parsed:null). The file needs no
+    // stdout at all — atomically replaced, never partially visible.
+    try {
+      val tmp = new java.io.File(summaryPath + ".tmp")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try w.println(compactSummaryJson(finalRecord = true)) finally w.close()
+      tmp.renameTo(new java.io.File(summaryPath))
+      ()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

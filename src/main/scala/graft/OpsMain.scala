@@ -127,18 +127,44 @@ object OpsMain {
 
       case "inventory" =>
         val pairs = fams.flatMap(f => OpsFamilies.tables(store, f))
-        val held = StoreInventory.dates(spark, pairs).collect().map(r =>
-          s"""{"family":${q(r.getString(0))},"ds":${q(r.getString(1))},""" +
-            s""""n_rows":${r.getLong(2)}}""").mkString("[", ",", "]")
+        val heldDf = StoreInventory.dates(spark, pairs)
         val ledger = a("LEDGER")
-        val lag = (if (ledger != null)
+        val lagDf = if (ledger != null)
           StoreInventory.missingVsLedger(spark, pairs, ledger)
-        else StoreInventory.missing(spark, pairs)).collect().map(r =>
-          s"""{"family":${q(r.getString(0))},"ds":${q(r.getString(1))}}""")
-          .mkString("[", ",", "]")
-        s"""{"job":"inventory","families":${arr(fams)},""" +
-          s""""detector":${q(if (ledger != null) "ledger" else "partitions")},""" +
-          s""""held":$held,"missing":$lag}"""
+        else StoreInventory.missing(spark, pairs)
+        val out = a("OUT")
+        if (out != null) {
+          // PATH SINK (the scale mode): at 10-year × many-family scale the
+          // inline JSON arrays are families × partitions rows — megabytes
+          // in a log line. The full frames land as parquet; the summary
+          // line carries only counts + where to look.
+          val base = graft.split.PathOps.normalizePrefix(out)
+          heldDf.write.mode("overwrite").parquet(base + "held")
+          lagDf.write.mode("overwrite").parquet(base + "missing")
+          val nh = spark.read.parquet(base + "held").count()
+          val nm = spark.read.parquet(base + "missing").count()
+          s"""{"job":"inventory","families":${arr(fams)},""" +
+            s""""detector":${q(if (ledger != null) "ledger" else "partitions")},""" +
+            s""""out":${q(out)},"held_rows":$nh,"missing_rows":$nm}"""
+        } else {
+          // inline mode stays bounded: LIMIT (default 1000 rows per
+          // section) truncates the arrays and says so — a truncated
+          // inventory must never read as a complete one
+          val limit = a("LIMIT", "1000").toInt
+          val held = heldDf.collect()
+          val lag = lagDf.collect()
+          val heldJson = held.take(limit).map(r =>
+            s"""{"family":${q(r.getString(0))},"ds":${q(r.getString(1))},""" +
+              s""""n_rows":${r.getLong(2)}}""").mkString("[", ",", "]")
+          val lagJson = lag.take(limit).map(r =>
+            s"""{"family":${q(r.getString(0))},"ds":${q(r.getString(1))}}""")
+            .mkString("[", ",", "]")
+          s"""{"job":"inventory","families":${arr(fams)},""" +
+            s""""detector":${q(if (ledger != null) "ledger" else "partitions")},""" +
+            s""""held_rows":${held.length},"missing_rows":${lag.length},""" +
+            s""""truncated":${held.length > limit || lag.length > limit},""" +
+            s""""held":$heldJson,"missing":$lagJson}"""
+        }
 
       case other => throw new IllegalArgumentException(
         s"unknown JOB '$other': curate | takedown | maintain | inventory")

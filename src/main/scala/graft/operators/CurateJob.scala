@@ -28,13 +28,31 @@ import java.time.{Instant, ZoneOffset}
   * (the store families' `upTo` convention — e.g.
   * [[IncrementalSemantic.newPairs]](…, upTo = Some(date))). A report
   * without as-of re-derives against the store's CURRENT state, which is
-  * still correct forward-only but not reprocess-stable. */
+  * still correct forward-only but not reprocess-stable.
+  *
+  * `exists` (optional) answers "is the family's backing state created
+  * yet?" — wire the family's table/path existence probe. It guards the
+  * ONE composition where a report runs against a store no append ever
+  * touched: an EMPTY first date (an all-suppressed re-crawl) skips the
+  * append, so nothing created the backing tables, and a report that
+  * scans them would abort the run (AnalysisException) before the
+  * marker commits — wedging the very date the suppression feed exists
+  * to produce. On an empty date [[CurateJob]] writes the report only
+  * when `exists` answers true (a non-empty date just appended, so its
+  * state trivially exists); with the hook unwired, empty-date reports
+  * run unconditionally — the pre-r19 behavior. One consequence to
+  * know: a marker-delete REPROCESS of an empty first date after the
+  * store was since created DOES write its (empty) report partition,
+  * so the marker's `outputs` list can differ from the original run's
+  * — the as-of caveat above already carries the same class of
+  * reprocess asymmetry. */
 final case class CurateFamily(
     name: String,
     append: (DataFrame, String) => Unit,
     drop: (SparkSession, String) => Unit,
     report: Option[(SparkSession, String) => DataFrame] = None,
-    foldedThrough: Option[SparkSession => Option[String]] = None)
+    foldedThrough: Option[SparkSession => Option[String]] = None,
+    exists: Option[SparkSession => Boolean] = None)
 
 /** Orchestrator configuration.
   *
@@ -223,14 +241,20 @@ final class CurateJob(spark: SparkSession, config: CurateConfig) {
         val empty = slice.isEmpty
         val outputs = config.families.flatMap { f =>
           if (!empty) f.append(slice, date)
-          f.report.map { rep =>
-            val dir = PathOps.normalizePrefix(config.reportDir) + f.name
-            rep(spark, date).withColumn("ds", lit(date))
-              .write.mode("overwrite").partitionBy("ds")
-              .option("partitionOverwriteMode", "dynamic")
-              .parquet(dir)
-            s"$dir/ds=$date"
-          }
+          // an empty date appended nothing, so a family whose backing
+          // state does not exist yet (empty FIRST date) has nothing a
+          // report could scan — skip it rather than abort pre-marker
+          // (the [[CurateFamily.exists]] contract); a non-empty date
+          // just appended, so its state exists by construction
+          f.report.filter(_ => !empty || f.exists.forall(_(spark)))
+            .map { rep =>
+              val dir = PathOps.normalizePrefix(config.reportDir) + f.name
+              rep(spark, date).withColumn("ds", lit(date))
+                .write.mode("overwrite").partitionBy("ds")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(dir)
+              s"$dir/ds=$date"
+            }
         }
         val flag = new org.apache.hadoop.fs.Path(
           PathOps.normalizePrefix(config.markerDir) + s"$date.empty")

@@ -76,7 +76,10 @@ object OpsFamilies {
       report = Some((sp, d) => IncrementalDedup.newPairsBucketed(
         sp, s"${store}_mh", d, pairThreshold, upTo = Some(d))),
       foldedThrough = Some(sp =>
-        StoreMaintenance.foldHorizon(sp, Seq(s"${store}_mh"))))
+        StoreMaintenance.foldHorizon(sp, Seq(s"${store}_mh"))),
+      // empty-first-date guard: the day report scans the band table,
+      // which only an append creates (CurateFamily.exists contract)
+      exists = Some(sp => sp.catalog.tableExists(s"${store}_mh")))
     case "semantic" => CurateFamily(fam,
       append = (slice, d) => {
         val sp = slice.sparkSession
@@ -98,7 +101,11 @@ object OpsFamilies {
         sp, s"${store}_sem", d, semThreshold, upTo = Some(d))),
       foldedThrough = Some(sp => StoreMaintenance.foldHorizon(sp,
         Seq(s"${store}_sem_bands", s"${store}_sem_vecs",
-          s"${store}_sem_occ"))))
+          s"${store}_sem_occ"))),
+      // empty-first-date guard: the pair report scans bands+vecs, which
+      // only an append creates (initModel writes just the _cfg table)
+      exists = Some(sp => sp.catalog.tableExists(s"${store}_sem_bands") &&
+        sp.catalog.tableExists(s"${store}_sem_vecs")))
     case other => throw new IllegalArgumentException(
       s"unknown family '$other' — registered: ${Names.mkString(", ")}")
   }

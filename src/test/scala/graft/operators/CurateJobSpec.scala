@@ -36,7 +36,8 @@ class CurateJobSpec extends SparkSpec {
           s"${base}_mh", d),
         drop = (sp, d) => IncrementalStore.dropDate(sp, Seq(s"${base}_mh"), d),
         report = Some((sp, d) => IncrementalDedup.newPairsBucketed(
-          sp, s"${base}_mh", d, threshold = 0.2, upTo = Some(d)))),
+          sp, s"${base}_mh", d, threshold = 0.2, upTo = Some(d))),
+        exists = Some(sp => sp.catalog.tableExists(s"${base}_mh"))),
       CurateFamily("post",
         append = (slice, d) => {
           if (armed && failAt.contains(d)) {
@@ -274,5 +275,59 @@ class CurateJobSpec extends SparkSpec {
       assert(StoreInventory.missingVsLedger(spark, fams,
         s"$tmp/markers").isEmpty)
     } finally dropStores("cur_e")
+  }
+
+  test("an empty FIRST date on a brand-new store commits (reports skipped via the exists hook), and the next date lands normally") {
+    val tmp = Files.createTempDirectory("curate-empty-first").toString
+    dropStores("cur_ef")
+    try {
+      (0 until 2).foreach(d => docs.filter(pmod(col("id"), lit(3L)) === d)
+        .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      // the ADVICE r18 regression: d0's slice is ALL-suppressed (a
+      // re-crawl of taken-down documents lands as the store's very
+      // first date), so no append ever creates the backing tables —
+      // the reporting family's day report must be SKIPPED, not crash
+      // the run pre-marker with an AnalysisException
+      var suppress: Option[DataFrame] =
+        Some(docs.filter(pmod(col("id"), lit(3L)) === 0).select("id"))
+      val cfg = CurateConfig("curate-test", s"$tmp/in", s"$tmp/markers",
+        s"$tmp/reports", families("cur_ef"),
+        suppressIds = _ => suppress, suppressCol = "id")
+      val s1 = new CurateJob(spark, cfg).run()
+      assert(s1.processedDates == Seq("d0", "d1"), s1.toString)
+      assert(markerNames(tmp) == Set("d0.json", "d0.empty", "d1.json"),
+        markerNames(tmp).toString)
+      // d1 (non-empty) created the stores and RAN its report; d0's was
+      // skipped — the markers' outputs lists record exactly that (the
+      // report frame itself is empty here, so no ds= dir materializes)
+      def markerOutputs(d: String): String = {
+        val p = new org.apache.hadoop.fs.Path(s"$tmp/markers/$d.json")
+        val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .open(p)
+        try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      }
+      assert(markerOutputs("d0").contains("\"outputs\": []"),
+        s"the empty first date has no state to report on: ${markerOutputs("d0")}")
+      assert(markerOutputs("d1").contains("/reports/mh/ds=d1"),
+        s"the non-empty date's report must run: ${markerOutputs("d1")}")
+      val ds = spark.sql("SHOW PARTITIONS cur_ef_mh").collect()
+        .map(_.getString(0)).toSet
+      assert(ds == Set("ds=d1"), ds.toString)
+      // the detector reads d0 as expected-absent (the .empty flag)
+      val fams = Seq("tf" -> "cur_ef_post", "mh" -> "cur_ef_mh")
+      assert(StoreInventory.missingVsLedger(spark, fams,
+        s"$tmp/markers").isEmpty,
+        "an empty-flagged first date must not read as lag")
+      // and once the store EXISTS, a later empty date still reports
+      // (as-of that date): d2 all-suppressed on the now-created store
+      suppress = Some(docs.filter(pmod(col("id"), lit(3L)) === 2)
+        .select("id"))
+      docs.filter(pmod(col("id"), lit(3L)) === 2)
+        .write.mode("overwrite").parquet(s"$tmp/in/d2.parquet")
+      val s2 = new CurateJob(spark, cfg).run()
+      assert(s2.processedDates == Seq("d2"), s2.toString)
+      assert(markerOutputs("d2").contains("/reports/mh/ds=d2"),
+        s"an empty date on an EXISTING store keeps its report: ${markerOutputs("d2")}")
+    } finally dropStores("cur_ef")
   }
 }
