@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * and the inventory, wired the way the oracle-gated compositions
   * (q181, q186) wire them by hand — with the safety hooks ON:
   * every curate family carries the `foldedThrough` retention fence
-  * ([[StoreMaintenance.foldHorizon]] over its backing tables), and the
-  * suppression feed is [[graft.OpsMain]]'s job-level default.
+  * ([[StoreMaintenance.retentionHorizon]] over its backing tables — the
+  * max of the fold horizon and the durable `_expired_through` policy
+  * record, so a marker-deleted reprocess can neither double-count a
+  * folded date nor resurrect an expired one), and the suppression feed
+  * is [[graft.OpsMain]]'s job-level default.
   *
   * Families (the q181 trio — one lexical, one token-similarity, one
   * embedding-similarity):
@@ -65,7 +68,7 @@ object OpsFamilies {
       },
       drop = (sp, d) => IncrementalStore.dropDate(sp,
         Seq(s"${store}_post", s"${store}_post_dl"), d),
-      foldedThrough = Some(sp => StoreMaintenance.foldHorizon(sp,
+      foldedThrough = Some(sp => StoreMaintenance.retentionHorizon(sp,
         Seq(s"${store}_post", s"${store}_post_dl"))))
     case "minhash" => CurateFamily(fam,
       append = (slice, d) => IncrementalDedup.appendBandsBucketed(
@@ -76,7 +79,7 @@ object OpsFamilies {
       report = Some((sp, d) => IncrementalDedup.newPairsBucketed(
         sp, s"${store}_mh", d, pairThreshold, upTo = Some(d))),
       foldedThrough = Some(sp =>
-        StoreMaintenance.foldHorizon(sp, Seq(s"${store}_mh"))),
+        StoreMaintenance.retentionHorizon(sp, Seq(s"${store}_mh"))),
       // empty-first-date guard: the day report scans the band table,
       // which only an append creates (CurateFamily.exists contract)
       exists = Some(sp => sp.catalog.tableExists(s"${store}_mh")))
@@ -99,7 +102,7 @@ object OpsFamilies {
       drop = (sp, d) => IncrementalSemantic.dropDate(sp, s"${store}_sem", d),
       report = Some((sp, d) => IncrementalSemantic.newPairs(
         sp, s"${store}_sem", d, semThreshold, upTo = Some(d))),
-      foldedThrough = Some(sp => StoreMaintenance.foldHorizon(sp,
+      foldedThrough = Some(sp => StoreMaintenance.retentionHorizon(sp,
         Seq(s"${store}_sem_bands", s"${store}_sem_vecs",
           s"${store}_sem_occ"))),
       // empty-first-date guard: the pair report scans bands+vecs, which

@@ -85,25 +85,43 @@ object StoreInventory {
     * what landed), not the union of whatever partitions the families
     * still hold, so a gen-rewritten family (`r_*` labels — takedown,
     * refit, hot-cell split) is judged instead of skipped. Per family,
-    * a committed date is PRESENT iff it is held as a plain partition,
-    * sits at or under the family's `c_*` fold horizon, or committed
-    * BEFORE the family's newest COMPLETED gen rewrite (the `r_*`
-    * partition's newest file modification time vs marker commit
-    * times — sound because store mutations are lease-excluded, so
-    * "marker older than the rewrite's files" means "partitions existed
-    * when the rewrite folded them"; an r_* label with a live
-    * `_fold_pending_*` sentinel and NO `_compact_*_done` commit marker
-    * is a crashed, uncommitted rewrite and earns no fold credit — but
-    * sentinel WITH the commit marker is a fold that crashed between
-    * commit and cleanup, credited, both matching
-    * [[IncrementalStore.consistentScan]]'s resolution exactly. Dates
-    * [[CurateJob]] flagged `{date}.empty` (all-suppressed re-crawls)
-    * landed no partition anywhere by construction and are skipped.
-    * Reported rows are therefore exactly "store mutated OUTSIDE the
-    * orchestrator" — a fold that consumed the date never fires. A
-    * family whose table does not exist reports `(family, "(absent)")`
-    * (the [[missing]] convention). Driver-side metadata only: one
-    * marker-dir listing + per-family partition listings. */
+    * a committed date is PRESENT iff one of:
+    *   - held as a plain partition;
+    *   - at or under the family's `c_*` fold horizon (the label's
+    *     content is exactly the dates folded through it);
+    *   - at or under the store's durable `_expired_through` record —
+    *     retention policy DROPPED it ([[StoreMaintenance.expire]]
+    *     records the cutoff; without this, a `--RETAIN` deployment
+    *     reads every legitimately expired date as lagging forever,
+    *     the ADVICE r18 finding);
+    *   - named by a COMPLETED `r_*` generation label's durable
+    *     `_folded_set_*` sidecar (a `date:` entry or at/under its
+    *     `through:` horizon) — the EXACT ordering token the fold
+    *     itself recorded, immune to clocks and filesystems;
+    *   - (legacy fallback, pre-sidecar labels only) committed at or
+    *     before the label's newest file mtime. Inclusive (`<=`): with
+    *     coarse mtime granularity a date committed in the same tick as
+    *     the rewrite that folded it must credit, not mass-false-alarm;
+    *     the symmetric cost — a same-tick post-rewrite hand-drop reads
+    *     as credited — is bounded by the tick and disappears entirely
+    *     once the store's rewrites carry sidecars. The fallback
+    *     assumes marker dir and warehouse share a filesystem/clock
+    *     (document of record: it exists only for labels written before
+    *     the sidecar protocol).
+    * An `r_*` label with a live `_fold_pending_*` sentinel and NO
+    * `_compact_*_done` commit marker is a crashed, uncommitted rewrite
+    * and earns no credit — but sentinel WITH the commit marker is a
+    * fold that crashed between commit and cleanup, credited, both
+    * matching [[IncrementalStore.consistentScan]]'s resolution
+    * exactly. Dates [[CurateJob]] flagged `{date}.empty`
+    * (all-suppressed re-crawls) landed no partition anywhere by
+    * construction and are skipped. Reported rows are therefore exactly
+    * "store mutated OUTSIDE the orchestrator" — a fold or policy that
+    * consumed the date never fires. A family whose table does not
+    * exist reports `(family, "(absent)")` (the [[missing]]
+    * convention). Driver-side metadata only: one marker-dir listing +
+    * per-family partition listings + a bounded sidecar read per
+    * generation label. */
   def missingVsLedger(spark: SparkSession, families: Seq[(String, String)],
       markerDir: String): DataFrame = {
     import spark.implicits._
@@ -128,7 +146,11 @@ object StoreInventory {
           spark.sessionState.catalog
             .getTableMetadata(TableIdentifier(t)).location)
         val fs = root.getFileSystem(hconf)
-        val foldedAt = ps.filter(_.startsWith("r_")).flatMap { lbl =>
+        val expired = StoreMaintenance.expiredThroughAt(fs, root)
+        var creditedDates = Set.empty[String]
+        var creditedThrough = Option.empty[String]
+        var mtimeFoldedAt = Option.empty[Long]
+        ps.filter(_.startsWith("r_")).foreach { lbl =>
           // a live sentinel means crashed MID-fold — unless the commit
           // marker also exists (crash landed between commit and the
           // epilogue's cleanup), in which case the fold IS committed,
@@ -138,21 +160,35 @@ object StoreInventory {
             s"_fold_pending_$lbl")) &&
             !fs.exists(new org.apache.hadoop.fs.Path(root,
               s"_compact_${lbl}_done"))
-          if (pending) None
-          else {
-            // fold time = the label's newest FILE mtime (dir mtimes are
-            // synthetic on object stores); one bounded partition listing
-            val dir = new org.apache.hadoop.fs.Path(root, s"ds=$lbl")
-            if (!fs.exists(dir)) None
-            else (fs.getFileStatus(dir).getModificationTime +:
-              fs.listStatus(dir).map(_.getModificationTime).toSeq)
-              .maxOption
+          if (!pending) {
+            val (needMtime: Boolean) =
+              StoreMaintenance.foldedSet(fs, root, lbl) match {
+                case Some((through, dates, legacy)) =>
+                  creditedDates = creditedDates ++ dates
+                  creditedThrough = (creditedThrough.toSeq ++ through)
+                    .maxOption
+                  legacy // sidecar is exact unless it merged a legacy fold
+                case None => true // pre-sidecar label: mtime fallback
+              }
+            if (needMtime) {
+              // fold time = the label's newest FILE mtime (dir mtimes are
+              // synthetic on object stores); one bounded partition listing
+              val dir = new org.apache.hadoop.fs.Path(root, s"ds=$lbl")
+              if (fs.exists(dir)) {
+                val at = (fs.getFileStatus(dir).getModificationTime +:
+                  fs.listStatus(dir).map(_.getModificationTime).toSeq).max
+                mtimeFoldedAt = Some(mtimeFoldedAt.fold(at)(math.max(_, at)))
+              }
+            }
           }
-        }.maxOption
+        }
         committed.collect {
           case (d, committedAt)
               if !plain.contains(d) && !horizon.exists(d <= _) &&
-                !foldedAt.exists(committedAt < _) => fam -> d
+                !expired.exists(d <= _) &&
+                !creditedDates.contains(d) &&
+                !creditedThrough.exists(d <= _) &&
+                !mtimeFoldedAt.exists(committedAt <= _) => fam -> d
         }
       }
     }

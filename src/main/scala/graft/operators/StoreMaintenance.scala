@@ -470,6 +470,132 @@ object StoreMaintenance {
       root: org.apache.hadoop.fs.Path, label: String): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(root, s"_compact_${label}_done"))
 
+  // ---- durable fold/expiry provenance (the inventory's ordering tokens) ---
+  //
+  // The transient fold marker is deleted in the epilogue, so after a
+  // completed generation rewrite NOTHING on disk said which dates its label
+  // consumed — [[StoreInventory.missingVsLedger]] had to infer it from the
+  // r_* partition's file mtimes vs marker mtimes, which is exact only on
+  // one filesystem with one clock and sub-tick commit spacing (the ADVICE
+  // r18 finding). Two small DURABLE files close that, written by the fold
+  // machinery itself:
+  //   - `_folded_set_<r_label>`: the label's coverage, recorded at fold
+  //     time from the fold's own olds() listing — `date:<d>` per plain
+  //     date, `through:<X>` per consumed c_X horizon (its content is
+  //     provably ≤ X), merged transitively from consumed r_* labels'
+  //     sidecars. A consumed legacy r_* with no sidecar adds `legacy`
+  //     (coverage unknowable → readers keep the mtime fallback for it).
+  //     Written BEFORE the commit marker (a crash before the marker redoes
+  //     both; after it the sidecar is already durable) and deleted only
+  //     when the label partition itself is consumed by a later fold.
+  //   - `_expired_through`: the max retention cutoff ever applied by
+  //     [[expire]]/[[expirePath]] (monotonic; lexicographic date order) —
+  //     a date at or under it was dropped BY POLICY, not mutated by hand.
+  private val FoldedSetPrefix = "_folded_set_"
+  private[operators] val ExpiredThroughFile = "_expired_through"
+
+  /** The label's durable coverage sidecar: (throughHorizon, plainDates,
+    * sawLegacy). None = no sidecar (a pre-r19 fold — mtime fallback). */
+  private[operators] def foldedSet(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, label: String)
+      : Option[(Option[String], Set[String], Boolean)] = {
+    val p = new org.apache.hadoop.fs.Path(root, s"$FoldedSetPrefix$label")
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in)
+        .getLines().map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+      val through = lines.filter(_.startsWith("through:"))
+        .map(_.stripPrefix("through:")).maxOption
+      val dates = lines.filter(_.startsWith("date:"))
+        .map(_.stripPrefix("date:")).toSet
+      (through, dates, lines.contains("legacy"))
+    }.toOption
+  }
+
+  /** Record `label`'s coverage from the dates it is about to consume —
+    * called by the fold bodies right before the commit marker, for
+    * generation (`r_*`) labels only (a `c_X` label's coverage IS its
+    * name). Transitive: consumed labels contribute their own recorded
+    * coverage. */
+  private def writeFoldedSet(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, label: String,
+      olds: Seq[String]): Unit = {
+    val (plain, labels) = olds.partition(d =>
+      !d.startsWith("c_") && !d.startsWith("r_"))
+    var throughs = labels.filter(_.startsWith("c_")).map(_.stripPrefix("c_"))
+    var dates = plain.toSet
+    var legacy = false
+    labels.filter(_.startsWith("r_")).foreach { l =>
+      foldedSet(fs, root, l) match {
+        case Some((t, ds, leg)) =>
+          throughs = throughs ++ t; dates = dates ++ ds; legacy ||= leg
+        case None => legacy = true // pre-sidecar fold: coverage unknown
+      }
+    }
+    val content = (throughs.maxOption.map(t => s"through:$t").toSeq ++
+      dates.toSeq.sorted.map(d => s"date:$d") ++
+      (if (legacy) Seq("legacy") else Nil)).mkString("\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      root, s"$FoldedSetPrefix$label"), true)
+    try out.writeBytes(content) finally out.close()
+  }
+
+  /** Delete a consumed label's sidecar (drop-phase hygiene; idempotent). */
+  private def deleteFoldedSet(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, label: String): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(
+      root, s"$FoldedSetPrefix$label"), false)
+    ()
+  }
+
+  /** The max cutoff [[expire]]/[[expirePath]] ever applied to the store
+    * rooted at `root` (None = no expiry ran). */
+  private[operators] def expiredThroughAt(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, ExpiredThroughFile)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    }.toOption.filter(_.nonEmpty)
+  }
+
+  private def recordExpiredThrough(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, cutoff: String): Unit =
+    // monotonic max — a replayed old-cutoff expiry must never shrink the
+    // recorded horizon (caller holds the maintenance lease)
+    if (!expiredThroughAt(fs, root).exists(cutoff <= _)) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        root, ExpiredThroughFile), true)
+      try out.writeBytes(cutoff) finally out.close()
+    }
+
+  /** The latest date a RETENTION POLICY has provably disposed of across
+    * `tables` — max over [[expire]]'s durable `_expired_through` records
+    * (None with no expiry, or absent tables). The [[foldHorizon]]
+    * companion for the EXPIRED side: a fold consumed a date's history
+    * into a label, an expiry made it GONE — re-appending either kind is
+    * wrong (double-count / policy resurrection), so curation fences on
+    * the max of both ([[graft.operators.OpsFamilies]] wires it). */
+  def expiredThrough(spark: SparkSession, tables: Seq[String]): Option[String] =
+    tables.filter(spark.catalog.tableExists).flatMap { t =>
+      val root = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(t)).location)
+      expiredThroughAt(
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    }.maxOption
+
+  /** The curation fence horizon for `tables`: the max of the fold horizon
+    * (history consumed into a `c_*` label) and the expiry horizon (history
+    * dropped by policy) — dates at or under it must never re-append. */
+  def retentionHorizon(spark: SparkSession,
+      tables: Seq[String]): Option[String] =
+    (foldHorizon(spark, tables).toSeq ++
+      expiredThrough(spark, tables).toSeq).maxOption
+
   /** The PATH-store twin of [[consistentTable]]: a plain
     * `spark.read.parquet(store)` over the `ds=<date>` layout double-reads
     * the same crash windows (the fold's label dir lands by rename before
@@ -648,6 +774,12 @@ object StoreMaintenance {
           s"_compact_${ds}_done"), false)
         spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$ds')")
       }
+      // durable AFTER the drops (a crash mid-drop re-runs and re-records):
+      // the policy horizon the ledger-keyed inventory credits — without
+      // it every expired date would read as "mutated outside the
+      // orchestrator" forever (ADVICE r18)
+      recordExpiredThrough(fs,
+        new org.apache.hadoop.fs.Path(meta.location), cutoff)
       ExpireResult(dropped.sorted, retained.sorted)
     } finally releaseLease(spark, meta.location.toString)
   }
@@ -688,6 +820,9 @@ object StoreMaintenance {
           s"_compact_${ds}_done"), false)
         fs.delete(new org.apache.hadoop.fs.Path(root, s"ds=$ds"), true)
       }
+      // the durable policy horizon (see [[expire]]) — same record, same
+      // ledger-keyed-inventory consumer, path-store layout
+      recordExpiredThrough(fs, root, cutoff)
       ExpireResult(dropped.sorted, retained.sorted)
     } finally releaseLease(spark, store)
   }
@@ -789,12 +924,22 @@ object StoreMaintenance {
         case None => base
       }
       writer.saveAsTable(table)
+      // a generation label's durable coverage sidecar lands BEFORE the
+      // commit marker (pre-marker crash redoes both; post-marker it is
+      // already durable) — the ledger-keyed inventory's exact ordering
+      // token, replacing the cross-filesystem mtime inference
+      if (label.startsWith("r_"))
+        writeFoldedSet(fs, marker.getParent, label, old)
       // commit point: from here the consolidated partition is the truth
       fs.create(marker, true).close()
     }
-    // marker present ⇒ fold complete; finish (or resume) the drops
-    olds().foreach(ds =>
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$ds')"))
+    // marker present ⇒ fold complete; finish (or resume) the drops —
+    // a consumed generation label's own sidecar goes with its partition
+    // (its coverage was merged into this label's sidecar above)
+    olds().foreach { ds =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (ds='$ds')")
+      if (ds.startsWith("r_")) deleteFoldedSet(fs, marker.getParent, ds)
+    }
     // EPILOGUE ORDER is reader-load-bearing: the sentinel must go before
     // the marker. Readers treat "sentinel present + marker absent" as
     // "label uncommitted" — deleting the marker first (the round-15
@@ -896,9 +1041,17 @@ object StoreMaintenance {
       // its _SUCCESS sidecar is harmless to partition discovery
       if (!fs.rename(staging, labelDir))
         throw new java.io.IOException(s"rename $staging -> $labelDir failed")
+      // durable coverage token for generation labels — see the table fold
+      if (label.startsWith("r_"))
+        writeFoldedSet(fs, root, label,
+          old.map(_.getName.stripPrefix("ds=")))
       fs.create(marker, true).close()
     }
-    olds().foreach(fs.delete(_, true))
+    olds().foreach { p =>
+      fs.delete(p, true)
+      val ds = p.getName.stripPrefix("ds=")
+      if (ds.startsWith("r_")) deleteFoldedSet(fs, root, ds)
+    }
     // sentinel BEFORE marker — the reader-ordering rule (see foldBody)
     fs.delete(pendingFile(root.toString, label), false)
     fs.delete(marker, false)

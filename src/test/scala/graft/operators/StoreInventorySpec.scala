@@ -148,6 +148,104 @@ class StoreInventorySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("retention expiry is not lag: the durable _expired_through record credits policy-dropped dates") {
+    val tbl = "inv_x"
+    val tmp = java.nio.file.Files.createTempDirectory("inv-expire").toString
+    val ledger = new graft.split.MarkerLedger(
+      spark.sparkContext.hadoopConfiguration)
+    def mark(d: String): Unit = ledger.writeMarker(s"$tmp/markers",
+      graft.split.Marker("cur", d, "in", Nil, "t"))
+    Seq(tbl, s"${tbl}_dl").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      build(tbl)
+      (0 until 3).foreach(d => mark(s"d$d"))
+      val fams = Seq("tf" -> tbl, "norms" -> s"${tbl}_dl")
+      // the q189 shape: fold to the horizon, then expire AT it — the
+      // c_* credit vanishes WITH the dropped label, and only the
+      // durable policy record keeps d0/d1 from flagging forever
+      // (ADVICE r18: a --RETAIN + --LEDGER deployment must stay quiet)
+      StoreMaintenance.compact(spark, tbl, "d1",
+        merge = _.groupBy("term", "doc_id").agg(sum(col("tf")).as("tf")))
+      StoreMaintenance.expire(spark, tbl, "d1")
+      // the norms table expires its plain dates directly (no fold first)
+      StoreMaintenance.expire(spark, s"${tbl}_dl", "d1")
+      assert(StoreInventory.missingVsLedger(spark, fams,
+        s"$tmp/markers").isEmpty,
+        "policy-expired dates must credit, not read as lag")
+      // the curation fence sees the expiry too: a marker-deleted
+      // reprocess of an expired date must refuse (resurrection)
+      assert(StoreMaintenance.retentionHorizon(spark,
+        Seq(tbl, s"${tbl}_dl")) == Some("d1"))
+      // a NON-expired date hand-dropped afterwards still flags
+      spark.sql(s"ALTER TABLE ${tbl}_dl DROP PARTITION (ds='d2')")
+      val lag = StoreInventory.missingVsLedger(spark, fams, s"$tmp/markers")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(lag == Set(("norms", "d2")), lag.toString)
+    } finally Seq(tbl, s"${tbl}_dl").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("gen-label credit is exact via the fold sidecar; a sidecar-less legacy label falls back to inclusive mtime ordering") {
+    val tbl = "inv_s"
+    val tmp = java.nio.file.Files.createTempDirectory("inv-sidecar").toString
+    val ledger = new graft.split.MarkerLedger(
+      spark.sparkContext.hadoopConfiguration)
+    def mark(d: String): Unit = ledger.writeMarker(s"$tmp/markers",
+      graft.split.Marker("cur", d, "in", Nil, "t"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      (0 until 2).foreach { d =>
+        IncrementalPostings.appendCountsBucketed(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === d), tbl, s"d$d")
+        mark(s"d$d")
+      }
+      IncrementalPostings.deleteDocs(spark, tbl,
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id"),
+        gen = "invs_g1")
+      val fams = Seq("tf" -> tbl)
+      assert(StoreInventory.missingVsLedger(spark, fams,
+        s"$tmp/markers").isEmpty, "sidecar names d0+d1 — credited")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+      val fsys = root.getFileSystem(hconf)
+      val sidecar = new org.apache.hadoop.fs.Path(root,
+        "_folded_set_r_invs_g1")
+      assert(fsys.exists(sidecar), "the rewrite must record its coverage")
+      // the exactness pin (ADVICE r18 low): commit a d2 marker whose
+      // mtime LOOKS pre-rewrite (clock skew / coarse granularity) and
+      // land no partition — the mtime rule would wrongly credit it;
+      // the sidecar (which never names d2) must flag it
+      val labelDir = new org.apache.hadoop.fs.Path(root, "ds=r_invs_g1")
+      val foldAt = fsys.listStatus(labelDir)
+        .map(_.getModificationTime).max
+      mark("d2")
+      val d2marker = new org.apache.hadoop.fs.Path(s"$tmp/markers/d2.json")
+      val mfs = d2marker.getFileSystem(hconf)
+      mfs.setTimes(d2marker, foldAt - 10000, -1)
+      val lag = StoreInventory.missingVsLedger(spark, fams, s"$tmp/markers")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(lag == Set(("tf", "d2")),
+        s"the sidecar must beat a skewed marker mtime: $lag")
+      // LEGACY label (pre-sidecar fold): remove the sidecar — the
+      // detector falls back to mtime ordering, which credits d2 (the
+      // documented fallback cost), and the comparison is INCLUSIVE: a
+      // marker in the same mtime tick as the fold credits rather than
+      // mass-false-alarming (coarse-granularity filesystems)
+      fsys.delete(sidecar, false)
+      assert(StoreInventory.missingVsLedger(spark, fams,
+        s"$tmp/markers").isEmpty, "legacy fallback keeps mtime credit")
+      mfs.setTimes(d2marker, foldAt, -1) // same tick exactly
+      assert(StoreInventory.missingVsLedger(spark, fams,
+        s"$tmp/markers").isEmpty, "same-tick commit must credit (<=)")
+      mfs.setTimes(d2marker, foldAt + 10000, -1) // clearly post-fold
+      val lag2 = StoreInventory.missingVsLedger(spark, fams, s"$tmp/markers")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(lag2 == Set(("tf", "d2")), lag2.toString)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("an absent table surfaces as one explicit row, not as fully-lagging") {
     val tbl = "inv_b"
     Seq(tbl, s"${tbl}_dl").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
