@@ -18,18 +18,23 @@ import org.apache.spark.sql.SparkSession
   * split engine's main uses). One JSON summary line per job (O15/O17).
   *
   * Jobs (common: `--STORE` table-name prefix, `--FAMILIES` csv from
-  * `postings | minhash | semantic`, default `postings`):
+  * `postings | minhash | semantic | vectors`, default `postings`):
   *   - `--JOB curate --IN drops/ --MARKERS m/ --REPORTS r/
   *      [--REQUESTS req/ --TD_MARKERS tdm/]   ← the suppression feed
   *      [--ID_COL id] [--TEXT_COL text] [--VEC_COL embedding]
-  *      [--PAIR_THRESHOLD 0.5] [--SEM_THRESHOLD 0.9] [--SEM_HORIZON n]`
+  *      [--PAIR_THRESHOLD 0.5] [--SEM_THRESHOLD 0.9] [--SEM_HORIZON n]
+  *      [--VEC_CELLS n]                       ← vectors init capacity
   *   - `--JOB takedown --REQUESTS req/ --TD_MARKERS tdm/`
   *   - `--JOB maintain --WINDOW d --M_MARKERS mm/ --AUDITS a/
-  *      [--RETAIN cutoff | --RETAIN_AT_WINDOW true]`
-  *   - `--JOB inventory [--LEDGER curate-markers/]` — with `--LEDGER`,
-  *     lag detection is [[graft.operators.StoreInventory
-  *     .missingVsLedger]] (sharp through gen rewrites); without, the
-  *     partition-keyed [[graft.operators.StoreInventory.missing]].
+  *      [--RETAIN cutoff | --RETAIN_AT_WINDOW true]
+  *      [--VEC_PSI_REFIT bar] [--VEC_MAX_CELL_ROWS n]` ← vectors policy
+  *   - `--JOB inventory [--LEDGER curate-markers/] [--OUT path/]
+  *     [--LIMIT n]` — with `--LEDGER`, lag detection is
+  *     [[graft.operators.StoreInventory.missingVsLedger]] (sharp
+  *     through gen rewrites); without, the partition-keyed
+  *     [[graft.operators.StoreInventory.missing]]; `--OUT` sinks the
+  *     full frames as parquet (counts-only summary line), `--LIMIT`
+  *     bounds the inline arrays (default 1000, stamps `truncated`).
   *
   * The q186 operational-triad lifecycle is reproducible from config
   * alone — oracle-gated as q190, protocol windows spec-pinned in
@@ -77,7 +82,8 @@ object OpsMain {
           idCol, a("TEXT_COL", "text"), a("VEC_COL", "embedding"),
           a("PAIR_THRESHOLD", "0.5").toDouble,
           a("SEM_THRESHOLD", "0.9").toDouble,
-          a("SEM_HORIZON", "0").toLong))
+          a("SEM_HORIZON", "0").toLong,
+          a("VEC_CELLS", "0").toInt))
         val s = new CurateJob(spark, CurateConfig(a("KIND", "curate"),
           in, markers, reports, cfams,
           suppressIds =
@@ -116,7 +122,9 @@ object OpsMain {
               Some((w: String) => w) else None)
         val s = new MaintainJob(spark, MaintainConfig(a("KIND", "maint"),
           mm, audits,
-          fams.map(f => OpsFamilies.maintain(store, f, retain))))
+          fams.map(f => OpsFamilies.maintain(store, f, retain,
+            vecMaxCellRows = Option(a("VEC_MAX_CELL_ROWS")).map(_.toLong),
+            vecPsiRefit = Option(a("VEC_PSI_REFIT")).map(_.toDouble)))))
           .run(window)
         val exp = s.expired.toSeq.sortBy(_._1)
           .map { case (f, ds) => q(f) + ":" + arr(ds) }

@@ -213,6 +213,8 @@ object SparkEntry {
     "q188_ledger_inventory" -> (TextQueries.q188LedgerInventory _),
     "q189_maintain_retention" -> (TextQueries.q189MaintainRetention _),
     "q190_ops_triad" -> (TextQueries.q190OpsTriad _),
+    "q191_ops_vectors" -> (TextQueries.q191OpsVectors _),
+    "q192_drift_policy" -> (TextQueries.q192DriftPolicy _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3764,6 +3766,38 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'norms', 'd3', CAST(0 AS BIGINT), 'missing')
          |ORDER BY family, ds, status""".stripMargin,
+
+    // q191: the vector family's triad from OpsMain flags alone — models
+    // frozen at d0 (init-on-demand under --VEC_CELLS), %7=3 deleted by
+    // the takedown rewrite and kept out by the feed on the d2 re-crawl;
+    // the final store equals q161's (same frozen models, same survivor
+    // set), so the oracle is q161's verbatim
+    "q191_ops_vectors" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${pqAdcCtesFit("vec_id % 3 = 0", "codes.id % 7 <> 3")},
+         |${ivfDetCtesFit("vec_id % 3 = 0", "a.id % 7 <> 3")}
+         |SELECT method, qid, rank, cid, score FROM (
+         |  SELECT 'adc' AS method, qid, CAST(rank AS BIGINT) AS rank,
+         |    cand AS cid, ROUND(CAST(ad AS DOUBLE), 6) AS score
+         |  FROM pqr WHERE rank <= 3
+         |  UNION ALL
+         |  SELECT 'ivf', qid, CAST(rank AS BIGINT), cid, cosine
+         |  FROM vs WHERE rank <= 3)
+         |ORDER BY method, qid, rank""".stripMargin,
+
+    // q192: the POLICY-triggered quantizer refit — the armed window
+    // measures store-derived PSI, refits on every row outside the d0
+    // baseline partition (= vec_id % 3 >= 1, q142's fit slice exactly)
+    // and migrates; the serve must equal the from-scratch deterministic
+    // IVF under that fit, i.e. q142's oracle verbatim
+    "q192_drift_policy" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${ivfDetCtesFit("vec_id % 3 >= 1")}
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+         |FROM vs WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

@@ -184,6 +184,149 @@ object IncrementalVectors {
   def cellAudit(spark: SparkSession, table: String): DataFrame =
     cellOccupancy(spark.table(s"${table}_cells"))
 
+  /** Per-date cell-occupancy DRIFT PSI over the store's postings table —
+    * the q141 statistic served from the store's own rows instead of a
+    * fresh assignment pass: each date's per-cell occupancy distribution
+    * (the rows [[appendDate]] landed under the frozen quantizer) against
+    * the BASELINE date's, Laplace-smoothed (+1 / +nCells over the union
+    * cell grid; nCells from the persisted centroid table — the model's
+    * true capacity, not just the occupied cells), per-term round-12,
+    * decimal-summed, round-6 (partition-order-proof, the q141
+    * arithmetic). Baseline = the earliest plain ingestion date; after a
+    * generation rewrite (refit, takedown, hot-cell split) the newest
+    * `r_*` label is the natural new baseline — the post-rewrite store IS
+    * the distribution new dates should be compared against (the
+    * [[IncrementalSemantic]] audit's rule). No per-date state at all
+    * (uninitialized store, single partition) yields an EMPTY,
+    * correctly-shaped report — an audit describes the store, it must
+    * never wedge the window it reports on. Output: (ds, n_vectors, psi)
+    * for every partition, baseline row identically 0 by construction.
+    * Scale shape: one count-only grouped scan of the cell table; all
+    * arithmetic past it is (nDates·nCells)-sized. */
+  def cellDriftPsi(spark: SparkSession, table: String): DataFrame = {
+    val empty = spark.sql("SELECT CAST('' AS STRING) AS ds, " +
+      "CAST(0 AS BIGINT) AS n_vectors, CAST(0.0 AS DOUBLE) AS psi").limit(0)
+    if (!spark.catalog.tableExists(s"${table}_cells") ||
+        !spark.catalog.tableExists(s"${table}_ctr")) return empty
+    val parts = spark.sql(s"SHOW PARTITIONS ${table}_cells").collect()
+      .map(_.getString(0).stripPrefix("ds=")).toSeq
+    val baseline = parts
+      .filterNot(p => p.startsWith("c_") || p.startsWith("r_")).minOption
+      .orElse(parts.filter(_.startsWith("r_")).maxOption)
+    if (baseline.isEmpty || parts.size < 2) return empty
+    val nCells = spark.table(s"${table}_ctr")
+      .agg(countDistinct(col("cid"))).head().getLong(0)
+    // (ds, cell) counts — bounded at nDates·nCells rows; checkpointed so
+    // the grid derives its cell set from the SAME materialized aggregate
+    val counts = IncrementalStore.consistentScan(spark, s"${table}_cells")
+      .groupBy(col("ds"), col("cell")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val grid = counts.select(col("ds")).distinct()
+      .crossJoin(counts.select(col("cell")).distinct())
+    val full = grid.join(counts, Seq("ds", "cell"), "left")
+      .select(col("ds"), col("cell"), coalesce(col("n"), lit(0L)).as("n"))
+    val withP = full
+      .join(full.groupBy(col("ds")).agg(sum(col("n")).as("nd")), "ds")
+      .select(col("ds"), col("cell"), col("nd"),
+        ((col("n") + 1).cast("double") / (col("nd") + nCells)).as("p"))
+    val base = withP.filter(col("ds") === baseline.get)
+      .select(col("cell"), col("p").as("q"))
+    withP.join(base, "cell")
+      .withColumn("term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 12))
+      .groupBy(col("ds"))
+      .agg(max(col("nd")).as("n_vectors"),
+        round(sum(col("term").cast("decimal(28,12)")).cast("double"), 6)
+          .as("psi"))
+      .select(col("ds"), col("n_vectors"), col("psi"))
+      .orderBy(col("ds"))
+  }
+
+  /** The DRIFT/SKEW POLICY pass — the maintenance-window "act" that
+    * closes the detect→act loop from config alone (the q137/q141 audits
+    * DETECT, [[refitQuantizer]]/[[splitHotCells]] ACT, and until this
+    * nothing decided): run inside a [[MaintainJob]] window (lease-fenced
+    * and marker-committed by the acts' own protocols), it applies up to
+    * two deliberate maintenance rewrites when their thresholds say so:
+    *
+    *   1. `psiRefit` — if any date's [[cellDriftPsi]] exceeds the
+    *      threshold (the monitoring rule of thumb reads 0.25 as
+    *      "retrain"), the coarse quantizer is REFIT on the drifted
+    *      corpus — every authoritative row OUTSIDE the baseline
+    *      partition, read from the store's own inline vectors (the
+    *      source corpus is never re-read) — and the store migrates via
+    *      [[refitQuantizer]]. The rewrite generation is
+    *      `policy_<window>`: windows are marker-unique, so a crashed
+    *      window's re-run resumes the SAME gen to completion
+    *      (refitQuantizer's mandatory-resume contract), and the
+    *      post-refit store has no per-date view, so the NEXT window's
+    *      PSI re-anchors on the `r_*` baseline and cannot re-fire — the
+    *      policy converges instead of thrashing.
+    *   2. `maxCellRows` — [[splitHotCells]] at the bound, after any
+    *      refit (a refit rebalances cells and drops the split map, so
+    *      splitting first would be wasted work).
+    *
+    * Returns the actions applied (for the window summary/log). With both
+    * thresholds unset this is a no-op — detection stays an audit, acting
+    * stays deliberate. */
+  def maintainPolicy(spark: SparkSession, table: String, window: String,
+      maxCellRows: Option[Long] = None,
+      psiRefit: Option[Double] = None): Seq[String] = {
+    val refitted = psiRefit.toSeq.flatMap { bar =>
+      val gen = s"policy_$window"
+      def baseline: Option[String] = {
+        val parts = if (spark.catalog.tableExists(s"${table}_cells"))
+          spark.sql(s"SHOW PARTITIONS ${table}_cells").collect()
+            .map(_.getString(0).stripPrefix("ds=")).toSeq else Seq.empty
+        parts.filterNot(p => p.startsWith("c_") || p.startsWith("r_"))
+          .minOption.orElse(parts.filter(_.startsWith("r_")).maxOption)
+      }
+      def runRefit(): Unit = {
+        val nCells = spark.table(s"${table}_ctr")
+          .agg(countDistinct(col("cid"))).head().getLong(0).toInt
+        // the drifted corpus = every authoritative row OUTSIDE the
+        // baseline partition, from the store's own inline vectors (the
+        // fit frame is only consumed when no staged model exists — see
+        // the resume note below — and in that state the per-date view
+        // is intact, so the baseline is always resolvable)
+        val fit = IncrementalStore
+          .consistentScan(spark, s"${table}_cells")
+          .filter(baseline.fold(lit(true))(col("ds") =!= _))
+          .select(col("id"), col("e"))
+        refitQuantizer(spark, table, fit, gen = gen,
+          nCells = nCells, idCol = "id", vecCol = "e")
+      }
+      // RESUME FIRST, unconditionally: a prior run of THIS window that
+      // crashed after its cell rewrite committed leaves the store with
+      // no per-date view — the PSI check below would read empty, never
+      // re-fire, and the staged t_ctr_next would wedge every append
+      // forever. The staged gen stamp identifies our own crashed pass;
+      // refitQuantizer's same-gen re-run heals every crash point (and
+      // ignores the fit frame once a non-empty staging table exists).
+      val nextT = s"${table}_ctr_next"
+      val pendingGen = if (spark.catalog.tableExists(nextT))
+        spark.table(nextT).select(col("gen")).limit(1)
+          .collect().headOption.map(_.getString(0)) else None
+      if (pendingGen.contains(gen)) {
+        runRefit()
+        Seq(s"refit(resumed,gen=$gen)")
+      } else {
+        val psi = cellDriftPsi(spark, table).collect()
+        val worst = psi.filterNot(r => baseline.contains(r.getString(0)))
+          .map(_.getDouble(2)).maxOption
+        if (worst.exists(_ > bar) && baseline.isDefined) {
+          runRefit()
+          Seq(f"refit(psi=${worst.get}%.6f>$bar,gen=$gen)")
+        } else Nil
+      }
+    }
+    val split = maxCellRows.toSeq.flatMap { bound =>
+      val s = splitHotCells(spark, table, bound)
+      if (s.isEmpty) Nil else Seq(s"split(${s.size} hot cells>$bound)")
+    }
+    refitted ++ split
+  }
+
   /** STORAGE-level re-split of oversized IVF cells — the skew
     * maintenance pass for stores whose embedding distribution
     * concentrates mass in few cells (real corpora do; the fixed

@@ -29,13 +29,26 @@ import org.apache.spark.sql.functions._
   *     cosine pairs as-of the date; maintenance = the band-drift PSI
   *     audit (the store's folds are model-level operations — reband,
   *     migrate — that stay deliberate, not windowed).
+  *   - `vectors`: the persisted ANN index ([[IncrementalVectors]] —
+  *     PQ codes + IVF postings, `{store}_vec_*`); INIT-ON-DEMAND at
+  *     the first append with the same declared-capacity law: the IVF
+  *     quantizer freezes its cell count at init (size ≈ √(expected
+  *     corpus rows) — the probe economics rest on it), so the first
+  *     curate run REQUIRES `--VEC_CELLS`. Takedown = the q161 dual
+  *     rewrite; maintenance = the cell-occupancy/skew + drift-PSI
+  *     audit, with the detect→act POLICY
+  *     ([[IncrementalVectors.maintainPolicy]]) armed by
+  *     `--VEC_PSI_REFIT` (quantizer refit + store migration inside the
+  *     window) and `--VEC_MAX_CELL_ROWS` (hot-cell split) — unarmed,
+  *     acting stays a deliberate operator call, exactly like the
+  *     semantic family's reband.
   *
   * Every closure routes through the families' own marker-committed
   * entry points, so the rewrite protocol (same-gen no-op, crash
   * resume, lease exclusion) is inherited, never re-implemented. */
 object OpsFamilies {
 
-  val Names: Seq[String] = Seq("postings", "minhash", "semantic")
+  val Names: Seq[String] = Seq("postings", "minhash", "semantic", "vectors")
 
   /** Inventory view: (label, table) per backing per-date table. The
     * semantic `_cfg` table is model state (no `ds` partitions) and is
@@ -48,17 +61,22 @@ object OpsFamilies {
       case "semantic" => Seq(s"${fam}_bands" -> s"${store}_sem_bands",
         s"${fam}_vecs" -> s"${store}_sem_vecs",
         s"${fam}_occ" -> s"${store}_sem_occ")
+      // the vec codebook/centroid tables are model state (no `ds`
+      // partitions), absent like the semantic `_cfg`
+      case "vectors" => Seq(s"${fam}_codes" -> s"${store}_vec_codes",
+        s"${fam}_cells" -> s"${store}_vec_cells")
       case other => throw new IllegalArgumentException(
         s"unknown family '$other' — registered: ${Names.mkString(", ")}")
     }
 
   /** Curate registration. `idCol`/`textCol`/`vecCol` name the input
     * drop's columns; `pairThreshold`/`semThreshold` gate the day
-    * reports; `semHorizon` is the semantic model's frozen capacity
-    * (required before the store exists, ignored after). */
+    * reports; `semHorizon` is the semantic model's frozen capacity and
+    * `vecCells` the vector index's frozen IVF cell count (each required
+    * before its store exists, ignored after). */
   def curate(store: String, fam: String, idCol: String, textCol: String,
       vecCol: String, pairThreshold: Double, semThreshold: Double,
-      semHorizon: Long): CurateFamily = fam match {
+      semHorizon: Long, vecCells: Int = 0): CurateFamily = fam match {
     case "postings" => CurateFamily(fam,
       append = (slice, d) => {
         val docs = slice.select(col(idCol).as("doc_id"),
@@ -109,6 +127,27 @@ object OpsFamilies {
       // only an append creates (initModel writes just the _cfg table)
       exists = Some(sp => sp.catalog.tableExists(s"${store}_sem_bands") &&
         sp.catalog.tableExists(s"${store}_sem_vecs")))
+    case "vectors" => CurateFamily(fam,
+      append = (slice, d) => {
+        val sp = slice.sparkSession
+        val emb = slice.select(col(idCol).as("vec_id"), col(vecCol))
+        if (!sp.catalog.tableExists(s"${store}_vec_cb")) {
+          require(vecCells > 0,
+            "the vector store is uninitialized and VEC_CELLS is unset — " +
+              "the IVF coarse quantizer freezes its cell count at init " +
+              "and the ≈nProbe/nCells probe economics rest on it (size " +
+              "≈ √(expected corpus rows)); pass --VEC_CELLS on the " +
+              "first run")
+          IncrementalVectors.initModel(emb, s"${store}_vec",
+            nCells = vecCells, vecCol = vecCol)
+        }
+        IncrementalVectors.appendDate(emb, s"${store}_vec", d,
+          vecCol = vecCol)
+      },
+      drop = (sp, d) =>
+        IncrementalVectors.dropDate(sp, s"${store}_vec", d),
+      foldedThrough = Some(sp => StoreMaintenance.retentionHorizon(sp,
+        Seq(s"${store}_vec_codes", s"${store}_vec_cells"))))
     case other => throw new IllegalArgumentException(
       s"unknown family '$other' — registered: ${Names.mkString(", ")}")
   }
@@ -123,6 +162,8 @@ object OpsFamilies {
       IncrementalDedup.deleteDocs(spark, s"${store}_mh", ids, gen))
     case "semantic" => TakedownFamily(fam, (ids, gen) =>
       IncrementalSemantic.deleteIds(spark, s"${store}_sem", ids, gen))
+    case "vectors" => TakedownFamily(fam, (ids, gen) =>
+      IncrementalVectors.deleteIds(spark, s"${store}_vec", ids, gen))
     case other => throw new IllegalArgumentException(
       s"unknown family '$other' — registered: ${Names.mkString(", ")}")
   }
@@ -131,7 +172,9 @@ object OpsFamilies {
     * retention policy cutoff ([[MaintainFamily.expire]] — run AFTER
     * the folds, the aligned-horizons ordering). */
   def maintain(store: String, fam: String,
-      retainTo: Option[String => String]): MaintainFamily = {
+      retainTo: Option[String => String],
+      vecMaxCellRows: Option[Long] = None,
+      vecPsiRefit: Option[Double] = None): MaintainFamily = {
     def expireAll(tbls: Seq[String]): Option[
         (SparkSession, String) => StoreMaintenance.ExpireResult] =
       retainTo.map(cut => (sp: SparkSession, w: String) => {
@@ -183,6 +226,38 @@ object OpsFamilies {
               "CAST(0.0 AS DOUBLE) AS psi").limit(0))(init =>
               IncrementalSemantic.bandDriftPsiLevels(sp, s"${store}_sem",
                 init))
+        }))
+      case "vectors" => MaintainFamily(fam,
+        // the detect→act POLICY ([[IncrementalVectors.maintainPolicy]]):
+        // unarmed (both thresholds None) it is a no-op and acting stays
+        // a deliberate call; armed, the refit/split rewrites run INSIDE
+        // the window — lease-fenced and marker-committed by the acts'
+        // own protocols, window-unique gens, crash-resume pinned in
+        // OpsMainSpec
+        maintain = (sp, w) => {
+          IncrementalVectors.maintainPolicy(sp, s"${store}_vec", w,
+            maxCellRows = vecMaxCellRows, psiRefit = vecPsiRefit)
+          ()
+        },
+        expire = expireAll(Seq(s"${store}_vec_codes",
+          s"${store}_vec_cells")),
+        audit = Some((sp, _) => {
+          // one frame, two sections: per-cell occupancy/skew ("occ")
+          // and per-date drift PSI ("psi") — (kind, key, n_rows, value).
+          // Empty-but-shaped on an uninitialized store (the semantic
+          // audit's never-wedge rule).
+          val empty = sp.sql("SELECT CAST('' AS STRING) AS kind, " +
+            "CAST('' AS STRING) AS key, CAST(0 AS BIGINT) AS n_rows, " +
+            "CAST(0.0 AS DOUBLE) AS value").limit(0)
+          if (!sp.catalog.tableExists(s"${store}_vec_cells")) empty
+          else IncrementalVectors.cellAudit(sp, s"${store}_vec")
+            .select(lit("occ").as("kind"),
+              col("cell").cast("string").as("key"),
+              col("n_vectors").as("n_rows"), col("skew").as("value"))
+            .unionAll(IncrementalVectors
+              .cellDriftPsi(sp, s"${store}_vec")
+              .select(lit("psi").as("kind"), col("ds").as("key"),
+                col("n_vectors").as("n_rows"), col("psi").as("value")))
         }))
       case other => throw new IllegalArgumentException(
         s"unknown family '$other' — registered: ${Names.mkString(", ")}")

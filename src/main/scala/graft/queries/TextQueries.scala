@@ -1968,6 +1968,155 @@ object TextQueries {
     out.orderBy(col("family"), col("ds"), col("status"))
   }
 
+  /** q191: THE VECTOR/ANN FAMILY OPERATED FROM CONFIG ALONE — the r18
+    * verdict's top gap closed: the q133 store, q161 tombstone path and
+    * q137-style audits existed as gated library protocols but could not
+    * be driven from [[graft.OpsMain]] the way q190 drives the text
+    * stores. This runs the full triad on the `vectors` registry family
+    * with every phase one `OpsMain.run` invocation: curate d0+d1 of the
+    * embeddings corpus (INIT-ON-DEMAND at d0 — the frozen quantizer's
+    * cell count is declared via `--VEC_CELLS`, the SEM_HORIZON-style
+    * capacity law), a maintenance window at d1 (occupancy/skew + drift
+    * PSI audit; the policy stays unarmed — acting is deliberate),
+    * takedown of the % 7 = 3 vectors (the q161 dual rewrite under the
+    * batch's deterministic gen), then a d2 that re-delivers taken-down
+    * ids, suppressed by the feed. Serve = ADC ∪ IVF top-3 for queries
+    * vec_id < 10; the oracle is exactly q161's (d0-frozen models,
+    * candidates minus the requested ids): green proves the CLI wiring
+    * loses nothing over the hand-written lifecycle — a RAG deployment
+    * can operate the ANN index from flags. Refusals and crash windows
+    * are spec-pinned in OpsMainSpec. */
+  def q191OpsVectors(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q191_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q191_${pid}_$hx"
+    val tbls = Seq(s"${base}_vec_cb", s"${base}_vec_ctr",
+      s"${base}_vec_ctr_next", s"${base}_vec_codes", s"${base}_vec_cells",
+      s"${base}_vec_map")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q191_p")
+    Warehouse.sweepTmpOrphans("graft_q191_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val emb = Tables.load(s, dir, "embeddings")
+    val curateArgs = Array("--JOB", "curate", "--STORE", base,
+      "--FAMILIES", "vectors", "--ID_COL", "vec_id",
+      "--VEC_COL", "embedding", "--VEC_CELLS", "16",
+      "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+      "--REPORTS", s"$tmp/reports",
+      "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers")
+    graft.Phases.timed("ingest1") {
+      (0 until 2).foreach(d =>
+        emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+          .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val r = graft.OpsMain.run(curateArgs, s)
+      require(r.contains("\"processed\":[\"d0\",\"d1\"]"), r)
+    }
+    graft.Phases.timed("maintain") { // audit-only window (policy unarmed)
+      val r = graft.OpsMain.run(Array("--JOB", "maintain",
+        "--STORE", base, "--FAMILIES", "vectors", "--WINDOW", "d1",
+        "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+      require(r.contains("\"audited\":[\"vectors\"]"), r)
+    }
+    graft.Phases.timed("takedown") {
+      emb.filter(pmod(col("vec_id"), lit(7L)) === 3).select("vec_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      val r = graft.OpsMain.run(Array("--JOB", "takedown",
+        "--STORE", base, "--FAMILIES", "vectors",
+        "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
+      require(r.contains("\"processed\":[\"r0\"]"), r)
+    }
+    graft.Phases.timed("ingest2") { // d2 re-delivers %7=3 — suppressed
+      emb.filter(pmod(col("vec_id"), lit(3L)) === 2)
+        .write.mode("overwrite").parquet(s"$tmp/in/d2.parquet")
+      val r = graft.OpsMain.run(curateArgs, s)
+      require(r.contains("\"processed\":[\"d2\"]"), r)
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+    val out = graft.Phases.timed("serve") {
+      val adc = graft.operators.IncrementalVectors
+        .adcSearch(s, s"${base}_vec", queries)
+        .select(lit("adc").as("method"), col("qid"), col("rank"), col("cid"),
+          col("adist").as("score"))
+      val ivf = graft.operators.IncrementalVectors
+        .ivfSearch(s, s"${base}_vec", queries)
+        .select(lit("ivf").as("method"), col("qid"), col("rank"), col("cid"),
+          col("cosine").as("score"))
+      adc.unionAll(ivf).localCheckpoint() // tables drop below
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("method"), col("qid"), col("rank"))
+  }
+
+  /** q192: THE DRIFT POLICY JOB — the detect→act loop CLOSED from
+    * config ([[graft.operators.IncrementalVectors.maintainPolicy]]):
+    * q141 detects drift, q142 acts (refit + migrate), and until this
+    * round nothing DECIDED — the registry's semantic audit scaladoc
+    * said "a human (or a policy job) acts". Here the q133 store builds
+    * over three dates via OpsMain curation, then ONE maintenance window
+    * armed with `--VEC_PSI_REFIT 0.0` measures the per-date occupancy
+    * PSI from the store's own rows (baseline = the init date), crosses
+    * the bar, refits the coarse quantizer on the drifted corpus (every
+    * row OUTSIDE the baseline partition, read from the store's inline
+    * vectors — the source corpus is never re-read) and migrates the
+    * postings under the window-unique gen `policy_d2`. Serve = the
+    * migrated store's IVF top-3; the oracle is exactly q142's
+    * (from-scratch deterministic IVF with the d1∪d2 fit slice): green
+    * proves the POLICY-triggered refit equals the hand-invoked one —
+    * drift response is an operable job, not an operator ritual. The
+    * crash window (staged model + committed rewrite, window re-run)
+    * resumes via the policy's unconditional same-gen resume,
+    * spec-pinned in OpsMainSpec. */
+  def q192DriftPolicy(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q192_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q192_${pid}_$hx"
+    val tbls = Seq(s"${base}_vec_cb", s"${base}_vec_ctr",
+      s"${base}_vec_ctr_next", s"${base}_vec_codes", s"${base}_vec_cells",
+      s"${base}_vec_map")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q192_p")
+    Warehouse.sweepTmpOrphans("graft_q192_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.Phases.timed("build") {
+      (0 until 3).foreach(d =>
+        emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+          .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val r = graft.OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+        "--FAMILIES", "vectors", "--ID_COL", "vec_id",
+        "--VEC_COL", "embedding", "--VEC_CELLS", "16",
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+        "--REPORTS", s"$tmp/reports"), s)
+      require(r.contains("\"processed\":[\"d0\",\"d1\",\"d2\"]"), r)
+    }
+    graft.Phases.timed("migrate") { // the armed window: detect → refit
+      val r = graft.OpsMain.run(Array("--JOB", "maintain",
+        "--STORE", base, "--FAMILIES", "vectors", "--WINDOW", "d2",
+        "--VEC_PSI_REFIT", "0.0",
+        "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+      require(r.contains("\"skipped\":false"), r)
+      val parts = s.sql(s"SHOW PARTITIONS ${base}_vec_cells").collect()
+        .map(_.getString(0)).toSet
+      require(parts == Set("ds=r_policy_d2"),
+        s"the policy must have migrated the store: $parts")
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalVectors
+        .ivfSearch(s, s"${base}_vec", emb.filter(col("vec_id") < 10))
+        .localCheckpoint() // eager: the tables drop below (q133's note)
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("qid"), col("rank"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

@@ -109,6 +109,92 @@ class OpsMainSpec extends SparkSpec {
     } finally drop(base)
   }
 
+  test("vectors family from flags: VEC_CELLS refusal, triad wiring, and the armed policy's crash-window resume") {
+    val tmp = Files.createTempDirectory("opsmain-vec").toString
+    val base = "opsm_v"
+    val vtbls = Seq("_vec_cb", "_vec_ctr", "_vec_ctr_next", "_vec_codes",
+      "_vec_cells", "_vec_map")
+    def dropV(): Unit =
+      vtbls.foreach(s => spark.sql(s"DROP TABLE IF EXISTS $base$s"))
+    dropV()
+    try {
+      (0 until 2).foreach(d => corpus.filter(pmod(col("id"), lit(3L)) === d)
+        .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      // the frozen-capacity law: an uninitialized vector store refuses
+      // to curate without a declared cell count
+      val ex = intercept[IllegalArgumentException] {
+        OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+          "--FAMILIES", "vectors", "--IN", s"$tmp/in",
+          "--MARKERS", s"$tmp/m0", "--REPORTS", s"$tmp/r0"), spark)
+      }
+      assert(ex.getMessage.contains("VEC_CELLS"), ex.getMessage)
+
+      val curArgs = Array("--JOB", "curate", "--STORE", base,
+        "--FAMILIES", "vectors", "--VEC_CELLS", "16",
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+        "--REPORTS", s"$tmp/reports")
+      val c1 = OpsMain.run(curArgs, spark)
+      assert(c1.contains(""""processed":["d0","d1"]"""), c1)
+      assert(spark.catalog.tableExists(s"${base}_vec_cb") &&
+        spark.catalog.tableExists(s"${base}_vec_ctr"),
+        "first curate run must init the frozen models")
+
+      // audit-only window: occupancy + drift rows land; policy unarmed
+      val m1 = OpsMain.run(Array("--JOB", "maintain", "--STORE", base,
+        "--FAMILIES", "vectors", "--WINDOW", "w0",
+        "--M_MARKERS", s"$tmp/mm", "--AUDITS", s"$tmp/audits"), spark)
+      assert(m1.contains(""""audited":["vectors"]"""), m1)
+      val audit = spark.read.parquet(s"$tmp/audits/vectors")
+      assert(audit.filter(col("kind") === "occ").count() > 0, "occ rows")
+      assert(audit.filter(col("kind") === "psi").count() > 0, "psi rows")
+      // ledger inventory covers the vec tables
+      val i1 = OpsMain.run(Array("--JOB", "inventory", "--STORE", base,
+        "--FAMILIES", "vectors", "--LEDGER", s"$tmp/curmarkers"), spark)
+      assert(i1.contains(""""family":"vectors_codes"""") &&
+        i1.contains(""""missing":[]"""), i1)
+
+      // CRASH WINDOW 1 — refit staged, rewrite never started (the
+      // stage()-then-die state): appends fail closed; the armed window
+      // RESUMES the same gen to completion instead of wedging
+      spark.table(s"${base}_vec_ctr").withColumn("gen", lit("policy_w1"))
+        .write.saveAsTable(s"${base}_vec_ctr_next")
+      corpus.filter(pmod(col("id"), lit(3L)) === 2)
+        .write.mode("overwrite").parquet(s"$tmp/in/d2.parquet")
+      val exA = intercept[IllegalStateException] {
+        OpsMain.run(curArgs, spark)
+      }
+      assert(exA.getMessage.contains("refit"), exA.getMessage)
+      val m2 = OpsMain.run(Array("--JOB", "maintain", "--STORE", base,
+        "--FAMILIES", "vectors", "--WINDOW", "w1",
+        "--VEC_PSI_REFIT", "999", // bar can't fire — only the resume can
+        "--M_MARKERS", s"$tmp/mm", "--AUDITS", s"$tmp/audits"), spark)
+      assert(m2.contains(""""skipped":false"""), m2)
+      assert(!spark.catalog.tableExists(s"${base}_vec_ctr_next"),
+        "the window must resume and retire the staged model")
+      val parts = spark.sql(s"SHOW PARTITIONS ${base}_vec_cells").collect()
+        .map(_.getString(0)).toSet
+      assert(parts == Set("ds=r_policy_w1"), parts.toString)
+
+      // CRASH WINDOW 2 — rewrite committed, model swap lost (the state
+      // where per-date PSI reads EMPTY, so only the unconditional
+      // same-gen resume can unwedge): plant the staged model again on
+      // the already-folded store and re-run the window under a FRESH
+      // marker dir (the committed w1 marker would skip it wholesale)
+      spark.table(s"${base}_vec_ctr").withColumn("gen", lit("policy_w1"))
+        .write.saveAsTable(s"${base}_vec_ctr_next")
+      val m3 = OpsMain.run(Array("--JOB", "maintain", "--STORE", base,
+        "--FAMILIES", "vectors", "--WINDOW", "w1",
+        "--VEC_PSI_REFIT", "999",
+        "--M_MARKERS", s"$tmp/mm2", "--AUDITS", s"$tmp/audits"), spark)
+      assert(m3.contains(""""skipped":false"""), m3)
+      assert(!spark.catalog.tableExists(s"${base}_vec_ctr_next"),
+        "a committed-rewrite crash must still resume to the model swap")
+      // the store is unwedged: the queued date curates normally
+      val c2 = OpsMain.run(curArgs, spark)
+      assert(c2.contains(""""processed":["d2"]"""), c2)
+    } finally dropV()
+  }
+
   test("loud refusals: semantic without SEM_HORIZON; half a suppression feed") {
     val tmp = Files.createTempDirectory("opsmain-cfg").toString
     val base = "opsm_b"
