@@ -83,7 +83,8 @@ object OpsMain {
           a("PAIR_THRESHOLD", "0.5").toDouble,
           a("SEM_THRESHOLD", "0.9").toDouble,
           a("SEM_HORIZON", "0").toLong,
-          a("VEC_CELLS", "0").toInt))
+          a("VEC_CELLS", "0").toInt,
+          storeDir = a("STORE_DIR", ""), inDir = in))
         val s = new CurateJob(spark, CurateConfig(a("KIND", "curate"),
           in, markers, reports, cfams,
           suppressIds =
@@ -100,9 +101,22 @@ object OpsMain {
         val req = a("REQUESTS"); val tdm = a("TD_MARKERS")
         require(req != null && tdm != null,
           "REQUESTS and TD_MARKERS are required for takedown")
+        // the spans family subtracts deleted documents' own counts —
+        // --CORPUS names the retained drops catalog their texts come
+        // from (flat, one multi-path scan; columns via ID_COL/TEXT_COL)
+        val corpus = Option(a("CORPUS")).map { dir =>
+          val prefix = graft.split.PathOps.normalizePrefix(dir)
+          val p = new org.apache.hadoop.fs.Path(prefix)
+          val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val drops = fsys.listStatus(p).map(_.getPath.toString)
+            .filter(_.endsWith(".parquet")).toSeq
+          spark.read.parquet(drops: _*)
+            .select(a("ID_COL", "id"), a("TEXT_COL", "text"))
+        }
         val s = new TakedownJob(spark, TakedownConfig(a("KIND", "td"),
           req, tdm, fams.map(f =>
-            OpsFamilies.takedown(spark, store, f)))).run()
+            OpsFamilies.takedown(spark, store, f,
+              storeDir = a("STORE_DIR", ""), corpus = corpus)))).run()
         val applied = s.idsApplied.toSeq.sorted
           .map { case (d, n) => q(d) + ":" + n }.mkString("{", ",", "}")
         s"""{"job":"takedown","kind":${q(s.kind)},""" +
@@ -124,7 +138,8 @@ object OpsMain {
           mm, audits,
           fams.map(f => OpsFamilies.maintain(store, f, retain,
             vecMaxCellRows = Option(a("VEC_MAX_CELL_ROWS")).map(_.toLong),
-            vecPsiRefit = Option(a("VEC_PSI_REFIT")).map(_.toDouble)))))
+            vecPsiRefit = Option(a("VEC_PSI_REFIT")).map(_.toDouble),
+            storeDir = a("STORE_DIR", "")))))
           .run(window)
         val exp = s.expired.toSeq.sortBy(_._1)
           .map { case (f, ds) => q(f) + ":" + arr(ds) }
@@ -134,12 +149,17 @@ object OpsMain {
           s""""audited":${arr(s.audited)},"expired":$exp}"""
 
       case "inventory" =>
-        val pairs = fams.flatMap(f => OpsFamilies.tables(store, f))
-        val heldDf = StoreInventory.dates(spark, pairs)
+        val sd = a("STORE_DIR", "")
+        val held0 = fams.flatMap(f => OpsFamilies.stores(store, sd, f))
+        // the detectors judge only stores whose per-date presence a
+        // committed marker implies (components' labels/edges skip
+        // no-new-cluster dates by design — held view only)
+        val judge = fams.flatMap(f => OpsFamilies.ledgerStores(store, sd, f))
+        val heldDf = StoreInventory.datesOf(spark, held0)
         val ledger = a("LEDGER")
         val lagDf = if (ledger != null)
-          StoreInventory.missingVsLedger(spark, pairs, ledger)
-        else StoreInventory.missing(spark, pairs)
+          StoreInventory.missingVsLedgerOf(spark, judge, ledger)
+        else StoreInventory.missingOf(spark, judge)
         val out = a("OUT")
         if (out != null) {
           // PATH SINK (the scale mode): at 10-year × many-family scale the

@@ -215,6 +215,8 @@ object SparkEntry {
     "q190_ops_triad" -> (TextQueries.q190OpsTriad _),
     "q191_ops_vectors" -> (TextQueries.q191OpsVectors _),
     "q192_drift_policy" -> (TextQueries.q192DriftPolicy _),
+    "q193_ops_spans" -> (TextQueries.q193OpsSpans _),
+    "q194_ops_components" -> (TextQueries.q194OpsComponents _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3798,6 +3800,30 @@ object SparkEntry {
          |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
          |FROM vs WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin,
+
+    // q193: the spans family's lifecycle from OpsMain flags — compact
+    // fold + corpus-fed count subtraction must leave exactly the
+    // surviving corpus's span statistics, i.e. q163's oracle verbatim
+    "q193_ops_spans" ->
+      s"""WITH keepdocs AS (
+        |  SELECT * FROM documents WHERE doc_id % 7 <> 3),
+        |${repeatedSpansSqlFrom("keepdocs").stripPrefix("WITH ")}""".stripMargin,
+
+    // q194: the components family's lifecycle from OpsMain flags —
+    // incremental clustering + label compaction + edge-recompute
+    // deletion must equal q62's recursive closure over the surviving
+    // corpus, i.e. q162's oracle verbatim
+    "q194_ops_components" ->
+      s"""WITH RECURSIVE keepdocs AS (
+        |  SELECT * FROM documents WHERE doc_id % 7 <> 3),
+        |${ngramPairCtesFrom("keepdocs")},
+        |$componentClosureCtes,
+        |siz AS (SELECT component, COUNT(*) AS csize FROM lab GROUP BY component)
+        |SELECT l.id AS doc_id, l.component,
+        |  CAST(s.csize AS BIGINT) AS component_size,
+        |  l.id = l.component AS is_canonical
+        |FROM lab l JOIN siz s USING (component)
+        |ORDER BY doc_id""".stripMargin,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

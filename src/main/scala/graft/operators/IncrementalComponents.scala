@@ -222,6 +222,22 @@ object IncrementalComponents {
     ()
   }
 
+  /** Drop one ingestion date's slices from every store the family
+    * writes — the [[CurateJob]] crash-resume guard (drop-then-retry):
+    * the date's signature rows, edge rows, first-label rows, and its
+    * composed repmap VERSION (each self-contained — the previous
+    * version remains the latest afterwards, exactly the pre-date
+    * state), so a retried [[processDate]] replays as a first run.
+    * Bounded filesystem metadata. */
+  def dropDate(spark: SparkSession, sigStore: String, labelsPath: String,
+      repmapPath: String, edgesPath: String, date: String): Unit = {
+    IncrementalStore.dropDatePath(spark,
+      Seq(sigStore, labelsPath, edgesPath), date)
+    val v = new org.apache.hadoop.fs.Path(repmapPath, s"v=$date")
+    v.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(v, true)
+    ()
+  }
+
   /** Ingest one date: append signatures, discover + verify this date's new
     * pairs, contract, propagate, and update the label store. `newDocs`
     * must be exactly the date's slice of `allDocs`. Candidate estimation

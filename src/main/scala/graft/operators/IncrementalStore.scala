@@ -108,6 +108,16 @@ object IncrementalStore {
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION (ds='$date')")
     }
 
+  /** [[dropDate]] for PATH stores: delete each store's `ds=<date>` dir
+    * (bounded filesystem metadata; absent dirs are a no-op). */
+  def dropDatePath(spark: SparkSession, stores: Seq[String],
+      date: String): Unit =
+    stores.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s, s"ds=$date")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+
   /** One backing store a family's DELETION PROPAGATION must rewrite:
     * the store name (table, or filesystem path when `path`), the row
     * transform (usually a tombstone anti-join on the family's key

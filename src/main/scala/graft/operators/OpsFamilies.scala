@@ -43,16 +43,58 @@ import org.apache.spark.sql.functions._
   *     acting stays a deliberate operator call, exactly like the
   *     semantic family's reband.
   *
+  * PATH-BACKED families (plain-parquet `ds=` stores under the required
+  * `--STORE_DIR`; same fold-protocol files, so every detector and fence
+  * rule applies identically):
+  *   - `spans`: the incremental exact-substring count store
+  *     ([[IncrementalSpans]], `{storeDir}/spans`). Counts are ADDITIVE
+  *     state, so takedown SUBTRACTS the deleted documents' own window
+  *     counts — it needs their TEXTS, supplied via `--CORPUS` (the
+  *     retained drops catalog), and the family registers `subtractive`
+  *     (arming [[TakedownJob]]'s cross-batch dedupe and ordering
+  *     fences). Maintenance = the additive compactPath fold + optional
+  *     expirePath retention (on a counting store, expiry IS exact
+  *     unlearning of the expired dates).
+  *   - `components`: the incremental near-dup clustering store
+  *     ([[IncrementalComponents]], `{storeDir}/components_{sigs,labels,
+  *     repmap,edges}`), built WITH the edge store — the deletion-
+  *     propagation prerequisite. Curation needs the drops catalog
+  *     (`--IN`, already a curate flag) to re-read candidate ENDPOINT
+  *     texts for exact verification — retain drops while this family
+  *     is registered (the suppression feed's request-file rule, same
+  *     reasoning). NO retention expiry: membership is a function of
+  *     the edge set, so dropping old labels/edges by age would silently
+  *     split components — takedown is the deletion path.
+  *
   * Every closure routes through the families' own marker-committed
   * entry points, so the rewrite protocol (same-gen no-op, crash
   * resume, lease exclusion) is inherited, never re-implemented. */
 object OpsFamilies {
 
-  val Names: Seq[String] = Seq("postings", "minhash", "semantic", "vectors")
+  val Names: Seq[String] =
+    Seq("postings", "minhash", "semantic", "vectors", "spans", "components")
 
-  /** Inventory view: (label, table) per backing per-date table. The
+  /** Path families need `--STORE_DIR`; everything else is table-backed. */
+  private def requireDir(fam: String, storeDir: String): String = {
+    require(storeDir.nonEmpty,
+      s"family '$fam' is path-backed — pass --STORE_DIR <dir> (its " +
+        "stores live under it as plain-parquet ds= layouts)")
+    graft.split.PathOps.normalizePrefix(storeDir)
+  }
+
+  private def spansStore(storeDir: String): String =
+    s"${graft.split.PathOps.normalizePrefix(storeDir)}spans"
+
+  /** (sigs, labels, repmap, edges) roots for the components family. */
+  private def compStores(storeDir: String): (String, String, String, String) = {
+    val p = graft.split.PathOps.normalizePrefix(storeDir)
+    (s"${p}components_sigs", s"${p}components_labels",
+      s"${p}components_repmap", s"${p}components_edges")
+  }
+
+  /** Inventory view: (label, table) per backing per-date TABLE. The
     * semantic `_cfg` table is model state (no `ds` partitions) and is
-    * deliberately absent. */
+    * deliberately absent. Path families live in [[stores]]. */
   def tables(store: String, fam: String): Seq[(String, String)] =
     fam match {
       case "postings" => Seq(s"${fam}_tf" -> s"${store}_post",
@@ -66,17 +108,53 @@ object OpsFamilies {
       case "vectors" => Seq(s"${fam}_codes" -> s"${store}_vec_codes",
         s"${fam}_cells" -> s"${store}_vec_cells")
       case other => throw new IllegalArgumentException(
-        s"unknown family '$other' — registered: ${Names.mkString(", ")}")
+        s"family '$other' is not table-backed — registered tables: " +
+          "postings, minhash, semantic, vectors (path families go " +
+          "through stores())")
     }
+
+  /** Full inventory view over ALL families — table AND path entries
+    * (the HELD view: [[StoreInventory.datesOf]] lists whatever exists). */
+  def stores(store: String, storeDir: String,
+      fam: String): Seq[StoreInventory.Entry] = fam match {
+    case "spans" =>
+      Seq(StoreInventory.Entry(s"${fam}_counts",
+        spansStore(requireDir(fam, storeDir)), path = true))
+    case "components" =>
+      val (sigs, labels, _, edges) = compStores(requireDir(fam, storeDir))
+      Seq(StoreInventory.Entry(s"${fam}_sigs", sigs, path = true),
+        StoreInventory.Entry(s"${fam}_labels", labels, path = true),
+        StoreInventory.Entry(s"${fam}_edges", edges, path = true))
+    case _ => tables(store, fam)
+      .map(t => StoreInventory.Entry(t._1, t._2))
+  }
+
+  /** The subset of [[stores]] whose per-date partition PRESENCE is
+    * implied by a committed curate marker — what the lag detectors may
+    * judge. Components' labels/edges stores legitimately skip dates (a
+    * date with no new clusters writes neither), so only the signature
+    * store is ledger-judgeable there; the spans count store skips a
+    * date only when EVERY document is shorter than the window width
+    * (documented edge — such a date would false-flag). */
+  def ledgerStores(store: String, storeDir: String,
+      fam: String): Seq[StoreInventory.Entry] = fam match {
+    case "components" => stores(store, storeDir, fam)
+      .filter(_.family == s"${fam}_sigs")
+    case _ => stores(store, storeDir, fam)
+  }
 
   /** Curate registration. `idCol`/`textCol`/`vecCol` name the input
     * drop's columns; `pairThreshold`/`semThreshold` gate the day
-    * reports; `semHorizon` is the semantic model's frozen capacity and
-    * `vecCells` the vector index's frozen IVF cell count (each required
-    * before its store exists, ignored after). */
+    * reports (for components, `pairThreshold` is the exact-verify
+    * Jaccard bar); `semHorizon` is the semantic model's frozen capacity
+    * and `vecCells` the vector index's frozen IVF cell count (each
+    * required before its store exists, ignored after); `storeDir`
+    * roots the path families; `inDir` is the drops catalog the
+    * components family re-reads endpoint texts from. */
   def curate(store: String, fam: String, idCol: String, textCol: String,
       vecCol: String, pairThreshold: Double, semThreshold: Double,
-      semHorizon: Long, vecCells: Int = 0): CurateFamily = fam match {
+      semHorizon: Long, vecCells: Int = 0, storeDir: String = "",
+      inDir: String = ""): CurateFamily = fam match {
     case "postings" => CurateFamily(fam,
       append = (slice, d) => {
         val docs = slice.select(col(idCol).as("doc_id"),
@@ -148,14 +226,61 @@ object OpsFamilies {
         IncrementalVectors.dropDate(sp, s"${store}_vec", d),
       foldedThrough = Some(sp => StoreMaintenance.retentionHorizon(sp,
         Seq(s"${store}_vec_codes", s"${store}_vec_cells"))))
+    case "spans" =>
+      val st = spansStore(requireDir(fam, storeDir))
+      CurateFamily(fam,
+        append = (slice, d) => IncrementalSpans.appendCounts(
+          slice.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+          st, d),
+        drop = (sp, d) => IncrementalStore.dropDatePath(sp, Seq(st), d),
+        foldedThrough = Some(sp =>
+          StoreMaintenance.retentionHorizonPath(sp, Seq(st))))
+    case "components" =>
+      val (sigs, labels, repmap, edges) = compStores(requireDir(fam, storeDir))
+      require(inDir.nonEmpty,
+        "the components family re-reads candidate ENDPOINT texts for " +
+          "exact verification — wire the drops catalog (--IN)")
+      CurateFamily(fam,
+        append = (slice, d) => {
+          val sp = slice.sparkSession
+          val newDocs = slice.select(col(idCol).as("doc_id"),
+            col(textCol).as("text"))
+          // the accumulated corpus, from the retained drops catalog
+          // (flat listing, one multi-path scan — the feed's read shape);
+          // only candidate ENDPOINTS are actually re-read (semi-join
+          // before shingling, processDate's contract), and a superset
+          // (staged future dates, suppressed ids) is harmless — their
+          // signatures are not in the store, so they never match a band
+          val prefix = graft.split.PathOps.normalizePrefix(inDir)
+          val p = new org.apache.hadoop.fs.Path(prefix)
+          val fsys = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+          val drops = fsys.listStatus(p).map(_.getPath.toString)
+            .filter(_.endsWith(".parquet")).toSeq
+          val allDocs = sp.read.parquet(drops: _*)
+            .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+          IncrementalComponents.processDate(sp, newDocs, allDocs,
+            sigs, labels, repmap, d, threshold = pairThreshold,
+            edgesPath = Some(edges))
+        },
+        drop = (sp, d) => IncrementalComponents.dropDate(sp, sigs, labels,
+          repmap, edges, d),
+        foldedThrough = Some(sp =>
+          StoreMaintenance.retentionHorizonPath(sp, Seq(sigs, labels))))
     case other => throw new IllegalArgumentException(
       s"unknown family '$other' — registered: ${Names.mkString(", ")}")
   }
 
-  /** Takedown registration — every family here is id-keyed (anti-join
-    * deletes), so none is `subtractive`. */
-  def takedown(spark: SparkSession, store: String,
-      fam: String): TakedownFamily = fam match {
+  /** Takedown registration. The table families are id-keyed (anti-join
+    * deletes, not `subtractive`); `spans` SUBTRACTS the deleted
+    * documents' own window counts, so it needs their texts (`corpus` —
+    * the retained drops catalog, `--CORPUS`) and registers
+    * `subtractive` (arming [[TakedownJob]]'s cross-batch dedupe and
+    * ordering fences); `components` recomputes membership over the
+    * surviving edges (requires the edge store the curate registration
+    * always builds). */
+  def takedown(spark: SparkSession, store: String, fam: String,
+      storeDir: String = "",
+      corpus: Option[DataFrame] = None): TakedownFamily = fam match {
     case "postings" => TakedownFamily(fam, (ids, gen) =>
       IncrementalPostings.deleteDocs(spark, s"${store}_post", ids, gen))
     case "minhash" => TakedownFamily(fam, (ids, gen) =>
@@ -164,6 +289,35 @@ object OpsFamilies {
       IncrementalSemantic.deleteIds(spark, s"${store}_sem", ids, gen))
     case "vectors" => TakedownFamily(fam, (ids, gen) =>
       IncrementalVectors.deleteIds(spark, s"${store}_vec", ids, gen))
+    case "spans" =>
+      val st = spansStore(requireDir(fam, storeDir))
+      require(corpus.isDefined,
+        "the span store is additive — deletion subtracts the deleted " +
+          "documents' own window counts, which requires their TEXTS: " +
+          "pass --CORPUS <drops catalog>")
+      TakedownFamily(fam, (ids, gen) => {
+        val deleted = corpus.get
+          .join(ids.select(col("id").as(corpus.get.columns.head)),
+            Seq(corpus.get.columns.head), "left_semi")
+        // FAIL LOUD on an id whose text aged out of the catalog: a
+        // silent miss would under-subtract and leave the erased doc's
+        // counts in the store forever (the suppression feed's
+        // source-of-truth rule). List-sized counts.
+        val got = deleted.select(col(corpus.get.columns.head))
+          .distinct().count()
+        val want = ids.count()
+        require(got == want,
+          s"spans takedown: only $got of $want requested ids have texts " +
+            "in the corpus catalog — restore the aged-out drops (exact " +
+            "count subtraction needs the documents themselves)")
+        IncrementalSpans.deleteDocs(
+          deleted.select(col(corpus.get.columns.head).as("doc_id"),
+            col(corpus.get.columns(1)).as("text")), st, gen)
+      }, subtractive = true)
+    case "components" =>
+      val (sigs, labels, repmap, edges) = compStores(requireDir(fam, storeDir))
+      TakedownFamily(fam, (ids, gen) => IncrementalComponents.deleteDocs(
+        spark, ids, sigs, labels, repmap, edges, gen))
     case other => throw new IllegalArgumentException(
       s"unknown family '$other' — registered: ${Names.mkString(", ")}")
   }
@@ -174,7 +328,8 @@ object OpsFamilies {
   def maintain(store: String, fam: String,
       retainTo: Option[String => String],
       vecMaxCellRows: Option[Long] = None,
-      vecPsiRefit: Option[Double] = None): MaintainFamily = {
+      vecPsiRefit: Option[Double] = None,
+      storeDir: String = ""): MaintainFamily = {
     def expireAll(tbls: Seq[String]): Option[
         (SparkSession, String) => StoreMaintenance.ExpireResult] =
       retainTo.map(cut => (sp: SparkSession, w: String) => {
@@ -259,6 +414,57 @@ object OpsFamilies {
               .select(lit("psi").as("kind"), col("ds").as("key"),
                 col("n_vectors").as("n_rows"), col("psi").as("value")))
         }))
+      case "spans" =>
+        val st = spansStore(requireDir(fam, storeDir))
+        MaintainFamily(fam,
+          // the additive fold: per-hash counts sum across dates, so the
+          // compacted store serves every report bit-equal (q109's law)
+          maintain = (sp, w) => StoreMaintenance.compactPath(sp, st, w,
+            merge = _.groupBy(col("h")).agg(sum(col("cnt")).as("cnt"))),
+          // on a counting store expiry IS exact unlearning of the
+          // expired dates (additive state minus a date's partition)
+          expire = retainTo.map(cut => (sp: SparkSession, w: String) =>
+            StoreMaintenance.expirePath(sp, st, cut(w))),
+          audit = Some((sp, _) => {
+            // audit-never-wedge: an uningested store reads as zeros
+            val root = new org.apache.hadoop.fs.Path(st)
+            val fsys = root.getFileSystem(
+              sp.sparkContext.hadoopConfiguration)
+            if (!fsys.exists(root))
+              sp.sql("SELECT CAST(0 AS BIGINT) AS n_hashes, " +
+                "CAST(0 AS BIGINT) AS n_dup")
+            else IncrementalStore.consistentScanPath(sp, st)
+              .groupBy(col("h")).agg(sum(col("cnt")).as("total"))
+              .agg(count(lit(1)).as("n_hashes"),
+                sum(when(col("total") >= 2, 1L).otherwise(0L))
+                  .cast("bigint").as("n_dup"))
+          }))
+      case "components" =>
+        val (sigs, labels, repmap, edges) = compStores(requireDir(fam, storeDir))
+        MaintainFamily(fam,
+          // label rows are write-once disjoint state: the fold is a pure
+          // re-bin (q149's law); superseded repmap versions prune freely
+          // (each version is self-contained). NO retention expiry —
+          // membership is a function of the edge set, an age-based drop
+          // would silently split components (takedown deletes instead).
+          maintain = (sp, w) => {
+            IncrementalComponents.compactLabels(sp, labels, w)
+            IncrementalComponents.pruneRepmapVersions(sp, repmap)
+          },
+          audit = Some((sp, _) => {
+            // audit-never-wedge: an uningested store reads as zeros
+            val root = new org.apache.hadoop.fs.Path(sigs)
+            val fsys = root.getFileSystem(
+              sp.sparkContext.hadoopConfiguration)
+            val sigN = if (fsys.exists(root))
+              IncrementalStore.consistentScanPath(sp, sigs)
+                .agg(count(lit(1)).as("n_sig_docs"))
+            else sp.sql("SELECT CAST(0 AS BIGINT) AS n_sig_docs")
+            IncrementalComponents.currentLabels(sp, labels, repmap)
+              .agg(count(lit(1)).as("n_clustered"),
+                countDistinct(col("component")).as("n_components"))
+              .crossJoin(broadcast(sigN))
+          }))
       case other => throw new IllegalArgumentException(
         s"unknown family '$other' — registered: ${Names.mkString(", ")}")
     }

@@ -23,19 +23,53 @@ import org.apache.spark.sql.functions._
   * double-counts. */
 object StoreInventory {
 
+  /** One inventoried backing store: a catalog TABLE by default, or a
+    * filesystem PATH store (`ds=`-partitioned plain parquet — the spans
+    * and components families) with `path = true`. Both share the fold
+    * protocol files (`_fold_pending_*`, `_compact_*_done`,
+    * `_expired_through`, `_folded_set_*`) in their roots, so every
+    * detector rule below applies identically. */
+  final case class Entry(family: String, store: String,
+      path: Boolean = false)
+
+  /** (partition values, store root) — None when the store is absent. */
+  private def resolve(spark: SparkSession, e: Entry)
+      : Option[(Seq[String], org.apache.hadoop.fs.Path)] =
+    if (e.path) {
+      val root = new org.apache.hadoop.fs.Path(e.store)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) None
+      else Some((fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("ds="))
+        .map(_.stripPrefix("ds=")).toSeq, root))
+    } else if (!spark.catalog.tableExists(e.store)) None
+    else Some((
+      spark.sql(s"SHOW PARTITIONS ${e.store}").collect()
+        .map(_.getString(0).stripPrefix("ds=")).toSeq,
+      new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(e.store)).location)))
+
+  private def scan(spark: SparkSession, e: Entry): DataFrame =
+    if (e.path) IncrementalStore.consistentScanPath(spark, e.store)
+    else IncrementalStore.consistentScan(spark, e.store)
+
   /** One row per (family, ds) a family's table holds:
     * `(family, ds, n_rows)`. Consolidated (`c_*`) and generation
     * (`r_*`) labels report as-is — they ARE the store's state; the
     * per-date view below them is gone by design. */
   def dates(spark: SparkSession,
-      families: Seq[(String, String)]): DataFrame = {
-    val present = families.filter(f => spark.catalog.tableExists(f._2))
+      families: Seq[(String, String)]): DataFrame =
+    datesOf(spark, families.map(f => Entry(f._1, f._2)))
+
+  /** [[dates]] over mixed table/path entries. */
+  def datesOf(spark: SparkSession, families: Seq[Entry]): DataFrame = {
+    val present = families.filter(e => resolve(spark, e).isDefined)
     require(present.nonEmpty,
-      s"none of the inventory tables exist: ${families.map(_._2).mkString(", ")}")
-    present.map { case (fam, table) =>
-      IncrementalStore.consistentScan(spark, table)
+      s"none of the inventory stores exist: ${families.map(_.store).mkString(", ")}")
+    present.map { e =>
+      scan(spark, e)
         .groupBy(col("ds")).agg(count(lit(1)).as("n_rows"))
-        .select(lit(fam).as("family"), col("ds"), col("n_rows"))
+        .select(lit(e.family).as("family"), col("ds"), col("n_rows"))
     }.reduce(_ unionAll _)
   }
 
@@ -56,13 +90,16 @@ object StoreInventory {
     * family exists). Driver-side metadata only (families × dates
     * strings — the ledger scale shape). */
   def missing(spark: SparkSession,
-      families: Seq[(String, String)]): DataFrame = {
+      families: Seq[(String, String)]): DataFrame =
+    missingOf(spark, families.map(f => Entry(f._1, f._2)))
+
+  /** [[missing]] over mixed table/path entries. */
+  def missingOf(spark: SparkSession, families: Seq[Entry]): DataFrame = {
     import spark.implicits._
-    val (present, absent) =
-      families.partition(f => spark.catalog.tableExists(f._2))
-    val parts: Seq[(String, Seq[String])] = present.map { case (fam, t) =>
-      fam -> spark.sql(s"SHOW PARTITIONS $t").collect()
-        .map(_.getString(0).stripPrefix("ds=")).toSeq
+    val resolved = families.map(e => e -> resolve(spark, e))
+    val absent = resolved.collect { case (e, None) => e.family }
+    val parts: Seq[(String, Seq[String])] = resolved.collect {
+      case (e, Some((ps, _))) => e.family -> ps
     }
     val plain = parts.flatMap { case (f, ps) =>
       ps.filter(p => !p.startsWith("c_") && !p.startsWith("r_"))
@@ -76,7 +113,7 @@ object StoreInventory {
       d <- allDates
       if horizon.forall(d > _) && !plain.contains(f -> d)
     } yield (f, d)
-    (absent.map(_._1 -> "(absent)") ++ pairs).toDF("family", "ds")
+    (absent.map(_ -> "(absent)") ++ pairs).toDF("family", "ds")
   }
 
   /** The lagging-family detector KEYED ON THE CURATION LEDGER — sharp
@@ -123,6 +160,13 @@ object StoreInventory {
     * per-family partition listings + a bounded sidecar read per
     * generation label. */
   def missingVsLedger(spark: SparkSession, families: Seq[(String, String)],
+      markerDir: String): DataFrame =
+    missingVsLedgerOf(spark, families.map(f => Entry(f._1, f._2)), markerDir)
+
+  /** [[missingVsLedger]] over mixed table/path entries — path stores
+    * share the fold protocol files, so every credit rule applies
+    * identically. */
+  def missingVsLedgerOf(spark: SparkSession, families: Seq[Entry],
       markerDir: String): DataFrame = {
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -133,18 +177,13 @@ object StoreInventory {
     val empty = ledger.listStemsFlat(markerDir, ".empty")
     val committed = ledger.doneTimesFlat(markerDir)
       .toSeq.filterNot(kv => empty.contains(kv._1)).sortBy(_._1)
-    val rows = families.flatMap { case (fam, t) =>
-      if (!spark.catalog.tableExists(t)) Seq(fam -> "(absent)")
-      else {
-        val ps = spark.sql(s"SHOW PARTITIONS $t").collect()
-          .map(_.getString(0).stripPrefix("ds=")).toSeq
+    val rows = families.flatMap { e =>
+      val fam = e.family
+      resolve(spark, e).fold(Seq(fam -> "(absent)")) { case (ps, root) =>
         val plain = ps.filterNot(p =>
           p.startsWith("c_") || p.startsWith("r_")).toSet
         val horizon = ps.filter(_.startsWith("c_"))
           .map(_.stripPrefix("c_")).maxOption
-        val root = new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog
-            .getTableMetadata(TableIdentifier(t)).location)
         val fs = root.getFileSystem(hconf)
         val expired = StoreMaintenance.expiredThroughAt(fs, root)
         var creditedDates = Set.empty[String]

@@ -596,6 +596,23 @@ object StoreMaintenance {
     (foldHorizon(spark, tables).toSeq ++
       expiredThrough(spark, tables).toSeq).maxOption
 
+  /** [[retentionHorizon]] for PATH stores (`ds=`-partitioned plain
+    * parquet): `c_*` labels from the directory listing, the expiry
+    * record from the store root — same fence semantics. */
+  def retentionHorizonPath(spark: SparkSession,
+      stores: Seq[String]): Option[String] =
+    stores.flatMap { s =>
+      val root = new org.apache.hadoop.fs.Path(s)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Nil
+      else {
+        val folds = fs.listStatus(root).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.startsWith("ds=c_"))
+          .map(_.stripPrefix("ds=c_")).toSeq
+        folds ++ expiredThroughAt(fs, root).toSeq
+      }
+    }.maxOption
+
   /** The PATH-store twin of [[consistentTable]]: a plain
     * `spark.read.parquet(store)` over the `ds=<date>` layout double-reads
     * the same crash windows (the fold's label dir lands by rename before

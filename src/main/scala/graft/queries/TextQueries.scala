@@ -2117,6 +2117,143 @@ object TextQueries {
     out.orderBy(col("qid"), col("rank"))
   }
 
+  /** q193: THE SPAN FAMILY OPERATED FROM CONFIG ALONE — the path-backed
+    * `spans` registry entry driven through [[graft.OpsMain]]: curate
+    * three dates of the documents corpus into the window-hash count
+    * store (`--STORE_DIR`-rooted plain-parquet `ds=` layout), run a
+    * maintenance window at d1 (the ADDITIVE compactPath fold — per-hash
+    * counts sum across dates, so the c_d1 label serves bit-equal), then
+    * take down the % 7 = 3 documents. A subtract family cannot delete
+    * by id alone — counts carry no doc ids — so the registration is
+    * `subtractive` (arming the cross-batch dedupe and ordering fences)
+    * and the batch's texts come from the retained drops catalog via
+    * `--CORPUS`, failing LOUD if any requested id's text aged out
+    * (silent under-subtraction is the one unrecoverable corruption).
+    * Serve = the surviving docs' span report against the post-delete
+    * store; the oracle is q163's (q101's span pipeline over the
+    * surviving corpus): green proves compact + subtract + rewrite
+    * compose from flags alone, sign-flip windows included. */
+  def q193OpsSpans(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val tmp = s"/tmp/graft_q193_${pid}_$hx"
+    Warehouse.sweepTmpOrphans("graft_q193_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    val out = try {
+      graft.Phases.timed("build") {
+        (0 until 3).foreach(d =>
+          docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+            .select("doc_id", "text")
+            .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+        val r = graft.OpsMain.run(Array("--JOB", "curate",
+          "--STORE", "unused", "--FAMILIES", "spans",
+          "--STORE_DIR", s"$tmp/store", "--ID_COL", "doc_id",
+          "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+          "--REPORTS", s"$tmp/reports"), s)
+        require(r.contains("\"processed\":[\"d0\",\"d1\",\"d2\"]"), r)
+      }
+      graft.Phases.timed("maintain") { // additive fold at d1
+        val r = graft.OpsMain.run(Array("--JOB", "maintain",
+          "--STORE", "unused", "--FAMILIES", "spans",
+          "--STORE_DIR", s"$tmp/store", "--WINDOW", "d1",
+          "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+        require(r.contains("\"maintained\":[\"spans\"]"), r)
+      }
+      graft.Phases.timed("takedown") { // subtract via the drops catalog
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+          .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+        val r = graft.OpsMain.run(Array("--JOB", "takedown",
+          "--STORE", "unused", "--FAMILIES", "spans",
+          "--STORE_DIR", s"$tmp/store", "--ID_COL", "doc_id",
+          "--CORPUS", s"$tmp/in",
+          "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
+        require(r.contains("\"processed\":[\"r0\"]"), r)
+      }
+      graft.Phases.timed("serve") {
+        graft.operators.IncrementalSpans.report(
+            docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3),
+            s"$tmp/store/spans")
+          .localCheckpoint() // eager: the store dir is deleted below
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("doc_id"))
+  }
+
+  /** q194: THE CLUSTERING FAMILY OPERATED FROM CONFIG ALONE — the
+    * path-backed `components` registry entry driven through
+    * [[graft.OpsMain]]: three dates curated (each date's slice is
+    * clustered incrementally against the accumulated signature store;
+    * candidate ENDPOINT texts re-read from the retained drops catalog —
+    * the `--IN` contract; the EDGE STORE is always built, keeping
+    * deletion possible), a maintenance window at d1 (label compaction +
+    * repmap version pruning — pure re-bins, the q149 law), then
+    * takedown of the % 7 = 3 docs — the hardest tombstone: membership
+    * is a FUNCTION of the edge set, so the pass drops signatures and
+    * touching edges and RECOMPUTES components over the survivors
+    * (edge-sized, never corpus-sized), bridge splits included. Serve =
+    * the post-delete label report; the oracle is q162's (q62's
+    * recursive closure over the surviving corpus): green proves the
+    * whole lifecycle — incremental clustering, maintenance, exact
+    * unlearning — runs from flags alone. */
+  def q194OpsComponents(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val tmp = s"/tmp/graft_q194_${pid}_$hx"
+    Warehouse.sweepTmpOrphans("graft_q194_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    val lab = try {
+      graft.Phases.timed("build") {
+        (0 until 3).foreach(d =>
+          docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+            .select("doc_id", "text")
+            .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+        val r = graft.OpsMain.run(Array("--JOB", "curate",
+          "--STORE", "unused", "--FAMILIES", "components",
+          "--STORE_DIR", s"$tmp/store", "--ID_COL", "doc_id",
+          "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+          "--REPORTS", s"$tmp/reports"), s)
+        require(r.contains("\"processed\":[\"d0\",\"d1\",\"d2\"]"), r)
+      }
+      graft.Phases.timed("maintain") {
+        val r = graft.OpsMain.run(Array("--JOB", "maintain",
+          "--STORE", "unused", "--FAMILIES", "components",
+          "--STORE_DIR", s"$tmp/store", "--WINDOW", "d1",
+          "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+        require(r.contains("\"audited\":[\"components\"]"), r)
+      }
+      graft.Phases.timed("takedown") {
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+          .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+        val r = graft.OpsMain.run(Array("--JOB", "takedown",
+          "--STORE", "unused", "--FAMILIES", "components",
+          "--STORE_DIR", s"$tmp/store",
+          "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
+        require(r.contains("\"processed\":[\"r0\"]"), r)
+      }
+      graft.Phases.timed("serve") {
+        graft.operators.IncrementalComponents
+          .currentLabels(s, s"$tmp/store/components_labels",
+            s"$tmp/store/components_repmap")
+          .localCheckpoint()
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val siz = lab.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+    val report = lab.join(siz, Seq("component"))
+      .select(col("id").as("doc_id"), col("component"),
+        col("csize").cast("bigint").as("component_size"),
+        (col("id") === col("component")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint() // eager: lab freed before the caller reads
+    graft.operators.Components.freeLocalCheckpoint(lab)
+    report
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

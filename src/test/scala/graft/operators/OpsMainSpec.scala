@@ -195,6 +195,71 @@ class OpsMainSpec extends SparkSpec {
     } finally dropV()
   }
 
+  test("path families from flags: STORE_DIR/CORPUS refusals, aged-out text refusal, and path-store inventory") {
+    val tmp = Files.createTempDirectory("opsmain-path").toString
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    (0 until 2).foreach(d => docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+      .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+
+    // path-backed families refuse to run without a store root
+    val ex = intercept[IllegalArgumentException] {
+      OpsMain.run(Array("--JOB", "curate", "--STORE", "u",
+        "--FAMILIES", "spans", "--ID_COL", "doc_id",
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/m0",
+        "--REPORTS", s"$tmp/r0"), spark)
+    }
+    assert(ex.getMessage.contains("STORE_DIR"), ex.getMessage)
+
+    val c1 = OpsMain.run(Array("--JOB", "curate", "--STORE", "u",
+      "--FAMILIES", "spans,components", "--STORE_DIR", s"$tmp/store",
+      "--ID_COL", "doc_id", "--IN", s"$tmp/in",
+      "--MARKERS", s"$tmp/curmarkers", "--REPORTS", s"$tmp/reports"),
+      spark)
+    assert(c1.contains(""""processed":["d0","d1"]"""), c1)
+
+    // inventory covers the path stores; the detectors judge only the
+    // marker-implied subset (components' labels/edges skip
+    // no-new-cluster dates by design)
+    val inv = OpsMain.run(Array("--JOB", "inventory", "--STORE", "u",
+      "--FAMILIES", "spans,components", "--STORE_DIR", s"$tmp/store",
+      "--LEDGER", s"$tmp/curmarkers"), spark)
+    assert(inv.contains(""""family":"spans_counts"""") &&
+      inv.contains(""""family":"components_sigs"""") &&
+      inv.contains(""""missing":[]"""), inv)
+    // a hand-dropped date in a PATH store is named by the detector
+    val fsys = new org.apache.hadoop.fs.Path(s"$tmp/store")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(
+      s"$tmp/store/components_sigs/ds=d1"), true)
+    val inv2 = OpsMain.run(Array("--JOB", "inventory", "--STORE", "u",
+      "--FAMILIES", "components", "--STORE_DIR", s"$tmp/store",
+      "--LEDGER", s"$tmp/curmarkers"), spark)
+    assert(inv2.contains("""{"family":"components_sigs","ds":"d1"}"""),
+      inv2)
+
+    // spans takedown refuses without the corpus catalog…
+    docs.filter(pmod(col("doc_id"), lit(7L)) === 3)
+      .filter(pmod(col("doc_id"), lit(3L)) < 2).select("doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+    val ex2 = intercept[IllegalArgumentException] {
+      OpsMain.run(Array("--JOB", "takedown", "--STORE", "u",
+        "--FAMILIES", "spans", "--STORE_DIR", s"$tmp/store",
+        "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdm"), spark)
+    }
+    assert(ex2.getMessage.contains("CORPUS"), ex2.getMessage)
+    // …and FAILS LOUD when a requested id's text aged out of it
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$tmp/in/d1.parquet"), true)
+    val ex3 = intercept[IllegalArgumentException] {
+      OpsMain.run(Array("--JOB", "takedown", "--STORE", "u",
+        "--FAMILIES", "spans", "--STORE_DIR", s"$tmp/store",
+        "--ID_COL", "doc_id", "--CORPUS", s"$tmp/in",
+        "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdm"), spark)
+    }
+    assert(ex3.getMessage.contains("aged-out") ||
+      ex3.getMessage.contains("have texts"), ex3.getMessage)
+  }
+
   test("loud refusals: semantic without SEM_HORIZON; half a suppression feed") {
     val tmp = Files.createTempDirectory("opsmain-cfg").toString
     val base = "opsm_b"
