@@ -58,11 +58,18 @@ object OpsMain {
     val job = a("JOB")
     require(job != null,
       "JOB is required: curate | takedown | maintain | inventory")
-    val store = a("STORE")
-    require(store != null,
-      "STORE is required (the table-name prefix for the family stores)")
+    // table families key their table names on --STORE; the path
+    // families (spans, components) key on --STORE_DIR — STORE is
+    // required exactly when a table-backed family is requested (an
+    // empty prefix would silently share table names across stores)
+    val store = a("STORE", "")
     val fams = a("FAMILIES", "postings").split(",")
       .map(_.trim).filter(_.nonEmpty).toSeq
+    val pathFams = Set("spans", "components")
+    require(store.nonEmpty || fams.forall(pathFams.contains),
+      "STORE is required (the table-name prefix) for table-backed " +
+        "families; purely path-backed invocations (spans, components) " +
+        "may give --STORE_DIR alone")
 
     job match {
       case "curate" =>

@@ -95,7 +95,9 @@ object OpsFamilies {
   /** Inventory view: (label, table) per backing per-date TABLE. The
     * semantic `_cfg` table is model state (no `ds` partitions) and is
     * deliberately absent. Path families live in [[stores]]. */
-  def tables(store: String, fam: String): Seq[(String, String)] =
+  def tables(store: String, fam: String): Seq[(String, String)] = {
+    require(store.nonEmpty,
+      s"family '$fam' is table-backed — pass --STORE <table-name prefix>")
     fam match {
       case "postings" => Seq(s"${fam}_tf" -> s"${store}_post",
         s"${fam}_norms" -> s"${store}_post_dl")
@@ -112,6 +114,7 @@ object OpsFamilies {
           "postings, minhash, semantic, vectors (path families go " +
           "through stores())")
     }
+  }
 
   /** Full inventory view over ALL families — table AND path entries
     * (the HELD view: [[StoreInventory.datesOf]] lists whatever exists). */

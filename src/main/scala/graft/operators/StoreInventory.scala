@@ -61,9 +61,15 @@ object StoreInventory {
       families: Seq[(String, String)]): DataFrame =
     datesOf(spark, families.map(f => Entry(f._1, f._2)))
 
-  /** [[dates]] over mixed table/path entries. */
+  /** [[dates]] over mixed table/path entries. A path store whose root
+    * exists but holds no `ds=` partition yet (a dir created by a
+    * zero-row dynamic-overwrite write) contributes no rows rather than
+    * a schema-inference failure. */
   def datesOf(spark: SparkSession, families: Seq[Entry]): DataFrame = {
-    val present = families.filter(e => resolve(spark, e).isDefined)
+    val present = families.filter(e => resolve(spark, e) match {
+      case None => false
+      case Some((ps, _)) => !e.path || ps.nonEmpty
+    })
     require(present.nonEmpty,
       s"none of the inventory stores exist: ${families.map(_.store).mkString(", ")}")
     present.map { e =>

@@ -2149,7 +2149,7 @@ object TextQueries {
             .select("doc_id", "text")
             .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
         val r = graft.OpsMain.run(Array("--JOB", "curate",
-          "--STORE", "unused", "--FAMILIES", "spans",
+          "--FAMILIES", "spans",
           "--STORE_DIR", s"$tmp/store", "--ID_COL", "doc_id",
           "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
           "--REPORTS", s"$tmp/reports"), s)
@@ -2157,7 +2157,7 @@ object TextQueries {
       }
       graft.Phases.timed("maintain") { // additive fold at d1
         val r = graft.OpsMain.run(Array("--JOB", "maintain",
-          "--STORE", "unused", "--FAMILIES", "spans",
+          "--FAMILIES", "spans",
           "--STORE_DIR", s"$tmp/store", "--WINDOW", "d1",
           "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
         require(r.contains("\"maintained\":[\"spans\"]"), r)
@@ -2166,7 +2166,7 @@ object TextQueries {
         docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
           .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
         val r = graft.OpsMain.run(Array("--JOB", "takedown",
-          "--STORE", "unused", "--FAMILIES", "spans",
+          "--FAMILIES", "spans",
           "--STORE_DIR", s"$tmp/store", "--ID_COL", "doc_id",
           "--CORPUS", s"$tmp/in",
           "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
@@ -2214,7 +2214,7 @@ object TextQueries {
             .select("doc_id", "text")
             .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
         val r = graft.OpsMain.run(Array("--JOB", "curate",
-          "--STORE", "unused", "--FAMILIES", "components",
+          "--FAMILIES", "components",
           "--STORE_DIR", s"$tmp/store", "--ID_COL", "doc_id",
           "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
           "--REPORTS", s"$tmp/reports"), s)
@@ -2222,7 +2222,7 @@ object TextQueries {
       }
       graft.Phases.timed("maintain") {
         val r = graft.OpsMain.run(Array("--JOB", "maintain",
-          "--STORE", "unused", "--FAMILIES", "components",
+          "--FAMILIES", "components",
           "--STORE_DIR", s"$tmp/store", "--WINDOW", "d1",
           "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
         require(r.contains("\"audited\":[\"components\"]"), r)
@@ -2231,7 +2231,7 @@ object TextQueries {
         docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
           .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
         val r = graft.OpsMain.run(Array("--JOB", "takedown",
-          "--STORE", "unused", "--FAMILIES", "components",
+          "--FAMILIES", "components",
           "--STORE_DIR", s"$tmp/store",
           "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
         require(r.contains("\"processed\":[\"r0\"]"), r)
