@@ -393,9 +393,14 @@ object OpsFamilies {
         // own protocols, window-unique gens, crash-resume pinned in
         // OpsMainSpec
         maintain = (sp, w) => {
-          IncrementalVectors.maintainPolicy(sp, s"${store}_vec", w,
+          val acts = IncrementalVectors.maintainPolicy(sp,
+            s"${store}_vec", w,
             maxCellRows = vecMaxCellRows, psiRefit = vecPsiRefit)
-          ()
+          // O17: the policy's ACTS are store mutations — one structured
+          // line each, so the window's log says what fired and why
+          acts.foreach(a => println(
+            s"""{"event":"vec_policy","store":"${store}_vec",""" +
+              s""""window":"$w","action":"$a"}"""))
         },
         expire = expireAll(Seq(s"${store}_vec_codes",
           s"${store}_vec_cells")),
