@@ -18,13 +18,20 @@ import org.apache.spark.sql.SparkSession
   * split engine's main uses). One JSON summary line per job (O15/O17).
   *
   * Jobs (common: `--STORE` table-name prefix, `--FAMILIES` csv from
-  * `postings | minhash | semantic | vectors`, default `postings`):
+  * `postings | minhash | semantic | vectors | sq8 | matryoshka |
+  * maxsim | langmodel | spans | components`, default `postings`;
+  * `spans`/`components`/`langmodel` are path-backed under
+  * `--STORE_DIR`):
   *   - `--JOB curate --IN drops/ --MARKERS m/ --REPORTS r/
   *      [--REQUESTS req/ --TD_MARKERS tdm/]   ← the suppression feed
   *      [--ID_COL id] [--TEXT_COL text] [--VEC_COL embedding]
+  *      [--LANG_COL lang]                     ← langmodel's label col
   *      [--PAIR_THRESHOLD 0.5] [--SEM_THRESHOLD 0.9] [--SEM_HORIZON n]
-  *      [--VEC_CELLS n]                       ← vectors init capacity
-  *   - `--JOB takedown --REQUESTS req/ --TD_MARKERS tdm/`
+  *      [--VEC_CELLS n]               ← vectors/maxsim init capacity
+  *      [--MAT_CELLS n] [--MAT_PDIM 16]     ← matryoshka init shape
+  *   - `--JOB takedown --REQUESTS req/ --TD_MARKERS tdm/
+  *      [--CORPUS drops/]   ← spans/langmodel subtract from the texts
+  *      [--TOKENS_PER_DOC 8]          ← maxsim's doc→token expansion`
   *   - `--JOB maintain --WINDOW d --M_MARKERS mm/ --AUDITS a/
   *      [--RETAIN cutoff | --RETAIN_AT_WINDOW true]
   *      [--VEC_PSI_REFIT bar] [--VEC_MAX_CELL_ROWS n]` ← vectors policy
@@ -65,7 +72,7 @@ object OpsMain {
     val store = a("STORE", "")
     val fams = a("FAMILIES", "postings").split(",")
       .map(_.trim).filter(_.nonEmpty).toSeq
-    val pathFams = Set("spans", "components")
+    val pathFams = Set("spans", "components", "langmodel")
     require(store.nonEmpty || fams.forall(pathFams.contains),
       "STORE is required (the table-name prefix) for table-backed " +
         "families; purely path-backed invocations (spans, components) " +
@@ -91,7 +98,10 @@ object OpsMain {
           a("SEM_THRESHOLD", "0.9").toDouble,
           a("SEM_HORIZON", "0").toLong,
           a("VEC_CELLS", "0").toInt,
-          storeDir = a("STORE_DIR", ""), inDir = in))
+          storeDir = a("STORE_DIR", ""), inDir = in,
+          matCells = a("MAT_CELLS", "0").toInt,
+          matPDim = a("MAT_PDIM", "16").toInt,
+          langCol = a("LANG_COL", "lang")))
         val s = new CurateJob(spark, CurateConfig(a("KIND", "curate"),
           in, markers, reports, cfams,
           suppressIds =
@@ -108,22 +118,27 @@ object OpsMain {
         val req = a("REQUESTS"); val tdm = a("TD_MARKERS")
         require(req != null && tdm != null,
           "REQUESTS and TD_MARKERS are required for takedown")
-        // the spans family subtracts deleted documents' own counts —
-        // --CORPUS names the retained drops catalog their texts come
-        // from (flat, one multi-path scan; columns via ID_COL/TEXT_COL)
+        // the subtract families remove deleted documents' own
+        // contributions — --CORPUS names the retained drops catalog
+        // their texts come from (flat, one multi-path scan; columns via
+        // ID_COL/TEXT_COL, plus LANG_COL when the langmodel family's
+        // exact unlearning needs the labels too)
         val corpus = Option(a("CORPUS")).map { dir =>
           val prefix = graft.split.PathOps.normalizePrefix(dir)
           val p = new org.apache.hadoop.fs.Path(prefix)
           val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val drops = fsys.listStatus(p).map(_.getPath.toString)
             .filter(_.endsWith(".parquet")).toSeq
-          spark.read.parquet(drops: _*)
-            .select(a("ID_COL", "id"), a("TEXT_COL", "text"))
+          val cols = Seq(a("ID_COL", "id"), a("TEXT_COL", "text")) ++
+            (if (fams.contains("langmodel")) Seq(a("LANG_COL", "lang"))
+             else Seq.empty)
+          spark.read.parquet(drops: _*).select(cols.head, cols.tail: _*)
         }
         val s = new TakedownJob(spark, TakedownConfig(a("KIND", "td"),
           req, tdm, fams.map(f =>
             OpsFamilies.takedown(spark, store, f,
-              storeDir = a("STORE_DIR", ""), corpus = corpus)))).run()
+              storeDir = a("STORE_DIR", ""), corpus = corpus,
+              tokensPerDoc = a("TOKENS_PER_DOC", "8").toInt)))).run()
         val applied = s.idsApplied.toSeq.sorted
           .map { case (d, n) => q(d) + ":" + n }.mkString("{", ",", "}")
         s"""{"job":"takedown","kind":${q(s.kind)},""" +

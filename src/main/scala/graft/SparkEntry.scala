@@ -217,6 +217,10 @@ object SparkEntry {
     "q192_drift_policy" -> (TextQueries.q192DriftPolicy _),
     "q193_ops_spans" -> (TextQueries.q193OpsSpans _),
     "q194_ops_components" -> (TextQueries.q194OpsComponents _),
+    "q195_ops_sq8" -> (TextQueries.q195OpsSq8 _),
+    "q196_ops_langmodel" -> (TextQueries.q196OpsLangModel _),
+    "q197_ops_maxsim" -> (TextQueries.q197OpsMaxSim _),
+    "q198_ops_matryoshka" -> (TextQueries.q198OpsMatryoshka _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3824,6 +3828,39 @@ object SparkEntry {
         |  l.id = l.component AS is_canonical
         |FROM lab l JOIN siz s USING (component)
         |ORDER BY doc_id""".stripMargin,
+
+    // q195: the SQ8 family's triad from OpsMain flags — grid frozen at
+    // d0's slice (init-on-demand, no capacity flag: the grid is the
+    // slice's per-dim min/max), %7=3 deleted by the id-keyed rewrite
+    // and kept out by the feed on the d2 re-crawl; the final store
+    // equals q164's, so the oracle is q164's verbatim
+    "q195_ops_sq8" -> sq8StoreSqlCand("id % 7 <> 3"),
+
+    // q196: the NB model's lifecycle from OpsMain flags — additive
+    // folds + corpus-fed exact unlearning must leave exactly the model
+    // a from-scratch train over the survivors fits, scored over the
+    // survivors: q166's oracle verbatim
+    "q196_ops_langmodel" -> nbLangArgmaxSqlFrom("keepdocs",
+      prelude =
+        "keepdocs AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),\n"),
+
+    // q197: the late-interaction family's triad from OpsMain flags —
+    // token store frozen at d0's slice, the takedown expanding DOC ids
+    // to token ids before the rewrite; both serve stages read only
+    // survivors, so the oracle is q173's verbatim
+    "q197_ops_maxsim" -> maxSimStoreSqlCand("(a.id // 8) % 7 <> 3"),
+
+    // q198: the matryoshka family's triad from OpsMain flags — prefix
+    // quantizer frozen at d0 (assignment and probing on the 16-dim
+    // prefix, re-rank full-dimension), %7=3 deleted: q157's
+    // deterministic replay with the deleted candidates excluded
+    "q198_ops_matryoshka" ->
+      s"""WITH $embNormCte,
+         |$fnvMapCte,
+         |${ivfDetCtesFit("vec_id % 3 = 0", "a.id % 7 <> 3", adim = 16)}
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
+         |FROM vs WHERE rank <= 3
+         |ORDER BY qid, rank""".stripMargin,
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

@@ -2254,6 +2254,280 @@ object TextQueries {
     report
   }
 
+  /** q195: THE SQ8 FAMILY OPERATED FROM CONFIG ALONE — the scalar index
+    * joins the registry: curate d0+d1 of the embeddings corpus
+    * (INIT-ON-DEMAND at d0 — the grid is the init slice's per-dimension
+    * min/max, the one frozen model with NO capacity hyperparameter, so
+    * no declared-capacity flag), a maintenance window at d1 (the pure
+    * re-bin code fold, q156's law, plus the per-date SATURATION audit —
+    * q154's drift signal served from the store's own rows), takedown of
+    * the % 7 = 3 vectors (the marker-committed id-keyed rewrite), then
+    * a d2 that re-delivers taken-down ids, suppressed by the feed.
+    * Serve = the asymmetric reconstruct-rank for queries vec_id < 10;
+    * the oracle is q164's (d0-frozen grid, candidates minus the
+    * requested ids): green proves the CLI wiring loses nothing over the
+    * hand-written lifecycle for the third index family. */
+  def q195OpsSq8(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q195_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q195_${pid}_$hx"
+    val tbls = Seq(s"${base}_sq_grid", s"${base}_sq_grid_prev",
+      s"${base}_sq_codes")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q195_p")
+    Warehouse.sweepTmpOrphans("graft_q195_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val emb = Tables.load(s, dir, "embeddings")
+    val curateArgs = Array("--JOB", "curate", "--STORE", base,
+      "--FAMILIES", "sq8", "--ID_COL", "vec_id",
+      "--VEC_COL", "embedding",
+      "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+      "--REPORTS", s"$tmp/reports",
+      "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers")
+    graft.Phases.timed("ingest1") { // d0 inits the grid on its own slice
+      (0 until 2).foreach(d =>
+        emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+          .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val r = graft.OpsMain.run(curateArgs, s)
+      require(r.contains("\"processed\":[\"d0\",\"d1\"]"), r)
+    }
+    graft.Phases.timed("maintain") { // re-bin fold + saturation audit
+      val r = graft.OpsMain.run(Array("--JOB", "maintain",
+        "--STORE", base, "--FAMILIES", "sq8", "--WINDOW", "d1",
+        "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+      require(r.contains("\"maintained\":[\"sq8\"]") &&
+        r.contains("\"audited\":[\"sq8\"]"), r)
+    }
+    graft.Phases.timed("takedown") {
+      emb.filter(pmod(col("vec_id"), lit(7L)) === 3).select("vec_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      val r = graft.OpsMain.run(Array("--JOB", "takedown",
+        "--STORE", base, "--FAMILIES", "sq8",
+        "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
+      require(r.contains("\"processed\":[\"r0\"]"), r)
+    }
+    graft.Phases.timed("ingest2") { // d2 re-delivers %7=3 — suppressed
+      emb.filter(pmod(col("vec_id"), lit(3L)) === 2)
+        .write.mode("overwrite").parquet(s"$tmp/in/d2.parquet")
+      val r = graft.OpsMain.run(curateArgs, s)
+      require(r.contains("\"processed\":[\"d2\"]"), r)
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.IncrementalSQ
+        .search(s, s"${base}_sq", emb.filter(col("vec_id") < 10))
+        .localCheckpoint() // eager: tables dropped before caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("qid"), col("rank"))
+  }
+
+  /** q196: THE NB LANGUAGE MODEL OPERATED FROM CONFIG ALONE — the
+    * path-backed `langmodel` registry entry driven through
+    * [[graft.OpsMain]]: three dates of labeled documents curated into
+    * the additive trigram-count + prior store (`--LANG_COL` names the
+    * label column — the one curate input the other families don't
+    * read), a maintenance window at d1 (the additive compactPath folds
+    * — counts sum per (cand, tri), priors per cand, so the compacted
+    * model scores bit-equal — plus the model-shape audit), then
+    * takedown of the % 7 = 3 documents: EXACT UNLEARNING, the decrement
+    * that reaches the MODEL itself, fed texts AND labels from the
+    * retained drops catalog via `--CORPUS` and failing LOUD on an
+    * aged-out id (the subtract-family rule; the registration arms the
+    * cross-batch dedupe fences). Serve = the surviving docs scored
+    * against the unlearned accumulated model; the oracle is q166's (a
+    * from-scratch NB train over the survivors, vocabulary and candidate
+    * set shrink included): green proves decrement-IS-retraining holds
+    * when every step is a flag, not an operator call. */
+  def q196OpsLangModel(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val tmp = s"/tmp/graft_q196_${pid}_$hx"
+    Warehouse.sweepTmpOrphans("graft_q196_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val docs = Tables.load(s, dir, "documents")
+    val out = try {
+      graft.Phases.timed("build") {
+        (0 until 3).foreach(d =>
+          docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+            .select("doc_id", "text", "lang")
+            .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+        val r = graft.OpsMain.run(Array("--JOB", "curate",
+          "--FAMILIES", "langmodel",
+          "--STORE_DIR", s"$tmp/store", "--ID_COL", "doc_id",
+          "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+          "--REPORTS", s"$tmp/reports"), s)
+        require(r.contains("\"processed\":[\"d0\",\"d1\",\"d2\"]"), r)
+      }
+      graft.Phases.timed("maintain") { // additive folds at d1 + audit
+        val r = graft.OpsMain.run(Array("--JOB", "maintain",
+          "--FAMILIES", "langmodel",
+          "--STORE_DIR", s"$tmp/store", "--WINDOW", "d1",
+          "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+        require(r.contains("\"maintained\":[\"langmodel\"]") &&
+          r.contains("\"audited\":[\"langmodel\"]"), r)
+      }
+      graft.Phases.timed("takedown") { // unlearn via the drops catalog
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3).select("doc_id")
+          .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+        val r = graft.OpsMain.run(Array("--JOB", "takedown",
+          "--FAMILIES", "langmodel",
+          "--STORE_DIR", s"$tmp/store", "--ID_COL", "doc_id",
+          "--CORPUS", s"$tmp/in",
+          "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
+        require(r.contains("\"processed\":[\"r0\"]"), r)
+      }
+      graft.Phases.timed("serve") {
+        val kept = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3)
+        val (model, priors) = graft.operators.IncrementalLangModel
+          .model(s, s"$tmp/store/langmodel")
+        nbArgmax(kept, nbScoresAgainst(kept, model, priors,
+            priors.agg(sum(col("ndl")).as("nd"))))
+          .localCheckpoint() // eager: the store dir is deleted below
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("doc_id"))
+  }
+
+  /** q197: THE LATE-INTERACTION FAMILY OPERATED FROM CONFIG ALONE — the
+    * `maxsim` registry entry: the token store is an [[graft.operators
+    * .IncrementalVectors]] store over PER-TOKEN vectors (q171/q173's
+    * serving substrate; `--VEC_CELLS` capacity law at d0), and the
+    * registration's own semantics is the TAKEDOWN — erasure requests
+    * name DOCUMENTS while the store holds TOKENS, so the family expands
+    * each requested doc id to its `--TOKENS_PER_DOC` token ids before
+    * the q161-style dual rewrite: one flag-driven batch removes every
+    * token vector of the % 7 = 3 documents. A maintenance window at d1
+    * runs the shared occupancy/drift audit (policy unarmed). Serve =
+    * the q171 stack with BOTH stages reading only survivors — per-token
+    * IVF nomination through the post-delete lists, exact MaxSim re-rank
+    * gathered from the store's own cell rows; the oracle is q173's
+    * (frozen-model pipeline with deleted candidates excluded): green
+    * proves a document taken down BY DOC ID can never be retrieved or
+    * scored through the late-interaction path. */
+  def q197OpsMaxSim(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q197_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q197_${pid}_$hx"
+    val tbls = Seq("_tok_cb", "_tok_ctr", "_tok_ctr_next", "_tok_codes",
+      "_tok_cells", "_tok_map").map(base + _)
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q197_p")
+    Warehouse.sweepTmpOrphans("graft_q197_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.Phases.timed("build") { // d0 = the fit slice (init-on-demand)
+      (0 until 3).foreach(d =>
+        emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+          .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val r = graft.OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+        "--FAMILIES", "maxsim", "--ID_COL", "vec_id",
+        "--VEC_COL", "embedding", "--VEC_CELLS", "16",
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+        "--REPORTS", s"$tmp/reports"), s)
+      require(r.contains("\"processed\":[\"d0\",\"d1\",\"d2\"]"), r)
+    }
+    graft.Phases.timed("maintain") { // audit-only window (policy unarmed)
+      val r = graft.OpsMain.run(Array("--JOB", "maintain",
+        "--STORE", base, "--FAMILIES", "maxsim", "--WINDOW", "d1",
+        "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+      require(r.contains("\"audited\":[\"maxsim\"]"), r)
+    }
+    graft.Phases.timed("takedown") { // DOC ids in, token rewrite out
+      emb.filter(expr("(vec_id div 8) % 7 = 3"))
+        .select(expr("vec_id div 8").as("doc")).distinct()
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      val r = graft.OpsMain.run(Array("--JOB", "takedown",
+        "--STORE", base, "--FAMILIES", "maxsim",
+        "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
+      require(r.contains("\"processed\":[\"r0\"]"), r)
+    }
+    val out = graft.Phases.timed("serve") {
+      val storeTok = graft.operators.IncrementalStore
+        .consistentScan(s, s"${base}_tok_cells")
+        .select(expr("id div 8").as("doc"),
+          pmod(col("id"), lit(8)).cast("int").as("pos"),
+          col("e").as("emb"), col("n").as("nrm"))
+      maxSimStoreServe(s, s"${base}_tok", emb.filter(col("vec_id") < 24),
+          storeTok)
+        .localCheckpoint() // eager: tables dropped before caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("qdoc"), col("rank"))
+  }
+
+  /** q198: THE MATRYOSHKA FAMILY OPERATED FROM CONFIG ALONE — the
+    * two-stage prefix index joins the registry: curate d0–d2 (the
+    * prefix quantizer freezes its cell count AND width at d0 under
+    * `--MAT_CELLS`/`--MAT_PDIM`; on every later append the width is
+    * derived FROM the persisted centroid table, so a mismatched flag
+    * cannot silently assign by the wrong prefix), a maintenance window
+    * at d1 (pure re-bin cell fold + the shared occupancy/drift audit —
+    * [[graft.operators.IncrementalVectors]]' audit pair reads any
+    * `_cells`+`_ctr` store), takedown of the % 7 = 3 vectors. Serve =
+    * the two-stage top-3 (prefix probe, full-dimension re-rank) over
+    * the survivors; the oracle is q157's deterministic-IVF replay with
+    * the deleted candidates excluded: green proves the cheap-stage-1 /
+    * exact-stage-2 index is operable — and erasable — from flags
+    * alone. */
+  def q198OpsMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q198_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q198_${pid}_$hx"
+    val tbls = Seq(s"${base}_mat_ctr", s"${base}_mat_cells")
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q198_p")
+    Warehouse.sweepTmpOrphans("graft_q198_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val emb = Tables.load(s, dir, "embeddings")
+    graft.Phases.timed("build") { // d0 freezes the prefix quantizer
+      (0 until 3).foreach(d =>
+        emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+          .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val r = graft.OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+        "--FAMILIES", "matryoshka", "--ID_COL", "vec_id",
+        "--VEC_COL", "embedding", "--MAT_CELLS", "16",
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+        "--REPORTS", s"$tmp/reports"), s)
+      require(r.contains("\"processed\":[\"d0\",\"d1\",\"d2\"]"), r)
+    }
+    graft.Phases.timed("maintain") { // re-bin fold + occ/drift audit
+      val r = graft.OpsMain.run(Array("--JOB", "maintain",
+        "--STORE", base, "--FAMILIES", "matryoshka", "--WINDOW", "d1",
+        "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+      require(r.contains("\"maintained\":[\"matryoshka\"]") &&
+        r.contains("\"audited\":[\"matryoshka\"]"), r)
+    }
+    graft.Phases.timed("takedown") {
+      emb.filter(pmod(col("vec_id"), lit(7L)) === 3).select("vec_id")
+        .write.mode("overwrite").parquet(s"$tmp/req/r0.parquet")
+      val r = graft.OpsMain.run(Array("--JOB", "takedown",
+        "--STORE", base, "--FAMILIES", "matryoshka",
+        "--REQUESTS", s"$tmp/req", "--TD_MARKERS", s"$tmp/tdmarkers"), s)
+      require(r.contains("\"processed\":[\"r0\"]"), r)
+    }
+    val out = graft.Phases.timed("serve") {
+      graft.operators.Matryoshka
+        .search(s, s"${base}_mat", emb.filter(col("vec_id") < 10))
+        .localCheckpoint() // eager: tables dropped before caller's action
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("qid"), col("rank"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

@@ -260,6 +260,150 @@ class OpsMainSpec extends SparkSpec {
       ex3.getMessage.contains("have texts"), ex3.getMessage)
   }
 
+  test("index families from flags: sq8 init-on-demand, matryoshka width-from-model, maxsim doc→token takedown, langmodel unlearn wiring") {
+    val tmp = Files.createTempDirectory("opsmain-idx").toString
+    val base = "opsm_i"
+    val itbls = Seq("_sq_grid", "_sq_grid_prev", "_sq_codes",
+      "_mat_ctr", "_mat_cells", "_tok_cb", "_tok_ctr", "_tok_ctr_next",
+      "_tok_codes", "_tok_cells", "_tok_map")
+    def dropI(): Unit =
+      itbls.foreach(s => spark.sql(s"DROP TABLE IF EXISTS $base$s"))
+    dropI()
+    try {
+      val emb = Tables.load(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      (0 until 2).foreach(d => emb.filter(pmod(col("vec_id"), lit(3L)) === d)
+        .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+
+      // sq8: NO capacity flag — the grid has no size hyperparameter, so
+      // init-on-demand must succeed bare (contrast: vectors/semantic)
+      val c1 = OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+        "--FAMILIES", "sq8", "--ID_COL", "vec_id",
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/sqm",
+        "--REPORTS", s"$tmp/sqr"), spark)
+      assert(c1.contains(""""processed":["d0","d1"]"""), c1)
+      assert(spark.catalog.tableExists(s"${base}_sq_grid"),
+        "first curate run must init the frozen grid")
+
+      // matryoshka: the frozen-shape law — refuse without MAT_CELLS…
+      val exM = intercept[IllegalArgumentException] {
+        OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+          "--FAMILIES", "matryoshka", "--ID_COL", "vec_id",
+          "--IN", s"$tmp/in", "--MARKERS", s"$tmp/mm0",
+          "--REPORTS", s"$tmp/mr0"), spark)
+      }
+      assert(exM.getMessage.contains("MAT_CELLS"), exM.getMessage)
+      // …then init at d0 and append d1 under a WRONG --MAT_PDIM: the
+      // width must come FROM the persisted centroids (16), so d1's
+      // assignment equals a hand assignment at the true width
+      val matArgs = (pd: String) => Array("--JOB", "curate",
+        "--STORE", base, "--FAMILIES", "matryoshka",
+        "--ID_COL", "vec_id", "--MAT_CELLS", "8", "--MAT_PDIM", pd,
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/matm",
+        "--REPORTS", s"$tmp/matr")
+      emb.filter(pmod(col("vec_id"), lit(3L)) === 0).limit(200)
+        .write.mode("overwrite").parquet(s"$tmp/in/d0.parquet")
+      val cM0 = OpsMain.run(matArgs("16"), spark)
+      assert(cM0.contains(""""processed":["d0","d1"]"""), cM0)
+      // marker-delete reprocess of d1 ONLY, under the mismatched flag
+      spark.sql(s"ALTER TABLE ${base}_mat_cells DROP PARTITION (ds='d1')")
+      val mfs = new org.apache.hadoop.fs.Path(s"$tmp/matm")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      mfs.delete(new org.apache.hadoop.fs.Path(s"$tmp/matm/d1.json"), false)
+      val cM1 = OpsMain.run(matArgs("32"), spark) // mismatched later flag
+      assert(cM1.contains(""""processed":["d1"]"""), cM1)
+      val d1Slice = emb.filter(pmod(col("vec_id"), lit(3L)) === 1)
+      val expected = KMeans.assign(
+        d1Slice.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding")),
+        spark.table(s"${base}_mat_ctr"))
+        .select(col("id"), col("cid").as("cell"))
+      val got = spark.table(s"${base}_mat_cells")
+        .filter(col("ds") === "d1").select(col("id"), col("cell"))
+      assert(got.exceptAll(expected).isEmpty &&
+        expected.exceptAll(got).isEmpty,
+        "a mismatched --MAT_PDIM must not change the assignment — the " +
+          "width is derived from the persisted centroid table")
+
+      // maxsim: the VEC_CELLS law applies to the token store too…
+      val exT = intercept[IllegalArgumentException] {
+        OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+          "--FAMILIES", "maxsim", "--ID_COL", "vec_id",
+          "--IN", s"$tmp/in", "--MARKERS", s"$tmp/tm0",
+          "--REPORTS", s"$tmp/tr0"), spark)
+      }
+      assert(exT.getMessage.contains("VEC_CELLS"), exT.getMessage)
+      val cT = OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+        "--FAMILIES", "maxsim", "--ID_COL", "vec_id",
+        "--VEC_CELLS", "8",
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/tokm",
+        "--REPORTS", s"$tmp/tokr"), spark)
+      assert(cT.contains(""""processed":["d0","d1"]"""), cT)
+      // …and takedown expands DOC ids to the 8 token ids each: doc 2
+      // owns token ids 16–23; nothing else may go
+      val before = spark.table(s"${base}_tok_cells")
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      spark.range(2, 3).select(col("id").as("doc"))
+        .write.mode("overwrite").parquet(s"$tmp/tokreq/r0.parquet")
+      val tT = OpsMain.run(Array("--JOB", "takedown", "--STORE", base,
+        "--FAMILIES", "maxsim", "--TOKENS_PER_DOC", "8",
+        "--REQUESTS", s"$tmp/tokreq", "--TD_MARKERS", s"$tmp/toktdm"),
+        spark)
+      assert(tT.contains(""""processed":["r0"]"""), tT)
+      val after = spark.table(s"${base}_tok_cells")
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(after == before.filterNot(i => i >= 16 && i < 24),
+        s"doc 2 must lose exactly token ids 16–23: " +
+          s"removed=${(before -- after).toSeq.sorted}")
+
+      // langmodel: path-backed (STORE_DIR refusal) and subtractive
+      // (CORPUS refusal); the triad itself is oracle-gated as q196
+      val docs = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      (0 until 2).foreach(d =>
+        docs.filter(pmod(col("doc_id"), lit(3L)) === d)
+          .write.mode("overwrite").parquet(s"$tmp/lmin/d$d.parquet"))
+      val exL = intercept[IllegalArgumentException] {
+        OpsMain.run(Array("--JOB", "curate",
+          "--FAMILIES", "langmodel", "--ID_COL", "doc_id",
+          "--IN", s"$tmp/lmin", "--MARKERS", s"$tmp/lm0",
+          "--REPORTS", s"$tmp/lr0"), spark)
+      }
+      assert(exL.getMessage.contains("STORE_DIR"), exL.getMessage)
+      val cL = OpsMain.run(Array("--JOB", "curate",
+        "--FAMILIES", "langmodel", "--STORE_DIR", s"$tmp/lmstore",
+        "--ID_COL", "doc_id",
+        "--IN", s"$tmp/lmin", "--MARKERS", s"$tmp/lmm",
+        "--REPORTS", s"$tmp/lmr"), spark)
+      assert(cL.contains(""""processed":["d0","d1"]"""), cL)
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 3)
+        .filter(pmod(col("doc_id"), lit(3L)) < 2).select("doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/lmreq/r0.parquet")
+      val exL2 = intercept[IllegalArgumentException] {
+        OpsMain.run(Array("--JOB", "takedown",
+          "--FAMILIES", "langmodel", "--STORE_DIR", s"$tmp/lmstore",
+          "--REQUESTS", s"$tmp/lmreq", "--TD_MARKERS", s"$tmp/lmtdm"),
+          spark)
+      }
+      assert(exL2.getMessage.contains("CORPUS"), exL2.getMessage)
+      val tL = OpsMain.run(Array("--JOB", "takedown",
+        "--FAMILIES", "langmodel", "--STORE_DIR", s"$tmp/lmstore",
+        "--ID_COL", "doc_id", "--CORPUS", s"$tmp/lmin",
+        "--REQUESTS", s"$tmp/lmreq", "--TD_MARKERS", s"$tmp/lmtdm"),
+        spark)
+      assert(tL.contains(""""processed":["r0"]"""), tL)
+
+      // one inventory line covers all four new families' stores
+      val inv = OpsMain.run(Array("--JOB", "inventory", "--STORE", base,
+        "--FAMILIES", "sq8,matryoshka,maxsim,langmodel",
+        "--STORE_DIR", s"$tmp/lmstore"), spark)
+      assert(inv.contains(""""family":"sq8_codes"""") &&
+        inv.contains(""""family":"matryoshka_cells"""") &&
+        inv.contains(""""family":"maxsim_cells"""") &&
+        inv.contains(""""family":"langmodel_tri""""), inv)
+    } finally dropI()
+  }
+
   test("loud refusals: semantic without SEM_HORIZON; half a suppression feed") {
     val tmp = Files.createTempDirectory("opsmain-cfg").toString
     val base = "opsm_b"
