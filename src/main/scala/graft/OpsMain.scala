@@ -34,7 +34,8 @@ import org.apache.spark.sql.SparkSession
   *      [--TOKENS_PER_DOC 8]          ← maxsim's doc→token expansion`
   *   - `--JOB maintain --WINDOW d --M_MARKERS mm/ --AUDITS a/
   *      [--RETAIN cutoff | --RETAIN_AT_WINDOW true]
-  *      [--VEC_PSI_REFIT bar] [--VEC_MAX_CELL_ROWS n]` ← vectors policy
+  *      [--VEC_PSI_REFIT bar] [--VEC_MAX_CELL_ROWS n]  ← vec/maxsim policy
+  *      [--SEM_PSI_REBAND bar]`            ← semantic re-band policy
   *   - `--JOB inventory [--LEDGER curate-markers/] [--OUT path/]
   *     [--LIMIT n]` — with `--LEDGER`, lag detection is
   *     [[graft.operators.StoreInventory.missingVsLedger]] (sharp
@@ -161,7 +162,8 @@ object OpsMain {
           fams.map(f => OpsFamilies.maintain(store, f, retain,
             vecMaxCellRows = Option(a("VEC_MAX_CELL_ROWS")).map(_.toLong),
             vecPsiRefit = Option(a("VEC_PSI_REFIT")).map(_.toDouble),
-            storeDir = a("STORE_DIR", "")))))
+            storeDir = a("STORE_DIR", ""),
+            semPsiReband = Option(a("SEM_PSI_REBAND")).map(_.toDouble)))))
           .run(window)
         val exp = s.expired.toSeq.sortBy(_._1)
           .map { case (f, ds) => q(f) + ":" + arr(ds) }

@@ -221,6 +221,7 @@ object SparkEntry {
     "q196_ops_langmodel" -> (TextQueries.q196OpsLangModel _),
     "q197_ops_maxsim" -> (TextQueries.q197OpsMaxSim _),
     "q198_ops_matryoshka" -> (TextQueries.q198OpsMatryoshka _),
+    "q199_sem_policy" -> (TextQueries.q199SemPolicy _),
   )
 
   /** Repeated 8-token spans, grouped by window STRING where the engine
@@ -3861,6 +3862,14 @@ object SparkEntry {
          |SELECT qid, CAST(rank AS BIGINT) AS rank, cid, cosine
          |FROM vs WHERE rank <= 3
          |ORDER BY qid, rank""".stripMargin,
+
+    // q199: the POLICY-triggered re-band — the store frozen at a
+    // deliberately outgrown 100-row horizon (narrower bands: recall 1,
+    // inflated mass), the armed window re-bands at the store's true
+    // size, d3 appends at the new width; pre-re-band day reports ∪
+    // d3-vs-all must still equal the EXACT all-pairs set, i.e. q178's
+    // oracle verbatim
+    "q199_sem_policy" -> cosineNearDupSql(0.9, "aug", q93AugCte),
 
     // q138: q134's scores gated on the top-2 log-score margin (the NB
     // analogue of CCNet's fastText confidence threshold) — margin is the

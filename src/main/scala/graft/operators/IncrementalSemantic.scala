@@ -506,6 +506,90 @@ object IncrementalSemantic {
     spark.sql(s"DROP TABLE IF EXISTS $prevT")
   }
 
+  /** The banding family's detect→act POLICY — [[IncrementalVectors
+    * .maintainPolicy]]'s shape for the semantic store, closing the loop
+    * the maintenance audit's scaladoc left to "a human (or a policy
+    * job)": inside a maintenance window, measure the per-date band-
+    * occupancy PSI against the frozen baseline and, when it crosses
+    * `psiReband` AND the width law at the store's CURRENT size derives
+    * a different band width than the frozen config (the store outgrew
+    * its declared horizon — the drift mode a re-band actually fixes),
+    * run [[rebandStore]] at the current size under the window-unique
+    * gen `policy_<window>`. Decisions the policy takes but does NOT act
+    * on are still returned for the window log: a PSI breach whose
+    * derived width is UNCHANGED (distribution moved, size didn't — a
+    * re-band at the same width would change nothing), and a breach
+    * whose new horizon would FLIP the frozen level count (the
+    * documented re-init migration, never an automatic act).
+    *
+    * RESUME FIRST, unconditionally: a prior run of THIS window that
+    * crashed mid-re-band leaves `t_cfg_prev` staged and every mutation
+    * failing closed — the PSI audit itself refuses in that state, so
+    * consulting it first would wedge the window forever. The staged gen
+    * stamp identifies our own crashed pass; the re-run resumes the SAME
+    * gen at the store's current size (mutations fail closed while
+    * pending, so the size — and therefore the derived width the
+    * same-horizon rule checks — is exactly the crashed run's).
+    * The store size is read from the id-bucketed VECTOR table (one
+    * count; width-independent — the occupancy summary's row counts are
+    * per-band and config-relative, useless mid-crash). After a
+    * completed act the per-date view is consumed, the next window's PSI
+    * re-anchors on the `r_*` baseline and cannot re-fire — the policy
+    * converges instead of thrashing. Gens are window-unique: re-running
+    * an already-acted window under a FRESH marker ledger refuses at
+    * [[rebandStore]]'s gen-freshness check (restore the window marker
+    * to skip it wholesale). Unarmed (`psiReband` None) this is a no-op
+    * — detection stays an audit, acting stays deliberate. */
+  def maintainPolicy(spark: SparkSession, table: String, window: String,
+      psiReband: Option[Double] = None): Seq[String] =
+    psiReband.toSeq.flatMap { bar =>
+      val gen = s"policy_$window"
+      val prevT = s"${table}_cfg_prev"
+      def currentRows: Long =
+        IncrementalStore.consistentScan(spark, s"${table}_vecs").count()
+      def baseline: Option[String] = {
+        val parts = if (spark.catalog.tableExists(s"${table}_occ"))
+          spark.sql(s"SHOW PARTITIONS ${table}_occ").collect()
+            .map(_.getString(0).stripPrefix("ds=")).toSeq else Seq.empty
+        parts.filterNot(p => p.startsWith("c_") || p.startsWith("r_"))
+          .minOption.orElse(parts.filter(_.startsWith("r_")).maxOption)
+      }
+      val pendingGen = if (spark.catalog.tableExists(prevT))
+        spark.table(prevT).select(col("gen")).limit(1)
+          .collect().headOption.map(_.getString(0)) else None
+      if (pendingGen.contains(gen)) {
+        rebandStore(spark, table, currentRows, gen)
+        Seq(s"reband(resumed,gen=$gen)")
+      } else if (!spark.catalog.tableExists(s"${table}_cfg") ||
+          baseline.isEmpty) Nil // uninitialized/empty store: never wedge
+      else {
+        val b = baseline.get
+        val psi = bandDriftPsiLevels(spark, table, b).collect()
+        val worst = psi.filter(_.getString(0) != b)
+          .map(_.getDouble(3)).maxOption
+        if (!worst.exists(_ > bar)) Nil
+        else {
+          val (nPlanes, rCur, _, levels) = cfg(spark, table)
+          val n = currentRows
+          val rNew = Similarity.derivedRowsPerBand(n, nPlanes)
+          val levelsNew =
+            if (Similarity.twoLevelEngaged(n, None, None)) 2 else 1
+          if (levelsNew != levels)
+            Seq(f"reband_refused(psi=${worst.get}%.6f>$bar,levels_flip=" +
+              s"$levels->$levelsNew: migrateStore to a new store is the " +
+              "documented path)")
+          else if (rNew == rCur)
+            Seq(f"detect(psi=${worst.get}%.6f>$bar,width_unchanged,r=" +
+              s"$rCur)")
+          else {
+            rebandStore(spark, table, n, gen)
+            Seq(f"reband(psi=${worst.get}%.6f>$bar,r=$rCur->$rNew," +
+              s"gen=$gen)")
+          }
+        }
+      }
+    }
+
   /** MIGRATE to a NEW store at a new horizon — the path [[rebandStore]]
     * refuses: a horizon change that FLIPS the frozen level count changes
     * the band table's key schema and bucket spec, which no in-place

@@ -27,8 +27,13 @@ import org.apache.spark.sql.functions._
   *     first curate run REQUIRES `--SEM_HORIZON` (a loud refusal beats
   *     a silently undersized frozen config); day report = the date's
   *     cosine pairs as-of the date; maintenance = the band-drift PSI
-  *     audit (the store's folds are model-level operations — reband,
-  *     migrate — that stay deliberate, not windowed).
+  *     audit, with the detect→act POLICY
+  *     ([[IncrementalSemantic.maintainPolicy]]) armed by
+  *     `--SEM_PSI_REBAND` (re-band at the store's current size inside
+  *     the window when PSI crosses the bar AND the width law derives
+  *     a new band width; level-flip migrations stay a deliberate
+  *     re-init) — unarmed, the model-level folds (reband, migrate)
+  *     stay deliberate operator calls.
   *   - `vectors`: the persisted ANN index ([[IncrementalVectors]] —
   *     PQ codes + IVF postings, `{store}_vec_*`); INIT-ON-DEMAND at
   *     the first append with the same declared-capacity law: the IVF
@@ -510,7 +515,8 @@ object OpsFamilies {
       retainTo: Option[String => String],
       vecMaxCellRows: Option[Long] = None,
       vecPsiRefit: Option[Double] = None,
-      storeDir: String = ""): MaintainFamily = {
+      storeDir: String = "",
+      semPsiReband: Option[Double] = None): MaintainFamily = {
     def expireAll(tbls: Seq[String]): Option[
         (SparkSession, String) => StoreMaintenance.ExpireResult] =
       retainTo.map(cut => (sp: SparkSession, w: String) => {
@@ -536,10 +542,21 @@ object OpsFamilies {
           StoreMaintenance.compact(sp, s"${store}_mh", w),
         expire = expireAll(Seq(s"${store}_mh")))
       case "semantic" => MaintainFamily(fam,
-        // model-level folds (reband, migrate) stay deliberate; the
-        // window contributes the drift AUDIT — detect, then a human
-        // (or a policy job) acts
-        maintain = (_, _) => (),
+        // the banding family's detect→act POLICY
+        // ([[IncrementalSemantic.maintainPolicy]]) armed by
+        // `--SEM_PSI_REBAND`: PSI over the bar AND an outgrown width
+        // law → rebandStore inside the window (lease-fenced,
+        // marker-committed, window-unique gen, unconditional same-gen
+        // resume). Unarmed, model-level folds (reband, migrate) stay
+        // deliberate and the window contributes only the drift audit.
+        maintain = (sp, w) => {
+          val acts = IncrementalSemantic.maintainPolicy(sp,
+            s"${store}_sem", w, psiReband = semPsiReband)
+          // O17: one structured line per policy decision
+          acts.foreach(a => println(
+            s"""{"event":"sem_policy","store":"${store}_sem",""" +
+              s""""window":"$w","action":"$a"}"""))
+        },
         expire = expireAll(Seq(s"${store}_sem_bands",
           s"${store}_sem_vecs", s"${store}_sem_occ")),
         audit = Some((sp, _) => {

@@ -2528,6 +2528,85 @@ object TextQueries {
     out.orderBy(col("qid"), col("rank"))
   }
 
+  /** q199: THE SEMANTIC RE-BAND POLICY JOB — the banding family's
+    * detect→act loop closed from config, the q192 symmetry the registry
+    * audit's scaladoc left to "a human (or a policy job)": the store is
+    * curated over d0–d2 under a DELIBERATELY OUTGROWN horizon
+    * (`--SEM_HORIZON 100` → the width law freezes r = 7 while the
+    * corpus is far larger — under-declared bands are narrower, so
+    * recall stays 1 and only the candidate MASS suffers, which is
+    * exactly the drift a re-band repairs), then ONE maintenance window
+    * armed with `--SEM_PSI_REBAND 0.0` measures per-date occupancy PSI
+    * against the d0 baseline, finds the width law at the store's
+    * CURRENT size derives a wider band, and re-bands every stored
+    * vector from the store's own id-bucketed vector table under the
+    * window-unique gen `policy_d2` — the corpus is never re-read. d3
+    * then appends AGAINST the re-banded width. Serve = the pre-re-band
+    * day reports (d0–d2, pinned parquet in the report sink — the store
+    * state they were computed at is consumed by the fold) ∪ d3's pairs
+    * against the full post-re-band store (`upTo = None`: the as-of
+    * caveat excludes `r_*` labels, so the day report's own as-of view
+    * cannot see folded history — the serve reads unrestricted instead);
+    * the oracle is q178's EXACT all-pairs gate verbatim. Green proves
+    * the policy-triggered width migration loses not one pair across
+    * the re-band — detection, decision, act, and the next day's
+    * ingestion all from flags alone. */
+  def q199SemPolicy(s: SparkSession, dir: String): DataFrame = {
+    val pid = ProcessHandle.current().pid()
+    val hx = Integer.toHexString(dir.hashCode)
+    val base = s"graft_q199_p${pid}_$hx"
+    val tmp = s"/tmp/graft_q199_${pid}_$hx"
+    val tbls = Seq("_sem_cfg", "_sem_cfg_prev", "_sem_bands", "_sem_vecs",
+      "_sem_occ").map(base + _)
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Warehouse.sweepOrphans(s, "graft_q199_p")
+    Warehouse.sweepTmpOrphans("graft_q199_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val aug = augmentedEmbeddings(s, dir)
+    val curateArgs = Array("--JOB", "curate", "--STORE", base,
+      "--FAMILIES", "semantic", "--ID_COL", "vec_id",
+      "--VEC_COL", "embedding", "--SEM_HORIZON", "100",
+      "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+      "--REPORTS", s"$tmp/reports")
+    graft.Phases.timed("build") { // frozen at the outgrown 100-row law
+      (0 until 3).foreach(d =>
+        aug.filter(pmod(col("vec_id"), lit(4L)) === d)
+          .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      val r = graft.OpsMain.run(curateArgs, s)
+      require(r.contains("\"processed\":[\"d0\",\"d1\",\"d2\"]"), r)
+    }
+    graft.Phases.timed("migrate") { // the armed window: detect → re-band
+      val r = graft.OpsMain.run(Array("--JOB", "maintain",
+        "--STORE", base, "--FAMILIES", "semantic", "--WINDOW", "d2",
+        "--SEM_PSI_REBAND", "0.0",
+        "--M_MARKERS", s"$tmp/mmarkers", "--AUDITS", s"$tmp/audits"), s)
+      require(r.contains("\"skipped\":false"), r)
+      val parts = s.sql(s"SHOW PARTITIONS ${base}_sem_bands").collect()
+        .map(_.getString(0)).toSet
+      require(parts == Set("ds=r_policy_d2"),
+        s"the policy must have re-banded the store: $parts")
+    }
+    graft.Phases.timed("append") { // d3 lands at the re-banded width
+      aug.filter(pmod(col("vec_id"), lit(4L)) === 3)
+        .write.mode("overwrite").parquet(s"$tmp/in/d3.parquet")
+      val r = graft.OpsMain.run(curateArgs, s)
+      require(r.contains("\"processed\":[\"d3\"]"), r)
+    }
+    val out = graft.Phases.timed("serve") {
+      val pre = s.read.parquet(s"$tmp/reports/semantic")
+        .filter(col("ds").isin("d0", "d1", "d2"))
+        .drop("ds")
+      val d3 = graft.operators.IncrementalSemantic
+        .newPairs(s, s"${base}_sem", "d3", 0.9, upTo = None)
+      pre.unionByName(d3).localCheckpoint() // tables dropped below
+    }
+    tbls.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out.orderBy(col("a_id"), col("b_id"))
+  }
+
   /** q95's pipeline with an EXPLICIT band-width override — NOT an oracle
     * query, retained as the override-path ScaleProbe entry: `rowsPerBand`
     * is a log₂N knob (README round 6 — at fixture N the 4-bit setting

@@ -404,6 +404,83 @@ class OpsMainSpec extends SparkSpec {
     } finally dropI()
   }
 
+  test("semantic re-band policy from flags: act on outgrown width, converge after acting, resume a crashed re-band") {
+    val tmp = Files.createTempDirectory("opsmain-sem").toString
+    val base = "opsm_s"
+    val stbls = Seq("_sem_cfg", "_sem_cfg_prev", "_sem_bands",
+      "_sem_vecs", "_sem_occ")
+    def dropS(): Unit =
+      stbls.foreach(s => spark.sql(s"DROP TABLE IF EXISTS $base$s"))
+    dropS()
+    try {
+      (0 until 2).foreach(d => corpus.filter(pmod(col("id"), lit(3L)) === d)
+        .write.mode("overwrite").parquet(s"$tmp/in/d$d.parquet"))
+      // freeze the banding model at a DELIBERATELY outgrown horizon:
+      // 100 rows -> r = 7 while the real corpus derives a wider band
+      val c1 = OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+        "--FAMILIES", "semantic", "--SEM_HORIZON", "100",
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+        "--REPORTS", s"$tmp/reports"), spark)
+      assert(c1.contains(""""processed":["d0","d1"]"""), c1)
+      val rFrozen = spark.table(s"${base}_sem_cfg").head().getInt(1)
+      assert(rFrozen == 7, s"100-row horizon must freeze r=7, got $rFrozen")
+
+      // the armed window: PSI over the bar AND an outgrown width -> act
+      val m1 = OpsMain.run(Array("--JOB", "maintain", "--STORE", base,
+        "--FAMILIES", "semantic", "--WINDOW", "w0",
+        "--SEM_PSI_REBAND", "0.0",
+        "--M_MARKERS", s"$tmp/mm", "--AUDITS", s"$tmp/audits"), spark)
+      assert(m1.contains(""""skipped":false"""), m1)
+      val parts1 = spark.sql(s"SHOW PARTITIONS ${base}_sem_bands")
+        .collect().map(_.getString(0)).toSet
+      assert(parts1 == Set("ds=r_policy_w0"), parts1.toString)
+      val n = spark.table(s"${base}_sem_vecs").count()
+      val nPlanes = spark.table(s"${base}_sem_cfg").head().getInt(0)
+      val rNow = spark.table(s"${base}_sem_cfg").head().getInt(1)
+      assert(rNow == Similarity.derivedRowsPerBand(n, nPlanes) &&
+        rNow != rFrozen,
+        s"the act must re-band at the store's true size: r=$rNow")
+
+      // CONVERGENCE: a re-run of the acted window (fresh marker dir)
+      // re-anchors its PSI on the r_* baseline and cannot re-fire
+      val m2 = OpsMain.run(Array("--JOB", "maintain", "--STORE", base,
+        "--FAMILIES", "semantic", "--WINDOW", "w0",
+        "--SEM_PSI_REBAND", "0.0",
+        "--M_MARKERS", s"$tmp/mm2", "--AUDITS", s"$tmp/audits"), spark)
+      assert(m2.contains(""""skipped":false"""), m2)
+      assert(spark.sql(s"SHOW PARTITIONS ${base}_sem_bands").collect()
+        .map(_.getString(0)).toSet == Set("ds=r_policy_w0"),
+        "an acted window must not thrash")
+
+      // CRASH WINDOW: a staged _cfg_prev from this window's crashed
+      // re-band wedges every mutation AND the PSI audit — the armed
+      // window must resume the SAME gen unconditionally, before
+      // consulting PSI (the bar is unreachable: only the resume can run)
+      spark.table(s"${base}_sem_cfg")
+        .withColumn("gen", lit("policy_w1"))
+        .withColumn("rNew", lit(rNow))
+        .write.saveAsTable(s"${base}_sem_cfg_prev")
+      val m3 = OpsMain.run(Array("--JOB", "maintain", "--STORE", base,
+        "--FAMILIES", "semantic", "--WINDOW", "w1",
+        "--SEM_PSI_REBAND", "999",
+        "--M_MARKERS", s"$tmp/mm", "--AUDITS", s"$tmp/audits"), spark)
+      assert(m3.contains(""""skipped":false"""), m3)
+      assert(!spark.catalog.tableExists(s"${base}_sem_cfg_prev"),
+        "the window must resume and retire the staged config")
+      assert(spark.sql(s"SHOW PARTITIONS ${base}_sem_bands").collect()
+        .map(_.getString(0)).toSet == Set("ds=r_policy_w1"),
+        "the resume must complete the crashed re-band's fold")
+      // the store is unwedged: the next date curates normally
+      corpus.filter(pmod(col("id"), lit(3L)) === 2)
+        .write.mode("overwrite").parquet(s"$tmp/in/d2.parquet")
+      val c2 = OpsMain.run(Array("--JOB", "curate", "--STORE", base,
+        "--FAMILIES", "semantic", "--SEM_HORIZON", "100",
+        "--IN", s"$tmp/in", "--MARKERS", s"$tmp/curmarkers",
+        "--REPORTS", s"$tmp/reports"), spark)
+      assert(c2.contains(""""processed":["d2"]"""), c2)
+    } finally dropS()
+  }
+
   test("loud refusals: semantic without SEM_HORIZON; half a suppression feed") {
     val tmp = Files.createTempDirectory("opsmain-cfg").toString
     val base = "opsm_b"
