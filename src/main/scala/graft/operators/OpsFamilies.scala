@@ -595,7 +595,15 @@ object OpsFamilies {
           vecMaxCellRows, vecPsiRefit)
       case "sq8" => MaintainFamily(fam,
         // codes are disjoint per-id state: the fold is a pure re-bin
-        // (q156's law); the grid refit stays the deliberate act
+        // (q156's law). The grid refit stays the DELIBERATE act — and
+        // unlike vectors/semantic, no --SQ_PSI_REFIT policy can exist
+        // self-contained: this store holds CODES ONLY (no inline float
+        // vectors), so a windowed refit could only fit the new grid on
+        // old-grid reconstructions, which lie inside the old span by
+        // construction — the policy could never WIDEN the grid, and
+        // widening is exactly what the saturation drift it would react
+        // to requires. Acting needs the corpus; the audit detects, the
+        // operator refits (refitGrid) or re-inits at curate time.
         maintain = (sp, w) =>
           StoreMaintenance.compact(sp, s"${store}_sq_codes", w),
         expire = expireAll(Seq(s"${store}_sq_codes")),

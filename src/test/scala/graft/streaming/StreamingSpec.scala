@@ -219,6 +219,46 @@ class StreamingSpec extends SparkSpec {
       "streamed store report must equal the from-scratch repeated-spans build")
   }
 
+  test("streaming langmodel: two micro-batches' accumulated NB model equals the batch train") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("slang").toString
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamingLangModel.run(
+      ms.toDF().toDF("doc_id", "lang", "text"),
+      s"$tmp/lmstore", s"$tmp/ck")
+    ms.addData(half1); q.processAllAvailable()
+    ms.addData(half2); q.processAllAvailable()
+    q.stop()
+
+    val (model, priors) =
+      graft.operators.IncrementalLangModel.model(spark, s"$tmp/lmstore")
+    // the one-shot train over the union corpus: the exact append-side
+    // expressions (holdout rule included), computed in-statement
+    val isTrain = pmod(graft.functions.Fnv64.fnv64(
+      col("doc_id").cast("string")), lit(100L)) < 50
+    val wantModel = docs.filter(isTrain)
+      .select(col("lang").as("cand"), graft.functions.CharNgramRows
+        .charNgramRows(col("text"), 3).as("tri"))
+      .groupBy(col("cand"), col("tri")).agg(count(lit(1)).as("c"))
+    val wantPriors = docs.filter(isTrain)
+      .groupBy(col("lang").as("cand")).agg(count(lit(1)).as("ndl"))
+    assert(model.count() > 0 && priors.count() > 0)
+    assert(model.exceptAll(wantModel).isEmpty &&
+      wantModel.exceptAll(model).isEmpty,
+      "streamed trigram sums must equal the one-shot train")
+    assert(priors.exceptAll(wantPriors).isEmpty &&
+      wantPriors.exceptAll(priors).isEmpty,
+      "streamed priors must equal the one-shot train")
+  }
+
   test("streaming postings: two micro-batches' store reports equal the batch build") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
