@@ -452,6 +452,33 @@ class OpsMainSpec extends SparkSpec {
         .map(_.getString(0)).toSet == Set("ds=r_policy_w0"),
         "an acted window must not thrash")
 
+      // WIDTH-UNCHANGED BREACH (library level, own store): a config
+      // frozen at the store's TRUE size still sees per-date PSI — the
+      // slices differ — but the width law derives the same r, so the
+      // policy must return a logged decision and touch nothing (a
+      // re-band at the same width changes nothing)
+      val base2 = "opsm_s2"
+      val s2tbls = Seq("_sem_cfg", "_sem_bands", "_sem_vecs", "_sem_occ")
+      s2tbls.foreach(x => spark.sql(s"DROP TABLE IF EXISTS $base2$x"))
+      try {
+        val embAll = corpus.select(col("id").as("vec_id"), col("embedding"))
+        IncrementalSemantic.initModel(
+          embAll.filter(pmod(col("vec_id"), lit(2L)) === 0),
+          s"${base2}_sem", horizonRows = embAll.count())
+        (0 until 2).foreach(d => IncrementalSemantic.appendDate(
+          embAll.filter(pmod(col("vec_id"), lit(2L)) === d),
+          s"${base2}_sem", s"d$d"))
+        val acts = IncrementalSemantic.maintainPolicy(spark,
+          s"${base2}_sem", "wx", psiReband = Some(0.0))
+        assert(acts.exists(_.startsWith("detect(")) &&
+          !acts.exists(_.startsWith("reband(")),
+          s"same-width breach must detect without acting: $acts")
+        assert(spark.sql(s"SHOW PARTITIONS ${base2}_sem_bands").collect()
+          .map(_.getString(0)).toSet == Set("ds=d0", "ds=d1"),
+          "width-unchanged decision must leave the store untouched")
+      } finally s2tbls.foreach(x =>
+        spark.sql(s"DROP TABLE IF EXISTS $base2$x"))
+
       // CRASH WINDOW: a staged _cfg_prev from this window's crashed
       // re-band wedges every mutation AND the PSI audit — the armed
       // window must resume the SAME gen unconditionally, before
