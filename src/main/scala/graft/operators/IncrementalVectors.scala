@@ -101,13 +101,22 @@ object IncrementalVectors {
       PQ.encode(emb, spark.table(s"${table}_cb"), m, idCol, vecCol),
       s"${table}_codes", date, Seq("id"), nBuckets,
       guard = requireNoPendingRefit(_, table))
-    val cells = KMeans.assign(emb, spark.table(s"${table}_ctr"), idCol, vecCol)
-      .select(col("id"), col("cid").as("cell"))
+    // cell assignment is a PER-ROW function of (vector, frozen model): the
+    // centroid table is bounded driver metadata (k·D doubles), so the cells
+    // append is ONE scan-local projection + the bucketed write — the old
+    // plan's assignment aggregates (2 exchanges) and the vectors-⋈-cells
+    // self-join (a third exchange, shuffling every vector by id just to
+    // re-attach its own cell) are gone; the heavy column never leaves the
+    // scan until the write. Null-assignment rows (no contributing dims)
+    // are filtered exactly as the old inner join dropped them.
+    val ctrModel = graft.functions.ModelExpressions
+      .collectModel(spark.table(s"${table}_ctr"))
     IncrementalStore.appendBucketed(
-      emb.select(col(idCol).as("id"), col(vecCol).as("e"),
+      emb.select(graft.functions.ModelExpressions
+            .cellAssignF(col(vecCol), ctrModel).getField("cid").as("cell"),
+          col(idCol).as("id"), col(vecCol).as("e"),
           Similarity.norm(col(vecCol)).as("n"))
-        .join(cells, "id")
-        .select(col("cell"), col("id"), col("e"), col("n")),
+        .filter(col("cell").isNotNull),
       s"${table}_cells", date, Seq("cell"), nBuckets,
       guard = requireNoPendingRefit(_, table))
   }
@@ -467,15 +476,18 @@ object IncrementalVectors {
         case None => spark.sql(s"DROP TABLE IF EXISTS $nextT"); stage()
       }
     } else stage()
-    val ctr = spark.table(nextT).drop("gen")
+    // the staged centroids are a bounded frozen model: the migration
+    // rewrite is ONE distributed read + per-row reassignment + bucketed
+    // write — the old transform's assignment aggregates and the re-⋈-df
+    // self-join (which reshuffled every inline vector by id) are gone
+    val nextModel = graft.functions.ModelExpressions
+      .collectModel(spark.table(nextT).drop("gen"))
     try StoreMaintenance.rewrite(spark, s"${table}_cells", gen,
-      transform = df => {
-        val re = KMeans.assign(df.select(col("id"), col("e")), ctr,
-            idCol = "id", vecCol = "e")
-          .select(col("id"), col("cid").as("new_cell"))
-        df.drop("cell").join(re, "id")
-          .select(col("new_cell").as("cell"), col("id"), col("e"), col("n"))
-      })
+      transform = df => df
+        .select(graft.functions.ModelExpressions
+            .cellAssignF(col("e"), nextModel).getField("cid").as("cell"),
+          col("id"), col("e"), col("n"))
+        .filter(col("cell").isNotNull))
     catch {
       // an abort BEFORE the fold's first effect (no pending sentinel AND
       // no r_<gen> partition — e.g. lease contention with a live append)

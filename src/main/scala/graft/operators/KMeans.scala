@@ -119,10 +119,50 @@ object KMeans {
   }
 
   /** Hard assignment against a centroid table: (id, cid, d2) with d2 the
-    * exact decimal-summed squared distance to the WINNING centroid. */
+    * exact decimal-summed squared distance to the WINNING centroid.
+    *
+    * PER-ROW since the optimization round: the centroid table is a frozen
+    * model (k·D doubles — bounded driver metadata, collected here like the
+    * IVF probed-cell list), so the assignment is a pure scan-local
+    * projection ([[graft.functions.ModelExpressions.CellAssignF]]) instead
+    * of the old 2-exchange explode→broadcast-join→double-aggregate plan.
+    * Arithmetic is bit-identical (same per-dim round-12 terms, exact
+    * decimal sum, min-(d2, cid) tie-break, same Decimal(38,12) type) —
+    * oracle-gated across q44/q133/q137/q141/q142. Collecting forces a
+    * lazy centroid plan (e.g. a fit) to run HERE, once — previously every
+    * downstream action recomputed its aggregate subtree. */
   def assign(emb: DataFrame, centroids: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
-    assignDims(dimRows(emb, idCol, vecCol), centroids)
+    assignByModel(emb,
+      graft.functions.ModelExpressions.collectModel(centroids), idCol, vecCol)
+
+  /** [[assign]] against an already-collected [[graft.functions
+    * .ModelExpressions.VectorModel]] — zero exchanges, one projection. */
+  def assignByModel(emb: DataFrame,
+      model: graft.functions.ModelExpressions.VectorModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = graft.functions.ModelExpressions
+      .cellAssignF(col(vecCol), model).as("s")
+    // the null filter replicates the old inner-join semantics: a vector
+    // with no contributing dims (null/empty) produced no (id, cid) row
+    emb.select(col(idCol).as("id"), s)
+      .filter(col("s").isNotNull)
+      .select(col("id"), col("s.cid").as("cid"), col("s.d2").as("d2"))
+  }
+
+  /** A driver-collected model re-materialized as the standard (cid, dim,
+    * c) centroid frame — a LocalTableScan, so plans that still join the
+    * model (query-side probe ranking) read it without recomputing the
+    * fit subtree that produced it. */
+  def localCentroids(spark: org.apache.spark.sql.SparkSession,
+      model: graft.functions.ModelExpressions.VectorModel): DataFrame = {
+    import spark.implicits._
+    model.cids.indices.flatMap { j =>
+      model.dims(j).zip(model.cs(j)).map { case (d, c) =>
+        (model.cids(j), d, c)
+      }
+    }.toDF("cid", "dim", "c")
+  }
 
   /** (id, cid, d2) for EVERY (point, centroid) pair — the pre-argmin table
     * [[assign]] reduces; exposed for consumers that rank cells instead of

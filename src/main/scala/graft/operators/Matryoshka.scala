@@ -54,14 +54,20 @@ object Matryoshka {
       pDim: Int = 16, nBuckets: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    val cells = KMeans.assign(prefixed(emb, pDim, idCol, vecCol),
-        spark.table(s"${table}_ctr"), idCol, vecCol)
-      .select(col("id"), col("cid").as("cell"))
+    // per-row prefix assignment against the collected frozen quantizer
+    // (k·pDim doubles): one projection + the bucketed write — the old
+    // assignment aggregates and the vectors-⋈-cells self-join are gone
+    // (KMeans.assign's optimization note applies; the slice feeds the
+    // model expression directly)
+    val model = graft.functions.ModelExpressions
+      .collectModel(spark.table(s"${table}_ctr"))
     IncrementalStore.appendBucketed(
-      emb.select(col(idCol).as("id"), col(vecCol).as("e"),
+      emb.select(graft.functions.ModelExpressions
+            .cellAssignF(slice(col(vecCol), 1, pDim), model)
+            .getField("cid").as("cell"),
+          col(idCol).as("id"), col(vecCol).as("e"),
           Similarity.norm(col(vecCol)).as("n"))
-        .join(cells, "id")
-        .select(col("cell"), col("id"), col("e"), col("n")),
+        .filter(col("cell").isNotNull),
       s"${table}_cells", date, Seq("cell"), nBuckets)
   }
 

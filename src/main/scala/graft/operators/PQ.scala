@@ -58,25 +58,34 @@ object PQ {
   }
 
   /** PQ codes: (id, m, code) — per subspace, the centroid minimizing the
-    * exact subdistance (ties → smaller cid). Argmin as a hash-aggregate
-    * `min(struct(d2, cid))` — lexicographic struct ordering — rather than
-    * a row_number window: no per-(id,m) sort, partial aggregation
-    * map-side, one narrow shuffle. */
+    * exact subdistance (ties → smaller cid).
+    *
+    * PER-ROW since the optimization round: the codebook is K·D doubles
+    * (bounded driver metadata — collected here), so encoding is one
+    * scan-local projection ([[graft.functions.ModelExpressions.PqCodesF]])
+    * plus an explode of the M-code array — ZERO exchanges, where the old
+    * plan paid explode→broadcast-join→two hash aggregates (2 exchanges)
+    * per encode. Arithmetic is bit-identical (same round-12 decimal
+    * subdistances, same (d2, cid) argmin) — oracle-gated across
+    * q96/q133/q96-adjacent paths. */
   def encode(emb: DataFrame, cb: DataFrame, m: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    encodeWithDim(emb, cb, vecDim(emb, vecCol), m, idCol, vecCol)
+    encodeByModel(emb, graft.functions.ModelExpressions.collectModel(cb),
+      vecDim(emb, vecCol), m, idCol, vecCol)
+
+  /** [[encode]] against an already-collected codebook model. */
+  private[operators] def encodeByModel(emb: DataFrame,
+      model: graft.functions.ModelExpressions.VectorModel, dim: Int, m: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be a multiple of m=$m")
+    emb.select(col(idCol).as("id"),
+        explode(graft.functions.ModelExpressions
+          .pqCodesF(col(vecCol), model, dim / m)).as("mc"))
+      .select(col("id"), col("mc.m").as("m"), col("mc.code").as("code"))
+  }
 
   private[operators] def vecDim(emb: DataFrame, vecCol: String): Int =
     emb.select(size(col(vecCol))).head().getInt(0)
-
-  private def encodeWithDim(emb: DataFrame, cb: DataFrame, dim: Int, m: Int,
-      idCol: String, vecCol: String): DataFrame = {
-    require(dim % m == 0, s"dim $dim must be a multiple of m=$m")
-    subDistances(emb, cb, dim / m, idCol, vecCol)
-      .groupBy(col("id"), col("m"))
-      .agg(min(struct(col("d2"), col("cid"))).as("s"))
-      .select(col("id"), col("m"), col("s.cid").as("code"))
-  }
 
   /** ADC top-k: for each query (vectors with `queryPred`), the exact
     * per-subspace distance table to all centroids, summed along every
@@ -85,9 +94,15 @@ object PQ {
   def adcTopK(emb: DataFrame, queryPred: Column, topK: Int = 3, m: Int = 8,
       k: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cb = codebook(emb, k, idCol, vecCol)
+    // collect the codebook ONCE (K·D doubles): the encode runs per-row
+    // against the model, and the query-side distance table reads the same
+    // collected rows as a LocalTableScan instead of recomputing the
+    // hash-seed scan in its own subtree
+    val model = graft.functions.ModelExpressions
+      .collectModel(codebook(emb, k, idCol, vecCol))
+    val cb = KMeans.localCentroids(emb.sparkSession, model)
     val dim = vecDim(emb, vecCol)
-    val codes = encodeWithDim(emb, cb, dim, m, idCol, vecCol)
+    val codes = encodeByModel(emb, model, dim, m, idCol, vecCol)
     val qd = subDistances(emb.filter(queryPred), cb, dim / m, idCol, vecCol)
       .select(col("id").as("qid"), col("m"), col("cid"), col("d2"))
     val adist = codes.join(broadcast(qd),

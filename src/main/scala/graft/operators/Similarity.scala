@@ -229,15 +229,25 @@ object Similarity {
       s"the $fitPercent% fit sample has fewer than nCells=$nCells rows — " +
         "raise fitPercent (the oracle replays the sampled fit, so a silent " +
         "fit-on-everything fallback would diverge from it)")
-    val (_, centroids, _) =
+    val (_, centroids, release) =
       KMeans.fitCentroidsManaged(sampled, nCells, iterations, idCol, vecCol)
-    val assigned = KMeans.assign(candidates, centroids, idCol, vecCol)
+    // collect the fitted quantizer ONCE (k·D doubles — bounded driver
+    // metadata): the full-corpus assignment becomes a per-row projection
+    // (zero exchanges — see KMeans.assign's optimization note), the probe
+    // ranking below reads the same collected rows as a LocalTableScan
+    // instead of recomputing the fit subtree per action, and the fit's
+    // dims cache can be released immediately (the collect was the last
+    // action over the fit's plans) instead of lingering to the session
+    // sweep.
+    val model = graft.functions.ModelExpressions.collectModel(centroids)
+    release()
+    val assigned = KMeans.assignByModel(candidates, model, idCol, vecCol)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       norm(col(vecCol)).as("qn"))
     val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     val probes = KMeans.cellDistances(
         KMeans.dimRows(queries, idCol, vecCol),
-        centroids)
+        KMeans.localCentroids(queries.sparkSession, model))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)
       .select(col("id").as("qid"), col("cid").as("cell"))
