@@ -208,9 +208,72 @@ object ModelExpressions {
       copy(child = c)
   }
 
+  /** array<int> of LSH band hashes — bit j of band b is the sign of the
+    * vector's dot product with hyperplane b·r+j, bandHash = Σ bitⱼ·2ʲ.
+    *
+    * WHY: the per-plane formulation built nPlanes typedlit arrays (each
+    * maxDim floats) joined by nPlanes DotF + when + add nodes — a
+    * >25,000-node expression tree per projection at 128 planes × two
+    * levels, re-analyzed by Catalyst on EVERY append/serve plan (measured:
+    * q179's per-run driver gap was ~6 s, stable across reps — analysis
+    * cost, not codegen compile). One native node carrying the plane
+    * matrix as a reference shrinks the tree to a single expression and
+    * runs the p·d loop as plain JVM bytecode.
+    *
+    * ARITHMETIC: identical to the literal form — each dot accumulates
+    * vec[i].toDouble · plane[i].toDouble in index order over
+    * min(|vec|, maxDim) elements; bit p is acc > 0 — so band hashes (and
+    * every oracle-gated banded query) are bit-equal. */
+  case class BandHashesF(child: Expression, planes: Array[Array[Float]],
+      r: Int) extends UnaryExpression with CodegenFallback {
+    require(r >= 1, "r must be >= 1")
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecArray(child.dataType, "band_hashes_f")
+    private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val nBands = planes.length / r
+      val out = new Array[Any](nBands)
+      var b = 0
+      while (b < nBands) {
+        var hash = 0
+        var j = 0
+        while (j < r) {
+          val plane = planes(b * r + j)
+          val n = math.min(arr.numElements(), plane.length)
+          // no per-element null check — bit-parity with DotF, which reads
+          // the raw float slots (these corpora carry no null elements)
+          var acc = 0.0
+          var i = 0
+          while (i < n) {
+            acc += elemAt(arr, i, isFloat) * plane(i).toDouble
+            i += 1
+          }
+          if (acc > 0) hash += 1 << j
+          j += 1
+        }
+        out(b) = hash
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): BandHashesF =
+      copy(child = c)
+  }
+
   def cellAssignF(vec: Column, model: VectorModel): Column =
     Bridge.column(CellAssignF(Bridge.expression(vec), model))
 
   def pqCodesF(vec: Column, model: VectorModel, subDim: Int): Column =
     Bridge.column(PqCodesF(Bridge.expression(vec), model, subDim))
+
+  def bandHashesF(vec: Column, planes: Array[Array[Float]], r: Int): Column =
+    Bridge.column(BandHashesF(Bridge.expression(vec), planes, r))
 }

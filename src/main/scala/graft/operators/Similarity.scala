@@ -460,18 +460,16 @@ object Similarity {
     * constant-width choice (weights for i < dim are identical at any
     * width — see [[probedDim]]). */
   private[operators] def hyperplaneBandHashes(vec: Column, nPlanes: Int,
-      r: Int, level: Int, maxDim: Int): Column = {
-    val nBands = nPlanes / r
-    def plane(p: Int): Column =
-      typedlit(Array.tabulate(maxDim)(i =>
-        hyperplaneWeight(level * nPlanes + p, i)))
-    def bit(p: Int): Column =
-      when(graft.functions.VectorExpressions.dotF(vec, plane(p)) > 0, 1)
-        .otherwise(0)
-    def bandHash(b: Int): Column =
-      (0 until r).map(j => bit(b * r + j) * (1 << j)).reduce(_ + _)
-    array((0 until nBands).map(bandHash): _*)
-  }
+      r: Int, level: Int, maxDim: Int): Column =
+    // ONE native node carrying the plane matrix as a reference — the old
+    // nPlanes-literal when(dotF>0) tree was >25k expression nodes at 128
+    // planes × two levels, re-analyzed by Catalyst on every append/serve
+    // plan (the q179 driver gap). Same dots, same signs, same hashes —
+    // see BandHashesF's arithmetic note.
+    graft.functions.ModelExpressions.bandHashesF(vec,
+      Array.tabulate(nPlanes)(p =>
+        Array.tabulate(maxDim)(i => hyperplaneWeight(level * nPlanes + p, i))),
+      r)
 
   private[operators] def vectorDim(emb: DataFrame, vecCol: String): Int =
     probedDim(emb, vecCol)
